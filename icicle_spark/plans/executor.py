@@ -1,0 +1,319 @@
+"""Fused as-of fold executor — ONE ``applyInPandas`` pass per input.
+
+This is the engine's analogue of the reference's fused query kernels
+(/root/reference/icicle-compiler/src/Icicle/Runtime/Evaluator.hs:425-521):
+facts are shuffled once by entity, sorted by time within the group, and
+ALL features of the plan are evaluated at every query time with numpy
+slice reductions over the visible prefix (the "stencil",
+/root/reference/icicle-compiler/src/Icicle/Runtime/Stencil.hs:111-134):
+
+* snapshot scope — one literal query time for all entities
+* chord scope    — per-entity (query_time, label) rows, as-of join
+
+Visibility is STRICTLY ``time < query_time`` (zero temporal leakage,
+Stencil.hs:111-113); windows add ``time >= qtime - N days`` (inclusive
+lower edge, icicle-data/src/Icicle/Data/Time.hs:288-292).
+
+Scale notes (designed for 10^12 rows / 1000 executors):
+
+* one shuffle total, keyed by entity; AQE coalesces post-shuffle
+  partitions.  An entity is never split across partitions — the same
+  invariant the reference holds (README.md:139-141) — so arbitrary
+  sequential folds stay correct without cross-partition state merge.
+* per entity the pass is O(n_facts + n_qtimes * slice) with all
+  element expressions evaluated once, vectorized, then sliced per
+  query time via ``np.searchsorted`` on the sorted time axis.
+* no collect(); no per-row Python. Arrow batches in and out.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from icicle_spark.plans.ir import (
+    Agg,
+    CustomFold,
+    Feature,
+    Plan,
+    eval_expr,
+    feature_dtype,
+)
+
+_EMPTY: dict[Agg, Any] = {
+    Agg.SUM: 0.0,
+    Agg.COUNT: 0,
+    Agg.ANY: False,
+    Agg.ALL: True,
+    Agg.COUNT_DISTINCT: 0,
+    Agg.DISTINCT_VALUES: [],
+    Agg.COLLECT: [],
+    Agg.NUMFLIPS: 0,
+}
+
+
+def _reduce_slice(f: Feature, vals: np.ndarray, by: np.ndarray | None) -> Any:
+    """Reduce the visible, filtered element slice to the fold result.
+
+    ``vals`` is already filtered; Possibly semantics (a null element
+    poisons the aggregate unless skip_nulls) are applied here —
+    matching error propagation through reified Sum Error a
+    (/root/reference/icicle-source/src/Icicle/Source/Transform/ReifyPossibility.hs).
+    """
+    isna = pd.isna(vals)
+    if f.skip_nulls:
+        vals = vals[~isna]
+        if by is not None:
+            by = by[~isna]
+    elif isna.any():
+        return None
+    agg = f.agg
+    if isinstance(agg, CustomFold):
+        if len(vals) == 0:
+            state = agg.init
+        elif agg.step is not None:
+            state = agg.step(vals)
+        else:
+            state = agg.init
+            for x in vals:
+                state = agg.step_seq(state, x)
+        return agg.output(state) if agg.output else state
+    n = len(vals)
+    if n == 0:
+        return _EMPTY.get(agg)  # None for value-typed folds (fold1 path)
+    if agg is Agg.SUM:
+        return float(np.sum(vals.astype("float64")))
+    if agg is Agg.COUNT:
+        return int(n)
+    if agg is Agg.MEAN:
+        return float(np.mean(vals.astype("float64")))
+    if agg is Agg.MIN:
+        return vals.min()
+    if agg is Agg.MAX:
+        return vals.max()
+    if agg is Agg.VARIANCE:
+        if n < 2:
+            return None
+        return float(np.var(vals.astype("float64"), ddof=1))
+    if agg is Agg.SD:
+        if n < 2:
+            return None
+        return float(np.std(vals.astype("float64"), ddof=1))
+    if agg is Agg.NEWEST:
+        return vals[-1]
+    if agg is Agg.OLDEST:
+        return vals[0]
+    if agg is Agg.ANY:
+        return bool(np.any(vals))
+    if agg is Agg.ALL:
+        return bool(np.all(vals))
+    if agg is Agg.COUNT_DISTINCT:
+        return int(pd.unique(vals).size)
+    if agg is Agg.DISTINCT_VALUES:
+        return sorted(str(x) for x in pd.unique(vals))
+    if agg is Agg.NUMFLIPS:
+        return int(np.sum(vals[1:] != vals[:-1]))
+    if agg is Agg.COLLECT:
+        return list(vals)
+    if agg is Agg.MAX_BY:
+        return vals[int(np.argmax(by))]
+    if agg is Agg.MIN_BY:
+        return vals[int(np.argmin(by))]
+    raise ValueError(f"unknown agg {agg}")
+
+
+def _feature_value(
+    f: Feature,
+    lo: int,
+    hi: int,
+    vals: np.ndarray,
+    mask: np.ndarray | None,
+    by: np.ndarray | None,
+    gkey: np.ndarray | None,
+    dkey: np.ndarray | None,
+    max_group: int,
+) -> Any:
+    """Evaluate one feature over the visible index range [lo, hi)."""
+    idx = np.arange(lo, hi)
+    if mask is not None:
+        idx = idx[mask[lo:hi]]
+    if f.skip_nulls and len(idx):
+        # skip_nulls acts like an element filter: nulls are dropped
+        # BEFORE the latest-N buffer / distinct pass sees them.
+        idx = idx[~pd.isna(vals[idx])]
+    if dkey is not None:
+        # `distinct k` — keep FIRST fact per key in stream order
+        # (reference ToCore/Fold.hs:477-559: Map k Unit + lookup guard).
+        _, first_pos = np.unique(dkey[idx], return_index=True)
+        idx = idx[np.sort(first_pos)]
+    if f.latest is not None:
+        idx = idx[-f.latest:]  # circular buffer: last N facts
+    v = vals[idx]
+    b = by[idx] if by is not None else None
+    if gkey is not None:
+        # `group k ~> agg` — map from key to sub-aggregate
+        # (reference ToCore/Fold.hs:413-475, map of accumulators).
+        keys = gkey[idx]
+        out: dict[str, Any] = {}
+        for k in pd.unique(keys):
+            sel = keys == k
+            out[str(k)] = _reduce_slice(f, v[sel], b[sel] if b is not None else None)
+            if len(out) > max_group:
+                return None  # maxMapSize overflow -> error value
+        return out
+    return _reduce_slice(f, v, b)
+
+
+def _run_entity(
+    plan: Plan,
+    pdf: pd.DataFrame,
+    qtimes: np.ndarray,
+    exprs: dict[str, tuple],
+) -> list[list[Any]]:
+    """Evaluate all features at all query times for one entity."""
+    if plan.seq_col is not None and plan.seq_col in pdf.columns:
+        order = np.lexsort(
+            (pdf[plan.seq_col].to_numpy(), pdf[plan.time_col].to_numpy())
+        )
+    else:
+        order = np.argsort(pdf[plan.time_col].to_numpy(), kind="stable")
+    pdf = pdf.iloc[order]
+    times = pdf[plan.time_col].to_numpy()
+    cols: dict[str, dict[str, np.ndarray | None]] = {}
+    for f in plan.features:
+        vals = eval_expr(f.expr, pdf).to_numpy()
+        mask = None
+        if f.where is not None:
+            mask = (
+                eval_expr(f.where, pdf).fillna(False).to_numpy().astype(bool)
+            )
+        if plan.tombstone_col is not None and plan.tombstone_col in pdf.columns:
+            # a tombstone fact's value is an error element
+            # (doc/design/tombstones.md:56-73): poison it to null so
+            # Possibly propagation (or skip_nulls) applies.
+            ts_mask = pdf[plan.tombstone_col].fillna(False).to_numpy().astype(bool)
+            if ts_mask.any():
+                vals = vals.astype(object)
+                vals[ts_mask] = None
+        cols[f.name] = {
+            "vals": vals,
+            "mask": mask,
+            "by": eval_expr(f.by, pdf).to_numpy() if f.by is not None else None,
+            "gkey": eval_expr(f.group, pdf).to_numpy() if f.group is not None else None,
+            "dkey": eval_expr(f.distinct, pdf).to_numpy() if f.distinct is not None else None,
+        }
+    rows = []
+    for qt in qtimes:
+        hi_asof = int(np.searchsorted(times, qt, side="left"))  # strict <
+        row = []
+        for f in plan.features:
+            lo, hi = 0, hi_asof
+            if f.window is not None:
+                w_lo = qt - np.timedelta64(f.window.newer_than_days, "D")
+                lo = int(np.searchsorted(times, w_lo, side="left"))
+                if f.window.older_than_days:
+                    w_hi = qt - np.timedelta64(f.window.older_than_days, "D")
+                    hi = min(hi, int(np.searchsorted(times, w_hi, side="right")))
+            c = cols[f.name]
+            row.append(
+                _feature_value(
+                    f, lo, hi, c["vals"], c["mask"], c["by"],
+                    c["gkey"], c["dkey"], plan.max_group_size,
+                )
+            )
+        rows.append(row)
+    return rows
+
+
+def _out_schema(plan: Plan, entity_type: str, chord: bool, label: bool) -> str:
+    parts = [f"`{plan.entity_col}` {entity_type}"]
+    if chord:
+        parts.append("`query_time` timestamp")
+    if label:
+        parts.append("`label` string")
+    for f in plan.features:
+        parts.append(f"`{f.name}` {feature_dtype(f)}")
+    return ", ".join(parts)
+
+
+def _normalize_time(t: Any) -> np.datetime64:
+    if isinstance(t, np.datetime64):
+        return t
+    if isinstance(t, str):
+        return np.datetime64(pd.Timestamp(t))
+    if isinstance(t, (_dt.datetime, _dt.date, pd.Timestamp)):
+        return np.datetime64(pd.Timestamp(t))
+    return np.datetime64(t)
+
+
+def run_plan(
+    facts: DataFrame,
+    plan: Plan,
+    snapshot: Any | None = None,
+    chords: DataFrame | None = None,
+) -> DataFrame:
+    """Evaluate a fused plan at a snapshot time or a chord table.
+
+    snapshot: literal query time — one output row per entity.
+    chords:   DataFrame (entity, query_time[, label]) — one output row
+              per chord row (reference Runtime/Stencil.hs:121-134).
+    """
+    if (snapshot is None) == (chords is None):
+        raise ValueError("exactly one of snapshot / chords required")
+    plan = plan.condensed()
+    ecol, tcol = plan.entity_col, plan.time_col
+    entity_type = dict(facts.dtypes)[ecol]
+    exprs: dict[str, tuple] = {}
+
+    if snapshot is not None:
+        qt = _normalize_time(snapshot)
+        schema = _out_schema(plan, entity_type, chord=False, label=False)
+
+        def fn_snap(pdf: pd.DataFrame) -> pd.DataFrame:
+            entity = pdf[ecol].iloc[0]
+            rows = _run_entity(plan, pdf, np.array([qt]), exprs)
+            return pd.DataFrame(
+                [[entity, *r] for r in rows],
+                columns=[ecol, *[f.name for f in plan.features]],
+            )
+
+        return facts.groupBy(ecol).applyInPandas(fn_snap, schema)
+
+    has_label = "label" in chords.columns
+    schema = _out_schema(plan, entity_type, chord=True, label=has_label)
+
+    def fn_chord(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(right) == 0:
+            return pd.DataFrame(
+                columns=[ecol, "query_time"]
+                + (["label"] if has_label else [])
+                + [f.name for f in plan.features]
+            )
+        entity = right[ecol].iloc[0]
+        qts = right["query_time"].to_numpy()
+        labels = right["label"].to_numpy() if has_label else None
+        if len(left) == 0:
+            left = pd.DataFrame({c: pd.Series(dtype=t) for c, t in left.dtypes.items()})
+        rows = _run_entity(plan, left, qts, exprs)
+        out = []
+        for i, r in enumerate(rows):
+            head = [entity, pd.Timestamp(qts[i])]
+            if has_label:
+                head.append(labels[i])
+            out.append(head + r)
+        return pd.DataFrame(
+            out,
+            columns=[ecol, "query_time"]
+            + (["label"] if has_label else [])
+            + [f.name for f in plan.features],
+        )
+
+    return (
+        facts.groupBy(ecol)
+        .cogroup(chords.groupBy(ecol))
+        .applyInPandas(fn_chord, schema)
+    )

@@ -1,0 +1,219 @@
+"""Fold-plan IR — the engine's logical program.
+
+Mirrors the *shape* of the reference's Core programs (a set of
+streaming folds over one time-sorted input, fused into a single pass:
+/root/reference/icicle-core/src/Icicle/Core/Program/Program.hs:25-45,
+Fusion.hs:37-81) without porting any of its machinery.  A ``Plan`` is
+a list of ``Feature``s over one fact table; every feature is
+
+    [element expr] -> [filter] -> [window / latest frame] -> [fold]
+
+exactly the context pipeline of an Icicle query
+(/root/reference/icicle-source/src/Icicle/Source/Query/Context.hs:25-37).
+
+Two compilers consume this IR:
+
+* ``plans.native``   — pure DataFrame ops (Catalyst / whole-stage
+  codegen); used when every fold is expressible as a built-in Spark
+  aggregate.  This is the 100 TB fast path.
+* ``plans.executor`` — ONE vectorized ``applyInPandas`` pass per input
+  evaluating ALL features (query fusion) at arbitrary per-entity query
+  times (snapshot or chord), with numpy slice reduction per
+  (entity, query_time) stencil — the analogue of the reference's fused
+  C kernels (/root/reference/icicle-compiler/src/Icicle/Runtime/Evaluator.hs:425-521).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+
+
+class Agg(enum.Enum):
+    """Built-in folds. Each is a plain streaming fold in the reference
+    prelude (/root/reference/icicle-source/data/libs/prelude.icicle)."""
+
+    SUM = "sum"
+    COUNT = "count"
+    MEAN = "mean"            # prelude.icicle:140-154 (Welford)
+    MIN = "min"
+    MAX = "max"
+    VARIANCE = "variance"    # prelude.icicle:195-210 (sample variance)
+    SD = "sd"
+    NEWEST = "newest"        # prelude.icicle:21-24 (last value)
+    OLDEST = "oldest"        # prelude.icicle:26-29 (first value)
+    ANY = "any"              # prelude.icicle:104-106
+    ALL = "all"              # prelude.icicle:108-110
+    COUNT_DISTINCT = "count_distinct"
+    DISTINCT_VALUES = "distinct_values"  # prelude.icicle:98-100 (sorted keys)
+    NUMFLIPS = "numflips"    # prelude.icicle:261-272 (state changes)
+    COLLECT = "collect"      # value list in time order (bounded by frame)
+    MAX_BY = "max_by"        # prelude.icicle:172-181
+    MIN_BY = "min_by"        # prelude.icicle:184-191
+
+
+@dataclass(frozen=True)
+class CustomFold:
+    """User fold: ``fold x = init then step`` (reference
+    Context.hs:32-33).  ``step`` folds the *whole visible slice* and
+    must be vectorized (numpy in, scalar out) — the Spark-idiomatic
+    reading of an Icicle fold, which is sequential only because C is.
+
+    For genuinely order-dependent state give ``step_seq`` (python
+    scalar fold, applied per element) instead of ``step``.
+    """
+
+    init: Any
+    step: Callable[[np.ndarray], Any] | None = None          # vectorized slice -> value
+    step_seq: Callable[[Any, Any], Any] | None = None        # (acc, x) -> acc
+    output: Callable[[Any], Any] | None = None               # final extract
+    dtype: str = "double"
+
+
+@dataclass(frozen=True)
+class Window:
+    """Days-before window relative to the query time (reference
+    ToCore/ToCore.hs:123-167; inclusive lower edge per
+    icicle-data/src/Icicle/Data/Time.hs:288-292):
+
+        newer_than=B, older_than=A  =>  qtime - B days <= t <= qtime - A days
+
+    (and always t < qtime — the as-of rule, Stencil.hs:111-113).
+    """
+
+    newer_than_days: int
+    older_than_days: int = 0
+
+
+ExprLike = str | Callable[[pd.DataFrame], pd.Series]
+
+
+@dataclass(frozen=True)
+class Feature:
+    """One output column of the plan."""
+
+    name: str
+    agg: Agg | CustomFold
+    expr: ExprLike = "value"          # element expression over fact columns
+    where: ExprLike | None = None     # element filter (Context.hs:30)
+    window: Window | None = None      # days-before window (Context.hs:26)
+    latest: int | None = None         # last-N-facts frame (Context.hs:27)
+    by: ExprLike | None = None        # key expr for MAX_BY/MIN_BY
+    group: ExprLike | None = None     # `group k ~>` — output map k->agg (Context.hs:28)
+    distinct: ExprLike | None = None  # `distinct k ~>` — first fact per key (Context.hs:29)
+    skip_nulls: bool = False          # False = Icicle Possibly semantics:
+                                      # a null (error/tombstone) in the visible
+                                      # slice poisons the aggregate
+    dtype: str | None = None          # spark type of output (default by agg)
+
+
+@dataclass
+class Plan:
+    """A fused set of features over one fact table.
+
+    entity_col / time_col name the fact table's key columns;
+    tombstone_col (optional) marks deletion facts
+    (/root/reference/icicle-data/src/Icicle/Data/Fact.hs:68-79).
+    """
+
+    features: list[Feature]
+    entity_col: str = "entity"
+    time_col: str = "time"
+    seq_col: str | None = None        # tiebreaker for equal times — the
+                                      # store's ingestion order invariant
+                                      # (reference README.md:132-135)
+    tombstone_col: str | None = None
+    max_group_size: int = 1_048_576   # maxMapSize analogue
+                                      # (Core/Program/Program.hs:32)
+
+    def __post_init__(self) -> None:
+        names = [f.name for f in self.features]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate feature names: {names}")
+
+    def fuse(self, other: "Plan") -> "Plan":
+        """Query fusion: concatenate feature sets over the same input
+        (reference Core/Program/Fusion.hs:46-67 — disjoint names,
+        shared input)."""
+        if (self.entity_col, self.time_col) != (other.entity_col, other.time_col):
+            raise ValueError("cannot fuse plans over different inputs")
+        return Plan(
+            features=self.features + other.features,
+            entity_col=self.entity_col,
+            time_col=self.time_col,
+            seq_col=self.seq_col or other.seq_col,
+            tombstone_col=self.tombstone_col or other.tombstone_col,
+        )
+
+    def condensed(self) -> "Plan":
+        """CSE: drop structurally identical duplicate folds, keep the
+        first name (reference Core/Program/Condense.hs:25-66)."""
+        seen: dict[tuple, str] = {}
+        kept: list[Feature] = []
+        for f in self.features:
+            key = (
+                f.agg if isinstance(f.agg, Agg) else id(f.agg),
+                f.expr if isinstance(f.expr, str) else id(f.expr),
+                f.where if isinstance(f.where, str) else id(f.where),
+                f.window,
+                f.latest,
+                f.by if isinstance(f.by, str) else id(f.by),
+                f.group if isinstance(f.group, str) else id(f.group),
+                f.distinct if isinstance(f.distinct, str) else id(f.distinct),
+                f.skip_nulls,
+            )
+            if key not in seen:
+                seen[key] = f.name
+                kept.append(f)
+        return Plan(
+            kept,
+            entity_col=self.entity_col,
+            time_col=self.time_col,
+            seq_col=self.seq_col,
+            tombstone_col=self.tombstone_col,
+        )
+
+
+_AGG_DTYPE = {
+    Agg.SUM: "double",
+    Agg.COUNT: "bigint",
+    Agg.MEAN: "double",
+    Agg.MIN: "double",
+    Agg.MAX: "double",
+    Agg.VARIANCE: "double",
+    Agg.SD: "double",
+    Agg.NEWEST: "double",
+    Agg.OLDEST: "double",
+    Agg.ANY: "boolean",
+    Agg.ALL: "boolean",
+    Agg.COUNT_DISTINCT: "bigint",
+    Agg.DISTINCT_VALUES: "array<string>",
+    Agg.NUMFLIPS: "bigint",
+    Agg.COLLECT: "array<double>",
+    Agg.MAX_BY: "double",
+    Agg.MIN_BY: "double",
+}
+
+
+def feature_dtype(f: Feature) -> str:
+    if f.dtype:
+        return f.dtype
+    if isinstance(f.agg, CustomFold):
+        return f.agg.dtype
+    base = _AGG_DTYPE[f.agg]
+    if f.group is not None:
+        return f"map<string,{base}>"
+    return base
+
+
+def eval_expr(expr: ExprLike, pdf: pd.DataFrame) -> pd.Series:
+    """Evaluate an element expression over a pandas block (vectorized)."""
+    if callable(expr):
+        return expr(pdf)
+    if expr in pdf.columns:
+        return pdf[expr]
+    return pdf.eval(expr)
