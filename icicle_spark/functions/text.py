@@ -1,0 +1,96 @@
+"""Text analysis primitives for training-data pipelines — all
+JVM-side Column expressions (no Python in the hot path), so they fuse
+into whole-stage codegen with whatever scan/filter surrounds them.
+
+These are engine extensions (not in the reference, which only has
+strlen/tolower/toupper/grepl — SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# tiny per-language stopword marker sets for n-gram-free heuristic
+# language ID; chosen to be disjoint enough at document granularity.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "with", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "que", "pour", "dans"],
+    "es": ["el", "los", "las", "es", "que", "para", "una", "con"],
+    "it": ["il", "di", "che", "per", "con", "una", "sono", "della"],
+}
+
+_WORD_RE = r"[^a-zA-ZÀ-ɏ0-9']+"
+# BPE-ish token heuristic: word pieces, numbers, or single punctuation
+TOKEN_RE = r"[a-zA-ZÀ-ɏ]+|[0-9]+|[^\sa-zA-ZÀ-ɏ0-9]"
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), _WORD_RE), lambda w: w != "")
+
+
+def token_count(text: Column, mode: str = "whitespace") -> Column:
+    """Token count: 'whitespace' (fields) or 'bpe' (regex word pieces +
+    punctuation, a deterministic stand-in for a BPE tokenizer)."""
+    if mode == "whitespace":
+        return F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), 0))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: the language whose marker-word hit count
+    is highest; 'unk' when nothing matches. Pure Column expression —
+    a greatest-of-structs trick, no UDF."""
+    words = _words(text)
+    scores = [
+        F.struct(
+            F.size(
+                F.filter(
+                    words,
+                    lambda w: w.isin(*markers),  # noqa: B023
+                )
+            ).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+    best = F.greatest(*scores)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unk"))
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] document quality from cheap surface statistics:
+    mean word length in a sane band, alpha ratio, stopword presence,
+    low symbol/punctuation ratio. Mirrors the shape of C4/Gopher-style
+    quality rules, deterministic and JVM-side."""
+    n_chars = F.length(text).cast("double")
+    words = _words(text)
+    n_words = F.size(words).cast("double")
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0.0), lambda a, w: a + F.length(w)) / n_words,
+    ).otherwise(F.lit(0.0))
+    alpha_chars = F.length(F.regexp_replace(text, r"[^a-zA-ZÀ-ɏ]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
+    stop_all = [w for ws in _LANG_MARKERS.values() for w in ws]
+    stop_ratio = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.isin(*stop_all))) / n_words,
+    ).otherwise(F.lit(0.0))
+    sym_chars = F.length(F.regexp_replace(text, r"[^#@{}<>|\\^~\[\]]", ""))
+    sym_ratio = F.when(n_chars > 0, sym_chars / n_chars).otherwise(F.lit(0.0))
+    wlen_ok = F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.0)
+    score = (
+        0.3 * wlen_ok
+        + 0.3 * F.least(alpha_ratio / 0.7, F.lit(1.0))
+        + 0.25 * F.least(stop_ratio / 0.2, F.lit(1.0))
+        + 0.15 * (1.0 - F.least(sym_ratio / 0.1, F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+def doc_fingerprint(text: Column, normalize: bool = True) -> Column:
+    """64-bit content fingerprint: xxhash64 of the normalized word
+    stream — a deterministic rolling-hash analogue for exact-dup keys."""
+    basis = F.array_join(_words(text), " ") if normalize else text
+    return F.xxhash64(basis)

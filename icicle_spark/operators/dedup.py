@@ -1,0 +1,269 @@
+"""Deduplication operators for training-data pipelines.
+
+All the hot-path math stays JVM-side: shingling, hashing, min-hashing
+and banding are built from Spark higher-order functions
+(``transform`` / ``aggregate`` / ``xxhash64``), so the only Python in
+the pipeline is SimHash's bit-majority (a vectorized pandas UDF).
+
+Scale design:
+* exact:    one hash + one groupBy (map-side combine) — no skew risk.
+* MinHash:  signature computed per row (no shuffle), then ONE shuffle
+  on (band_id, band_hash); candidate pairs verified with exact
+  Jaccard before reporting. Band buckets are capped to avoid
+  quadratic blowup on degenerate buckets (boilerplate text).
+* SimHash:  pigeonhole banding on 16-bit chunks of the 64-bit
+  fingerprint => hamming<=3 candidates in 4 bucket joins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql.functions import pandas_udf
+
+# 2^31-1: keeps a*h + b inside int64 for a,h < 2^31
+_MERSENNE = (1 << 31) - 1
+
+
+def _c(col):
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _norm_tokens(text_col):
+    """Lower-case word tokens (letters+digits runs)."""
+    return F.filter(
+        F.split(F.lower(_c(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingle strings of a text column (JVM-side)."""
+    toks = _norm_tokens(text_col)
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the smallest id per identical (normalized)
+    text. Returns the surviving rows."""
+    h = F.xxhash64(F.array_join(_norm_tokens(text_col), " ")).alias("__h")
+    with_h = docs.withColumn("__h", h)
+    keep = with_h.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return (
+        with_h.join(keep, on=["__h", id_col], how="inner")
+        .drop("__h")
+    )
+
+
+def minhash_signature(
+    text_col: str, num_perm: int = 64, shingle_n: int = 3, seed: int = 13
+):
+    """MinHash signature as an array<bigint> column, fully native:
+    sig[i] = min over shingles of (a_i * h(s) + b_i) mod p."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm)
+    b = rng.integers(0, _MERSENNE, num_perm)
+    params = F.array(
+        *[
+            F.struct(F.lit(int(ai)).alias("a"), F.lit(int(bi)).alias("b"))
+            for ai, bi in zip(a, b)
+        ]
+    )
+    hashes = F.transform(
+        shingles(text_col, shingle_n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
+    )
+    return F.transform(
+        params,
+        lambda p: F.array_min(
+            F.transform(hashes, lambda h: (p["a"] * h + p["b"]) % F.lit(_MERSENNE))
+        ),
+    )
+
+
+def jaccard(text_a, text_b, shingle_n: int = 3):
+    """Exact word-shingle Jaccard between two text columns."""
+    sa = F.array_distinct(shingles(text_a, shingle_n))
+    sb = F.array_distinct(shingles(text_b, shingle_n))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+    seed: int = 13,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding,
+    verified with exact Jaccard >= threshold.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_perm // bands
+    sig = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        minhash_signature(text_col, num_perm, shingle_n, seed).alias("__sig"),
+    )
+    banded = sig.select(
+        id_col,
+        text_col,
+        F.explode(
+            F.transform(
+                F.array([F.lit(i) for i in range(bands)]),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.hash(
+                        F.slice(F.col("__sig"), bi * rows_per_band + 1, rows_per_band)
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("b"),
+    ).select(id_col, text_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    # cap degenerate buckets (boilerplate) to avoid quadratic blowup
+    counted = banded.withColumn(
+        "__bn", F.count(F.lit(1)).over(W.partitionBy("band", "bh"))
+    ).where(F.col("__bn") <= max_bucket)
+    a = counted.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"), "band", "bh"
+    )
+    b = counted.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"), "band", "bh"
+    )
+    cand = (
+        a.join(b, on=["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ta", "__tb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("__ta"), F.col("__tb"), shingle_n))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs. All-pairs within optional
+    blocking column (e.g. ``lang``) — the exact (small-scale /
+    verification) counterpart of :func:`minhash_dedup_pairs`."""
+    sel = [F.col(id_col), F.col(text_col)]
+    on = []
+    if block_col:
+        sel.append(F.col(block_col))
+        on = [block_col]
+    base = docs.select(*sel)
+    a = base.select(
+        *on, F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
+    )
+    b = base.select(
+        *on, F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")
+    )
+    cand = (a.join(b, on=on) if on else a.crossJoin(b)).where(
+        F.col("id_a") < F.col("id_b")
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("__ta"), F.col("__tb"), shingle_n))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _h64(word: str) -> np.uint64:
+    """Deterministic 64-bit token hash (process-independent — never
+    python ``hash()``, which is salted per interpreter)."""
+    return np.frombuffer(
+        hashlib.blake2b(word.encode("utf-8"), digest_size=8).digest(),
+        dtype=np.uint64,
+    )[0]
+
+
+def _simhash64_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens (vectorized per Arrow batch)."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        toks = [
+            w
+            for w in "".join(c if c.isalnum() else " " for c in t.lower()).split()
+            if w
+        ]
+        if not toks:
+            continue
+        hs = np.array([_h64(w) for w in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        vote = bits.sum(axis=0) * 2 - len(toks)
+        fp = np.uint64(0)
+        for bpos in np.nonzero(vote > 0)[0]:
+            fp |= np.uint64(1) << np.uint64(bpos)
+        out[i] = fp.astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: pigeonhole over 4×16-bit chunks (any
+    pair with hamming<=3 must agree on >=1 chunk), verified by exact
+    hamming distance."""
+    # built lazily: pandas_udf parses its DDL type against the active session
+    simhash64 = pandas_udf(_simhash64_batch, "long")
+    fp = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("fp"))
+    chunks = fp.select(
+        id_col,
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ck"),
+                        F.shiftrightunsigned("fp", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "fp", F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fa"), "ck", "cv")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fb"), "ck", "cv")
+    cand = (
+        a.join(b, on=["ck", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
