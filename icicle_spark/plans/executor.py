@@ -255,15 +255,31 @@ def run_plan(
     plan: Plan,
     snapshot: Any | None = None,
     chords: DataFrame | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Evaluate a fused plan at a snapshot time or a chord table.
 
     snapshot: literal query time — one output row per entity.
     chords:   DataFrame (entity, query_time[, label]) — one output row
               per chord row (reference Runtime/Stencil.hs:121-134).
+    strategy: 'auto' (vectorized partition-level executor for
+              snapshots, cogroup for chords), 'vectorized',
+              'cogroup' (per-entity applyInPandas), or 'native'
+              (Catalyst compiler — requires Spark-SQL expr syntax and
+              a native-supported plan; the 100 TB fast path).
     """
     if (snapshot is None) == (chords is None):
         raise ValueError("exactly one of snapshot / chords required")
+    if strategy == "native":
+        from icicle_spark.plans.native import compile_native
+
+        return compile_native(facts, plan, snapshot=snapshot, chords=chords)
+    if snapshot is not None and strategy in ("auto", "vectorized"):
+        from icicle_spark.plans.vexec import run_snapshot_vectorized
+
+        return run_snapshot_vectorized(facts, plan, snapshot)
+    if strategy == "vectorized":
+        raise ValueError("vectorized strategy supports snapshot scope only")
     plan = plan.condensed()
     ecol, tcol = plan.entity_col, plan.time_col
     entity_type = dict(facts.dtypes)[ecol]

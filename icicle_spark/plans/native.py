@@ -1,39 +1,50 @@
-"""Native plan compiler — pure DataFrame ops, no Python UDFs.
+"""Native plan compiler — pure DataFrame ops, no Python anywhere.
 
-Compiles a fold ``Plan`` into a single Catalyst-optimised aggregation:
+Compiles a fold ``Plan`` into (at most) one window stage plus one
+aggregation, entirely inside Catalyst/whole-stage codegen:
 
-    facts  --filter(time < qtime)-->  conditional aggregates per feature
-           --(chord: broadcast join with query-time table first)-->
-           --right join entity/chord spine--> init-fill for empty groups
+    facts --(chord: broadcast join query times)--> visible rows
+          --[window stage: rank-from-end / prev-value helpers,
+             only if latest-N or numflips features exist]-->
+          --groupBy(entity[, qtime]) with ONE conditional aggregate
+            per feature--> init-fill via entity/chord spine
 
-Every feature becomes one conditional aggregate expression
-(``agg(when(visible_f, expr_f))``), so N fused features still read the
-input ONCE — the same one-pass guarantee the reference gets from Core
-fusion (/root/reference/icicle-core/src/Icicle/Core/Program/Fusion.hs:37-81)
-but here it's just columnar conditional aggregation, fully inside
-whole-stage codegen with map-side partial aggregation (a capability the
-``applyInPandas`` executor cannot have, since an entity's facts must
-meet in one place).  Prefer this path whenever the plan allows; fall
-back to ``plans.executor`` for latest-N / group-map / custom folds.
+Fusion: N features still read the input once (conditional aggregates),
+the analogue of the reference's Core fusion
+(/root/reference/icicle-core/src/Icicle/Core/Program/Fusion.hs:37-81).
+
+Per-feature frames without extra shuffles:
+
+* ``latest N``  — rank-from-end: ``sum(cond) over (entity ORDER BY
+  time,seq ROWS CURRENT..UNBOUNDED FOLLOWING) <= N`` marks the last N
+  facts satisfying the feature's own filter. The window stage and the
+  aggregation share the same hash partitioning, so Catalyst plans ONE
+  exchange total.
+* ``numflips``  — previous matching value via ``last(when(cond, v),
+  ignorenulls) over (.. ROWS UNBOUNDED PRECEDING..-1)``; flip counted
+  when it differs.
 
 Scale: snapshot filters push to the parquet/Iceberg scan (partition
-pruning on time); the chord table is broadcast; the only shuffle is the
-partial->final aggregation exchange on (entity[, query_time]), which is
-skew-immune because partial aggregation collapses hot entities map-side.
+pruning on time); the chord table broadcasts; plans with no latest/
+numflips skip the window stage entirely and get map-side partial
+aggregation — hot entities collapse before the exchange, which is why
+this path is skew-immune and the preferred 100 TB strategy. Plans the
+compiler can't express (group-maps, custom folds, distinct keys)
+raise and are routed to the vectorized Arrow executor by run_plan.
 """
 
 from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from icicle_spark.plans.ir import Agg, Feature, Plan
 
 _NATIVE_AGGS = {
     Agg.SUM, Agg.COUNT, Agg.MEAN, Agg.MIN, Agg.MAX, Agg.VARIANCE, Agg.SD,
     Agg.NEWEST, Agg.OLDEST, Agg.ANY, Agg.ALL, Agg.COUNT_DISTINCT,
-    Agg.DISTINCT_VALUES, Agg.MAX_BY, Agg.MIN_BY,
+    Agg.DISTINCT_VALUES, Agg.MAX_BY, Agg.MIN_BY, Agg.NUMFLIPS,
 }
 
 
@@ -41,24 +52,33 @@ def native_supported(plan: Plan) -> bool:
     return all(
         isinstance(f.agg, Agg)
         and f.agg in _NATIVE_AGGS
-        and f.latest is None
         and f.group is None
         and f.distinct is None
-        and (isinstance(f.expr, str))
+        and isinstance(f.expr, str)
         and (f.where is None or isinstance(f.where, str))
         and (f.by is None or isinstance(f.by, str))
         for f in plan.features
     )
 
 
-def _agg_col(f: Feature, cond: Column, tcol: str) -> Column:
-    """One conditional aggregate for one feature."""
+def _order_cols(plan: Plan) -> list[Column]:
+    cols = [F.col(plan.time_col)]
+    if plan.seq_col:
+        cols.append(F.col(plan.seq_col))
+    return cols
+
+
+def _agg_col(f: Feature, cond: Column, tcol: str, extra: Column | None) -> Column:
+    """One conditional aggregate for one feature; ``extra`` is the
+    helper-column condition (latest rank) to conjoin."""
+    if extra is not None:
+        cond = cond & extra
     x = F.when(cond, F.expr(f.expr))
     agg = f.agg
     if agg is Agg.SUM:
         out = F.coalesce(F.sum(x), F.lit(0.0))
     elif agg is Agg.COUNT:
-        out = F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+        out = F.coalesce(F.sum(F.when(cond & x.isNotNull(), 1).otherwise(0)), F.lit(0))
     elif agg is Agg.MEAN:
         out = F.avg(x)
     elif agg is Agg.MIN:
@@ -70,10 +90,9 @@ def _agg_col(f: Feature, cond: Column, tcol: str) -> Column:
     elif agg is Agg.SD:
         out = F.stddev_samp(x)
     elif agg is Agg.NEWEST:
-        # newest = value at the latest visible time (prelude.icicle:21-24)
-        out = F.max_by(x, F.when(cond, F.col(tcol)))
+        out = F.max_by(x, F.when(cond & x.isNotNull(), F.col(tcol)))
     elif agg is Agg.OLDEST:
-        out = F.min_by(x, F.when(cond, F.col(tcol)))
+        out = F.min_by(x, F.when(cond & x.isNotNull(), F.col(tcol)))
     elif agg is Agg.ANY:
         out = F.coalesce(F.bool_or(x.cast("boolean")), F.lit(False))
     elif agg is Agg.ALL:
@@ -86,18 +105,29 @@ def _agg_col(f: Feature, cond: Column, tcol: str) -> Column:
         out = F.max_by(x, F.when(cond, F.expr(f.by)))
     elif agg is Agg.MIN_BY:
         out = F.min_by(x, F.when(cond, F.expr(f.by)))
+    elif agg is Agg.NUMFLIPS:
+        # __prev_<name> holds the previous matching value (window stage)
+        prev = F.col(f"__prev_{f.name}")
+        flip = F.when(
+            cond & prev.isNotNull() & (F.expr(f.expr) != prev), 1
+        ).otherwise(0)
+        out = F.coalesce(F.sum(flip), F.lit(0))
     else:  # pragma: no cover
         raise ValueError(f"not native: {agg}")
-    if not f.skip_nulls:
+    if not f.skip_nulls and agg is not Agg.COUNT:
         # Possibly semantics: a null (error/tombstone) element in the
-        # visible slice poisons the aggregate (reference
-        # Transform/ReifyPossibility.hs error propagation).
+        # final visible slice poisons the aggregate.
         poison = F.max(F.when(cond & F.expr(f.expr).isNull(), 1).otherwise(0))
         out = F.when(poison == 1, F.lit(None)).otherwise(out)
+    elif not f.skip_nulls:
+        poison = F.max(F.when(cond & F.expr(f.expr).isNull(), 1).otherwise(0))
+        out = F.when(poison == 1, F.lit(None)).otherwise(
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+        )
     return out.alias(f.name)
 
 
-def _visibility(f: Feature, plan: Plan, qt: Column, tcol: str) -> Column:
+def _visibility(f: Feature, qt: Column, tcol: str) -> Column:
     cond = F.col(tcol) < qt  # strict: zero temporal leakage
     if f.window is not None:
         cond &= F.col(tcol) >= qt - F.expr(
@@ -109,14 +139,12 @@ def _visibility(f: Feature, plan: Plan, qt: Column, tcol: str) -> Column:
             )
     if f.where is not None:
         cond &= F.coalesce(F.expr(f.where).cast("boolean"), F.lit(False))
-    if plan.tombstone_col is not None:
-        pass  # tombstone handled as null expr -> poison/skip
     return cond
 
 
 _INIT: dict[Agg, Any] = {
     Agg.SUM: 0.0, Agg.COUNT: 0, Agg.ANY: False, Agg.ALL: True,
-    Agg.COUNT_DISTINCT: 0,
+    Agg.COUNT_DISTINCT: 0, Agg.NUMFLIPS: 0,
 }
 
 
@@ -141,6 +169,178 @@ def _fill_inits(out: DataFrame, plan: Plan, marker: str) -> DataFrame:
     return out.drop(marker)
 
 
+def _helper_stage(
+    df: DataFrame, plan: Plan, qt: Column, part_keys: list[str]
+) -> tuple[DataFrame, dict[str, Column]]:
+    """Add per-feature window helper columns; returns (df, extra_conds)."""
+    extras: dict[str, Column] = {}
+    order = _order_cols(plan)
+    w_fwd = (
+        W.partitionBy(*part_keys)
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    w_back = (
+        W.partitionBy(*part_keys)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    new_cols: list[tuple[str, Column]] = []
+    for f in plan.features:
+        cond = _visibility(f, qt, plan.time_col)
+        if f.latest is not None:
+            rank_cond = cond
+            if f.skip_nulls:
+                # skip_nulls drops nulls BEFORE the latest-N buffer
+                rank_cond = cond & F.expr(f.expr).isNotNull()
+            col = f"__rank_{f.name}"
+            new_cols.append(
+                (col, F.sum(F.when(rank_cond, 1).otherwise(0)).over(w_fwd))
+            )
+            extras[f.name] = (F.col(col) <= f.latest) & (
+                rank_cond if f.skip_nulls else F.lit(True)
+            )
+        if f.agg is Agg.NUMFLIPS:
+            new_cols.append(
+                (
+                    f"__prev_{f.name}",
+                    F.last(F.when(cond, F.expr(f.expr)), ignorenulls=True).over(
+                        w_back
+                    ),
+                )
+            )
+    for name, col in new_cols:
+        df = df.withColumn(name, col)
+    return df, extras
+
+
+_SALT_BUCKETS = 64
+
+
+def _tail_slice(arr: Column, n: int) -> Column:
+    """Last n elements of an array (safe when size < n)."""
+    return F.slice(arr, F.greatest(F.size(arr) - (n - 1), F.lit(1)), n)
+
+
+def _salted_latest(
+    base: DataFrame, plan: Plan, feats: list[Feature], qt: Column
+) -> DataFrame:
+    """Skew-proof latest-N: top-N-by-(time,seq) is a monoid, so merge
+    per-(entity, salt) partial top-N lists, then finalize per entity.
+
+    Stage 1 groups by (entity, seq-hash salt) — a hot entity holding
+    30% of all rows (FIXTURES.md §4.5) spreads over _SALT_BUCKETS
+    tasks, each keeping only its local last-N. Stage 2 merges <=
+    N x buckets structs per entity. No global sort, no straggler —
+    the reference never splits an entity (README.md:139-141) because
+    its folds are sequential; latest-N is mergeable, so we can.
+    """
+    ecol, tcol = plan.entity_col, plan.time_col
+    scol = plan.seq_col or tcol
+    salt = F.pmod(F.xxhash64(F.col(scol)), F.lit(_SALT_BUCKETS))
+    s1_aggs, s2_aggs = [], []
+    for f in feats:
+        cond = _visibility(f, qt, tcol)
+        if f.skip_nulls:
+            # skip_nulls drops nulls BEFORE the latest-N buffer
+            cond = cond & F.expr(f.expr).isNotNull()
+        fields = [
+            F.col(tcol).alias("t"),
+            F.col(scol).cast("double").alias("s"),
+            F.expr(f.expr).alias("v"),
+        ]
+        if f.by is not None:
+            fields.append(F.expr(f.by).alias("b"))
+        s1_aggs.append(
+            _tail_slice(
+                F.array_sort(F.collect_list(F.when(cond, F.struct(*fields)))),
+                f.latest,
+            ).alias(f"__p_{f.name}")
+        )
+        merged = _tail_slice(
+            F.array_sort(F.flatten(F.collect_list(F.col(f"__p_{f.name}")))),
+            f.latest,
+        )
+        s2_aggs.append(_finalize_latest(f, merged).alias(f.name))
+    s1 = base.groupBy(F.col(ecol), salt.alias("__salt")).agg(*s1_aggs)
+    return s1.groupBy(ecol).agg(F.count(F.lit(1)).alias("__nl"), *s2_aggs)
+
+
+def _finalize_latest(f: Feature, arr: Column) -> Column:
+    """Fold the merged last-N struct array into the feature value."""
+    vs = F.transform(arr, lambda x: x["v"])
+    n = F.size(arr)
+    agg = f.agg
+    if agg is Agg.SUM:
+        out = F.coalesce(
+            F.aggregate(vs, F.lit(0.0), lambda a, v: a + v.cast("double")),
+            F.lit(0.0),
+        )
+    elif agg is Agg.COUNT:
+        out = F.size(F.filter(vs, lambda v: v.isNotNull())).cast("bigint")
+    elif agg is Agg.MEAN:
+        out = F.when(
+            n > 0,
+            F.aggregate(vs, F.lit(0.0), lambda a, v: a + v.cast("double")) / n,
+        )
+    elif agg is Agg.MIN:
+        out = F.array_min(vs)
+    elif agg is Agg.MAX:
+        out = F.array_max(vs)
+    elif agg is Agg.NEWEST:
+        out = F.when(n > 0, F.element_at(arr, -1)["v"])
+    elif agg is Agg.OLDEST:
+        out = F.when(n > 0, F.element_at(arr, 1)["v"])
+    elif agg is Agg.VARIANCE or agg is Agg.SD:
+        s = F.aggregate(vs, F.lit(0.0), lambda a, v: a + v.cast("double"))
+        s2 = F.aggregate(
+            vs, F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")
+        )
+        var = F.when(n > 1, (s2 - s * s / n) / (n - 1))
+        out = F.sqrt(var) if agg is Agg.SD else var
+    elif agg is Agg.ANY:
+        out = F.coalesce(
+            F.exists(vs, lambda v: v.cast("boolean")), F.lit(False)
+        )
+    elif agg is Agg.ALL:
+        out = F.coalesce(
+            F.forall(vs, lambda v: v.cast("boolean")), F.lit(True)
+        )
+    elif agg is Agg.COUNT_DISTINCT:
+        out = F.size(F.array_distinct(F.filter(vs, lambda v: v.isNotNull()))).cast(
+            "bigint"
+        )
+    elif agg is Agg.DISTINCT_VALUES:
+        out = F.array_sort(
+            F.array_distinct(F.transform(vs, lambda v: v.cast("string")))
+        )
+    elif agg is Agg.MAX_BY or agg is Agg.MIN_BY:
+        bs = F.transform(arr, lambda x: x["b"])
+        target = F.array_max(bs) if agg is Agg.MAX_BY else F.array_min(bs)
+        out = F.element_at(
+            F.filter(arr, lambda x: x["b"] == target), 1
+        )["v"]
+    elif agg is Agg.NUMFLIPS:
+        pair = F.aggregate(
+            vs,
+            F.struct(F.lit(None).cast("string").alias("prev"), F.lit(0).alias("k")),
+            lambda acc, v: F.struct(
+                v.cast("string").alias("prev"),
+                F.when(
+                    acc["prev"].isNotNull() & (v.cast("string") != acc["prev"]),
+                    acc["k"] + 1,
+                ).otherwise(acc["k"]).alias("k"),
+            ),
+        )
+        out = pair["k"].cast("bigint")
+    else:  # pragma: no cover
+        raise ValueError(f"latest does not support {agg}")
+    if not f.skip_nulls:
+        poison = F.exists(vs, lambda v: v.isNull())
+        out = F.when(poison, F.lit(None)).otherwise(out)
+    return out
+
+
 def compile_native(
     facts: DataFrame,
     plan: Plan,
@@ -156,12 +356,10 @@ def compile_native(
     ecol, tcol = plan.entity_col, plan.time_col
 
     if plan.tombstone_col is not None and plan.tombstone_col in facts.columns:
-        # poison tombstoned values: every value column a feature might
-        # read becomes null on tombstone rows. We rewrite lazily by
-        # nulling the expr at visibility time instead — cheapest is a
-        # projection that nulls all non-key columns on tombstone rows.
+        # tombstoned facts contribute null elements (error values,
+        # doc/design/tombstones.md:56-73): null every non-key column.
         tb = F.coalesce(F.col(plan.tombstone_col).cast("boolean"), F.lit(False))
-        keep = {ecol, tcol, plan.tombstone_col}
+        keep = {ecol, tcol, plan.tombstone_col, plan.seq_col}
         facts = facts.select(
             *[
                 F.when(~tb, F.col(c)).otherwise(F.lit(None)).alias(c)
@@ -171,29 +369,87 @@ def compile_native(
             ]
         )
 
+    needs_window = any(
+        f.latest is not None or f.agg is Agg.NUMFLIPS for f in plan.features
+    )
+
     if snapshot is not None:
         qt = F.lit(snapshot).cast("timestamp")
-        aggs = [
-            _agg_col(f, _visibility(f, plan, qt, tcol), tcol)
-            for f in plan.features
-        ]
-        # pre-filter to the widest visible range -> parquet pushdown /
+        # pre-filter to the visible range -> parquet pushdown /
         # partition pruning; per-feature windows re-check inside.
-        agged = (
-            facts.where(F.col(tcol) < qt)
-            .groupBy(ecol)
-            .agg(F.count(F.lit(1)).alias("__n"), *aggs)
-        )
+        base = facts.where(F.col(tcol) < qt)
+        latest_feats = [f for f in plan.features if f.latest is not None]
+        flip_feats = [
+            f for f in plan.features
+            if f.agg is Agg.NUMFLIPS and f.latest is None
+        ]
+        plain_feats = [
+            f for f in plan.features
+            if f.latest is None and f.agg is not Agg.NUMFLIPS
+        ]
         spine = facts.select(ecol).distinct()
-        out = spine.join(agged, on=ecol, how="left")
-        return _fill_inits(out, plan, "__n")
+        out = spine
+        if plain_feats:
+            # direct conditional aggregation: map-side partial
+            # aggregation collapses hot entities BEFORE the exchange —
+            # skew-immune, no sort.
+            aggs = [
+                _agg_col(f, _visibility(f, qt, tcol), tcol, None)
+                for f in plain_feats
+            ]
+            agged = base.groupBy(ecol).agg(
+                F.count(F.lit(1)).alias("__n"), *aggs
+            )
+            out = out.join(agged, on=ecol, how="left")
+            out = _fill_inits(
+                out,
+                Plan(plain_feats, entity_col=ecol, time_col=tcol,
+                     seq_col=plan.seq_col),
+                "__n",
+            )
+        if latest_feats:
+            lat = _salted_latest(base, plan, latest_feats, qt)
+            out = out.join(lat, on=ecol, how="left")
+            # init-fill ONLY entities absent from the latest sub-result
+            # (no visible facts at all) — a poisoned null stays null.
+            for f in latest_feats:
+                if f.agg in _INIT:
+                    out = out.withColumn(
+                        f.name,
+                        F.when(
+                            F.col("__nl").isNull(), F.lit(_INIT[f.agg])
+                        ).otherwise(F.col(f.name)),
+                    )
+            out = out.drop("__nl")
+        if flip_feats:
+            fl_plan = Plan(
+                flip_feats, entity_col=ecol, time_col=tcol, seq_col=plan.seq_col
+            )
+            fbase, _ = _helper_stage(base, fl_plan, qt, [ecol])
+            aggs = [
+                _agg_col(f, _visibility(f, qt, tcol), tcol, None)
+                for f in flip_feats
+            ]
+            agged = fbase.groupBy(ecol).agg(
+                F.count(F.lit(1)).alias("__nf"), *aggs
+            )
+            out = out.join(agged, on=ecol, how="left")
+            out = _fill_inits(out, fl_plan, "__nf")
+        # restore declared feature order
+        return out.select(ecol, *[f.name for f in plan.features])
 
     qt = F.col("query_time")
     keys = [ecol, "query_time"] + (["label"] if "label" in chords.columns else [])
-    aggs = [_agg_col(f, _visibility(f, plan, qt, tcol), tcol) for f in plan.features]
-    joined = facts.join(F.broadcast(chords), on=ecol, how="inner").where(
+    base = facts.join(F.broadcast(chords), on=ecol, how="inner").where(
         F.col(tcol) < qt
     )
-    agged = joined.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    extras = {}
+    if needs_window:
+        base, extras = _helper_stage(base, plan, qt, [ecol, "query_time"])
+    aggs = [
+        _agg_col(f, _visibility(f, qt, tcol), tcol, extras.get(f.name))
+        for f in plan.features
+    ]
+    agged = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"), *aggs)
     out = chords.join(agged, on=keys, how="left")
     return _fill_inits(out, plan, "__n")

@@ -1,0 +1,285 @@
+"""Partition-level vectorized snapshot executor.
+
+The per-group ``applyInPandas`` executor (plans.executor) pays a fixed
+Arrow+pandas cost per ENTITY, which dominates when entities are small
+(millions of 50-row entities — the common shape of a token fact
+store). This executor instead works per PARTITION:
+
+    repartition(entity) -> sortWithinPartitions(entity, time, seq)
+    -> mapInPandas(batch fn)
+
+and inside each Arrow batch evaluates ALL features for ALL entities
+with pandas groupby / numpy segment operations — zero per-entity
+Python in the built-in-agg path. Entities are contiguous in the
+sorted partition; a carry buffer stitches entities that span Arrow
+batch boundaries.
+
+Semantics are identical to plans.executor (cross-checked by
+tests/test_fold_plans.py): strict ``time < snapshot`` visibility,
+Possibly poisoning or skip_nulls, windows with inclusive lower edge,
+latest-N after filtering, group/distinct keys, empty-entity init
+values.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from icicle_spark.plans.ir import (
+    Agg,
+    CustomFold,
+    Feature,
+    Plan,
+    eval_expr,
+    feature_dtype,
+)
+
+_PANDAS_AGG = {
+    Agg.SUM: "sum",
+    Agg.COUNT: "count",
+    Agg.MEAN: "mean",
+    Agg.MIN: "min",
+    Agg.MAX: "max",
+    Agg.VARIANCE: "var",
+    Agg.SD: "std",
+    Agg.NEWEST: "last",
+    Agg.OLDEST: "first",
+    Agg.COUNT_DISTINCT: "nunique",
+}
+
+_FILL: dict[Agg, Any] = {
+    Agg.SUM: 0.0,
+    Agg.COUNT: 0,
+    Agg.ANY: False,
+    Agg.ALL: True,
+    Agg.COUNT_DISTINCT: 0,
+    Agg.NUMFLIPS: 0,
+}
+
+
+def _feature_series(
+    f: Feature,
+    base: pd.DataFrame,
+    seg: np.ndarray,
+    vis: np.ndarray,
+    n_seg: int,
+    tns: np.ndarray,
+    qt_ns: int,
+    max_group: int,
+) -> pd.Series:
+    """Per-entity results (indexed 0..n_seg-1) for one feature."""
+    mask = vis
+    if f.window is not None:
+        lo = qt_ns - f.window.newer_than_days * 86_400_000_000_000
+        mask = mask & (tns >= lo)
+        if f.window.older_than_days:
+            hi = qt_ns - f.window.older_than_days * 86_400_000_000_000
+            mask = mask & (tns <= hi)
+    vals = eval_expr(f.expr, base)
+    if f.where is not None:
+        w = eval_expr(f.where, base)
+        mask = mask & w.fillna(False).to_numpy().astype(bool)
+
+    poison = None
+    if f.skip_nulls:
+        mask = mask & ~vals.isna().to_numpy()
+
+    idx = np.flatnonzero(mask)
+    sub = pd.DataFrame(
+        {"seg": seg[idx], "v": vals.to_numpy()[idx]}
+    )
+    if f.by is not None:
+        sub["by"] = eval_expr(f.by, base).to_numpy()[idx]
+    if f.group is not None:
+        sub["gk"] = eval_expr(f.group, base).astype(str).to_numpy()[idx]
+    if f.distinct is not None:
+        sub["dk"] = eval_expr(f.distinct, base).to_numpy()[idx]
+        sub = sub.drop_duplicates(["seg", "dk"], keep="first")
+    if f.latest is not None:
+        sub = sub.groupby("seg", sort=False).tail(f.latest)
+    if not f.skip_nulls:
+        # Possibly semantics: any null element in the FINAL visible
+        # slice (after window/filter/distinct/latest) poisons this
+        # entity's aggregate — same order as plans.executor.
+        nn = pd.isna(sub["v"]).to_numpy()
+        poison = np.bincount(sub["seg"].to_numpy()[nn], minlength=n_seg) > 0
+
+    agg = f.agg
+    if f.group is not None:
+        res = _grouped_map(f, sub, n_seg, max_group)
+    elif isinstance(agg, CustomFold):
+        res = _custom(f, sub, n_seg)
+    elif agg in _PANDAS_AGG:
+        g = sub.groupby("seg", sort=False)["v"]
+        res = getattr(g, _PANDAS_AGG[agg])()
+        if agg is Agg.COUNT:
+            res = res.astype("int64")
+        elif agg in (Agg.SUM, Agg.MEAN, Agg.VARIANCE, Agg.SD) and len(res):
+            res = res.astype("float64")
+    elif agg in (Agg.ANY, Agg.ALL):
+        g = sub.assign(v=sub["v"].astype(bool)).groupby("seg", sort=False)["v"]
+        res = g.any() if agg is Agg.ANY else g.all()
+    elif agg is Agg.NUMFLIPS:
+        same_seg = sub["seg"].to_numpy()[1:] == sub["seg"].to_numpy()[:-1]
+        flip = (sub["v"].to_numpy()[1:] != sub["v"].to_numpy()[:-1]) & same_seg
+        res = pd.Series(
+            np.bincount(sub["seg"].to_numpy()[1:][flip], minlength=n_seg)
+        )
+        res.index.name = "seg"
+        res = res[res.index.isin(sub["seg"].unique())]
+    elif agg is Agg.DISTINCT_VALUES:
+        res = (
+            sub.assign(v=sub["v"].astype(str))
+            .drop_duplicates(["seg", "v"])
+            .groupby("seg", sort=False)["v"]
+            .agg(lambda s: sorted(s))
+        )
+    elif agg is Agg.COLLECT:
+        res = sub.groupby("seg", sort=False)["v"].agg(list)
+    elif agg in (Agg.MAX_BY, Agg.MIN_BY):
+        g = sub.groupby("seg", sort=False)["by"]
+        pos = g.idxmax() if agg is Agg.MAX_BY else g.idxmin()
+        res = sub.loc[pos.to_numpy()].set_index("seg")["v"]
+    else:  # pragma: no cover
+        raise ValueError(f"unsupported agg {agg}")
+
+    out = res.reindex(range(n_seg))
+    fill = (
+        None
+        if isinstance(agg, CustomFold) or f.group is not None
+        else _FILL.get(agg)
+    )
+    if fill is not None:
+        out = out.fillna(fill)
+        if isinstance(fill, bool):
+            out = out.astype(bool)
+        elif isinstance(fill, int):
+            out = out.astype("int64")
+    if agg is Agg.DISTINCT_VALUES:
+        out = out.apply(lambda x: x if isinstance(x, list) else [])
+    if f.group is not None:
+        # empty visible slice -> empty map (cogroup executor parity);
+        # a NaN float would break Arrow's map conversion. Explicit
+        # None (maxMapSize overflow) stays None.
+        out = out.apply(lambda x: x if isinstance(x, dict) or x is None else {})
+    if poison is not None and poison.any():
+        out = out.astype(object).where(~pd.Series(poison, index=out.index), None)
+    return out
+
+
+def _grouped_map(f: Feature, sub: pd.DataFrame, n_seg: int, max_group: int):
+    """`group k ~> agg` — map column built from a (seg, key) agg."""
+    agg = f.agg
+    if isinstance(agg, CustomFold):
+        raise ValueError("custom folds inside `group` use the cogroup executor")
+    g = sub.groupby(["seg", "gk"], sort=False)["v"]
+    if agg in _PANDAS_AGG:
+        per_key = getattr(g, _PANDAS_AGG[agg])()
+    elif agg is Agg.ANY:
+        per_key = g.any()
+    elif agg is Agg.ALL:
+        per_key = g.all()
+    else:
+        raise ValueError(f"group does not support {agg}")
+    if agg is Agg.COUNT:
+        per_key = per_key.astype("int64")
+    maps: dict[int, dict] = {}
+    for (s, k), v in per_key.items():
+        maps.setdefault(s, {})[k] = v
+    res = pd.Series({s: (m if len(m) <= max_group else None) for s, m in maps.items()})
+    res.index.name = "seg"
+    return res
+
+
+def _custom(f: Feature, sub: pd.DataFrame, n_seg: int) -> pd.Series:
+    cf: CustomFold = f.agg  # type: ignore[assignment]
+    segs = sub["seg"].to_numpy()
+    vals = sub["v"].to_numpy()
+    bounds = np.flatnonzero(np.diff(segs)) + 1
+    out: dict[int, Any] = {}
+    for part_seg, part_vals in zip(np.split(segs, bounds), np.split(vals, bounds)):
+        if len(part_seg) == 0:
+            continue
+        if cf.step is not None:
+            state = cf.step(part_vals) if len(part_vals) else cf.init
+        else:
+            state = cf.init
+            for x in part_vals:
+                state = cf.step_seq(state, x)
+        out[int(part_seg[0])] = cf.output(state) if cf.output else state
+    empty = cf.output(cf.init) if cf.output else (
+        cf.step(np.array([])) if cf.step is not None else cf.init
+    )
+    res = pd.Series(out, dtype=object)
+    res.index.name = "seg"
+    full = res.reindex(range(n_seg))
+    return full.where(full.notna() | pd.isna(empty), empty)
+
+
+def _process_chunk(plan: Plan, pdf: pd.DataFrame, qt: pd.Timestamp) -> pd.DataFrame:
+    ecol = plan.entity_col
+    ent, uniques = pd.factorize(pdf[ecol], sort=False)
+    n_seg = len(uniques)
+    tns = pdf[plan.time_col].to_numpy().astype("datetime64[ns]").view("int64")
+    qt_ns = int(np.datetime64(qt, "ns").view("int64"))
+    vis = tns < qt_ns
+    base = pdf
+    if plan.tombstone_col is not None and plan.tombstone_col in pdf.columns:
+        tb = pdf[plan.tombstone_col].fillna(False).to_numpy().astype(bool)
+        if tb.any():
+            base = pdf.copy()
+            for c in pdf.columns:
+                if c not in (ecol, plan.time_col, plan.tombstone_col):
+                    col = base[c].astype(object)
+                    col[tb] = None
+                    base[c] = col
+    data = {ecol: uniques}
+    for f in plan.features:
+        data[f.name] = _feature_series(
+            f, base, ent, vis, n_seg, tns, qt_ns, plan.max_group_size
+        ).to_numpy()
+    return pd.DataFrame(data)
+
+
+def run_snapshot_vectorized(
+    facts: DataFrame,
+    plan: Plan,
+    snapshot: Any,
+    partitions: int | None = None,
+) -> DataFrame:
+    plan = plan.condensed()
+    ecol, tcol = plan.entity_col, plan.time_col
+    qt = pd.Timestamp(snapshot)
+    entity_type = dict(facts.dtypes)[ecol]
+    schema = ", ".join(
+        [f"`{ecol}` {entity_type}"]
+        + [f"`{f.name}` {feature_dtype(f)}" for f in plan.features]
+    )
+    sort_cols = [ecol, tcol] + ([plan.seq_col] if plan.seq_col else [])
+    n_part = partitions or facts.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    arranged = facts.repartition(int(n_part), ecol).sortWithinPartitions(*sort_cols)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            ent = pdf[ecol].to_numpy()
+            # hold back the (possibly incomplete) last entity
+            last = ent[-1]
+            cut = int(np.searchsorted(ent, last, side="left")) if ent[0] != last else 0
+            if ent[0] == last:
+                carry = pdf
+                continue
+            carry = pdf.iloc[cut:]
+            yield _process_chunk(plan, pdf.iloc[:cut], qt)
+        if carry is not None and len(carry):
+            yield _process_chunk(plan, carry, qt)
+
+    return arranged.mapInPandas(fn, schema)
