@@ -213,10 +213,13 @@ def _run_entity(
         for f in plan.features:
             lo, hi = 0, hi_asof
             if f.window is not None:
-                w_lo = qt - np.timedelta64(f.window.newer_than_days, "D")
+                qt_ts = pd.Timestamp(qt)
+                w_lo = np.datetime64(f.window.edge(qt_ts, f.window.newer_than_days))
                 lo = int(np.searchsorted(times, w_lo, side="left"))
                 if f.window.older_than_days:
-                    w_hi = qt - np.timedelta64(f.window.older_than_days, "D")
+                    w_hi = np.datetime64(
+                        f.window.edge(qt_ts, f.window.older_than_days)
+                    )
                     hi = min(hi, int(np.searchsorted(times, w_hi, side="right")))
             c = cols[f.name]
             row.append(

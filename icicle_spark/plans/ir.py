@@ -76,17 +76,49 @@ class CustomFold:
 
 @dataclass(frozen=True)
 class Window:
-    """Days-before window relative to the query time (reference
-    ToCore/ToCore.hs:123-167; inclusive lower edge per
+    """Time-before window relative to the query time (reference
+    ToCore/ToCore.hs:123-167; inclusive edges per
     icicle-data/src/Icicle/Data/Time.hs:288-292):
 
-        newer_than=B, older_than=A  =>  qtime - B days <= t <= qtime - A days
+        newer_than=B, older_than=A  =>  qtime - B <= t <= qtime - A
 
     (and always t < qtime — the as-of rule, Stencil.hs:111-113).
+    unit is 'days', 'weeks' or 'months'; month arithmetic is
+    calendar-clipped like the reference's minusMonths
+    (Time.hs:317-323) and Spark's add_months.
     """
 
     newer_than_days: int
     older_than_days: int = 0
+    unit: str = "days"
+
+    def __post_init__(self) -> None:
+        if self.unit not in ("days", "weeks", "months"):
+            raise ValueError(f"bad window unit {self.unit}")
+
+    def edge(self, qt: "pd.Timestamp", amount: int) -> "pd.Timestamp":
+        """qtime minus `amount` units (pandas side)."""
+        if self.unit == "months":
+            return qt - pd.DateOffset(months=amount)
+        mult = 7 if self.unit == "weeks" else 1
+        return qt - pd.Timedelta(days=amount * mult)
+
+    def sql_interval(self, amount: int) -> str:
+        if self.unit == "months":
+            return f"INTERVAL {amount} MONTHS"
+        mult = 7 if self.unit == "weeks" else 1
+        return f"INTERVAL {amount * mult} DAYS"
+
+
+def icicle_snapshot(date_str: str) -> str:
+    """Icicle's `:set snapshot DATE` means the EXCLUSIVE instant
+    midnight-after-DATE (reference Time.hs:235-237
+    exclusiveSnapshotTime): facts dated ON the snapshot day are
+    visible under the strict `<` rule."""
+    ts = pd.Timestamp(date_str)
+    if ts != ts.normalize():
+        raise ValueError("icicle_snapshot expects a date, not a timestamp")
+    return str(ts + pd.Timedelta(days=1))
 
 
 ExprLike = str | Callable[[pd.DataFrame], pd.Series]

@@ -101,10 +101,17 @@ def _agg_col(f: Feature, cond: Column, tcol: str, extra: Column | None) -> Colum
         out = F.count_distinct(x)
     elif agg is Agg.DISTINCT_VALUES:
         out = F.sort_array(F.collect_set(x.cast("string")))
-    elif agg is Agg.MAX_BY:
-        out = F.max_by(x, F.when(cond, F.expr(f.by)))
-    elif agg is Agg.MIN_BY:
-        out = F.min_by(x, F.when(cond, F.expr(f.by)))
+    elif agg in (Agg.MAX_BY, Agg.MIN_BY):
+        # ties on the key keep the FIRST fact in stream order, like the
+        # reference's strict-compare fold (prelude.icicle:172-191):
+        # composite key (by, ±time) makes earliest win either way.
+        t_us = F.unix_micros(F.col(tcol))
+        if agg is Agg.MIN_BY:
+            key = F.struct(F.expr(f.by).alias("b"), t_us.alias("t"))
+            out = F.min_by(x, F.when(cond, key))
+        else:
+            key = F.struct(F.expr(f.by).alias("b"), (-t_us).alias("t"))
+            out = F.max_by(x, F.when(cond, key))
     elif agg is Agg.NUMFLIPS:
         # __prev_<name> holds the previous matching value (window stage)
         prev = F.col(f"__prev_{f.name}")
@@ -131,11 +138,11 @@ def _visibility(f: Feature, qt: Column, tcol: str) -> Column:
     cond = F.col(tcol) < qt  # strict: zero temporal leakage
     if f.window is not None:
         cond &= F.col(tcol) >= qt - F.expr(
-            f"INTERVAL {f.window.newer_than_days} DAYS"
+            f.window.sql_interval(f.window.newer_than_days)
         )
         if f.window.older_than_days:
             cond &= F.col(tcol) <= qt - F.expr(
-                f"INTERVAL {f.window.older_than_days} DAYS"
+                f.window.sql_interval(f.window.older_than_days)
             )
     if f.where is not None:
         cond &= F.coalesce(F.expr(f.where).cast("boolean"), F.lit(False))

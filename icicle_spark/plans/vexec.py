@@ -74,10 +74,11 @@ def _feature_series(
     """Per-entity results (indexed 0..n_seg-1) for one feature."""
     mask = vis
     if f.window is not None:
-        lo = qt_ns - f.window.newer_than_days * 86_400_000_000_000
+        qt_ts = pd.Timestamp(qt_ns)
+        lo = f.window.edge(qt_ts, f.window.newer_than_days).value
         mask = mask & (tns >= lo)
         if f.window.older_than_days:
-            hi = qt_ns - f.window.older_than_days * 86_400_000_000_000
+            hi = f.window.edge(qt_ts, f.window.older_than_days).value
             mask = mask & (tns <= hi)
     vals = eval_expr(f.expr, base)
     if f.where is not None:

@@ -1,0 +1,259 @@
+"""Golden parity with the reference's REPL test corpus.
+
+The expected values below are transcribed from the reference's own
+golden transcripts (/root/reference/icicle-compiler/test/cli/repl/
+t01-sanity, t02-groups, t03-distinct, t06-custom-folds, t16-prelude,
+t17-latest, t19-windows — `expected` files), evaluated over the shared
+homer/marge fixture (data.psv, dictionary.icicle) at snapshot
+2017-01-01. Snapshot dates are EXCLUSIVE (facts dated on the snapshot
+day are visible — Time.hs:235-237), handled by `icicle_snapshot`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from icicle_spark.plans import (
+    Agg,
+    CustomFold,
+    Feature,
+    Plan,
+    Window,
+    icicle_snapshot,
+    run_plan,
+)
+
+SNAP = icicle_snapshot("2017-01-01")
+
+SALARY = [
+    # (entity, time, value) — data.psv salary facts
+    ("homer", "1989-12-17", 100),
+    ("homer", "1990-01-01", 200),
+    ("homer", "1994-01-01", 300),
+    ("homer", "1999-01-01", 400),
+    ("homer", "2010-01-01", 500),
+    ("marge", "1989-12-17", 0),
+    ("marge", "1989-12-17", 10),
+    ("marge", "1989-12-17", 20),
+]
+
+INJURY = [
+    # (entity, time, location, severity) — data.psv injury facts
+    ("homer", "1989-12-17", "head", 2),
+    ("homer", "1990-01-01", "head", 1),
+    ("homer", "1994-01-01", "arm", 4),
+    ("homer", "1999-01-01", "torso", 3),
+    ("homer", "2010-01-01", "torso", 1),
+]
+
+
+@pytest.fixture(scope="module")
+def salary(spark):
+    pdf = pd.DataFrame(SALARY, columns=["entity", "time", "value"])
+    pdf["time"] = pd.to_datetime(pdf["time"])
+    pdf["seq"] = np.arange(len(pdf))
+    schema = T.StructType(
+        [
+            T.StructField("entity", T.StringType()),
+            T.StructField("time", T.TimestampType()),
+            T.StructField("value", T.LongType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(pdf, schema).cache()
+
+
+@pytest.fixture(scope="module")
+def injury(spark):
+    pdf = pd.DataFrame(INJURY, columns=["entity", "time", "location", "severity"])
+    pdf["time"] = pd.to_datetime(pdf["time"])
+    pdf["seq"] = np.arange(len(pdf))
+    return spark.createDataFrame(pdf).cache()
+
+
+def _plan(*features):
+    return Plan(list(features), entity_col="entity", time_col="time", seq_col="seq")
+
+
+def _run(df, plan, strategy, snap=SNAP):
+    out = run_plan(df, plan, snapshot=snap, strategy=strategy).toPandas()
+    return out.set_index("entity").sort_index()
+
+
+@pytest.mark.parametrize("strategy", ["native", "vectorized", "cogroup"])
+def test_t01_sanity(salary, strategy):
+    """t01-sanity golden: sum 1500/30, count 5/3, mean 300/10,
+    filtered count 5/1, latest-3 mean 400/10."""
+    where = "value > 10"
+    plan = _plan(
+        Feature("s", Agg.SUM, "value", skip_nulls=True),
+        Feature("c", Agg.COUNT, "value", skip_nulls=True),
+        Feature("m", Agg.MEAN, "value", skip_nulls=True),
+        Feature("fc", Agg.COUNT, "value", where=where, skip_nulls=True),
+        Feature("l3m", Agg.MEAN, "value", latest=3, skip_nulls=True),
+    )
+    r = _run(salary, plan, strategy)
+    assert r.loc["homer", "s"] == 1500 and r.loc["marge", "s"] == 30
+    assert r.loc["homer", "c"] == 5 and r.loc["marge", "c"] == 3
+    assert r.loc["homer", "m"] == 300.0 and r.loc["marge", "m"] == 10.0
+    assert r.loc["homer", "fc"] == 5 and r.loc["marge", "fc"] == 1
+    assert r.loc["homer", "l3m"] == 400.0 and r.loc["marge", "l3m"] == 10.0
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t02_groups(salary, strategy):
+    """t02-groups golden: group value ~> count == all-ones map;
+    group time ~> mean."""
+    plan = _plan(
+        Feature("gc", Agg.COUNT, "value", group="value", skip_nulls=True),
+        Feature(
+            "gm",
+            Agg.MEAN,
+            "value",
+            group=lambda p: p["time"].dt.strftime("%Y-%m-%d"),
+            skip_nulls=True,
+        ),
+    )
+    r = _run(salary, plan, strategy)
+    assert {k: int(v) for k, v in r.loc["homer", "gc"].items()} == {
+        "100": 1, "200": 1, "300": 1, "400": 1, "500": 1
+    }
+    assert {k: int(v) for k, v in r.loc["marge", "gc"].items()} == {
+        "0": 1, "10": 1, "20": 1
+    }
+    gm = r.loc["marge", "gm"]
+    assert gm == {"1989-12-17": 10.0}
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t03_distinct(salary, strategy):
+    """t03-distinct golden: distinct value count 5/3; distinct time
+    count 5/1; distinct time mean 300/0 (first fact per key)."""
+    plan = _plan(
+        Feature("dv", Agg.COUNT, "value", distinct="value", skip_nulls=True),
+        Feature("dt", Agg.COUNT, "value", distinct="time", skip_nulls=True),
+        Feature("dtm", Agg.MEAN, "value", distinct="time", skip_nulls=True),
+    )
+    r = _run(salary, plan, strategy)
+    assert r.loc["homer", "dv"] == 5 and r.loc["marge", "dv"] == 3
+    assert r.loc["homer", "dt"] == 5 and r.loc["marge", "dt"] == 1
+    assert r.loc["homer", "dtm"] == 300.0 and r.loc["marge", "dtm"] == 0.0
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t06_custom_folds(salary, strategy):
+    """t06-custom-folds golden: fold1 rolling avg 406.25/12.5; custom
+    sum 1500/30; fold1 newest/oldest (500,100)/(20,0); tuple-state
+    mean 300/10."""
+    plan = _plan(
+        Feature(
+            "roll",
+            CustomFold(
+                init=None,
+                step_seq=lambda acc, v: float(v) if acc is None else acc * 0.5 + v * 0.5,
+            ),
+            "value",
+            skip_nulls=True,
+        ),
+        Feature(
+            "xsum",
+            CustomFold(init=0.0, step_seq=lambda acc, v: acc + v),
+            "value",
+            skip_nulls=True,
+        ),
+        Feature(
+            "xnew",
+            CustomFold(init=None, step_seq=lambda acc, v: v, dtype="bigint"),
+            "value",
+            skip_nulls=True,
+        ),
+        Feature(
+            "xold",
+            CustomFold(
+                init=None,
+                step_seq=lambda acc, v: acc if acc is not None else v,
+                dtype="bigint",
+            ),
+            "value",
+            skip_nulls=True,
+        ),
+        Feature(
+            "tmean",
+            CustomFold(
+                init=(0, 0.0),
+                step_seq=lambda acc, v: (acc[0] + 1, acc[1] + v),
+                output=lambda acc: acc[1] / acc[0] if acc[0] else None,
+            ),
+            "value",
+            skip_nulls=True,
+        ),
+    )
+    r = _run(salary, plan, strategy)
+    assert r.loc["homer", "roll"] == pytest.approx(406.25)
+    assert r.loc["marge", "roll"] == pytest.approx(12.5)
+    assert r.loc["homer", "xsum"] == 1500 and r.loc["marge", "xsum"] == 30
+    assert (r.loc["homer", "xnew"], r.loc["homer", "xold"]) == (500, 100)
+    assert (r.loc["marge", "xnew"], r.loc["marge", "xold"]) == (20, 0)
+    assert r.loc["homer", "tmean"] == 300.0 and r.loc["marge", "tmean"] == 10.0
+
+
+@pytest.mark.parametrize("strategy", ["native", "vectorized", "cogroup"])
+def test_t16_prelude(salary, injury, strategy):
+    """t16-prelude golden: sd 158.11388300841898/10.0;
+    min_by/max_by severity->location (head, arm); numflips 2."""
+    plan = _plan(Feature("sd", Agg.SD, "value", skip_nulls=True))
+    r = _run(salary, plan, strategy)
+    assert r.loc["homer", "sd"] == pytest.approx(158.11388300841898)
+    assert r.loc["marge", "sd"] == pytest.approx(10.0)
+    iplan = _plan(
+        Feature("minby", Agg.MIN_BY, "location", by="severity", dtype="string"),
+        Feature("maxby", Agg.MAX_BY, "location", by="severity", dtype="string"),
+        Feature("flips", Agg.NUMFLIPS, "location", skip_nulls=True),
+    )
+    ri = _run(injury, iplan, strategy)
+    assert ri.loc["homer", "minby"] == "head"
+    assert ri.loc["homer", "maxby"] == "arm"
+    assert ri.loc["homer", "flips"] == 2
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t17_latest_element_expr(salary, strategy):
+    """t17-latest golden: `let zod = value + 2 ~> latest 3 ~> zod`
+    == [302,402,502] / [2,12,22]."""
+    plan = _plan(
+        Feature(
+            "zods", Agg.COLLECT, lambda p: (p["value"] + 2).astype("float64"),
+            latest=3, skip_nulls=True,
+        )
+    )
+    r = _run(salary, plan, strategy)
+    assert list(r.loc["homer", "zods"]) == [302.0, 402.0, 502.0]
+    assert list(r.loc["marge", "zods"]) == [2.0, 12.0, 22.0]
+
+
+@pytest.mark.parametrize("strategy", ["native", "vectorized", "cogroup"])
+def test_t19_month_windows(spark, strategy):
+    """t19-windows golden (one salary fact per month of 1970):
+    snapshot 1970-12-01, windowed 3 months -> sum of [10,11,12];
+    between 1 and 3 months -> [10,11]; same at snapshot 1970-12-02."""
+    rows = [("homer", f"1970-{m:02d}-01", m) for m in range(1, 13)]
+    pdf = pd.DataFrame(rows, columns=["entity", "time", "value"])
+    pdf["time"] = pd.to_datetime(pdf["time"])
+    pdf["seq"] = np.arange(len(pdf))
+    df = spark.createDataFrame(pdf)
+    plan = _plan(
+        Feature("w3", Agg.SUM, "value", window=Window(3, unit="months"),
+                skip_nulls=True),
+        Feature("wb", Agg.SUM, "value", window=Window(3, 1, unit="months"),
+                skip_nulls=True),
+    )
+    for snap_date, w3_exp, wb_exp in [
+        ("1970-12-01", 10 + 11 + 12, 10 + 11),
+        ("1970-12-02", 10 + 11 + 12, 10 + 11),
+    ]:
+        r = _run(df, plan, strategy, snap=icicle_snapshot(snap_date))
+        assert r.loc["homer", "w3"] == w3_exp, (strategy, snap_date)
+        assert r.loc["homer", "wb"] == wb_exp, (strategy, snap_date)
