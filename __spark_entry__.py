@@ -703,6 +703,359 @@ GROUP BY c_mktsegment
 """
 
 
+# ------------------------------------------- second-order folds / hygiene
+
+
+def q_group_fold_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`group event_type ~> count` then `group fold` over the finished
+    map: argmax key, max value, n_keys (reference Context.hs:36)."""
+    from icicle_spark.operators.folds_ext import group_fold
+
+    plan = Plan(
+        [Feature("m", Agg.COUNT, "value", group="event_type", skip_nulls=True)],
+        entity_col="user_id",
+        time_col="ts",
+        seq_col="event_id",
+    )
+    res = run_plan(_events(spark, sf_dir), plan, snapshot=SNAP)
+    return res.select(
+        "user_id",
+        group_fold("m", "argmax_key").alias("top_type"),
+        group_fold("m", "max_value").cast("bigint").alias("top_cnt"),
+        group_fold("m", "n_keys").alias("n_types"),
+    )
+
+
+_GROUP_FOLD_SQL = """
+WITH spine AS (SELECT DISTINCT user_id FROM events),
+cnts AS (
+  SELECT user_id, event_type, count(*) AS c,
+         max(count(*)) OVER (PARTITION BY user_id) AS mc
+  FROM events WHERE ts < TIMESTAMP '{snap}'
+  GROUP BY user_id, event_type
+),
+agged AS (
+  SELECT user_id, min(event_type) FILTER (c = mc) AS top_type,
+         max(c) AS top_cnt, count(*) AS n_types
+  FROM cnts GROUP BY user_id
+)
+SELECT s.user_id, top_type, top_cnt, coalesce(n_types, 0) AS n_types
+FROM spine s LEFT JOIN agged USING (user_id)
+""".format(snap=SNAP)
+
+
+def q_array_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`array fold` over the embedding arrays (F.aggregate)."""
+    from icicle_spark.operators.folds_ext import array_fold
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return e.select(
+        "vec_id",
+        _r(array_fold("v", F.lit(0.0), lambda a, x: a + x), 5).alias("vec_sum"),
+        _r(
+            F.sqrt(array_fold("v", F.lit(0.0), lambda a, x: a + x * x)), 5
+        ).alias("vec_l2"),
+    )
+
+
+_ARRAY_FOLD_SQL = """
+SELECT vec_id,
+       round(list_sum(list_transform(embedding::DOUBLE[], x -> x)) + 1.37e-7, 5) AS vec_sum,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) + 1.37e-7, 5) AS vec_l2
+FROM embeddings
+"""
+
+
+def q_nub_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InputKey nub: drop consecutive same-key facts per entity
+    (reference ToCore/ToCore.hs:502-616), then count survivors."""
+    from icicle_spark.operators.folds_ext import nub_by_key
+
+    kept = nub_by_key(
+        _events(spark, sf_dir),
+        key_cols="event_type",
+        entity_cols="user_id",
+        time_col="ts",
+        seq_col="event_id",
+    )
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("kept_cnt"),
+        _r(F.sum("value"), 6).alias("kept_sum"),
+    )
+
+
+_NUB_SQL = """
+WITH lagged AS (
+  SELECT user_id, value, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id, count(*) AS kept_cnt, round(sum(value) + 1.37e-8, 6) AS kept_sum
+FROM lagged WHERE prev IS NULL OR event_type <> prev
+GROUP BY user_id
+"""
+
+
+def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """covariance / correlation / gradient / intercept
+    (reference prelude.icicle:219-255)."""
+    from icicle_spark.functions.prelude import (
+        correlation,
+        covariance,
+        gradient,
+        intercept,
+    )
+
+    ev = _events(spark, sf_dir).where(F.col("ts") < F.lit(SNAP)).select(
+        "user_id",
+        F.col("value").alias("y"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 86400.0e6 - 19720.0).alias("x"),
+    )
+    return ev.groupBy("user_id").agg(
+        _r(covariance(F.col("y"), F.col("x")), 5).alias("cov_vx"),
+        _r(correlation(F.col("y"), F.col("x")), 5).alias("corr_vx"),
+        _r(gradient(F.col("y"), F.col("x")), 5).alias("grad_vx"),
+        _r(intercept(F.col("y"), F.col("x")), 4).alias("icpt_vx"),
+    )
+
+
+_REGRESSION_SQL = """
+SELECT user_id,
+       round(covar_samp(value, epoch_us(ts) / 86400.0e6 - 19720.0) + 1.37e-7, 5) AS cov_vx,
+       round(corr(value, epoch_us(ts) / 86400.0e6 - 19720.0) + 1.37e-7, 5)       AS corr_vx,
+       round(regr_slope(value, epoch_us(ts) / 86400.0e6 - 19720.0) + 1.37e-7, 5) AS grad_vx,
+       round(regr_intercept(value, epoch_us(ts) / 86400.0e6 - 19720.0) + 1.37e-6, 4) AS icpt_vx
+FROM events WHERE ts < TIMESTAMP '{snap}'
+GROUP BY user_id
+""".format(snap=SNAP)
+
+
+def q_possibly_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Possibly semantics: div-by-zero / log-of-nonpositive /
+    sqrt-of-negative are null (error values), per element
+    (reference Query/Prim.hs:36-42)."""
+    from icicle_spark.functions.scalars import (
+        days_between,
+        safe_div,
+        safe_log,
+        safe_sqrt,
+    )
+
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        _r(safe_div(F.col("value"), F.col("value") - F.col("value")), 6).alias(
+            "div0"
+        ),
+        _r(safe_log(F.col("value") - 50), 6).alias("log_shift"),
+        _r(safe_sqrt(F.col("value") - 50), 6).alias("sqrt_shift"),
+        days_between(F.col("ts"), F.lit(SNAP).cast("timestamp")).alias(
+            "days_to_snap"
+        ),
+    )
+
+
+_POSSIBLY_SQL = """
+SELECT event_id,
+       CAST(NULL AS DOUBLE) AS div0,
+       round(CASE WHEN value - 50 > 0 THEN ln(value - 50) END + 1.37e-8, 6) AS log_shift,
+       round(CASE WHEN value - 50 >= 0 THEN sqrt(value - 50) END + 1.37e-8, 6) AS sqrt_shift,
+       date_diff('day', ts::DATE, DATE '2024-01-20') AS days_to_snap
+FROM events
+"""
+
+
+def q_days_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """days_in — days spent in each state until the next fact or the
+    snapshot (reference prelude.icicle:344-356)."""
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir).where(F.col("ts") < F.lit(SNAP))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    withnext = ev.withColumn("next_ts", F.lead("ts").over(w))
+    days = F.datediff(
+        F.to_date(F.coalesce(F.col("next_ts"), F.lit(SNAP).cast("timestamp"))),
+        F.to_date("ts"),
+    )
+    return withnext.groupBy("user_id", "event_type").agg(
+        F.sum(days).alias("days_in_state")
+    )
+
+
+_DAYS_IN_SQL = """
+WITH withnext AS (
+  SELECT user_id, event_type, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events WHERE ts < TIMESTAMP '{snap}'
+)
+SELECT user_id, event_type,
+       sum(date_diff('day', ts::DATE, coalesce(next_ts, TIMESTAMP '{snap}')::DATE)) AS days_in_state
+FROM withnext GROUP BY user_id, event_type
+""".format(snap=SNAP)
+
+
+def q_circular_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """circular_stats — circular mean/sd of event hour-of-day angle
+    (reference prelude.icicle:303-324)."""
+    from icicle_spark.functions.prelude import circular_mean, circular_sd
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        (F.hour("ts") * (2 * 3.141592653589793 / 24.0)).alias("theta"),
+    )
+    return ev.groupBy("user_id").agg(
+        _r(circular_mean(F.col("theta")), 6).alias("cmean"),
+        _r(circular_sd(F.col("theta")), 6).alias("csd"),
+    )
+
+
+_CIRCULAR_SQL = """
+SELECT user_id,
+       round(atan2(avg(sin(theta)), avg(cos(theta))) + 1.37e-8, 6) AS cmean,
+       round(sqrt(-2.0 * ln(sqrt(avg(sin(theta))^2 + avg(cos(theta))^2))) + 1.37e-8, 6) AS csd
+FROM (SELECT user_id, hour(ts) * (2 * pi() / 24.0) AS theta FROM events)
+GROUP BY user_id
+"""
+
+
+def q_chord_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chord scope with labels: two query times per entity."""
+    ev = _events(spark, sf_dir)
+    mx = ev.groupBy("user_id").agg(F.max("ts").alias("mx"))
+    chords = mx.select(
+        "user_id", F.col("mx").alias("query_time"), F.lit("last").alias("label")
+    ).unionByName(
+        mx.select(
+            "user_id",
+            F.date_trunc("day", F.col("mx")).alias("query_time"),
+            F.lit("day_start").alias("label"),
+        )
+    )
+    plan = Plan(
+        [
+            Feature("cnt", Agg.COUNT, "value", skip_nulls=True),
+            Feature("sum_val", Agg.SUM, "value", skip_nulls=True),
+        ],
+        entity_col="user_id",
+        time_col="ts",
+        seq_col="event_id",
+    )
+    out = run_plan(ev, plan, chords=chords)
+    return out.select(
+        "user_id", "label", "cnt", _r("sum_val", 6).alias("sum_val")
+    )
+
+
+_CHORD_LABELED_SQL = """
+WITH mx AS (SELECT user_id, max(ts) AS mx FROM events GROUP BY user_id),
+chords AS (
+  SELECT user_id, mx AS qt, 'last' AS label FROM mx
+  UNION ALL
+  SELECT user_id, date_trunc('day', mx) AS qt, 'day_start' AS label FROM mx
+)
+SELECT c.user_id, c.label,
+       count(e.event_id) FILTER (e.ts < c.qt) AS cnt,
+       coalesce(round(sum(e.value) FILTER (e.ts < c.qt) + 1.37e-8, 6), 0.0) AS sum_val
+FROM chords c LEFT JOIN events e USING (user_id)
+GROUP BY c.user_id, c.label
+"""
+
+
+def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join breadth: revenue per nation within one region."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    r = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+               ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_TPCH_Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1.37e-4, 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-statistics quality score per document."""
+    from icicle_spark.functions.text import quality_score
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", _r(quality_score(F.col("text")), 6).alias("q")
+    )
+
+
+_QUALITY_SQL = r"""
+WITH stats AS (
+  SELECT doc_id,
+    length(text)::DOUBLE AS n_chars,
+    list_filter(string_split_regex(lower(text), '[^a-zà-ɏ0-9'']+'), x -> x <> '') AS words,
+    length(regexp_replace(text, '[^a-zA-ZÀ-ɏ]', '', 'g'))::DOUBLE AS alpha_chars,
+    length(regexp_replace(text, '[^#@{{}}<>|\^~\[\]]', '', 'g'))::DOUBLE AS sym_chars
+  FROM documents
+),
+derived AS (
+  SELECT doc_id, n_chars,
+    len(words)::DOUBLE AS n_words,
+    CASE WHEN len(words) > 0
+         THEN list_sum(list_transform(words, w -> length(w)))::DOUBLE / len(words)
+         ELSE 0.0 END AS mean_wlen,
+    CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN len(words) > 0
+         THEN len(list_filter(words, w -> list_contains([{stops}], w)))::DOUBLE / len(words)
+         ELSE 0.0 END AS stop_ratio,
+    CASE WHEN n_chars > 0 THEN sym_chars / n_chars ELSE 0.0 END AS sym_ratio
+  FROM stats
+)
+SELECT doc_id,
+  round(0.3 * (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.0 END)
+      + 0.3 * least(alpha_ratio / 0.7, 1.0)
+      + 0.25 * least(stop_ratio / 0.2, 1.0)
+      + 0.15 * (1.0 - least(sym_ratio / 0.1, 1.0)), 6) AS q
+FROM derived
+"""
+
+
+def _quality_sql() -> str:
+    from icicle_spark.functions.text import _LANG_MARKERS
+
+    stops = ", ".join(
+        f"'{w}'" for ws in _LANG_MARKERS.values() for w in ws
+    )
+    return _QUALITY_SQL.format(stops=stops)
+
+
+def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (engine extensions — rows-only check:
+    sketch internals differ across engines by design)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("p50_value"),
+    )
+
+
 # -------------------------------------------------------------- driver API
 
 
@@ -748,6 +1101,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "tpch_q1": q_tpch_q1,
         "join_revenue": q_join_revenue,
+        "group_fold_map": q_group_fold_map,
+        "array_fold": q_array_fold,
+        "nub_by_key": q_nub_by_key,
+        "regression": q_regression,
+        "possibly_scalars": q_possibly_scalars,
+        "days_in": q_days_in,
+        "circular_stats": q_circular_stats,
+        "chord_labeled": q_chord_labeled,
+        "tpch_q5ish": q_tpch_q5ish,
+        "quality_score": q_quality_score,
+        "approx_aggs": q_approx_aggs,
     }
 
 
@@ -774,7 +1138,18 @@ def oracle_sql() -> dict[str, str]:
         "embed_topk": _EMBED_SQL,
         "tpch_q1": _TPCH_Q1_SQL,
         "join_revenue": _JOIN_REVENUE_SQL,
+        "group_fold_map": _GROUP_FOLD_SQL,
+        "array_fold": _ARRAY_FOLD_SQL,
+        "nub_by_key": _NUB_SQL,
+        "regression": _REGRESSION_SQL,
+        "possibly_scalars": _POSSIBLY_SQL,
+        "days_in": _DAYS_IN_SQL,
+        "circular_stats": _CIRCULAR_SQL,
+        "chord_labeled": _CHORD_LABELED_SQL,
+        "tpch_q5ish": _TPCH_Q5_SQL,
+        "quality_score": _quality_sql(),
+        # approx_aggs: sketches differ across engines — rows-only.
         # minhash_pairs / simhash_pairs: LSH not SQL-expressible —
         # rows-only check by design.
     }
-    return {k: _stab(v) for k, v in raw.items()}
+    return {k: (v if "1.37e-" in v else _stab(v)) for k, v in raw.items()}

@@ -80,13 +80,12 @@ def quality_score(text: Column) -> Column:
     sym_chars = F.length(F.regexp_replace(text, r"[^#@{}<>|\\^~\[\]]", ""))
     sym_ratio = F.when(n_chars > 0, sym_chars / n_chars).otherwise(F.lit(0.0))
     wlen_ok = F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.0)
-    score = (
+    return (
         0.3 * wlen_ok
         + 0.3 * F.least(alpha_ratio / 0.7, F.lit(1.0))
         + 0.25 * F.least(stop_ratio / 0.2, F.lit(1.0))
         + 0.15 * (1.0 - F.least(sym_ratio / 0.1, F.lit(1.0)))
     )
-    return F.round(score, 6)
 
 
 def doc_fingerprint(text: Column, normalize: bool = True) -> Column:
