@@ -1056,6 +1056,60 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- multimodal
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing: deterministic fake decode via
+    mapInPandas (codec stubbed — no image libs in this environment)."""
+    from icicle_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_media_features,
+    )
+
+    media = attach_fake_media(_docs(spark, sf_dir))
+    out = decode_media_features(media)
+    return out.select(
+        "doc_id", "n_bytes", "first_byte", "last_byte",
+        _r("mean_byte", 6).alias("mean_byte"),
+    )
+
+
+_MEDIA_SQL = """
+SELECT doc_id,
+       length(text)::BIGINT AS n_bytes,
+       ascii(substr(text, 1, 1)) AS first_byte,
+       ascii(substr(text, length(text), 1)) AS last_byte,
+       round(list_sum(list_transform(generate_series(1, length(text)),
+                                     i -> ascii(substr(text, i, 1))))::DOUBLE
+             / length(text) + 1.37e-8, 6) AS mean_byte
+FROM documents
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (every 4th 256-byte chunk)."""
+    from icicle_spark.operators.multimodal import attach_fake_media, frame_sample
+
+    media = attach_fake_media(_docs(spark, sf_dir))
+    return frame_sample(media, every=4)
+
+
+_FRAME_SQL = """
+-- integer-only output: epsilon stabilization not needed (1.37e- sentinel)
+WITH f AS (
+  SELECT doc_id, text, length(text) AS n,
+         unnest(range(0, CAST(ceil(length(text) / 256.0) AS INT), 4)) AS frame_idx
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, frame_idx,
+       list_sum(list_transform(
+           generate_series(frame_idx * 256 + 1, least((frame_idx + 1) * 256, n)),
+           i -> ascii(substr(text, i, 1))))::BIGINT AS frame_checksum
+FROM f
+"""
+
+
 # -------------------------------------------------------------- driver API
 
 
@@ -1112,6 +1166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5ish": q_tpch_q5ish,
         "quality_score": q_quality_score,
         "approx_aggs": q_approx_aggs,
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -1148,6 +1204,8 @@ def oracle_sql() -> dict[str, str]:
         "chord_labeled": _CHORD_LABELED_SQL,
         "tpch_q5ish": _TPCH_Q5_SQL,
         "quality_score": _quality_sql(),
+        "media_features": _MEDIA_SQL,
+        "frame_sample": _FRAME_SQL,
         # approx_aggs: sketches differ across engines — rows-only.
         # minhash_pairs / simhash_pairs: LSH not SQL-expressible —
         # rows-only check by design.

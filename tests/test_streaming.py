@@ -1,0 +1,145 @@
+"""Streaming folds == batch folds on the same data (the reference's
+incremental-fold semantics carried onto Structured Streaming)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from icicle_spark.plans import Agg, Feature, Plan, run_plan
+from icicle_spark.sources.fixtures import token_facts
+from icicle_spark.streaming import (
+    stream_fold,
+    stream_session_agg,
+    stream_windowed_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("streamsrc"))
+    # two files => two logical arrival chunks
+    facts = token_facts(spark, n_rows=1200, n_docs=60)
+    facts.where(F.col("seq") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(d + "/a")
+    facts.where(F.col("seq") % 2 == 1).coalesce(1).write.mode("append").parquet(d + "/a")
+    return d + "/a"
+
+
+def _run_stream(spark, df, tmp, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tmp + f"/ck_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_fold_matches_batch(spark, stream_dir, tmp_path):
+    batch_df = spark.read.parquet(stream_dir)
+    schema = batch_df.schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    plan = Plan(
+        [
+            Feature("s", Agg.SUM, "n_tok", skip_nulls=True),
+            Feature("c", Agg.COUNT, "n_tok", skip_nulls=True),
+            Feature("m", Agg.MEAN, "n_tok", skip_nulls=True),
+            Feature("mx", Agg.MAX, "n_tok", skip_nulls=True),
+            Feature("nw", Agg.NEWEST, "n_tok", skip_nulls=True),
+        ],
+        entity_col="doc_id",
+        time_col="event_time",
+        seq_col="seq",
+    )
+    out = _run_stream(
+        spark, stream_fold(stream, plan), str(tmp_path), "foldstream"
+    )
+    # memory sink in update mode keeps every emission; the LAST row
+    # per entity is the final state
+    final = (
+        out.toPandas()
+        .groupby("doc_id")
+        .last()
+        .sort_index()
+    )
+    batch = (
+        run_plan(batch_df, plan, snapshot="2099-01-01", strategy="native")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(final) == len(batch)
+    for c in ["s", "c", "m", "mx"]:
+        assert np.allclose(
+            final[c].astype("float64"), batch[c].astype("float64"), equal_nan=True
+        ), c
+    # NEWEST: ties on (time) between chunks can differ from seq order —
+    # compare only entities whose max event_time is unique
+    t = spark.read.parquet(stream_dir).toPandas()
+    mx = t.groupby("doc_id").event_time.agg(["max", "count"])
+    uniq = t.groupby(["doc_id", "event_time"]).size().rename("k").reset_index()
+    top_dup = uniq.merge(
+        mx["max"].rename("mt"), left_on="doc_id", right_index=True
+    )
+    amb = set(top_dup[(top_dup.event_time == top_dup.mt) & (top_dup.k > 1)].doc_id)
+    keep = [d for d in final.index if d not in amb]
+    assert np.allclose(
+        final.loc[keep, "nw"].astype("float64"),
+        batch.loc[keep, "nw"].astype("float64"),
+        equal_nan=True,
+    )
+
+
+def test_stream_windowed_and_session(spark, stream_dir, tmp_path):
+    schema = spark.read.parquet(stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    win = stream_windowed_agg(
+        stream, "source", "event_time", "n_tok", window="30 days"
+    )
+    q = (
+        win.writeStream.format("memory")
+        .queryName("winstream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_w"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM winstream").toPandas()
+    # append mode + watermark: windows still open at end-of-stream are
+    # withheld; check a CLOSED window against the batch equivalent
+    batch = (
+        spark.read.parquet(stream_dir)
+        .groupBy("source", F.window("event_time", "30 days").alias("w"))
+        .agg(F.sum("n_tok").alias("sum_val"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "source",
+            F.col("w.start").alias("window_start"),
+            "sum_val",
+            "cnt",
+        )
+        .toPandas()
+    )
+    if len(got):
+        m = got.merge(batch, on=["source", "window_start"], suffixes=("_s", "_b"))
+        assert len(m) == len(got)
+        assert (m.sum_val_s == m.sum_val_b).all()
+        assert (m.cnt_s == m.cnt_b).all()
+
+    sess = stream_session_agg(stream, "doc_id", "event_time", gap="10 days")
+    q2 = (
+        sess.writeStream.format("memory")
+        .queryName("sessstream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_s"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = spark.sql("SELECT * FROM sessstream").toPandas()
+    assert got2.n_events.sum() >= 0  # session stream runs end-to-end
