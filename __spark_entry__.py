@@ -1110,6 +1110,57 @@ FROM f
 """
 
 
+def q_embed_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-k as embed_topk via the Arrow/numpy matmul scorer."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, q, k=5, use_pandas=True, round_digits=5)
+
+
+def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only: recall-bounded)."""
+    from icicle_spark.operators.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, q, k=5, n_planes=6, n_tables=4, dim=64)
+    return out.select("query_id", "vec_id", _r("cosine_sim", 5).alias("cosine_sim"))
+
+
+def q_json_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction + map/array builtins (SURVEY §2.7 Map/Array)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    m = F.map_from_arrays(F.array(F.col("event_type")), F.array(k))
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.element_at(m, F.col("event_type")).alias("k_via_map"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(F.sort_array(F.array(F.col("value"), k.cast("double"))), 1
+                     ).alias("arr_min"),
+    )
+
+
+_JSON_MAP_SQL = """
+-- integer/exact outputs; no epsilon needed (1.37e- sentinel)
+SELECT event_id,
+       json_extract(props, '$.k')::BIGINT AS k,
+       json_extract(props, '$.k')::BIGINT AS k_via_map,
+       1 AS n_keys,
+       least(value, json_extract(props, '$.k')::DOUBLE) AS arr_min
+FROM events
+"""
+
+
 # -------------------------------------------------------------- driver API
 
 
@@ -1168,6 +1219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_aggs": q_approx_aggs,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
+        "embed_topk_arrow": q_embed_topk_arrow,
+        "embed_topk_lsh": q_embed_topk_lsh,
+        "json_map_ops": q_json_map_ops,
     }
 
 
@@ -1206,6 +1260,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _quality_sql(),
         "media_features": _MEDIA_SQL,
         "frame_sample": _FRAME_SQL,
+        "embed_topk_arrow": _EMBED_SQL,
+        "json_map_ops": _JSON_MAP_SQL,
+        # embed_topk_lsh: approximate recall — rows-only.
         # approx_aggs: sketches differ across engines — rows-only.
         # minhash_pairs / simhash_pairs: LSH not SQL-expressible —
         # rows-only check by design.

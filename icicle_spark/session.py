@@ -27,9 +27,15 @@ def get_spark(
     is supplied by spark-submit and this becomes a no-op.
     """
     n = cpus or DEFAULT_CPUS
+    builder = SparkSession.builder.appName(app_name)
+    # Under spark-submit the gateway JVM already carries the master
+    # (PythonRunner exports PYSPARK_GATEWAY_PORT); setting one here
+    # would override --master. Default to local[n] only when
+    # self-launching.
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{n}]"))
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(os.environ.get("SPARK_MASTER", f"local[{n}]"))
+        builder
         # AQE: runtime coalescing of shuffle partitions + skew-join
         # splitting — essential at 100 TB where static planning is
         # always wrong for at least one stage.

@@ -1,0 +1,40 @@
+"""PSV fact-file IO parity (the reference's text input format,
+/root/reference/icicle-source/src/Icicle/Serial.hs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icicle_spark.plans import Agg, Feature, Plan, icicle_snapshot, run_plan
+from icicle_spark.sources.io import read_psv_facts
+
+PSV = """homer|salary|100|1989-12-17
+homer|salary|200|1990-01-01
+homer|salary|300|1994-01-01
+homer|salary|400|1999-01-01
+homer|salary|500|2010-01-01
+marge|salary|0|1989-12-17
+marge|salary|10|1989-12-17
+marge|salary|20|1989-12-17
+"""
+
+
+def test_psv_roundtrip_sum(spark, tmp_path):
+    p = tmp_path / "data.psv"
+    p.write_text(PSV)
+    facts = read_psv_facts(spark, str(p))
+    assert facts.columns == ["entity", "attribute", "value", "time"]
+    salary = facts.where(F.col("attribute") == "salary").withColumn(
+        "value", F.col("value").cast("long")
+    )
+    plan = Plan(
+        [Feature("s", Agg.SUM, "value", skip_nulls=True)],
+        entity_col="entity",
+        time_col="time",
+    )
+    r = (
+        run_plan(salary, plan, snapshot=icicle_snapshot("2017-01-01"))
+        .toPandas()
+        .set_index("entity")
+    )
+    assert r.loc["homer", "s"] == 1500 and r.loc["marge", "s"] == 30
