@@ -1,36 +1,35 @@
 """Native plan compiler — pure DataFrame ops, no Python anywhere.
 
-Compiles a fold ``Plan`` into (at most) one window stage plus one
-aggregation, entirely inside Catalyst/whole-stage codegen:
+Compiles a fold ``Plan`` into a single-scan Catalyst pipeline. The
+feature set is split by execution need:
 
-    facts --(chord: broadcast join query times)--> visible rows
-          --[window stage: rank-from-end / prev-value helpers,
-             only if latest-N or numflips features exist]-->
-          --groupBy(entity[, qtime]) with ONE conditional aggregate
-            per feature--> init-fill via entity/chord spine
+* mergeable folds + latest-N  — ONE scan, two-stage salted
+  aggregation: stage 1 computes constant-size partial states per
+  (entity[, query_time], salt-of-seq); stage 2 merges per entity.
+  Skew-immune: a hot entity holding 30% of all rows spreads over
+  ``_SALT_BUCKETS`` tasks. latest-N rides along because top-N-by-
+  (time,seq) is a monoid (local tail in stage 1, merged tail in
+  stage 2). Measured alternative: a window-rank implementation of
+  latest-N did not finish in 10 minutes on the skewed 8M-row bench
+  (one task owns the hot entity's frame); the salted path takes
+  seconds.
+* non-mergeable aggregates (count_distinct, distinct_values,
+  max_by/min_by) — direct conditional aggregation per group key
+  (Spark's own partial aggregation handles these).
+* numflips — prev-value helper column over an entity-time window,
+  then the same conditional aggregation (bounded cost: one sorted
+  exchange; avoid mixing with extreme skew, or use the Arrow
+  executor).
 
-Fusion: N features still read the input once (conditional aggregates),
-the analogue of the reference's Core fusion
-(/root/reference/icicle-core/src/Icicle/Core/Program/Fusion.hs:37-81).
-
-Per-feature frames without extra shuffles:
-
-* ``latest N``  — rank-from-end: ``sum(cond) over (entity ORDER BY
-  time,seq ROWS CURRENT..UNBOUNDED FOLLOWING) <= N`` marks the last N
-  facts satisfying the feature's own filter. The window stage and the
-  aggregation share the same hash partitioning, so Catalyst plans ONE
-  exchange total.
-* ``numflips``  — previous matching value via ``last(when(cond, v),
-  ignorenulls) over (.. ROWS UNBOUNDED PRECEDING..-1)``; flip counted
-  when it differs.
+Fusion: N features still read the input ONCE (the analogue of the
+reference's Core fusion,
+/root/reference/icicle-core/src/Icicle/Core/Program/Fusion.hs:37-81).
 
 Scale: snapshot filters push to the parquet/Iceberg scan (partition
-pruning on time); the chord table broadcasts; plans with no latest/
-numflips skip the window stage entirely and get map-side partial
-aggregation — hot entities collapse before the exchange, which is why
-this path is skew-immune and the preferred 100 TB strategy. Plans the
-compiler can't express (group-maps, custom folds, distinct keys)
-raise and are routed to the vectorized Arrow executor by run_plan.
+pruning on time); the chord table broadcasts; exchanges carry only
+constant-size states, never raw fact rows. Plans the compiler can't
+express (group-maps, custom folds, distinct keys) raise and are
+routed to the vectorized Arrow executor by run_plan.
 """
 
 from __future__ import annotations
@@ -229,50 +228,6 @@ def _tail_slice(arr: Column, n: int) -> Column:
     return F.slice(arr, F.greatest(F.size(arr) - (n - 1), F.lit(1)), n)
 
 
-def _salted_latest(
-    base: DataFrame, plan: Plan, feats: list[Feature], qt: Column
-) -> DataFrame:
-    """Skew-proof latest-N: top-N-by-(time,seq) is a monoid, so merge
-    per-(entity, salt) partial top-N lists, then finalize per entity.
-
-    Stage 1 groups by (entity, seq-hash salt) — a hot entity holding
-    30% of all rows (FIXTURES.md §4.5) spreads over _SALT_BUCKETS
-    tasks, each keeping only its local last-N. Stage 2 merges <=
-    N x buckets structs per entity. No global sort, no straggler —
-    the reference never splits an entity (README.md:139-141) because
-    its folds are sequential; latest-N is mergeable, so we can.
-    """
-    ecol, tcol = plan.entity_col, plan.time_col
-    scol = plan.seq_col or tcol
-    salt = F.pmod(F.xxhash64(F.col(scol)), F.lit(_SALT_BUCKETS))
-    s1_aggs, s2_aggs = [], []
-    for f in feats:
-        cond = _visibility(f, qt, tcol)
-        if f.skip_nulls:
-            # skip_nulls drops nulls BEFORE the latest-N buffer
-            cond = cond & F.expr(f.expr).isNotNull()
-        fields = [
-            F.col(tcol).alias("t"),
-            F.col(scol).cast("double").alias("s"),
-            F.expr(f.expr).alias("v"),
-        ]
-        if f.by is not None:
-            fields.append(F.expr(f.by).alias("b"))
-        s1_aggs.append(
-            _tail_slice(
-                F.array_sort(F.collect_list(F.when(cond, F.struct(*fields)))),
-                f.latest,
-            ).alias(f"__p_{f.name}")
-        )
-        merged = _tail_slice(
-            F.array_sort(F.flatten(F.collect_list(F.col(f"__p_{f.name}")))),
-            f.latest,
-        )
-        s2_aggs.append(_finalize_latest(f, merged).alias(f.name))
-    s1 = base.groupBy(F.col(ecol), salt.alias("__salt")).agg(*s1_aggs)
-    return s1.groupBy(ecol).agg(F.count(F.lit(1)).alias("__nl"), *s2_aggs)
-
-
 def _finalize_latest(f: Feature, arr: Column) -> Column:
     """Fold the merged last-N struct array into the feature value."""
     vs = F.transform(arr, lambda x: x["v"])
@@ -348,6 +303,194 @@ def _finalize_latest(f: Feature, arr: Column) -> Column:
     return out
 
 
+def _merge_final(f: Feature, c: Column) -> Column:
+    """Aggregate-merge partial fold states (resume._state_expr shape)
+    across salt buckets and finalize — the N-way version of
+    resume._merge_expr for time-independent folds."""
+    p = F.coalesce(F.bool_or(c["p"]), F.lit(False))
+    agg = f.agg
+    if agg is Agg.SUM:
+        out = F.coalesce(F.sum(c["s"]), F.lit(0.0))
+    elif agg is Agg.COUNT:
+        out = F.coalesce(F.sum(c["c"]), F.lit(0)).cast("bigint")
+    elif agg is Agg.MEAN:
+        n = F.sum(c["c"])
+        out = F.when(n > 0, F.sum(c["s"]) / n)
+    elif agg is Agg.MIN:
+        out = F.min(c["m"])
+    elif agg is Agg.MAX:
+        out = F.max(c["m"])
+    elif agg in (Agg.NEWEST, Agg.OLDEST):
+        pick = F.max_by if agg is Agg.NEWEST else F.min_by
+        key = F.when(
+            c["tv"].isNotNull(), F.struct(c["tv"]["t"].alias("t"), c["tv"]["q"].alias("q"))
+        )
+        out = pick(c["tv"], key)["v"]
+    elif agg is Agg.ANY:
+        out = F.coalesce(F.bool_or(c["b"]), F.lit(False))
+    elif agg is Agg.ALL:
+        out = F.coalesce(F.bool_and(c["b"]), F.lit(True))
+    elif agg in (Agg.VARIANCE, Agg.SD):
+        n = F.sum(c["n"])
+        s = F.sum(c["s"])
+        s2 = F.sum(c["s2"])
+        var = F.when(n > 1, (s2 - s * s / n) / (n - 1))
+        out = F.sqrt(var) if agg is Agg.SD else var
+    else:  # pragma: no cover
+        raise ValueError(f"not mergeable: {agg}")
+    if not f.skip_nulls:
+        out = F.when(p, F.lit(None)).otherwise(out)
+    return out
+
+
+def _two_stage(
+    base: DataFrame,
+    plan: Plan,
+    mergeable: list[Feature],
+    latest_feats: list[Feature],
+    qt: Column,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """ONE scan for all mergeable + latest features: stage 1 partials
+    per (entity, salt-of-seq), stage 2 merge per entity. The exchange
+    carries only constant-size states — skew-immune and single-pass
+    over the input (the multi-subtree alternative re-scans the table
+    once per feature family, 3-6x the I/O at 100 TB)."""
+    from icicle_spark.plans.resume import _state_expr
+
+    ecol, tcol = plan.entity_col, plan.time_col
+    scol = plan.seq_col or tcol
+    salt = F.pmod(F.xxhash64(F.col(scol)), F.lit(_SALT_BUCKETS))
+    s1_aggs: list[Column] = []
+    s2_aggs: list[Column] = []
+    for f in mergeable:
+        s1_aggs.append(
+            _state_expr(f, plan, _visibility(f, qt, tcol)).alias(f"__st_{f.name}")
+        )
+        s2_aggs.append(_merge_final(f, F.col(f"__st_{f.name}")).alias(f.name))
+    for f in latest_feats:
+        cond = _visibility(f, qt, tcol)
+        if f.skip_nulls:
+            cond = cond & F.expr(f.expr).isNotNull()
+        fields = [
+            F.col(tcol).alias("t"),
+            F.col(scol).cast("double").alias("s"),
+            F.expr(f.expr).alias("v"),
+        ]
+        if f.by is not None:
+            fields.append(F.expr(f.by).alias("b"))
+        keep = cond & (F.col(f"__rk_{f.name}") <= f.latest)
+        s1_aggs.append(
+            F.array_sort(
+                F.collect_list(F.when(keep, F.struct(*fields)))
+            ).alias(f"__p_{f.name}")
+        )
+        merged = _tail_slice(
+            F.array_sort(F.flatten(F.collect_list(F.col(f"__p_{f.name}")))),
+            f.latest,
+        )
+        s2_aggs.append(_finalize_latest(f, merged).alias(f.name))
+    keys = keys or [ecol]
+    if latest_feats:
+        # Rank stage: a salted exchange + Tungsten sort, then an O(n)
+        # running conditional count from the NEWEST row backwards =
+        # rank-from-end among each feature's own cond rows. The
+        # collect_list in stage 1 then holds at most N structs per
+        # (entity, salt) — object churn is bounded, unlike collecting
+        # the whole bucket (measured 85% of the fused pass) or an
+        # unbounded-following window frame (did not finish on the hot
+        # entity).
+        w_desc = (
+            W.partitionBy(*[F.col(k) for k in keys], salt)
+            .orderBy(F.desc(tcol), F.desc(scol))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        ranked = base
+        for f in latest_feats:
+            cond = _visibility(f, qt, tcol)
+            if f.skip_nulls:
+                cond = cond & F.expr(f.expr).isNotNull()
+            ranked = ranked.withColumn(
+                f"__rk_{f.name}",
+                F.sum(F.when(cond, 1).otherwise(0)).over(w_desc),
+            )
+        base = ranked
+    s1 = base.groupBy(*[F.col(k) for k in keys], salt.alias("__salt")).agg(*s1_aggs)
+    return s1.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nl"), *s2_aggs)
+
+
+def _compile_scoped(
+    spine: DataFrame,
+    base: DataFrame,
+    plan: Plan,
+    qt: Column,
+    keys: list[str],
+) -> DataFrame:
+    """Shared snapshot/chord compilation after visibility is set up:
+    split features into mergeable-plain + latest (single-scan salted
+    two-stage), direct aggregates, and numflips (window helpers)."""
+    from icicle_spark.plans.resume import _STATEFUL
+
+    ecol, tcol = plan.entity_col, plan.time_col
+    latest_feats = [f for f in plan.features if f.latest is not None]
+    flip_feats = [
+        f for f in plan.features
+        if f.agg is Agg.NUMFLIPS and f.latest is None
+    ]
+    plain_feats = [
+        f for f in plan.features
+        if f.latest is None and f.agg is not Agg.NUMFLIPS
+    ]
+    mergeable = [
+        f for f in plain_feats
+        if f.agg in _STATEFUL and f.agg is not Agg.NUMFLIPS
+    ]
+    direct_feats = [f for f in plain_feats if f not in mergeable]
+    out = spine
+    if latest_feats:
+        lat = _two_stage(base, plan, mergeable, latest_feats, qt, keys)
+        out = out.join(lat, on=keys, how="left")
+        # init-fill ONLY rows absent from the sub-result (no visible
+        # facts at all) — a poisoned null stays null.
+        for f in latest_feats + mergeable:
+            if f.agg in _INIT:
+                out = out.withColumn(
+                    f.name,
+                    F.when(
+                        F.col("__nl").isNull(), F.lit(_INIT[f.agg])
+                    ).otherwise(F.col(f.name)),
+                )
+        out = out.drop("__nl")
+    else:
+        direct_feats = plain_feats
+    if direct_feats:
+        aggs = [
+            _agg_col(f, _visibility(f, qt, tcol), tcol, None)
+            for f in direct_feats
+        ]
+        agged = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"), *aggs)
+        out = out.join(agged, on=keys, how="left")
+        out = _fill_inits(
+            out,
+            Plan(direct_feats, entity_col=ecol, time_col=tcol,
+                 seq_col=plan.seq_col),
+            "__n",
+        )
+    if flip_feats:
+        fl_plan = Plan(
+            flip_feats, entity_col=ecol, time_col=tcol, seq_col=plan.seq_col
+        )
+        fbase, _ = _helper_stage(base, fl_plan, qt, keys)
+        aggs = [
+            _agg_col(f, _visibility(f, qt, tcol), tcol, None)
+            for f in flip_feats
+        ]
+        agged = fbase.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nf"), *aggs)
+        out = out.join(agged, on=keys, how="left")
+        out = _fill_inits(out, fl_plan, "__nf")
+    return out.select(*keys, *[f.name for f in plan.features])
+
+
 def compile_native(
     facts: DataFrame,
     plan: Plan,
@@ -376,87 +519,17 @@ def compile_native(
             ]
         )
 
-    needs_window = any(
-        f.latest is not None or f.agg is Agg.NUMFLIPS for f in plan.features
-    )
-
     if snapshot is not None:
         qt = F.lit(snapshot).cast("timestamp")
         # pre-filter to the visible range -> parquet pushdown /
         # partition pruning; per-feature windows re-check inside.
         base = facts.where(F.col(tcol) < qt)
-        latest_feats = [f for f in plan.features if f.latest is not None]
-        flip_feats = [
-            f for f in plan.features
-            if f.agg is Agg.NUMFLIPS and f.latest is None
-        ]
-        plain_feats = [
-            f for f in plan.features
-            if f.latest is None and f.agg is not Agg.NUMFLIPS
-        ]
         spine = facts.select(ecol).distinct()
-        out = spine
-        if plain_feats:
-            # direct conditional aggregation: map-side partial
-            # aggregation collapses hot entities BEFORE the exchange —
-            # skew-immune, no sort.
-            aggs = [
-                _agg_col(f, _visibility(f, qt, tcol), tcol, None)
-                for f in plain_feats
-            ]
-            agged = base.groupBy(ecol).agg(
-                F.count(F.lit(1)).alias("__n"), *aggs
-            )
-            out = out.join(agged, on=ecol, how="left")
-            out = _fill_inits(
-                out,
-                Plan(plain_feats, entity_col=ecol, time_col=tcol,
-                     seq_col=plan.seq_col),
-                "__n",
-            )
-        if latest_feats:
-            lat = _salted_latest(base, plan, latest_feats, qt)
-            out = out.join(lat, on=ecol, how="left")
-            # init-fill ONLY entities absent from the latest sub-result
-            # (no visible facts at all) — a poisoned null stays null.
-            for f in latest_feats:
-                if f.agg in _INIT:
-                    out = out.withColumn(
-                        f.name,
-                        F.when(
-                            F.col("__nl").isNull(), F.lit(_INIT[f.agg])
-                        ).otherwise(F.col(f.name)),
-                    )
-            out = out.drop("__nl")
-        if flip_feats:
-            fl_plan = Plan(
-                flip_feats, entity_col=ecol, time_col=tcol, seq_col=plan.seq_col
-            )
-            fbase, _ = _helper_stage(base, fl_plan, qt, [ecol])
-            aggs = [
-                _agg_col(f, _visibility(f, qt, tcol), tcol, None)
-                for f in flip_feats
-            ]
-            agged = fbase.groupBy(ecol).agg(
-                F.count(F.lit(1)).alias("__nf"), *aggs
-            )
-            out = out.join(agged, on=ecol, how="left")
-            out = _fill_inits(out, fl_plan, "__nf")
-        # restore declared feature order
-        return out.select(ecol, *[f.name for f in plan.features])
+        return _compile_scoped(spine, base, plan, qt, [ecol])
 
     qt = F.col("query_time")
     keys = [ecol, "query_time"] + (["label"] if "label" in chords.columns else [])
     base = facts.join(F.broadcast(chords), on=ecol, how="inner").where(
         F.col(tcol) < qt
     )
-    extras = {}
-    if needs_window:
-        base, extras = _helper_stage(base, plan, qt, [ecol, "query_time"])
-    aggs = [
-        _agg_col(f, _visibility(f, qt, tcol), tcol, extras.get(f.name))
-        for f in plan.features
-    ]
-    agged = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"), *aggs)
-    out = chords.join(agged, on=keys, how="left")
-    return _fill_inits(out, plan, "__n")
+    return _compile_scoped(chords, base, plan, qt, keys)
