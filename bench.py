@@ -140,8 +140,10 @@ def main() -> None:
     qs = entry.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        _force(qs[name](spark, SF_DIR))  # warm: JIT + file cache
+        # fresh lineage per timed run: Spark reuses shuffle files on
+        # identical lineage, which would skip the map stages
         df = qs[name](spark, SF_DIR)
-        _force(df)  # warm: JIT + file cache
         t0 = time.perf_counter()
         _force(df)
         timings[name] = round(time.perf_counter() - t0, 3)
