@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from icicle_spark.operators.dedup import (
@@ -22,7 +23,15 @@ from icicle_spark.operators.dedup import (
 from icicle_spark.operators.similarity import brute_force_topk
 from icicle_spark.operators.window_ext import backfill, lag_lead, scan, sessionize
 from icicle_spark.functions.text import lang_id, token_count
-from icicle_spark.plans import Agg, Feature, Plan, Window, compile_native, run_plan
+from icicle_spark.plans import (
+    Agg,
+    CustomFold,
+    Feature,
+    Plan,
+    Window,
+    compile_native,
+    run_plan,
+)
 
 SNAP = "2024-01-20 00:00:00"
 
@@ -1164,6 +1173,272 @@ FROM events
 # -------------------------------------------------------------- driver API
 
 
+# ------------------------------------------------- custom-fold EWMA oracle
+
+_EWMA_A = 0.1
+
+
+def _ewma_step(vals: np.ndarray) -> float:
+    """fold x = 0 then (1-a)*x + a*v — closed form over the visible
+    slice (oldest..newest): a * sum (1-a)^(n-1-i) v_i (init 0
+    vanishes). Vectorized, matching CustomFold.step's contract."""
+    n = len(vals)
+    if n == 0:
+        return 0.0
+    w = _EWMA_A * np.power(1.0 - _EWMA_A, np.arange(n - 1, -1, -1, dtype="float64"))
+    return float(np.dot(w, vals.astype("float64")))
+
+
+def _ewma1_step(vals: np.ndarray) -> float | None:
+    """fold1 x = v then (1-a)*x + a*v — seeded by the FIRST element
+    (reference Context.hs:73-76 FoldTypeFoldl1): the seed keeps weight
+    (1-a)^(n-1), later elements a*(1-a)^(n-i)."""
+    n = len(vals)
+    if n == 0:
+        return None
+    w = _EWMA_A * np.power(1.0 - _EWMA_A, np.arange(n - 1, -1, -1, dtype="float64"))
+    w[0] = (1.0 - _EWMA_A) ** (n - 1)
+    return float(np.dot(w, vals.astype("float64")))
+
+
+def q_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom fold (`fold x = z then k`) + fold1, both with an exact
+    closed-form DuckDB oracle — the custom-fold executor path verified
+    against SQL, not just self-parity."""
+    plan = Plan(
+        [
+            Feature("ewma", CustomFold(0.0, step=_ewma_step), "value", skip_nulls=True),
+            Feature("ewma1", CustomFold(None, step=_ewma1_step), "value", skip_nulls=True),
+        ],
+        entity_col="user_id",
+        time_col="ts",
+        seq_col="event_id",
+    )
+    return _round_doubles(run_plan(_events(spark, sf_dir), plan, snapshot=SNAP))
+
+
+_EWMA_SQL = """
+WITH spine AS (SELECT DISTINCT user_id FROM events),
+vis AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*)     OVER (PARTITION BY user_id)                       AS n
+  FROM events WHERE ts < TIMESTAMP '{snap}'
+),
+agged AS (
+  SELECT user_id,
+         round(sum(0.1 * power(0.9, n - rn) * value), 6) AS ewma,
+         round(sum(CASE WHEN rn = 1 THEN power(0.9, n - 1) * value
+                        ELSE 0.1 * power(0.9, n - rn) * value END), 6) AS ewma1
+  FROM vis GROUP BY user_id
+)
+SELECT s.user_id, coalesce(a.ewma, 0.0) AS ewma, a.ewma1
+FROM spine s LEFT JOIN agged a USING (user_id)
+""".format(snap=SNAP)
+
+
+def q_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (prelude.icicle:172-191) with a tie-free key so
+    the argmax is deterministic across engines."""
+    plan = Plan(
+        [
+            Feature(
+                "best_type",
+                Agg.MAX_BY,
+                expr="event_type",
+                by="value * 1000000 + event_id",
+                dtype="string",
+            ),
+            Feature(
+                "worst_type",
+                Agg.MIN_BY,
+                expr="event_type",
+                by="value * 1000000 + event_id",
+                dtype="string",
+            ),
+        ],
+        entity_col="user_id",
+        time_col="ts",
+        seq_col="event_id",
+    )
+    return run_plan(_events(spark, sf_dir), plan, snapshot=SNAP)
+
+
+_MAXBY_SQL = """
+SELECT user_id,
+       arg_max(event_type, value * 1000000 + event_id) AS best_type,
+       arg_min(event_type, value * 1000000 + event_id) AS worst_type
+FROM events WHERE ts < TIMESTAMP '{snap}'
+GROUP BY user_id
+""".format(snap=SNAP)
+
+
+def q_any_all_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """any / all (prelude.icicle:104-110) and distinct_values
+    (prelude.icicle:98-100, `keys (group k in False)`), arrays joined
+    to strings for a stable cross-engine hash."""
+    plan = Plan(
+        [
+            Feature("any_click", Agg.ANY, "event_type == 'click'", skip_nulls=True),
+            Feature("all_pos", Agg.ALL, "value > 0", skip_nulls=True),
+            Feature("n_types", Agg.COUNT_DISTINCT, "event_type", skip_nulls=True),
+            Feature("types", Agg.DISTINCT_VALUES, "event_type", skip_nulls=True),
+        ],
+        entity_col="user_id",
+        time_col="ts",
+        seq_col="event_id",
+    )
+    res = run_plan(_events(spark, sf_dir), plan, snapshot=SNAP)
+    return res.withColumn("types", F.array_join("types", ","))
+
+
+_ANYALL_SQL = """
+WITH spine AS (SELECT DISTINCT user_id FROM events),
+agged AS (
+  SELECT user_id,
+         bool_or(event_type = 'click')  AS any_click,
+         bool_and(value > 0)            AS all_pos,
+         count(DISTINCT event_type)     AS n_types,
+         array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+  FROM events WHERE ts < TIMESTAMP '{snap}'
+  GROUP BY user_id
+)
+SELECT s.user_id,
+       coalesce(a.any_click, false) AS any_click,
+       coalesce(a.all_pos, true)    AS all_pos,
+       coalesce(a.n_types, 0)       AS n_types,
+       coalesce(a.types, '')        AS types
+FROM spine s LEFT JOIN agged a USING (user_id)
+""".format(snap=SNAP)
+
+
+def q_calendar_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week / calendar-month windows (reference Time.hs:317-323
+    minusMonths clipping ≙ Spark INTERVAL MONTH ≙ DuckDB INTERVAL
+    MONTH), through the NATIVE Catalyst compiler."""
+    plan = Plan(
+        [
+            Feature(
+                "w2_sum", Agg.SUM, "value",
+                window=Window(2, unit="weeks"), skip_nulls=True,
+            ),
+            Feature(
+                "wb_1_4w_cnt", Agg.COUNT, "value",
+                window=Window(4, 1, unit="weeks"), skip_nulls=True,
+            ),
+            Feature(
+                "m1_cnt", Agg.COUNT, "value",
+                window=Window(1, unit="months"), skip_nulls=True,
+            ),
+        ],
+        entity_col="user_id",
+        time_col="ts",
+        seq_col="event_id",
+    )
+    return _round_doubles(
+        compile_native(_events(spark, sf_dir), plan, snapshot=SNAP)
+    )
+
+
+_CALWIN_SQL = """
+WITH spine AS (SELECT DISTINCT user_id FROM events),
+agged AS (
+  SELECT user_id,
+    round(sum(value) FILTER (ts < TIMESTAMP '{snap}'
+          AND ts >= TIMESTAMP '{snap}' - INTERVAL 14 DAY), 6)   AS w2_sum,
+    count(*) FILTER (ts < TIMESTAMP '{snap}'
+          AND ts >= TIMESTAMP '{snap}' - INTERVAL 28 DAY
+          AND ts <= TIMESTAMP '{snap}' - INTERVAL 7 DAY)        AS wb_1_4w_cnt,
+    count(*) FILTER (ts < TIMESTAMP '{snap}'
+          AND ts >= TIMESTAMP '{snap}' - INTERVAL 1 MONTH)      AS m1_cnt
+  FROM events GROUP BY user_id
+)
+SELECT s.user_id, coalesce(w2_sum, 0.0) AS w2_sum,
+       coalesce(wb_1_4w_cnt, 0) AS wb_1_4w_cnt,
+       coalesce(m1_cnt, 0) AS m1_cnt
+FROM spine s LEFT JOIN agged USING (user_id)
+""".format(snap=SNAP)
+
+
+def q_latest_repack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """latest N over a LET-BOUND element expression and over a
+    filtered stream (the element-repacking case of ToCore/Fold.hs:
+    334-410 — buffered elements are computed values, not raw input)."""
+    plan = Plan(
+        [
+            Feature(
+                "l3_expr_sum", Agg.SUM, "value * 2 + 1",
+                latest=3, skip_nulls=True,
+            ),
+            Feature(
+                "l3_click_mean", Agg.MEAN, "value",
+                where="event_type == 'click'", latest=3, skip_nulls=True,
+            ),
+        ],
+        entity_col="user_id",
+        time_col="ts",
+        seq_col="event_id",
+    )
+    return _round_doubles(run_plan(_events(spark, sf_dir), plan, snapshot=SNAP))
+
+
+_LATEST_REPACK_SQL = """
+WITH spine AS (SELECT DISTINCT user_id FROM events),
+r1 AS (
+  SELECT user_id, value * 2 + 1 AS ev,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events WHERE ts < TIMESTAMP '{snap}'
+),
+a1 AS (
+  SELECT user_id, round(sum(ev), 6) AS l3_expr_sum FROM r1 WHERE rn <= 3
+  GROUP BY user_id
+),
+r2 AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events WHERE ts < TIMESTAMP '{snap}' AND event_type = 'click'
+),
+a2 AS (
+  SELECT user_id, round(avg(value), 6) AS l3_click_mean FROM r2 WHERE rn <= 3
+  GROUP BY user_id
+)
+SELECT s.user_id, coalesce(a1.l3_expr_sum, 0.0) AS l3_expr_sum, a2.l3_click_mean
+FROM spine s LEFT JOIN a1 USING (user_id) LEFT JOIN a2 USING (user_id)
+""".format(snap=SNAP)
+
+
+def q_group_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`group (k1, k2)` — composite group key (repl corpus
+    t02-group-by-pair), exploded for comparison."""
+    plan = Plan(
+        [
+            Feature(
+                "pair_cnt",
+                Agg.COUNT,
+                "value",
+                group=lambda pdf: pdf["event_type"]
+                + "|"
+                + np.where(pdf["value"] > 50, "hi", "lo"),
+                skip_nulls=True,
+            ),
+        ],
+        entity_col="user_id",
+        time_col="ts",
+        seq_col="event_id",
+    )
+    res = run_plan(_events(spark, sf_dir), plan, snapshot=SNAP)
+    return res.select("user_id", F.explode("pair_cnt").alias("pair_key", "cnt"))
+
+
+_GROUP_PAIR_SQL = """
+SELECT user_id,
+       event_type || '|' || CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS pair_key,
+       count(*) AS cnt
+FROM events WHERE ts < TIMESTAMP '{snap}'
+GROUP BY user_id, pair_key
+""".format(snap=SNAP)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fused as-of + windowed fold pass (executor path)
     over sf0.001 events."""
@@ -1222,6 +1497,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk_arrow": q_embed_topk_arrow,
         "embed_topk_lsh": q_embed_topk_lsh,
         "json_map_ops": q_json_map_ops,
+        "ewma_fold": q_ewma_fold,
+        "max_by_min_by": q_max_by_min_by,
+        "any_all_distinct": q_any_all_distinct,
+        "calendar_windows": q_calendar_windows,
+        "latest_repack": q_latest_repack,
+        "group_pair": q_group_pair,
     }
 
 
@@ -1262,6 +1543,12 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": _FRAME_SQL,
         "embed_topk_arrow": _EMBED_SQL,
         "json_map_ops": _JSON_MAP_SQL,
+        "ewma_fold": _EWMA_SQL,
+        "max_by_min_by": _MAXBY_SQL,
+        "any_all_distinct": _ANYALL_SQL,
+        "calendar_windows": _CALWIN_SQL,
+        "latest_repack": _LATEST_REPACK_SQL,
+        "group_pair": _GROUP_PAIR_SQL,
         # embed_topk_lsh: approximate recall — rows-only.
         # approx_aggs: sketches differ across engines — rows-only.
         # minhash_pairs / simhash_pairs: LSH not SQL-expressible —
