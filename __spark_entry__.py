@@ -1144,6 +1144,45 @@ def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", _r("cosine_sim", 5).alias("cosine_sim"))
 
 
+def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only: recall-bounded): coarse
+    k-means quantizer -> inverted lists -> probe 4 of 8 lists."""
+    from icicle_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=4)
+    return out.select("query_id", "vec_id", _r("cosine_sim", 5).alias("cosine_sim"))
+
+
+def q_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array plumbing (split/slice/size/array_join) verified
+    cross-engine — the contract-level face of the token-array
+    equality invariant (exact, not allclose)."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(words, 1, 5), " ").alias("head5"),
+        F.size(words).alias("n_words"),
+        F.array_join(F.sort_array(F.slice(words, 1, 3)), "|").alias("sorted3"),
+    )
+
+
+_TOKEN_ARRAYS_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       array_to_string(ws[1:5], ' ')               AS head5,
+       len(ws)                                     AS n_words,
+       array_to_string(list_sort(ws[1:3]), '|')    AS sorted3
+FROM w
+"""
+
+
 def q_json_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction + map/array builtins (SURVEY §2.7 Map/Array)."""
     ev = _events(spark, sf_dir)
@@ -1496,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "embed_topk_arrow": q_embed_topk_arrow,
         "embed_topk_lsh": q_embed_topk_lsh,
+        "embed_topk_ivf": q_embed_topk_ivf,
         "json_map_ops": q_json_map_ops,
         "ewma_fold": q_ewma_fold,
         "max_by_min_by": q_max_by_min_by,
@@ -1503,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_windows": q_calendar_windows,
         "latest_repack": q_latest_repack,
         "group_pair": q_group_pair,
+        "token_arrays": q_token_arrays,
     }
 
 
@@ -1549,6 +1590,7 @@ def oracle_sql() -> dict[str, str]:
         "calendar_windows": _CALWIN_SQL,
         "latest_repack": _LATEST_REPACK_SQL,
         "group_pair": _GROUP_PAIR_SQL,
+        "token_arrays": _TOKEN_ARRAYS_SQL,
         # embed_topk_lsh: approximate recall — rows-only.
         # approx_aggs: sketches differ across engines — rows-only.
         # minhash_pairs / simhash_pairs: LSH not SQL-expressible —

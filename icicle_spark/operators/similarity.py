@@ -146,6 +146,134 @@ def lsh_bucket(vec_col, planes: np.ndarray):
     return out
 
 
+def _train_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    n_sample: int,
+    iters: int,
+) -> np.ndarray:
+    """Deterministic spherical k-means on a hash-chosen sample.
+
+    Scale note: the sample is the ONLY driver-side data (≤ n_sample
+    rows regardless of corpus size — chosen by a hash of the id, so
+    the same rows at any parallelism); training is a numpy loop over
+    (n_sample × dim), independent of corpus scale.
+    """
+    frac = max(n_sample, 1)
+    sample = (
+        corpus.select(id_col, vec_col)
+        .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(997)) < F.lit(31))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(frac)
+        .toPandas()
+    )
+    if len(sample) < n_centroids:
+        sample = corpus.select(id_col, vec_col).orderBy(id_col).limit(
+            max(n_centroids, frac)
+        ).toPandas()
+    m = np.stack(sample[vec_col].to_numpy()).astype("float64")
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    # seeded k-means++ -ish init: farthest-point on the sample
+    cent = [m[0]]
+    d = 1.0 - m @ cent[0]
+    for _ in range(1, n_centroids):
+        cent.append(m[int(np.argmax(d))])
+        d = np.minimum(d, 1.0 - m @ cent[-1])
+    c = np.stack(cent)
+    for _ in range(iters):
+        assign = np.argmax(m @ c.T, axis=1)
+        for j in range(n_centroids):
+            members = m[assign == j]
+            if len(members):
+                v = members.sum(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-30)
+    return c
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach `__cluster` = argmax centroid (inner product) to every
+    corpus row — one numpy matmul per Arrow batch, narrow (no
+    shuffle); the index build of IVF."""
+    spark = corpus.sparkSession
+    b_c = spark.sparkContext.broadcast(centroids)
+    cols = corpus.columns
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = b_c.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-30)
+            pdf = pdf.copy()
+            pdf["__cluster"] = np.argmax(cm @ c.T, axis=1).astype("int32")
+            yield pdf
+
+    schema = ", ".join(f"`{c}` {t}" for c, t in corpus.dtypes) + ", __cluster int"
+    return corpus.mapInPandas(assign, schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_sample: int = 4096,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` inverted lists, then score each query only against
+    its ``nprobe`` nearest lists (exact cosine within them).
+
+    Cost ~ corpus × nprobe / n_centroids per query vs brute force; at
+    cluster scale the assignment is a narrow mapInPandas over the
+    scan, the probe join broadcasts (query × nprobe) rows, and the
+    only shuffle is the final per-query top-k window over candidates.
+    """
+    cent = _train_centroids(corpus, n_centroids, id_col, vec_col, n_sample, iters)
+    tagged = ivf_assign(corpus, cent, id_col, vec_col)
+
+    qp = queries.select(query_id_col, vec_col).toPandas()
+    qm = np.stack(qp[vec_col].to_numpy()).astype("float64")
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    spark = corpus.sparkSession
+    probe_rows = [
+        (qid, [float(x) for x in vec], int(c))
+        for qid, vec, row in zip(
+            qp[query_id_col].tolist(), qp[vec_col].tolist(), probes
+        )
+        for c in row
+    ]
+    qt = dict(queries.dtypes)[query_id_col]
+    vt = dict(corpus.dtypes)[vec_col]
+    q_probe = spark.createDataFrame(
+        probe_rows, f"`{query_id_col}` {qt}, __qvec {vt}, __cluster int"
+    )
+    cand = tagged.join(F.broadcast(q_probe), on="__cluster").select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

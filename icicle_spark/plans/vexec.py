@@ -169,6 +169,12 @@ def _feature_series(
         out = out.apply(lambda x: x if isinstance(x, dict) or x is None else {})
     if poison is not None and poison.any():
         out = out.astype(object).where(~pd.Series(poison, index=out.index), None)
+    dt = feature_dtype(f)
+    if dt.startswith(("array<", "map<", "struct<")) or dt == "string":
+        # empty visible slice surfaces as None, not float NaN — a NaN
+        # in a non-scalar column breaks the Arrow conversion
+        out = out.astype(object)
+        out = out.where(out.notna(), None)
     return out
 
 

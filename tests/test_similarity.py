@@ -1,0 +1,109 @@
+"""Similarity-search operators: exact brute force vs a numpy oracle,
+and recall bounds for the two approximate scale paths (LSH, IVF).
+
+Mirrors the reference's cross-evaluator commuting strategy (SURVEY §5):
+the same top-k question answered by independent implementations must
+agree (exactly for brute force, by recall for ANN).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from icicle_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    lsh_topk,
+)
+
+K = 5
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _numpy_topk(emb_pdf, k):
+    ids = emb_pdf["vec_id"].to_numpy()
+    m = np.stack(emb_pdf["embedding"].to_numpy()).astype("float64")
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    out = {}
+    for qid in ids[ids < 5]:
+        sims = m @ m[list(ids).index(qid)]
+        # round before ranking, ties by vec_id asc — same rule as the operator
+        order = sorted(zip(-np.round(sims, 5), ids))[:k]
+        out[int(qid)] = [int(v) for _, v in order]
+    return out
+
+
+def test_brute_force_matches_numpy(emb, queries):
+    got = brute_force_topk(emb, queries, k=K, round_digits=5).toPandas()
+    expect = _numpy_topk(emb.toPandas(), K)
+    for qid, grp in got.groupby("query_id"):
+        ranked = grp.sort_values(
+            ["cosine_sim", "vec_id"], ascending=[False, True]
+        )["vec_id"].tolist()
+        assert ranked == expect[int(qid)]
+
+
+def test_pandas_path_agrees_with_hof(emb, queries):
+    a = brute_force_topk(emb, queries, k=K, round_digits=5).toPandas()
+    b = brute_force_topk(emb, queries, k=K, round_digits=5, use_pandas=True).toPandas()
+    ka = a.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    kb = b.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert ka["vec_id"].tolist() == kb["vec_id"].tolist()
+    assert np.allclose(ka["cosine_sim"], kb["cosine_sim"], atol=1e-9)
+
+
+def _recall(approx_pdf, exact_pdf):
+    hits = tot = 0
+    exact = exact_pdf.groupby("query_id")["vec_id"].apply(set)
+    for qid, grp in approx_pdf.groupby("query_id"):
+        tot += len(exact[qid])
+        hits += len(set(grp["vec_id"]) & exact[qid])
+    return hits / max(tot, 1)
+
+
+def test_ivf_recall(emb, queries):
+    exact = brute_force_topk(emb, queries, k=K, round_digits=5).toPandas()
+    approx = ivf_topk(emb, queries, k=K, n_centroids=8, nprobe=4).toPandas()
+    assert (approx.groupby("query_id").size() <= K).all()
+    # each query's own vector lives in its top probe list
+    assert _recall(approx, exact) >= 0.6
+    # nprobe = n_centroids degenerates to exact search
+    full = ivf_topk(emb, queries, k=K, n_centroids=8, nprobe=8).toPandas()
+    assert _recall(full, exact) == 1.0
+
+
+def test_ivf_assign_is_total_and_deterministic(emb):
+    from icicle_spark.operators.similarity import _train_centroids
+
+    cent = _train_centroids(emb, 8, "vec_id", "embedding", 512, 3)
+    cent2 = _train_centroids(emb, 8, "vec_id", "embedding", 512, 3)
+    assert np.allclose(cent, cent2)
+    tagged = ivf_assign(emb, cent).toPandas()
+    assert len(tagged) == emb.count()
+    assert tagged["__cluster"].between(0, 7).all()
+
+
+def test_lsh_recall(emb, queries):
+    exact = brute_force_topk(emb, queries, k=K, round_digits=5).toPandas()
+    approx = lsh_topk(emb, queries, k=K, n_planes=4, n_tables=8, dim=64).toPandas()
+    assert _recall(approx, exact) >= 0.5
