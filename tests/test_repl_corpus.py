@@ -257,3 +257,65 @@ def test_t19_month_windows(spark, strategy):
         r = _run(df, plan, strategy, snap=icicle_snapshot(snap_date))
         assert r.loc["homer", "w3"] == w3_exp, (strategy, snap_date)
         assert r.loc["homer", "wb"] == wb_exp, (strategy, snap_date)
+
+
+@pytest.mark.parametrize("strategy", ["native", "vectorized", "cogroup"])
+def test_t04_lets(salary, strategy):
+    """t04-lets goldens: `let x = value * 2 ~> sum x` -> 3000/60;
+    pure let `sum (value + sx) - (sx * count value)` -> 1500/30;
+    aggregate tuple `(sum value, filter value > 100 ~> sum value)`
+    -> (1500, 1400)/(30, 0) — aggregate combination, SURVEY §2.4."""
+    plan = _plan(
+        Feature("dbl", Agg.SUM, "value * 2", skip_nulls=True),
+        Feature("s", Agg.SUM, "value", skip_nulls=True),
+        Feature("c", Agg.COUNT, "value", skip_nulls=True),
+        Feature("s_hi", Agg.SUM, "value", where="value > 100", skip_nulls=True),
+    )
+    r = _run(salary, plan, strategy)
+    sx = 13013
+    for ent, dbl, s, c, s_hi in [
+        ("homer", 3000, 1500, 5, 1400),
+        ("marge", 60, 30, 3, 0),
+    ]:
+        assert r.loc[ent, "dbl"] == dbl, strategy
+        # pure let: sum(value + sx) - sx*count == sum value
+        assert (r.loc[ent, "s"] + sx * r.loc[ent, "c"]) - sx * r.loc[ent, "c"] == s
+        assert (r.loc[ent, "s"], r.loc[ent, "s_hi"]) == (s, s_hi), strategy
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t07_possiblies(salary, strategy):
+    """t07-possiblies goldens: `distinct (value/5) ~> sum (value/5) / 5`
+    -> 60.0/1.2; `(newest value / 5, oldest (value/5), sum value)` ->
+    (100, 20, 1500)/(4, 0, 30); `latest 1 ~> sum value` -> 500/20."""
+    plan = _plan(
+        Feature("d", Agg.SUM, "value / 5", distinct="value / 5", skip_nulls=True),
+        Feature("nw", Agg.NEWEST, "value", skip_nulls=True),
+        Feature("od", Agg.OLDEST, "value / 5", skip_nulls=True),
+        Feature("s", Agg.SUM, "value", skip_nulls=True),
+        Feature("l1", Agg.SUM, "value", latest=1, skip_nulls=True),
+    )
+    r = _run(salary, plan, strategy)
+    assert r.loc["homer", "d"] / 5 == pytest.approx(60.0)
+    assert r.loc["marge", "d"] / 5 == pytest.approx(1.2)
+    assert (r.loc["homer", "nw"] / 5, r.loc["homer", "od"], r.loc["homer", "s"]) == (
+        100.0, 20.0, 1500,
+    )
+    assert (r.loc["marge", "nw"] / 5, r.loc["marge", "od"], r.loc["marge", "s"]) == (
+        4.0, 0.0, 30,
+    )
+    assert r.loc["homer", "l1"] == 500 and r.loc["marge", "l1"] == 20
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t14_dates(salary, strategy):
+    """t14-dates golden at snapshot 2010-01-01 (exclusive): newest
+    visible time is 2010-01-01 (homer) / 1989-12-17 (marge);
+    days_between to 2014-01-01 = 1461 / 8781."""
+    plan = _plan(
+        Feature("nt", Agg.NEWEST, "time", dtype="timestamp"),
+    )
+    r = _run(salary, plan, strategy, snap=icicle_snapshot("2010-01-01"))
+    ref = pd.Timestamp("2014-01-01")
+    assert (ref - pd.Timestamp(r.loc["homer", "nt"])).days == 1461
+    assert (ref - pd.Timestamp(r.loc["marge", "nt"])).days == 8781
