@@ -1,0 +1,330 @@
+"""Vectorized chord (multi-query-time as-of) executor.
+
+The cogroup executor (plans/executor.py) calls Python once per entity
+— correct for any plan, but at millions of entities the per-group
+overhead dominates. This module evaluates a chord scope the way a
+sort-merge as-of join would at cluster scale:
+
+1. Facts and chord rows are tagged and UNIONED, co-partitioned by
+   entity (one shuffle), and sorted by (entity, time, kind) with
+   chord rows ordering BEFORE facts of equal time — that ordering IS
+   the strict `<` visibility rule (reference
+   icicle-compiler/src/Icicle/Runtime/Stencil.hs:111-124: facts
+   strictly before the query time).
+2. One ``mapInPandas`` pass computes, per Arrow chunk, a merged rank:
+   each chord row's insertion position among the entity's facts
+   (#facts before it = its as-of prefix length — the reference's
+   "stencil prefix length", Runtime/Evaluator.hs:486-512).
+3. Every feature is evaluated from per-feature COMPACTED PREFIX
+   ARRAYS (cumulative sum/count/true/null, last/first-valid index,
+   grouped cummin/cummax), so each (chord, feature) is O(1) lookups —
+   no per-entity Python, no per-chord slicing.
+
+Supported: SUM COUNT MEAN VARIANCE SD NEWEST OLDEST ANY ALL, each
+with where-filters, days/weeks/months windows, and latest-N frames
+(windowed MIN/MAX and the map/list-shaped folds fall back to the
+cogroup executor — ``supports_chords`` reports this).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from icicle_spark.plans.ir import (
+    Agg,
+    Feature,
+    Plan,
+    eval_expr,
+    feature_dtype,
+)
+
+_PREFIX_AGGS = {
+    Agg.SUM,
+    Agg.COUNT,
+    Agg.MEAN,
+    Agg.VARIANCE,
+    Agg.SD,
+    Agg.NEWEST,
+    Agg.OLDEST,
+    Agg.ANY,
+    Agg.ALL,
+    Agg.MIN,
+    Agg.MAX,
+}
+
+_NUMERIC_AGGS = {Agg.SUM, Agg.MEAN, Agg.VARIANCE, Agg.SD, Agg.MIN, Agg.MAX}
+
+
+def supports_chords(plan: Plan) -> bool:
+    """True if every feature is evaluable from prefix arrays."""
+    for f in plan.features:
+        if not isinstance(f.agg, Agg) or f.agg not in _PREFIX_AGGS:
+            return False
+        if f.group is not None or f.distinct is not None:
+            return False
+        if f.agg in (Agg.MIN, Agg.MAX) and (
+            f.window is not None or f.latest is not None
+        ):
+            return False  # not prefix-decomposable from a moving lower edge
+    return True
+
+
+class _FeatureArrays:
+    """Compacted prefix arrays for one feature over one chunk's facts,
+    entity-contiguous. Compaction keeps where-passing rows; with
+    ``skip_nulls`` nulls are ALSO dropped here — they act like an
+    element filter BEFORE the latest-N buffer (same rule as the
+    cogroup/vexec executors). With ``skip_nulls=False`` nulls stay in
+    the frame and ``null_cum`` drives Possibly poisoning, so every
+    value actually read is valid."""
+
+    __slots__ = (
+        "times", "pass_cum", "vals", "cum", "cumsq",
+        "true_cum", "null_cum", "cmin", "cmax", "codes",
+    )
+
+    def __init__(self, f: Feature, facts: pd.DataFrame, codes: np.ndarray,
+                 tns: np.ndarray, tomb: np.ndarray | None) -> None:
+        n = len(facts)
+        vals = eval_expr(f.expr, facts).to_numpy() if n else np.empty(0)
+        if tomb is not None:
+            vals = vals.astype(object)
+            vals[tomb] = None
+        if f.where is not None and n:
+            ok = eval_expr(f.where, facts)
+            ok = ok.fillna(False).to_numpy().astype(bool)
+        else:
+            ok = np.ones(n, dtype=bool)
+        null_all = pd.isna(pd.Series(vals)).to_numpy() if n else np.zeros(0, bool)
+        if f.skip_nulls:
+            ok = ok & ~null_all
+        # pass_cum maps a global fact prefix length -> compacted length
+        self.pass_cum = np.concatenate([[0], np.cumsum(ok, dtype=np.int64)])
+        self.times = tns[ok]
+        self.codes = codes[ok]
+        v = vals[ok]
+        null = null_all[ok]
+        self.null_cum = np.concatenate([[0], np.cumsum(null, dtype=np.int64)])
+        self.vals = v  # original (object-safe) values for NEWEST/OLDEST
+        if f.agg in (Agg.ANY, Agg.ALL):
+            truth = np.zeros(len(v), dtype=bool)
+            nn = ~null
+            if nn.any():
+                truth[nn] = np.asarray(v[nn]).astype(bool)
+            self.true_cum = np.concatenate([[0], np.cumsum(truth, dtype=np.int64)])
+            self.cum = self.cumsq = None
+        else:
+            self.true_cum = None
+            try:
+                fvals = pd.to_numeric(pd.Series(v), errors="coerce").to_numpy(
+                    dtype="float64"
+                )
+            except (TypeError, ValueError):
+                fvals = np.full(len(v), np.nan)
+            z = np.where(np.isnan(fvals), 0.0, fvals)
+            self.cum = np.concatenate([[0.0], np.cumsum(z)])
+            self.cumsq = np.concatenate([[0.0], np.cumsum(z * z)])
+            if f.agg in (Agg.MIN, Agg.MAX) and len(v):
+                g = pd.Series(fvals).groupby(self.codes)
+                self.cmin = g.cummin().to_numpy()
+                self.cmax = g.cummax().to_numpy()
+                return
+        self.cmin = self.cmax = None
+
+
+def _eval_chord(
+    f: Feature, fa: _FeatureArrays, start: int, hi: int, qt: pd.Timestamp
+) -> Any:
+    """Feature value for frame over compacted rows [lo, hi) where lo
+    starts at the entity's compacted start, adjusted for window and
+    latest-N."""
+    lo = start
+    if f.window is not None and hi > lo:
+        w_lo = np.datetime64(f.window.edge(qt, f.window.newer_than_days), "ns")
+        lo = int(
+            np.searchsorted(fa.times[start:hi], w_lo.view("int64"), side="left")
+        ) + start
+        if f.window.older_than_days:
+            w_hi = np.datetime64(f.window.edge(qt, f.window.older_than_days), "ns")
+            hi = min(
+                hi,
+                int(
+                    np.searchsorted(
+                        fa.times[start:hi], w_hi.view("int64"), side="right"
+                    )
+                )
+                + start,
+            )
+    if f.latest is not None:
+        lo = max(lo, hi - f.latest)
+    if hi <= lo:
+        return _fill(f)
+    if not f.skip_nulls and fa.null_cum[hi] - fa.null_cum[lo] > 0:
+        return None  # Possibly semantics: a null in the slice poisons
+    # past the poison gate every row in [lo, hi) holds a valid value
+    # (skip_nulls compaction dropped nulls; otherwise they poisoned)
+    nvalid = hi - lo
+    agg = f.agg
+    if agg is Agg.COUNT:
+        return nvalid
+    if agg is Agg.SUM:
+        return float(fa.cum[hi] - fa.cum[lo])
+    if agg is Agg.MEAN:
+        return float((fa.cum[hi] - fa.cum[lo]) / nvalid)
+    if agg in (Agg.VARIANCE, Agg.SD):
+        if nvalid < 2:
+            return None
+        s = fa.cum[hi] - fa.cum[lo]
+        s2 = fa.cumsq[hi] - fa.cumsq[lo]
+        var = max((s2 - s * s / nvalid) / (nvalid - 1), 0.0)
+        return float(var) if agg is Agg.VARIANCE else float(np.sqrt(var))
+    if agg is Agg.ANY:
+        return bool(fa.true_cum[hi] - fa.true_cum[lo] > 0)
+    if agg is Agg.ALL:
+        return bool(fa.true_cum[hi] - fa.true_cum[lo] == nvalid)
+    if agg is Agg.NEWEST:
+        return fa.vals[hi - 1]
+    if agg is Agg.OLDEST:
+        return fa.vals[lo]
+    if agg is Agg.MIN:
+        return float(fa.cmin[hi - 1])
+    if agg is Agg.MAX:
+        return float(fa.cmax[hi - 1])
+    raise AssertionError(f"unreachable agg {agg}")  # pragma: no cover
+
+
+def _fill(f: Feature) -> Any:
+    return {
+        Agg.SUM: 0.0, Agg.COUNT: 0, Agg.ANY: False, Agg.ALL: True,
+    }.get(f.agg)
+
+
+def _process(plan: Plan, pdf: pd.DataFrame, has_label: bool) -> pd.DataFrame:
+    ecol, tcol = plan.entity_col, plan.time_col
+    codes, _ = pd.factorize(pdf[ecol], sort=False)
+    tns = pdf[tcol].to_numpy().astype("datetime64[ns]").view("int64")
+    is_fact = pdf["__kind"].to_numpy() == 1
+    seq = (
+        pdf[plan.seq_col].fillna(-1).to_numpy()
+        if plan.seq_col and plan.seq_col in pdf.columns
+        else np.zeros(len(pdf))
+    )
+    order = np.lexsort((seq, is_fact, tns, codes))
+    codes_s, tns_s, fact_s = codes[order], tns[order], is_fact[order]
+    pdf_s = pdf.iloc[order]
+    # merged rank: #facts strictly before each merged position
+    fact_prefix = np.concatenate([[0], np.cumsum(fact_s, dtype=np.int64)])
+    chord_pos = np.flatnonzero(~fact_s)
+    chord_hi_global = fact_prefix[chord_pos]  # facts before the chord row
+
+    facts = pdf_s[fact_s]
+    fcodes = codes_s[fact_s]
+    ftns = tns_s[fact_s]
+    # entity -> first fact index (fcodes is sorted: codes was the
+    # primary lexsort key)
+    ent_codes_sorted = np.unique(codes)
+    fact_start = np.searchsorted(fcodes, ent_codes_sorted, side="left")
+    start_of = dict(zip(ent_codes_sorted.tolist(), fact_start.tolist()))
+
+    tomb = None
+    if plan.tombstone_col and plan.tombstone_col in facts.columns:
+        t = facts[plan.tombstone_col].fillna(False).to_numpy().astype(bool)
+        tomb = t if t.any() else None
+
+    arrays = [
+        _FeatureArrays(f, facts, fcodes, ftns, tomb) for f in plan.features
+    ]
+    chords_pdf = pdf_s[~fact_s]
+    c_codes = codes_s[~fact_s]
+    qts = chords_pdf[tcol].to_numpy()
+    out: dict[str, list] = {f.name: [] for f in plan.features}
+    for f, fa in zip(plan.features, arrays):
+        col = out[f.name]
+        for i in range(len(chords_pdf)):
+            e = int(c_codes[i])
+            g_start = start_of[e]
+            g_hi = int(chord_hi_global[i])
+            # compacted frame for this feature
+            lo_c = int(fa.pass_cum[g_start])
+            hi_c = int(fa.pass_cum[g_hi])
+            col.append(
+                _eval_chord(f, fa, lo_c, hi_c, pd.Timestamp(qts[i]))
+            )
+    data = {ecol: chords_pdf[ecol].to_numpy(), "query_time": qts}
+    if has_label:
+        data["label"] = chords_pdf["label"].to_numpy()
+    data.update(out)
+    return pd.DataFrame(data)
+
+
+def run_chords_vectorized(
+    facts: DataFrame,
+    plan: Plan,
+    chords: DataFrame,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Chord-scope evaluation via tagged-union co-partitioning + one
+    vectorized pass (see module docstring). Requires
+    ``supports_chords(plan)``."""
+    plan = plan.condensed()
+    ecol, tcol = plan.entity_col, plan.time_col
+    has_label = "label" in chords.columns
+    entity_type = dict(facts.dtypes)[ecol]
+
+    fact_cols = facts.columns
+    f_tagged = facts.withColumn("__kind", F.lit(1)).withColumn(
+        "label", F.lit(None).cast("string")
+    ) if has_label else facts.withColumn("__kind", F.lit(1))
+    c_sel = [
+        F.col(ecol),
+        F.col("query_time").alias(tcol),
+        F.lit(0).alias("__kind"),
+    ] + ([F.col("label")] if has_label else [])
+    c_tagged = chords.select(*c_sel)
+    for c in fact_cols:
+        if c not in (ecol, tcol):
+            c_tagged = c_tagged.withColumn(
+                c, F.lit(None).cast(dict(facts.dtypes)[c])
+            )
+    all_cols = [ecol, tcol, "__kind"] + (
+        ["label"] if has_label else []
+    ) + [c for c in fact_cols if c not in (ecol, tcol)]
+    merged = f_tagged.select(*all_cols).unionByName(c_tagged.select(*all_cols))
+
+    n_part = partitions or facts.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    sort_cols = [ecol, tcol, "__kind"] + (
+        [plan.seq_col] if plan.seq_col and plan.seq_col in fact_cols else []
+    )
+    arranged = merged.repartition(int(n_part), ecol).sortWithinPartitions(*sort_cols)
+
+    schema = ", ".join(
+        [f"`{ecol}` {entity_type}", "query_time timestamp"]
+        + (["label string"] if has_label else [])
+        + [f"`{f.name}` {feature_dtype(f)}" for f in plan.features]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            ent = pdf[ecol].to_numpy()
+            last = ent[-1]
+            if ent[0] == last:
+                carry = pdf
+                continue
+            cut = int(np.searchsorted(ent, last, side="left"))
+            carry = pdf.iloc[cut:]
+            body = pdf.iloc[:cut]
+            if len(body):
+                yield _process(plan, body, has_label)
+        if carry is not None and len(carry):
+            yield _process(plan, carry, has_label)
+
+    return arranged.mapInPandas(fn, schema)

@@ -281,8 +281,19 @@ def run_plan(
         from icicle_spark.plans.vexec import run_snapshot_vectorized
 
         return run_snapshot_vectorized(facts, plan, snapshot)
-    if strategy == "vectorized":
-        raise ValueError("vectorized strategy supports snapshot scope only")
+    if chords is not None and strategy in ("auto", "vectorized"):
+        from icicle_spark.plans.chordexec import (
+            run_chords_vectorized,
+            supports_chords,
+        )
+
+        if supports_chords(plan):
+            return run_chords_vectorized(facts, plan, chords)
+        if strategy == "vectorized":
+            raise ValueError(
+                "plan has folds outside the prefix-decomposable set; "
+                "use strategy='cogroup' for chords"
+            )
     plan = plan.condensed()
     ecol, tcol = plan.entity_col, plan.time_col
     entity_type = dict(facts.dtypes)[ecol]
