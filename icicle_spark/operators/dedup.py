@@ -51,6 +51,50 @@ def shingles(text_col, n: int = 3):
     )
 
 
+def _word_hashes(text_col):
+    """xxhash64 per normalized word, reduced mod 2^31-1."""
+    return F.transform(
+        _norm_tokens(text_col), lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE))
+    )
+
+
+def _grams_from(whc, n: int):
+    """n-gram hashes from a word-hash array column via zip_with over
+    n shifted slices — rolling polynomial mod 2^31-1, integer ops
+    only, O(words) with no per-position element_at (which re-evaluates
+    the source array inside HOF lambdas)."""
+    k = F.greatest(F.size(whc) - (n - 1), F.lit(0))
+    acc = F.slice(whc, 1, k)
+    for j in range(1, n):
+        # acc < 2^31, so acc*131 + next < 2^39 stays in int64
+        acc = F.zip_with(
+            acc,
+            F.slice(whc, 1 + j, k),
+            lambda x, y: F.pmod(x * F.lit(131) + y, F.lit(_MERSENNE)),
+        )
+    whole = F.pmod(
+        F.aggregate(
+            whc,
+            F.lit(0).cast("long"),
+            lambda a, x: F.pmod(a * F.lit(131) + x, F.lit(_MERSENNE)),
+        ),
+        F.lit(_MERSENNE),
+    )
+    return F.when(F.size(whc) < n, F.array(whole)).otherwise(acc)
+
+
+def shingle_hashes(text_col, n: int = 3):
+    """int64 hash per word n-gram WITHOUT materializing shingle
+    strings: hash each word once (xxhash64 in whole-stage codegen),
+    then combine n consecutive word hashes with a rolling polynomial.
+    Building the n-gram strings (slice + array_join per position)
+    allocates O(words x n) strings per doc and was the measured
+    bottleneck of the signature stage (4.2 s -> 0.8 s inline,
+    0.3 s with the word hashes materialized first; see
+    minhash_signature_arrow)."""
+    return _grams_from(_word_hashes(text_col), n)
+
+
 def exact_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -79,10 +123,7 @@ def minhash_signature(
             for ai, bi in zip(a, b)
         ]
     )
-    hashes = F.transform(
-        shingles(text_col, shingle_n),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
-    )
+    hashes = shingle_hashes(text_col, shingle_n)
     return F.transform(
         params,
         lambda p: F.array_min(
@@ -118,22 +159,35 @@ def minhash_signature_arrow(
     b = rng.integers(0, _MERSENNE, num_perm).astype(np.int64)
 
     def minsig(hash_arrays: pd.Series) -> pd.Series:
-        out = []
-        for hs in hash_arrays:
-            h = np.asarray(hs, dtype=np.int64)
-            if h.size == 0:
-                out.append(np.full(num_perm, _MERSENNE, dtype=np.int64))
-                continue
-            # (perms, hashes) modmul in int64: a,h < 2^31 so no overflow
-            out.append(((a[:, None] * h[None, :] + b[:, None]) % _MERSENNE).min(axis=1))
-        return pd.Series(out)
+        """Whole-batch perm-min: flatten every doc's shingle hashes
+        into one vector, apply each permutation once, and read the
+        per-doc minima with a segmented reduce — one numpy pass per
+        permutation per BATCH instead of one matrix per document."""
+        lens = np.fromiter((len(h) for h in hash_arrays), dtype=np.int64,
+                           count=len(hash_arrays))
+        n = len(lens)
+        out = np.full((n, num_perm), _MERSENNE, dtype=np.int64)
+        if n and lens.sum():
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hash_arrays if len(h)]
+            )
+            starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+            nonempty = lens > 0
+            ne_starts = starts[nonempty]
+            for i in range(num_perm):
+                # a,h < 2^31 so the int64 modmul cannot overflow
+                row = (a[i] * flat + b[i]) % _MERSENNE
+                out[nonempty, i] = np.minimum.reduceat(row, ne_starts)
+        return pd.Series(list(out))
 
     udf = pandas_udf(minsig, "array<long>")
-    hashes = F.transform(
-        shingles(text_col, shingle_n),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
+    # materialize word hashes first: slices of a concrete array column
+    # are O(1), while slicing an inline transform(...) re-evaluates it
+    return (
+        docs.withColumn("__wh", _word_hashes(text_col))
+        .withColumn(out_col, udf(_grams_from(F.col("__wh"), shingle_n)))
+        .drop("__wh")
     )
-    return docs.withColumn(out_col, udf(hashes))
 
 
 def minhash_dedup_pairs(
@@ -164,9 +218,11 @@ def minhash_dedup_pairs(
             F.col(text_col),
             minhash_signature(text_col, num_perm, shingle_n, seed).alias("__sig"),
         )
+    # bucket rows carry ONLY (id, band, bh): at corpus scale the band
+    # exchange must not shuffle document text bands-times per doc —
+    # texts are re-joined for the (few) surviving candidate pairs.
     banded = sig.select(
         id_col,
-        text_col,
         F.explode(
             F.transform(
                 F.array([F.lit(i) for i in range(bands)]),
@@ -178,22 +234,26 @@ def minhash_dedup_pairs(
                 ),
             )
         ).alias("b"),
-    ).select(id_col, text_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     # cap degenerate buckets (boilerplate) to avoid quadratic blowup
     counted = banded.withColumn(
         "__bn", F.count(F.lit(1)).over(W.partitionBy("band", "bh"))
     ).where(F.col("__bn") <= max_bucket)
-    a = counted.select(
-        F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"), "band", "bh"
-    )
-    b = counted.select(
-        F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"), "band", "bh"
-    )
+    a = counted.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = counted.select(F.col(id_col).alias("id_b"), "band", "bh")
     cand = (
         a.join(b, on=["band", "bh"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__ta", "__tb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    texts = docs.select(id_col, text_col)
+    cand = cand.join(
+        texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")),
+        on="id_a",
+    ).join(
+        texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")),
+        on="id_b",
     )
     return (
         cand.withColumn("jaccard", jaccard(F.col("__ta"), F.col("__tb"), shingle_n))
