@@ -319,3 +319,115 @@ def test_t14_dates(salary, strategy):
     ref = pd.Timestamp("2014-01-01")
     assert (ref - pd.Timestamp(r.loc["homer", "nt"])).days == 1461
     assert (ref - pd.Timestamp(r.loc["marge", "nt"])).days == 8781
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t09_group_folds(spark, salary, injury, strategy):
+    """t09-group-folds goldens: group fold over (group time ~> count)
+    -> unique-times 5/1, total 5/3, max-count 1/3; over (group time ~>
+    oldest) -> max 500/0; injury min_by(count) mean-severity -> 4.0."""
+    from pyspark.sql import functions as F
+
+    from icicle_spark.operators.folds_ext import group_fold
+
+    plan = _plan(
+        Feature("g_cnt", Agg.COUNT, "value", group="time", skip_nulls=True),
+        Feature("g_old", Agg.OLDEST, "value", group="time", skip_nulls=True),
+    )
+    res = run_plan(salary, plan, snapshot=SNAP, strategy=strategy)
+    r = (
+        res.select(
+            "entity",
+            group_fold("g_cnt", "n_keys").alias("uniq"),
+            group_fold("g_cnt", "sum_values").alias("total"),
+            group_fold("g_cnt", "max_value").alias("maxc"),
+            group_fold("g_old", "max_value").alias("maxold"),
+        )
+        .toPandas()
+        .set_index("entity")
+    )
+    assert (r.loc["homer", ["uniq", "total", "maxc", "maxold"]].tolist()
+            == [5, 5.0, 1, 500])
+    assert (r.loc["marge", ["uniq", "total", "maxc", "maxold"]].tolist()
+            == [1, 3.0, 3, 0])
+
+    iplan = Plan(
+        [
+            Feature("g_mean", Agg.MEAN, "severity", group="location", skip_nulls=True),
+            Feature("g_n", Agg.COUNT, "severity", group="location", skip_nulls=True),
+        ],
+        entity_col="entity",
+        time_col="time",
+        seq_col="seq",
+    )
+    ires = run_plan(injury, iplan, snapshot=SNAP, strategy=strategy)
+    ir = (
+        ires.select(
+            "entity",
+            F.element_at(
+                F.col("g_mean"), group_fold("g_n", "argmin_key")
+            ).alias("minby"),
+        )
+        .toPandas()
+        .set_index("entity")
+    )
+    assert ir.loc["homer", "minby"] == pytest.approx(4.0)
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t13_cases_either(salary, strategy):
+    """t13-cases-either golden: alternating Left/Right sum-type fold
+    `fold p = Left 0 then case p of Left i then Right (double i+1);
+    Right j then Left (trunc j+1)` -> 5.0 / 3.0 (tag flips per fact,
+    payload increments)."""
+    def step(st, _v):
+        tag, x = st
+        return ("R", float(x) + 1.0) if tag == "L" else ("L", float(int(x) + 1))
+
+    plan = _plan(
+        Feature(
+            "p",
+            CustomFold(init=("L", 0.0), step_seq=step, output=lambda st: st[1]),
+            "value",
+        )
+    )
+    r = _run(salary, plan, strategy)
+    assert r.loc["homer", "p"] == pytest.approx(5.0)
+    assert r.loc["marge", "p"] == pytest.approx(3.0)
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t80_array_index(salary, strategy):
+    """t80-array-index goldens: `let arr = (latest 3 ~> value) ~>
+    index arr i` — 300 at 0, 500 at 2, tombstone (null) for OOB
+    indices 49-of-50, 100, 3, -1 (bounds-checked Possibly index)."""
+    from pyspark.sql import functions as F
+
+    plan = _plan(
+        Feature("arr3", Agg.COLLECT, "value", latest=3, skip_nulls=True),
+        Feature("arr50", Agg.COLLECT, "value", latest=50, skip_nulls=True),
+    )
+    res = run_plan(salary, plan, snapshot=SNAP, strategy=strategy)
+    # Icicle `index` is 0-based and tombstones OOB (Prim.hs:147-152);
+    # F.get is 0-based and null on OOB/negative — exact match (unlike
+    # element_at, which throws under ANSI mode).
+    def ix(col, i):
+        return F.get(F.col(col), i)
+
+    r = (
+        res.select(
+            "entity",
+            ix("arr3", 0).alias("i0"),
+            ix("arr3", 2).alias("i2"),
+            ix("arr50", 49).alias("i49"),
+            ix("arr3", 100).alias("i100"),
+            ix("arr3", 3).alias("i3"),
+            ix("arr3", -1).alias("im1"),
+        )
+        .toPandas()
+        .set_index("entity")
+    )
+    assert r.loc["homer", "i0"] == 300.0
+    assert r.loc["homer", "i2"] == 500.0
+    for c in ["i49", "i100", "i3", "im1"]:
+        assert pd.isna(r.loc["homer", c]), c
