@@ -62,6 +62,39 @@ def array_fold(
     return F.aggregate(a, init, step, finish) if finish else F.aggregate(a, init, step)
 
 
+def nest_map(map_col: Column | str, sep: str = "|") -> Column:
+    """Reshape a flat ``map<'k1<sep>k2', v>`` into nested
+    ``map<k1, map<k2, v>>`` — the presentation form of the
+    reference's nested groups (repl corpus t02.1: `group a ~> group b
+    ~> agg` yields a map of maps). The engine evaluates nested groups
+    as ONE composite-key group (a fact's outer key determines its
+    bucket, so `group a ~> group b` == group by the (a,b) pair);
+    this HOF rebuilds the nested shape JVM-side."""
+    m = F.col(map_col) if isinstance(map_col, str) else map_col
+    entries = F.map_entries(m)
+    outer = F.array_distinct(
+        F.transform(entries, lambda e: F.split_part(e["key"], F.lit(sep), F.lit(1)))
+    )
+    return F.map_from_arrays(
+        outer,
+        F.transform(
+            outer,
+            lambda ok: F.map_from_entries(
+                F.transform(
+                    F.filter(
+                        entries,
+                        lambda e: F.split_part(e["key"], F.lit(sep), F.lit(1)) == ok,
+                    ),
+                    lambda e: F.struct(
+                        F.split_part(e["key"], F.lit(sep), F.lit(2)).alias("key"),
+                        e["value"].alias("value"),
+                    ),
+                )
+            ),
+        ),
+    )
+
+
 def nub_by_key(
     facts: DataFrame,
     key_cols: list[str] | str,

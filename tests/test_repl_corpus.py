@@ -431,3 +431,52 @@ def test_t80_array_index(salary, strategy):
     assert r.loc["homer", "i2"] == 500.0
     for c in ["i49", "i100", "i3", "im1"]:
         assert pd.isna(r.loc["homer", c]), c
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t02_1_nested_groups(spark, strategy):
+    """t02.1-group-groups goldens over the cylon fixture (snapshot
+    2016-07-14): `group year ~> group day ~> count` ->
+    {2000: {1:1, 3:2, 7:1}, 2001: {2:1, 4:1}}; `group year ~>
+    distinct day ~> count` -> {2000: 3, 2001: 2}. Nested groups
+    evaluate as one composite-key group; `nest_map` restores the
+    map-of-maps shape."""
+    from icicle_spark.operators.folds_ext import nest_map
+
+    rows = [
+        ("foo", "2000-01-01", 1), ("foo", "2000-03-03", 3),
+        ("foo", "2000-05-03", 3), ("foo", "2000-05-07", 7),
+        ("foo", "2001-01-02", 2), ("foo", "2001-01-04", 4),
+    ]
+    pdf = pd.DataFrame(rows, columns=["entity", "time", "value"])
+    pdf["time"] = pd.to_datetime(pdf["time"])
+    pdf["seq"] = np.arange(len(pdf))
+    cylon = spark.createDataFrame(pdf)
+
+    def yd(p):
+        return (
+            p["time"].dt.year.astype(str) + "|" + p["time"].dt.day.astype(str)
+        )
+
+    plan = _plan(
+        Feature("nested", Agg.COUNT, "value", group=yd, skip_nulls=True),
+        Feature(
+            "dcnt",
+            Agg.COUNT,
+            "value",
+            group=lambda p: p["time"].dt.year.astype(str),
+            distinct=yd,
+            skip_nulls=True,
+        ),
+    )
+    res = run_plan(cylon, plan, snapshot=icicle_snapshot("2016-07-14"),
+                   strategy=strategy)
+    out = res.select(
+        "entity", nest_map("nested").alias("nested"), "dcnt"
+    ).collect()[0]
+    nested = {k: dict(v) for k, v in out["nested"].items()}
+    assert nested == {
+        "2000": {"1": 1, "3": 2, "7": 1},
+        "2001": {"2": 1, "4": 1},
+    }
+    assert dict(out["dcnt"]) == {"2000": 3, "2001": 2}
