@@ -147,14 +147,27 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(df)
         timings[name] = round(time.perf_counter() - t0, 3)
-    el, n_rows, n_feat = run_fused(spark, SF_DIR, "native")
-    el = min(el, run_fused(spark, SF_DIR, "native")[0])
-    timings["fused_flagship"] = round(el, 3)
-    el_v = min(
-        run_fused(spark, SF_DIR, "vectorized")[0],
-        run_fused(spark, SF_DIR, "vectorized")[0],
-    )
-    timings["fused_flagship_arrow"] = round(el_v, 3)
+    # fold-pass conf (same as the --fused-only subprocess): AQE's
+    # runtime coalescing collapses merge-stage parallelism here, and
+    # 64 MiB scan splits even out the scan waves — both are
+    # runtime-mutable session confs, so flip them around the fused
+    # runs and restore for any later join-heavy work.
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    mpb_prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
+    try:
+        el, n_rows, n_feat = run_fused(spark, SF_DIR, "native")
+        el = min(el, run_fused(spark, SF_DIR, "native")[0])
+        timings["fused_flagship"] = round(el, 3)
+        el_v = min(
+            run_fused(spark, SF_DIR, "vectorized")[0],
+            run_fused(spark, SF_DIR, "vectorized")[0],
+        )
+        timings["fused_flagship_arrow"] = round(el_v, 3)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb_prev)
     result = {
         "metric": "feature_rows_per_sec",
         "value": round(n_rows * n_feat / el, 1),
