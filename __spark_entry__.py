@@ -198,6 +198,25 @@ def q_asof_chord(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(run_plan(ev, plan, chords=chords).drop("query_time"))
 
 
+def q_asof_chord_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same chord plan through the native Catalyst compiler."""
+    ev = _events(spark, sf_dir)
+    chords = ev.groupBy("user_id").agg(F.max("ts").alias("query_time"))
+    plan = Plan(
+        [
+            Feature("sum_val", Agg.SUM, "value", skip_nulls=True),
+            Feature("cnt", Agg.COUNT, "value", skip_nulls=True),
+            Feature("mean_val", Agg.MEAN, "value", skip_nulls=True),
+        ],
+        entity_col="user_id",
+        time_col="ts",
+        seq_col="event_id",
+    )
+    return _round_doubles(
+        compile_native(_events(spark, sf_dir), plan, chords=chords).drop("query_time")
+    )
+
+
 _CHORD_SQL = """
 WITH mt AS (SELECT user_id, max(ts) AS qt FROM events GROUP BY user_id)
 SELECT m.user_id,
@@ -1501,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_snapshot_native": q_asof_snapshot_native,
         "asof_window_folds": q_asof_window_folds,
         "asof_chord": q_asof_chord,
+        "asof_chord_native": q_asof_chord_native,
         "latest_n": q_latest_n,
         "group_fold": q_group_fold,
         "distinct_first": q_distinct_first,
@@ -1553,6 +1573,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_snapshot_native": _FOLD_SQL,
         "asof_window_folds": _WINDOW_SQL,
         "asof_chord": _CHORD_SQL,
+        "asof_chord_native": _CHORD_SQL,
         "latest_n": _LATEST_SQL,
         "group_fold": _GROUP_SQL,
         "distinct_first": _DISTINCT_SQL,
