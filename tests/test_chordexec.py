@@ -128,3 +128,31 @@ def test_chordvec_zero_leakage(spark, data):
             (av.isna() & bv.isna())
             | np.isclose(av.astype(float), bv.astype(float), equal_nan=True)
         ).all(), col
+
+
+def test_chordvec_small_arrow_batches(spark, data):
+    """Entity groups spanning Arrow batch boundaries exercise the
+    carry logic: results must not depend on batch size."""
+    facts, chords, n_rows = data
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(conf)
+    baseline = run_plan(facts, PLAN, chords=chords, strategy="auto").toPandas()
+    try:
+        spark.conf.set(conf, "97")
+        small = run_plan(facts, PLAN, chords=chords, strategy="auto").toPandas()
+    finally:
+        spark.conf.set(conf, prev)
+    key = ["entity", "query_time", "label"]
+    a = baseline.sort_values(key).reset_index(drop=True)
+    b = small.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) == n_rows
+    for col in a.columns:
+        if col in key:
+            assert (a[col] == b[col]).all(), col
+            continue
+        av = pd.to_numeric(a[col], errors="coerce")
+        bv = pd.to_numeric(b[col], errors="coerce")
+        assert (
+            (av.isna() & bv.isna())
+            | np.isclose(av.astype(float), bv.astype(float), equal_nan=True)
+        ).all(), col
