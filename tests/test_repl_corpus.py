@@ -480,3 +480,46 @@ def test_t02_1_nested_groups(spark, strategy):
         "2001": {"2": 1, "4": 1},
     }
     assert dict(out["dcnt"]) == {"2000": 3, "2001": 2}
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t05_nested_queries(salary, strategy):
+    """t05-nested-queries goldens: `((filter value > 300 ~> count),
+    count)` -> (2,5)/(0,3); with `(distinct time ~> count)` ->
+    (2,5)/(0,1) — aggregate tuples of filtered/distinct subqueries
+    fused into one pass."""
+    plan = _plan(
+        Feature("hi", Agg.COUNT, "value", where="value > 300", skip_nulls=True),
+        Feature("all_c", Agg.COUNT, "value", skip_nulls=True),
+        Feature("dt", Agg.COUNT, "value", distinct="time", skip_nulls=True),
+    )
+    r = _run(salary, plan, strategy)
+    assert (r.loc["homer", "hi"], r.loc["homer", "all_c"], r.loc["homer", "dt"]) == (2, 5, 5)
+    assert (r.loc["marge", "hi"], r.loc["marge", "all_c"], r.loc["marge", "dt"]) == (0, 3, 1)
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t60_map_state_fold(injury, strategy):
+    """t60-map-delete golden: fold with Map state — insert
+    (location -> severity) when absent, delete when present ->
+    homer {arm: 4} (toggle semantics over the injury stream)."""
+    def step(acc, kv):
+        loc, sev = kv
+        acc = dict(acc)
+        if loc in acc:
+            del acc[loc]
+        else:
+            acc[loc] = int(sev)
+        return acc
+
+    plan = _plan(
+        Feature(
+            "m",
+            CustomFold(init={}, step_seq=step, dtype="map<string,bigint>"),
+            lambda p: pd.Series(
+                list(zip(p["location"], p["severity"])), index=p.index
+            ),
+        )
+    )
+    r = _run(injury, plan, strategy)
+    assert dict(r.loc["homer", "m"]) == {"arm": 4}
