@@ -272,15 +272,17 @@ def q_group_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_col="event_id",
     )
     res = run_plan(_events(spark, sf_dir), plan, snapshot=SNAP)
-    return (
-        res.select("user_id", F.explode("cnt_by_type").alias("event_type", "cnt"))
-        .join(
-            res.select(
-                "user_id", F.explode("sum_by_type").alias("event_type", "sum_val")
-            ),
-            on=["user_id", "event_type"],
-        )
-        .select("user_id", "event_type", "cnt", _r("sum_val", 6).alias("sum_val"))
+    # zip the two maps JVM-side and explode once — no self-join
+    zipped = F.map_zip_with(
+        "cnt_by_type", "sum_by_type", lambda _k, c, s: F.struct(c.alias("c"), s.alias("s"))
+    )
+    return res.select(
+        "user_id", F.explode(zipped).alias("event_type", "cs")
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("cs.c").alias("cnt"),
+        _r(F.col("cs.s"), 6).alias("sum_val"),
     )
 
 

@@ -1,0 +1,134 @@
+"""Plan-shape regression guard.
+
+Prints `.explain("formatted")` for the flagship fused pass and key
+operators, and ASSERTS the structural properties that make them scale
+(SURVEY §4, BENCH.md): scan count, exchange count, pushed filters and
+pruned read schemas. Run after optimizer-touching changes:
+
+    python tools/explain_audit.py
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def count(pat: str, text: str) -> int:
+    return len(re.findall(pat, text))
+
+
+def main() -> int:
+    from icicle_spark.plans import Agg, Feature, Plan, Window, run_plan
+    from icicle_spark.session import get_spark
+    from icicle_spark.sources.benchgen import generate
+
+    spark = get_spark(
+        cpus=8,
+        shuffle_partitions=8,
+        # audit the STATIC plan under the fold-pass conf (bench.py
+        # runs the fused pass with AQE off; AQE also hides codegen
+        # ids behind an unfinalized AdaptiveSparkPlan wrapper)
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # real parquet source: pushdown/pruning only exist on file scans
+    facts = spark.read.parquet(generate(n_rows=50_000, n_docs=2_000)).drop("tokens")
+    failures = []
+
+    def check(name, text, checks):
+        print(f"===== {name}")
+        print(text[:2200])
+        for desc, ok in checks:
+            tag = "OK " if ok else "FAIL"
+            print(f"  [{tag}] {desc}")
+            if not ok:
+                failures.append(f"{name}: {desc}")
+
+    plan = Plan(
+        [
+            Feature("s", Agg.SUM, "n_tok", skip_nulls=True),
+            Feature("c", Agg.COUNT, "n_tok", skip_nulls=True),
+            Feature("m", Agg.MEAN, "n_tok", skip_nulls=True),
+            Feature("w30", Agg.SUM, "n_tok", window=Window(30), skip_nulls=True),
+            Feature("l5", Agg.MEAN, "n_tok", latest=5, skip_nulls=True),
+            Feature(
+                "web", Agg.COUNT, "n_tok", where="source = 'web'", skip_nulls=True
+            ),
+        ],
+        entity_col="doc_id",
+        time_col="event_time",
+        seq_col="seq",
+    )
+    fused = run_plan(facts, plan, snapshot="2024-05-30", strategy="native")
+    t = plan_text(fused)
+    t_exec = fused._jdf.queryExecution().executedPlan().toString()
+    # formatted explain shows each operator in the tree AND as a
+    # numbered detail block - count the detail headers only
+    scans = count(r"\(\d+\) Scan parquet", t)
+    exchanges = count(r"\(\d+\) Exchange", t)
+    check(
+        "fused native flagship",
+        t,
+        [
+            (f"at most 2 parquet scans (got {scans})", scans <= 2),
+            (f"bounded exchanges (got {exchanges} <= 7)", exchanges <= 7),
+            ("tokens column pruned from every scan", "tokens" not in t),
+            ("whole-stage codegen spans present (*(n) markers)",
+             re.search(r"\*\(\d+\)", t_exec) is not None),
+        ],
+    )
+
+    pushed = facts.where("n_tok > 10").select("doc_id", "n_tok")
+    pushed = pushed.groupBy("doc_id").sum("n_tok")
+    t2 = plan_text(pushed)
+    check(
+        "filter + projection pushdown",
+        t2,
+        [
+            ("PushedFilters reaches the scan", "PushedFilters: [" in t2
+             and "IsNotNull" in t2),
+            ("ReadSchema pruned to 2 columns",
+             bool(re.search(r"ReadSchema:.*doc_id.*n_tok", t2))
+             and "tokens" not in t2),
+        ],
+    )
+
+    from icicle_spark.operators.similarity import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5]) for i in range(100)],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = emb.where("vec_id < 2").selectExpr("vec_id as query_id", "embedding")
+    t3 = plan_text(brute_force_topk(emb, q, k=3))
+    check(
+        "brute-force topk",
+        t3,
+        [
+            ("query side broadcast (no shuffle join)",
+             "BroadcastNestedLoopJoin" in t3 or "BroadcastExchange" in t3),
+        ],
+    )
+
+    print("=====")
+    if failures:
+        print("PLAN AUDIT FAILURES:", *failures, sep="\n  ")
+        return 1
+    print("plan audit clean")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
