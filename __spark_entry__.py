@@ -286,6 +286,33 @@ def q_group_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_fold_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same group plan through the NATIVE compiler — groupBy(entity,
+    key) + map_from_entries, pure Catalyst (the scale path for map
+    accumulators)."""
+    plan = Plan(
+        [
+            Feature("cnt_by_type", Agg.COUNT, "value", group="event_type", skip_nulls=True),
+            Feature("sum_by_type", Agg.SUM, "value", group="event_type", skip_nulls=True),
+        ],
+        entity_col="user_id",
+        time_col="ts",
+        seq_col="event_id",
+    )
+    res = compile_native(_events(spark, sf_dir), plan, snapshot=SNAP)
+    zipped = F.map_zip_with(
+        "cnt_by_type", "sum_by_type", lambda _k, c, s: F.struct(c.alias("c"), s.alias("s"))
+    )
+    return res.select(
+        "user_id", F.explode(zipped).alias("event_type", "cs")
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("cs.c").alias("cnt"),
+        _r(F.col("cs.s"), 6).alias("sum_val"),
+    )
+
+
 _GROUP_SQL = """
 SELECT user_id, event_type, count(*) AS cnt, round(sum(value), 6) AS sum_val
 FROM events WHERE ts < TIMESTAMP '{snap}'
@@ -1525,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_chord_native": q_asof_chord_native,
         "latest_n": q_latest_n,
         "group_fold": q_group_fold,
+        "group_fold_native": q_group_fold_native,
         "distinct_first": q_distinct_first,
         "numflips": q_numflips,
         "stats_moments": q_stats_moments,
@@ -1578,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_chord_native": _CHORD_SQL,
         "latest_n": _LATEST_SQL,
         "group_fold": _GROUP_SQL,
+        "group_fold_native": _GROUP_SQL,
         "distinct_first": _DISTINCT_SQL,
         "numflips": _NUMFLIPS_SQL,
         "stats_moments": _STATS_SQL,

@@ -179,6 +179,7 @@ class Plan:
             time_col=self.time_col,
             seq_col=self.seq_col or other.seq_col,
             tombstone_col=self.tombstone_col or other.tombstone_col,
+            max_group_size=min(self.max_group_size, other.max_group_size),
         )
 
     def condensed(self) -> "Plan":
@@ -207,6 +208,7 @@ class Plan:
             time_col=self.time_col,
             seq_col=self.seq_col,
             tombstone_col=self.tombstone_col,
+            max_group_size=self.max_group_size,
         )
 
 

@@ -38,7 +38,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-from icicle_spark.plans.ir import Agg, Feature, Plan
+from icicle_spark.plans.ir import Agg, Feature, Plan, feature_dtype
 
 _NATIVE_AGGS = {
     Agg.SUM, Agg.COUNT, Agg.MEAN, Agg.MIN, Agg.MAX, Agg.VARIANCE, Agg.SD,
@@ -46,18 +46,64 @@ _NATIVE_AGGS = {
     Agg.DISTINCT_VALUES, Agg.MAX_BY, Agg.MIN_BY, Agg.NUMFLIPS,
 }
 
+# `group k ~> agg` compiles to groupBy(entity, k) + map_from_entries —
+# pure Catalyst, two exchanges, no Python (the 100 TB path for maps)
+_GROUP_NATIVE_AGGS = {
+    Agg.SUM, Agg.COUNT, Agg.MEAN, Agg.MIN, Agg.MAX, Agg.ANY, Agg.ALL,
+}
+
+# `distinct k ~> agg` compiles to a first-per-(entity,k) rank + agg
+_DISTINCT_NATIVE_AGGS = {
+    Agg.SUM, Agg.COUNT, Agg.MEAN, Agg.MIN, Agg.MAX, Agg.ANY, Agg.ALL,
+    Agg.COUNT_DISTINCT, Agg.NEWEST, Agg.OLDEST,
+}
+
+
+def _feature_native(f: Feature) -> bool:
+    if not isinstance(f.agg, Agg) or not isinstance(f.expr, str):
+        return False
+    if f.where is not None and not isinstance(f.where, str):
+        return False
+    if f.by is not None and not isinstance(f.by, str):
+        return False
+    if f.group is not None:
+        return (
+            isinstance(f.group, str)
+            and f.agg in _GROUP_NATIVE_AGGS
+            and f.distinct is None
+            and f.latest is None
+            and f.skip_nulls
+        )
+    if f.distinct is not None:
+        return (
+            isinstance(f.distinct, str)
+            and f.agg in _DISTINCT_NATIVE_AGGS
+            and f.latest is None
+            and f.skip_nulls
+        )
+    return f.agg in _NATIVE_AGGS
+
 
 def native_supported(plan: Plan) -> bool:
-    return all(
-        isinstance(f.agg, Agg)
-        and f.agg in _NATIVE_AGGS
-        and f.group is None
-        and f.distinct is None
-        and isinstance(f.expr, str)
-        and (f.where is None or isinstance(f.where, str))
-        and (f.by is None or isinstance(f.by, str))
-        for f in plan.features
-    )
+    return all(_feature_native(f) for f in plan.features)
+
+
+def _plain_agg(agg: Agg, x: Column) -> Column:
+    if agg is Agg.SUM:
+        return F.sum(x.cast("double"))
+    if agg is Agg.COUNT:
+        return F.count(x)
+    if agg is Agg.MEAN:
+        return F.avg(x)
+    if agg is Agg.MIN:
+        return F.min(x.cast("double"))
+    if agg is Agg.MAX:
+        return F.max(x.cast("double"))
+    if agg is Agg.ANY:
+        return F.bool_or(x.cast("boolean"))
+    if agg is Agg.ALL:
+        return F.bool_and(x.cast("boolean"))
+    raise ValueError(f"not a group-native agg: {agg}")  # pragma: no cover
 
 
 def _order_cols(plan: Plan) -> list[Column]:
@@ -432,13 +478,20 @@ def _compile_scoped(
     from icicle_spark.plans.resume import _STATEFUL
 
     ecol, tcol = plan.entity_col, plan.time_col
-    latest_feats = [f for f in plan.features if f.latest is not None]
+    group_feats = [f for f in plan.features if f.group is not None]
+    dist_feats = [
+        f for f in plan.features if f.distinct is not None and f.group is None
+    ]
+    scalar_feats = [
+        f for f in plan.features if f.group is None and f.distinct is None
+    ]
+    latest_feats = [f for f in scalar_feats if f.latest is not None]
     flip_feats = [
-        f for f in plan.features
+        f for f in scalar_feats
         if f.agg is Agg.NUMFLIPS and f.latest is None
     ]
     plain_feats = [
-        f for f in plan.features
+        f for f in scalar_feats
         if f.latest is None and f.agg is not Agg.NUMFLIPS
     ]
     mergeable = [
@@ -488,6 +541,61 @@ def _compile_scoped(
         agged = fbase.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nf"), *aggs)
         out = out.join(agged, on=keys, how="left")
         out = _fill_inits(out, fl_plan, "__nf")
+    for f in group_feats:
+        # map-of-accumulators as TWO Catalyst exchanges: partial aggs
+        # per (entity, key) with map-side combine, then collect the
+        # finished entries into a map per entity. Rows are pre-filtered
+        # by this feature's full visibility so absent keys never
+        # surface with init values (executor parity).
+        ex = F.expr(f.expr)
+        cond = _visibility(f, qt, tcol) & ex.isNotNull()
+        rows = base.where(cond).select(
+            *[F.col(k) for k in keys],
+            F.expr(f.group).cast("string").alias("__gk"),
+            ex.alias("__gv"),
+        )
+        per_key = rows.groupBy(*keys, "__gk").agg(
+            _plain_agg(f.agg, F.col("__gv")).alias("__v")
+        )
+        m = per_key.groupBy(*keys).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__gk"), F.col("__v")))
+            ).alias(f.name)
+        )
+        out = out.join(m, on=keys, how="left")
+        val = F.coalesce(
+            F.col(f.name), F.expr("map()").cast(feature_dtype(f))
+        )
+        # maxMapSize analogue: overflow -> error value (null)
+        out = out.withColumn(
+            f.name,
+            F.when(F.size(val) <= F.lit(plan.max_group_size), val),
+        )
+    for f in dist_feats:
+        # `distinct k`: first fact per (entity, key) in stream order
+        # (ToCore/Fold.hs:477-559), then a plain aggregate over those
+        # firsts — one rank exchange + one agg exchange.
+        ex = F.expr(f.expr)
+        cond = _visibility(f, qt, tcol) & ex.isNotNull()
+        w = W.partitionBy(
+            *[F.col(k) for k in keys], F.expr(f.distinct)
+        ).orderBy(*_order_cols(plan))
+        firsts = (
+            base.where(cond)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+        )
+        marker = f"__nd_{f.name}"
+        agged = firsts.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias(marker),
+            _agg_col(f, F.lit(True), tcol, None),
+        )
+        out = out.join(agged, on=keys, how="left")
+        out = _fill_inits(
+            out,
+            Plan([f], entity_col=ecol, time_col=tcol, seq_col=plan.seq_col),
+            marker,
+        )
     return out.select(*keys, *[f.name for f in plan.features])
 
 

@@ -1,0 +1,101 @@
+"""Native (pure-Catalyst) compilation of `group k` and `distinct k`
+features: must commute with the vectorized Arrow executor, including
+windowed groups, distinct-NEWEST, and the maxMapSize overflow rule."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from icicle_spark.plans import Agg, Feature, Plan, Window, compile_native, run_plan
+from icicle_spark.plans.native import native_supported
+
+SNAP = "2024-02-10 00:00:00"
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    rng = np.random.default_rng(3)
+    n = 6000
+    pdf = pd.DataFrame(
+        {
+            "entity": [f"e{i}" for i in rng.integers(0, 100, n)],
+            "time": np.datetime64("2024-01-01")
+            + rng.integers(0, 60 * 86_400, n).astype("timedelta64[s]"),
+            "value": np.where(
+                rng.random(n) < 0.05, np.nan, rng.normal(50, 20, n).round(2)
+            ),
+            "cat": [f"c{i}" for i in rng.integers(0, 5, n)],
+            "seq": np.arange(n, dtype=np.int64),
+        }
+    )
+    return spark.createDataFrame(pdf).cache()
+
+
+PLAN = Plan(
+    [
+        Feature("gs", Agg.SUM, "value", group="cat", skip_nulls=True),
+        Feature("gc", Agg.COUNT, "value", group="cat", skip_nulls=True),
+        Feature("gwin", Agg.MEAN, "value", group="cat", window=Window(14),
+                skip_nulls=True),
+        Feature("ds", Agg.SUM, "value", distinct="cat", skip_nulls=True),
+        Feature("dn", Agg.COUNT_DISTINCT, "cat", distinct="cat", skip_nulls=True),
+        Feature("dnew", Agg.NEWEST, "value", distinct="cat", skip_nulls=True),
+        Feature("plain", Agg.SUM, "value", skip_nulls=True),
+    ],
+    entity_col="entity",
+    time_col="time",
+    seq_col="seq",
+)
+
+
+def test_support_gate():
+    assert native_supported(PLAN)
+    # group needs skip_nulls (Possibly poisoning of a whole map is
+    # executor-only) and no latest frame
+    assert not native_supported(
+        Plan([Feature("g", Agg.SUM, "value", group="cat")],
+             entity_col="entity", time_col="time")
+    )
+    assert not native_supported(
+        Plan([Feature("g", Agg.SUM, "value", group="cat", latest=3,
+                      skip_nulls=True)],
+             entity_col="entity", time_col="time")
+    )
+
+
+def test_native_group_distinct_commute(spark, facts):
+    a = compile_native(facts, PLAN, snapshot=SNAP).toPandas()
+    b = run_plan(facts, PLAN, snapshot=SNAP, strategy="vectorized").toPandas()
+    a = a.sort_values("entity").reset_index(drop=True)
+    b = b.sort_values("entity").reset_index(drop=True)
+    assert (a["entity"] == b["entity"]).all()
+    for col in ["gs", "gc", "gwin"]:
+        for i in range(len(a)):
+            ma = dict(a.loc[i, col] or {})
+            mb = dict(b.loc[i, col] or {})
+            assert set(ma) == set(mb), (col, a.loc[i, "entity"])
+            for k in ma:
+                assert np.isclose(ma[k], mb[k], atol=1e-9), (col, k)
+    for col in ["ds", "dn", "dnew", "plain"]:
+        av = pd.to_numeric(a[col], errors="coerce")
+        bv = pd.to_numeric(b[col], errors="coerce")
+        assert (
+            (av.isna() & bv.isna()) | np.isclose(av, bv, atol=1e-9, equal_nan=True)
+        ).all(), col
+
+
+def test_max_group_size_overflow_is_null(spark, facts):
+    small = Plan(
+        [Feature("g", Agg.COUNT, "value", group="cat", skip_nulls=True)],
+        entity_col="entity",
+        time_col="time",
+        seq_col="seq",
+        max_group_size=2,
+    )
+    out = compile_native(facts, small, snapshot=SNAP).toPandas()
+    # every entity has up to 5 cats; >2 keys must overflow to null
+    sizes = out["g"].map(lambda m: None if m is None else len(m))
+    assert (sizes.isna() | (sizes <= 2)).all()
+    assert sizes.isna().any()
