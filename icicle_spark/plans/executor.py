@@ -294,6 +294,13 @@ def run_plan(
                 "plan has folds outside the prefix-decomposable set; "
                 "use strategy='cogroup' for chords"
             )
+        from icicle_spark.plans.native import compile_native, native_supported
+
+        if native_supported(plan):
+            # e.g. windowed min/max: not prefix-decomposable, but the
+            # Catalyst chord branch (broadcast chords + conditional
+            # aggregation) handles it without per-entity Python
+            return compile_native(facts, plan, chords=chords)
     plan = plan.condensed()
     ecol, tcol = plan.entity_col, plan.time_col
     entity_type = dict(facts.dtypes)[ecol]

@@ -156,3 +156,31 @@ def test_chordvec_small_arrow_batches(spark, data):
             (av.isna() & bv.isna())
             | np.isclose(av.astype(float), bv.astype(float), equal_nan=True)
         ).all(), col
+
+
+def test_windowed_minmax_routes_to_native(spark, data):
+    """Windowed MIN/MAX chords are not prefix-decomposable; auto must
+    route them through the native chord compiler and still agree with
+    the cogroup executor."""
+    facts, chords, n_rows = data
+    plan = Plan(
+        [
+            Feature("wmn", Agg.MIN, "value", window=Window(14), skip_nulls=True),
+            Feature("wmx", Agg.MAX, "value", window=Window(14), skip_nulls=True),
+        ],
+        entity_col="entity",
+        time_col="time",
+        seq_col="seq",
+    )
+    assert not supports_chords(plan)
+    key = ["entity", "query_time", "label"]
+    a = run_plan(facts, plan, chords=chords, strategy="auto").toPandas()
+    b = run_plan(facts, plan, chords=chords, strategy="cogroup").toPandas()
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) == n_rows
+    for col in ("wmn", "wmx"):
+        av, bv = a[col].astype(float), b[col].astype(float)
+        assert (
+            (av.isna() & bv.isna()) | np.isclose(av, bv, equal_nan=True)
+        ).all(), col
