@@ -523,3 +523,37 @@ def test_t60_map_state_fold(injury, strategy):
     )
     r = _run(injury, plan, strategy)
     assert dict(r.loc["homer", "m"]) == {"arm": 4}
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t31_builtins(salary, injury, strategy):
+    """t31-builtin goldens: sorted keys of a group -> [arm, head,
+    torso]; days_between (newest time) now = 2558 (snapshot instant
+    2017-01-02 exclusive); sort (latest 3 ~> value) -> [300,400,500] /
+    [0,10,20]; year_of now = 2016 at snapshot 2015-12-31."""
+    from pyspark.sql import functions as F
+
+    plan = _plan(
+        Feature("locs", Agg.DISTINCT_VALUES, "location"),
+        Feature("nt", Agg.NEWEST, "time", dtype="timestamp"),
+    )
+    res = run_plan(injury, plan, snapshot=SNAP, strategy=strategy)
+    row = res.select(
+        "locs", F.datediff(F.lit(SNAP).cast("timestamp"), F.col("nt")).alias("db")
+    ).collect()[0]
+    assert list(row["locs"]) == ["arm", "head", "torso"]
+    assert row["db"] == 2558
+
+    splan = _plan(Feature("l3", Agg.COLLECT, "value", latest=3, skip_nulls=True))
+    sres = run_plan(salary, splan, snapshot=SNAP, strategy=strategy)
+    sr = (
+        sres.select("entity", F.sort_array("l3").alias("sorted3"))
+        .toPandas()
+        .set_index("entity")
+    )
+    assert list(sr.loc["homer", "sorted3"]) == [300.0, 400.0, 500.0]
+    assert list(sr.loc["marge", "sorted3"]) == [0.0, 10.0, 20.0]
+
+    # `now` is the exclusive snapshot instant (Time.hs:235-237)
+    assert icicle_snapshot("2015-12-31") == "2016-01-01 00:00:00"
+    assert pd.Timestamp(icicle_snapshot("2015-12-31")).year == 2016
