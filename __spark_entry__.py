@@ -1324,6 +1324,46 @@ FROM spine s LEFT JOIN agged a USING (user_id)
 """.format(snap=SNAP)
 
 
+def q_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed sum (engine extension for training pipelines):
+    sum of value * 2^(-(snapshot - ts)/half_life), via the vectorized
+    executor and the native compiler, exact-form DuckDB oracle."""
+    plan = Plan(
+        [
+            Feature(
+                "d7", Agg.DECAYED_SUM, "value", half_life_days=7.0,
+                skip_nulls=True,
+            ),
+            Feature(
+                "d3_click", Agg.DECAYED_SUM, "value", half_life_days=3.0,
+                where="event_type == 'click'", skip_nulls=True,
+            ),
+        ],
+        entity_col="user_id",
+        time_col="ts",
+        seq_col="event_id",
+    )
+    return _round_doubles(run_plan(_events(spark, sf_dir), plan, snapshot=SNAP))
+
+
+_DECAY_SQL = """
+WITH spine AS (SELECT DISTINCT user_id FROM events),
+agged AS (
+  SELECT user_id,
+    round(sum(value * exp(-ln(2)/(7.0*86400) *
+          (epoch_us(TIMESTAMP '{snap}') - epoch_us(ts)) / 1e6)), 6) AS d7,
+    round(sum(CASE WHEN event_type = 'click' THEN
+          value * exp(-ln(2)/(3.0*86400) *
+          (epoch_us(TIMESTAMP '{snap}') - epoch_us(ts)) / 1e6) END), 6) AS d3_click
+  FROM events WHERE ts < TIMESTAMP '{snap}'
+  GROUP BY user_id
+)
+SELECT s.user_id, coalesce(a.d7, 0.0) AS d7,
+       coalesce(a.d3_click, 0.0) AS d3_click
+FROM spine s LEFT JOIN agged a USING (user_id)
+""".format(snap=SNAP)
+
+
 def q_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by / min_by (prelude.icicle:172-191) with a tie-free key so
     the argmax is deterministic across engines."""
@@ -1588,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk_ivf": q_embed_topk_ivf,
         "json_map_ops": q_json_map_ops,
         "ewma_fold": q_ewma_fold,
+        "decayed_sum": q_decayed_sum,
         "max_by_min_by": q_max_by_min_by,
         "any_all_distinct": q_any_all_distinct,
         "calendar_windows": q_calendar_windows,
@@ -1637,6 +1678,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_topk_arrow": _EMBED_SQL,
         "json_map_ops": _JSON_MAP_SQL,
         "ewma_fold": _EWMA_SQL,
+        "decayed_sum": _DECAY_SQL,
         "max_by_min_by": _MAXBY_SQL,
         "any_all_distinct": _ANYALL_SQL,
         "calendar_windows": _CALWIN_SQL,

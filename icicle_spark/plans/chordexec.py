@@ -54,6 +54,7 @@ _PREFIX_AGGS = {
     Agg.ALL,
     Agg.MIN,
     Agg.MAX,
+    Agg.DECAYED_SUM,
 }
 
 _NUMERIC_AGGS = {Agg.SUM, Agg.MEAN, Agg.VARIANCE, Agg.SD, Agg.MIN, Agg.MAX}
@@ -70,6 +71,8 @@ def supports_chords(plan: Plan) -> bool:
             f.window is not None or f.latest is not None
         ):
             return False  # not prefix-decomposable from a moving lower edge
+        if f.agg is Agg.DECAYED_SUM and f.half_life_days is None:
+            return False
     return True
 
 
@@ -85,6 +88,7 @@ class _FeatureArrays:
     __slots__ = (
         "times", "pass_cum", "vals", "cum", "cumsq",
         "true_cum", "null_cum", "cmin", "cmax", "codes",
+        "dcum", "lam", "t0_s",
     )
 
     def __init__(self, f: Feature, facts: pd.DataFrame, codes: np.ndarray,
@@ -116,7 +120,7 @@ class _FeatureArrays:
             if nn.any():
                 truth[nn] = np.asarray(v[nn]).astype(bool)
             self.true_cum = np.concatenate([[0], np.cumsum(truth, dtype=np.int64)])
-            self.cum = self.cumsq = None
+            self.cum = self.cumsq = self.dcum = None
         else:
             self.true_cum = None
             try:
@@ -128,6 +132,18 @@ class _FeatureArrays:
             z = np.where(np.isnan(fvals), 0.0, fvals)
             self.cum = np.concatenate([[0.0], np.cumsum(z)])
             self.cumsq = np.concatenate([[0.0], np.cumsum(z * z)])
+            if f.agg is Agg.DECAYED_SUM:
+                # sum v*2^(-(qt-t)/hl) = e^(-lam*(qt-T0)) * sum v*e^(lam*(t-T0))
+                # with T0 = newest chunk fact: weights <= ~1, and facts
+                # so old they underflow contribute ~0 exactly as the
+                # direct formula would (< 1e-300).
+                self.lam = np.log(2.0) / (float(f.half_life_days) * 86_400.0)
+                t_s = self.times.astype("float64") / 1e9
+                self.t0_s = float(t_s.max()) if len(t_s) else 0.0
+                z2 = z * np.exp(self.lam * (t_s - self.t0_s))
+                self.dcum = np.concatenate([[0.0], np.cumsum(z2)])
+            else:
+                self.dcum = None
             if f.agg in (Agg.MIN, Agg.MAX) and len(v):
                 g = pd.Series(fvals).groupby(self.codes)
                 self.cmin = g.cummin().to_numpy()
@@ -173,6 +189,11 @@ def _eval_chord(
         return nvalid
     if agg is Agg.SUM:
         return float(fa.cum[hi] - fa.cum[lo])
+    if agg is Agg.DECAYED_SUM:
+        qt_s = qt.value / 1e9
+        return float(
+            np.exp(-fa.lam * (qt_s - fa.t0_s)) * (fa.dcum[hi] - fa.dcum[lo])
+        )
     if agg is Agg.MEAN:
         return float((fa.cum[hi] - fa.cum[lo]) / nvalid)
     if agg in (Agg.VARIANCE, Agg.SD):
@@ -200,6 +221,7 @@ def _eval_chord(
 def _fill(f: Feature) -> Any:
     return {
         Agg.SUM: 0.0, Agg.COUNT: 0, Agg.ANY: False, Agg.ALL: True,
+        Agg.DECAYED_SUM: 0.0,
     }.get(f.agg)
 
 

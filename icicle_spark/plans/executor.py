@@ -87,6 +87,8 @@ def _reduce_slice(f: Feature, vals: np.ndarray, by: np.ndarray | None) -> Any:
         return _EMPTY.get(agg)  # None for value-typed folds (fold1 path)
     if agg is Agg.SUM:
         return float(np.sum(vals.astype("float64")))
+    if agg is Agg.DECAYED_SUM:  # pragma: no cover - handled upstream
+        raise ValueError("decayed_sum requires times/qt context")
     if agg is Agg.COUNT:
         return int(n)
     if agg is Agg.MEAN:
@@ -136,6 +138,8 @@ def _feature_value(
     gkey: np.ndarray | None,
     dkey: np.ndarray | None,
     max_group: int,
+    times: np.ndarray | None = None,
+    qt: Any | None = None,
 ) -> Any:
     """Evaluate one feature over the visible index range [lo, hi)."""
     idx = np.arange(lo, hi)
@@ -152,6 +156,21 @@ def _feature_value(
         idx = idx[np.sort(first_pos)]
     if f.latest is not None:
         idx = idx[-f.latest:]  # circular buffer: last N facts
+    if f.agg is Agg.DECAYED_SUM:
+        v = vals[idx]
+        na = pd.isna(v)
+        if f.skip_nulls:
+            v, sel = v[~na], idx[~na]
+        elif na.any():
+            return None
+        else:
+            sel = idx
+        lam = np.log(2.0) / (float(f.half_life_days) * 86_400.0)
+        age_s = (
+            np.asarray(qt, dtype="datetime64[ns]").view("int64")
+            - times[sel].astype("datetime64[ns]").view("int64")
+        ).astype("float64") / 1e9
+        return float(np.sum(v.astype("float64") * np.exp(-lam * age_s)))
     v = vals[idx]
     b = by[idx] if by is not None else None
     if gkey is not None:
@@ -226,6 +245,7 @@ def _run_entity(
                 _feature_value(
                     f, lo, hi, c["vals"], c["mask"], c["by"],
                     c["gkey"], c["dkey"], plan.max_group_size,
+                    times=times, qt=qt,
                 )
             )
         rows.append(row)

@@ -54,6 +54,11 @@ class Agg(enum.Enum):
     COLLECT = "collect"      # value list in time order (bounded by frame)
     MAX_BY = "max_by"        # prelude.icicle:172-181
     MIN_BY = "min_by"        # prelude.icicle:184-191
+    DECAYED_SUM = "decayed_sum"  # engine extension: recency-weighted
+                             # sum v*2^(-(qtime-t)/half_life) — the
+                             # training-pipeline fold Icicle lacks;
+                             # prefix-computable at any query time via
+                             # e^(-l*qt) * cumsum(v * e^(l*t))
 
 
 @dataclass(frozen=True)
@@ -141,6 +146,9 @@ class Feature:
                                       # a null (error/tombstone) in the visible
                                       # slice poisons the aggregate
     dtype: str | None = None          # spark type of output (default by agg)
+    half_life_days: float | None = None  # DECAYED_SUM only: weight
+                                      # halves every this-many days
+                                      # before the query time
 
 
 @dataclass
@@ -198,6 +206,7 @@ class Plan:
                 f.group if isinstance(f.group, str) else id(f.group),
                 f.distinct if isinstance(f.distinct, str) else id(f.distinct),
                 f.skip_nulls,
+                f.half_life_days,
             )
             if key not in seen:
                 seen[key] = f.name
@@ -230,6 +239,7 @@ _AGG_DTYPE = {
     Agg.COLLECT: "array<double>",
     Agg.MAX_BY: "double",
     Agg.MIN_BY: "double",
+    Agg.DECAYED_SUM: "double",
 }
 
 

@@ -44,6 +44,7 @@ _NATIVE_AGGS = {
     Agg.SUM, Agg.COUNT, Agg.MEAN, Agg.MIN, Agg.MAX, Agg.VARIANCE, Agg.SD,
     Agg.NEWEST, Agg.OLDEST, Agg.ANY, Agg.ALL, Agg.COUNT_DISTINCT,
     Agg.DISTINCT_VALUES, Agg.MAX_BY, Agg.MIN_BY, Agg.NUMFLIPS,
+    Agg.DECAYED_SUM,
 }
 
 # `group k ~> agg` compiles to groupBy(entity, k) + map_from_entries —
@@ -74,6 +75,10 @@ def _feature_native(f: Feature) -> bool:
             and f.latest is None
             and f.skip_nulls
         )
+    if f.agg is Agg.DECAYED_SUM and (
+        f.half_life_days is None or f.latest is not None
+    ):
+        return False
     if f.distinct is not None:
         return (
             isinstance(f.distinct, str)
@@ -113,7 +118,10 @@ def _order_cols(plan: Plan) -> list[Column]:
     return cols
 
 
-def _agg_col(f: Feature, cond: Column, tcol: str, extra: Column | None) -> Column:
+def _agg_col(
+    f: Feature, cond: Column, tcol: str, extra: Column | None,
+    qt: Column | None = None,
+) -> Column:
     """One conditional aggregate for one feature; ``extra`` is the
     helper-column condition (latest rank) to conjoin."""
     if extra is not None:
@@ -157,6 +165,19 @@ def _agg_col(f: Feature, cond: Column, tcol: str, extra: Column | None) -> Colum
         else:
             key = F.struct(F.expr(f.by).alias("b"), (-t_us).alias("t"))
             out = F.max_by(x, F.when(cond, key))
+    elif agg is Agg.DECAYED_SUM:
+        import math
+
+        lam = math.log(2.0) / (float(f.half_life_days) * 86_400.0)
+        age_s = (
+            F.unix_micros(qt) - F.unix_micros(F.col(tcol))
+        ).cast("double") / F.lit(1e6)
+        out = F.coalesce(
+            F.sum(
+                F.when(cond, F.expr(f.expr).cast("double") * F.exp(-F.lit(lam) * age_s))
+            ),
+            F.lit(0.0),
+        )
     elif agg is Agg.NUMFLIPS:
         # __prev_<name> holds the previous matching value (window stage)
         prev = F.col(f"__prev_{f.name}")
@@ -195,6 +216,7 @@ def _visibility(f: Feature, qt: Column, tcol: str) -> Column:
 
 
 _INIT: dict[Agg, Any] = {
+    Agg.DECAYED_SUM: 0.0,
     Agg.SUM: 0.0, Agg.COUNT: 0, Agg.ANY: False, Agg.ALL: True,
     Agg.COUNT_DISTINCT: 0, Agg.NUMFLIPS: 0,
 }
@@ -328,6 +350,19 @@ def _finalize_latest(f: Feature, arr: Column) -> Column:
         out = F.element_at(
             F.filter(arr, lambda x: x["b"] == target), 1
         )["v"]
+    elif agg is Agg.DECAYED_SUM:
+        import math
+
+        lam = math.log(2.0) / (float(f.half_life_days) * 86_400.0)
+        age_s = (
+            F.unix_micros(qt) - F.unix_micros(F.col(tcol))
+        ).cast("double") / F.lit(1e6)
+        out = F.coalesce(
+            F.sum(
+                F.when(cond, F.expr(f.expr).cast("double") * F.exp(-F.lit(lam) * age_s))
+            ),
+            F.lit(0.0),
+        )
     elif agg is Agg.NUMFLIPS:
         pair = F.aggregate(
             vs,
@@ -518,7 +553,7 @@ def _compile_scoped(
         direct_feats = plain_feats
     if direct_feats:
         aggs = [
-            _agg_col(f, _visibility(f, qt, tcol), tcol, None)
+            _agg_col(f, _visibility(f, qt, tcol), tcol, None, qt)
             for f in direct_feats
         ]
         agged = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"), *aggs)
@@ -535,7 +570,7 @@ def _compile_scoped(
         )
         fbase, _ = _helper_stage(base, fl_plan, qt, keys)
         aggs = [
-            _agg_col(f, _visibility(f, qt, tcol), tcol, None)
+            _agg_col(f, _visibility(f, qt, tcol), tcol, None, qt)
             for f in flip_feats
         ]
         agged = fbase.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nf"), *aggs)
@@ -588,7 +623,7 @@ def _compile_scoped(
         marker = f"__nd_{f.name}"
         agged = firsts.groupBy(*keys).agg(
             F.count(F.lit(1)).alias(marker),
-            _agg_col(f, F.lit(True), tcol, None),
+            _agg_col(f, F.lit(True), tcol, None, qt),
         )
         out = out.join(agged, on=keys, how="left")
         out = _fill_inits(

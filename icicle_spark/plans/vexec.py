@@ -52,6 +52,7 @@ _PANDAS_AGG = {
 }
 
 _FILL: dict[Agg, Any] = {
+    Agg.DECAYED_SUM: 0.0,
     Agg.SUM: 0.0,
     Agg.COUNT: 0,
     Agg.ANY: False,
@@ -93,6 +94,8 @@ def _feature_series(
     sub = pd.DataFrame(
         {"seg": seg[idx], "v": vals.to_numpy()[idx]}
     )
+    if f.agg is Agg.DECAYED_SUM:
+        sub["t"] = tns[idx]
     if f.by is not None:
         sub["by"] = eval_expr(f.by, base).to_numpy()[idx]
     if f.group is not None:
@@ -121,6 +124,12 @@ def _feature_series(
             res = res.astype("int64")
         elif agg in (Agg.SUM, Agg.MEAN, Agg.VARIANCE, Agg.SD) and len(res):
             res = res.astype("float64")
+    elif agg is Agg.DECAYED_SUM:
+        lam = np.log(2.0) / (f.half_life_days * 86_400.0)
+        age_s = (qt_ns - sub["t"].to_numpy().astype("float64")) / 1e9
+        w = sub["v"].to_numpy().astype("float64") * np.exp(-lam * age_s)
+        res = pd.Series(w).groupby(sub["seg"].to_numpy(), sort=False).sum()
+        res.index.name = "seg"
     elif agg in (Agg.ANY, Agg.ALL):
         g = sub.assign(v=sub["v"].astype(bool)).groupby("seg", sort=False)["v"]
         res = g.any() if agg is Agg.ANY else g.all()
