@@ -390,7 +390,9 @@ def _merge_final(f: Feature, c: Column) -> Column:
     resume._merge_expr for time-independent folds."""
     p = F.coalesce(F.bool_or(c["p"]), F.lit(False))
     agg = f.agg
-    if agg is Agg.SUM:
+    if agg in (Agg.SUM, Agg.DECAYED_SUM):
+        # decay states across salt buckets share the same query time,
+        # so the merge is a plain sum of the weighted partials
         out = F.coalesce(F.sum(c["s"]), F.lit(0.0))
     elif agg is Agg.COUNT:
         out = F.coalesce(F.sum(c["c"]), F.lit(0)).cast("bigint")
@@ -446,7 +448,7 @@ def _two_stage(
     s2_aggs: list[Column] = []
     for f in mergeable:
         s1_aggs.append(
-            _state_expr(f, plan, _visibility(f, qt, tcol)).alias(f"__st_{f.name}")
+            _state_expr(f, plan, _visibility(f, qt, tcol), qt).alias(f"__st_{f.name}")
         )
         s2_aggs.append(_merge_final(f, F.col(f"__st_{f.name}")).alias(f.name))
     for f in latest_feats:

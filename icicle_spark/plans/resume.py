@@ -42,8 +42,14 @@ from icicle_spark.plans.native import _INIT, _visibility
 
 _STATEFUL = {
     Agg.SUM, Agg.COUNT, Agg.MEAN, Agg.MIN, Agg.MAX, Agg.NEWEST, Agg.OLDEST,
-    Agg.ANY, Agg.ALL, Agg.VARIANCE, Agg.SD, Agg.NUMFLIPS,
+    Agg.ANY, Agg.ALL, Agg.VARIANCE, Agg.SD, Agg.NUMFLIPS, Agg.DECAYED_SUM,
 }
+
+
+def _lam(f: Feature) -> float:
+    import math
+
+    return math.log(2.0) / (float(f.half_life_days) * 86_400.0)
 
 
 def resumable(plan: Plan) -> bool:
@@ -54,6 +60,10 @@ def resumable(plan: Plan) -> bool:
         and f.distinct is None
         and isinstance(f.expr, str)
         and (f.where is None or isinstance(f.where, str))
+        and not (
+            f.agg is Agg.DECAYED_SUM
+            and (f.half_life_days is None or f.latest is not None)
+        )
         for f in plan.features
     )
 
@@ -72,7 +82,7 @@ def _scol(plan: Plan) -> Column:
     return F.col(plan.seq_col) if plan.seq_col else F.lit(0).cast("bigint")
 
 
-def _state_expr(f: Feature, plan: Plan, cond: Column) -> Column:
+def _state_expr(f: Feature, plan: Plan, cond: Column, qt: Column) -> Column:
     """Merge-able accumulator for one feature over cond rows."""
     x = F.when(cond, F.expr(f.expr))
     p = F.coalesce(F.max(F.when(cond & F.expr(f.expr).isNull(), True)), F.lit(False))
@@ -95,6 +105,15 @@ def _state_expr(f: Feature, plan: Plan, cond: Column) -> Column:
         )
         return F.struct(arr.alias("arr"), p.alias("p"))
     agg = f.agg
+    if agg is Agg.DECAYED_SUM:
+        # state = decayed sum AS AT the checkpoint time; merge rescales
+        # it to the resume snapshot with e^(-lam * delta_t)
+        age = (F.unix_micros(qt) - F.unix_micros(tcol)).cast("double") / F.lit(1e6)
+        xw = F.when(
+            cond & F.expr(f.expr).isNotNull(),
+            F.expr(f.expr).cast("double") * F.exp(-F.lit(_lam(f)) * age),
+        )
+        return F.struct(F.sum(xw).alias("s"), p.alias("p"))
     if agg is Agg.SUM:
         return F.struct(F.sum(x).alias("s"), p.alias("p"))
     if agg is Agg.COUNT:
@@ -151,7 +170,9 @@ def _state_expr(f: Feature, plan: Plan, cond: Column) -> Column:
     raise ValueError(f"not resumable: {agg}")
 
 
-def _merge_expr(f: Feature, o: Column, n: Column) -> Column:
+def _merge_expr(
+    f: Feature, o: Column, n: Column, decay_scale: Column | None = None
+) -> Column:
     """Merge old-state ``o`` with new-state ``n`` (time-disjoint,
     old strictly earlier)."""
     p = F.coalesce(o["p"], F.lit(False)) | F.coalesce(n["p"], F.lit(False))
@@ -166,6 +187,14 @@ def _merge_expr(f: Feature, o: Column, n: Column) -> Column:
         )
         return F.struct(arr.alias("arr"), p.alias("p"))
     agg = f.agg
+    if agg is Agg.DECAYED_SUM:
+        s = F.when(
+            o["s"].isNull() & n["s"].isNull(), F.lit(None)
+        ).otherwise(
+            F.coalesce(o["s"] * decay_scale, F.lit(0.0))
+            + F.coalesce(n["s"], F.lit(0.0))
+        )
+        return F.struct(s.alias("s"), p.alias("p"))
     if agg is Agg.SUM:
         s = F.when(
             o["s"].isNull() & n["s"].isNull(), F.lit(None)
@@ -254,7 +283,7 @@ def _finalize_expr(f: Feature, st: Column) -> Column:
             raise ValueError(f"latest resume does not support {agg}")
     else:
         agg = f.agg
-        if agg is Agg.SUM:
+        if agg in (Agg.SUM, Agg.DECAYED_SUM):
             base = F.coalesce(st["s"], F.lit(0.0))
         elif agg is Agg.COUNT:
             base = F.coalesce(st["c"], F.lit(0)).cast("bigint")
@@ -310,7 +339,7 @@ def fold_states(facts: DataFrame, plan: Plan, as_of: Any) -> DataFrame:
     # features are recomputed from the incremental slice (see
     # required_history). Their state here is ignored.
     aggs = [
-        _state_expr(f, plan, _visibility(f, qt, plan.time_col)).alias(
+        _state_expr(f, plan, _visibility(f, qt, plan.time_col), qt).alias(
             f"__f_{f.name}"
         )
         for f in plan.features
@@ -361,14 +390,27 @@ def resume_plan(
     stateful = [f for f in plan.features if f.window is None]
     new_states = base.groupBy(ecol).agg(
         *[
-            _state_expr(f, plan, _visibility(f, qt, tcol)).alias(f"__n_{f.name}")
+            _state_expr(f, plan, _visibility(f, qt, tcol), qt).alias(f"__n_{f.name}")
             for f in stateful
         ]
     )
     joined = states.drop("__ck_time").join(new_states, on=ecol, how="full")
+    import pandas as _pd
+
+    delta_s = (_pd.Timestamp(snapshot) - _pd.Timestamp(ck)).total_seconds()
     finals = [
         _finalize_expr(
-            f, _merge_expr(f, F.col(f"__f_{f.name}"), F.col(f"__n_{f.name}"))
+            f,
+            _merge_expr(
+                f,
+                F.col(f"__f_{f.name}"),
+                F.col(f"__n_{f.name}"),
+                decay_scale=(
+                    F.lit(float(__import__("math").exp(-_lam(f) * delta_s)))
+                    if f.agg is Agg.DECAYED_SUM
+                    else None
+                ),
+            ),
         )
         for f in stateful
     ]

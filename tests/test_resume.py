@@ -33,6 +33,8 @@ FEATURES = [
     Feature("web_sum", Agg.SUM, "n_tok", where="source = 'web'", skip_nulls=True),
     Feature("sum_p", Agg.SUM, "n_tok"),          # propagate/poison mode
     Feature("newest_p", Agg.NEWEST, "n_tok"),
+    Feature("dsum7", Agg.DECAYED_SUM, "n_tok", half_life_days=7.0,
+            skip_nulls=True),                    # rescaled state merge
 ]
 
 PLAN = Plan(FEATURES, entity_col="doc_id", time_col="event_time", seq_col="seq")
