@@ -33,6 +33,7 @@ HEADLINE = [
     "group_fold",
     "scan_running_sum",
     "sessionize",
+    "decayed_sum",
     "exact_dedup",
     "minhash_pairs",
     "embed_topk",
@@ -71,6 +72,10 @@ def _fused_plan(strategy: str):
         Feature("win30_cnt", Agg.COUNT, "n_tok", window=Window(30), skip_nulls=True),
         Feature("latest5_mean", Agg.MEAN, "n_tok", latest=5, skip_nulls=True),
         Feature("web_cnt", Agg.COUNT, "n_tok", where=eq, skip_nulls=True),
+        Feature(
+            "decay7", Agg.DECAYED_SUM, "n_tok", half_life_days=7.0,
+            skip_nulls=True,
+        ),
     ]
     return Plan(features, entity_col="doc_id", time_col="event_time", seq_col="seq")
 

@@ -158,7 +158,7 @@ def _agg_col(
         # ties on the key keep the FIRST fact in stream order, like the
         # reference's strict-compare fold (prelude.icicle:172-191):
         # composite key (by, ±time) makes earliest win either way.
-        t_us = F.unix_micros(F.col(tcol))
+        t_us = F.unix_micros(F.col(tcol).cast("timestamp"))
         if agg is Agg.MIN_BY:
             key = F.struct(F.expr(f.by).alias("b"), t_us.alias("t"))
             out = F.min_by(x, F.when(cond, key))
@@ -170,7 +170,8 @@ def _agg_col(
 
         lam = math.log(2.0) / (float(f.half_life_days) * 86_400.0)
         age_s = (
-            F.unix_micros(qt) - F.unix_micros(F.col(tcol))
+            F.unix_micros(qt.cast("timestamp"))
+            - F.unix_micros(F.col(tcol).cast("timestamp"))
         ).cast("double") / F.lit(1e6)
         out = F.coalesce(
             F.sum(
@@ -355,7 +356,8 @@ def _finalize_latest(f: Feature, arr: Column) -> Column:
 
         lam = math.log(2.0) / (float(f.half_life_days) * 86_400.0)
         age_s = (
-            F.unix_micros(qt) - F.unix_micros(F.col(tcol))
+            F.unix_micros(qt.cast("timestamp"))
+            - F.unix_micros(F.col(tcol).cast("timestamp"))
         ).cast("double") / F.lit(1e6)
         out = F.coalesce(
             F.sum(

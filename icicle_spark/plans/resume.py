@@ -108,7 +108,10 @@ def _state_expr(f: Feature, plan: Plan, cond: Column, qt: Column) -> Column:
     if agg is Agg.DECAYED_SUM:
         # state = decayed sum AS AT the checkpoint time; merge rescales
         # it to the resume snapshot with e^(-lam * delta_t)
-        age = (F.unix_micros(qt) - F.unix_micros(tcol)).cast("double") / F.lit(1e6)
+        age = (
+            F.unix_micros(qt.cast("timestamp"))
+            - F.unix_micros(tcol.cast("timestamp"))
+        ).cast("double") / F.lit(1e6)
         xw = F.when(
             cond & F.expr(f.expr).isNotNull(),
             F.expr(f.expr).cast("double") * F.exp(-F.lit(_lam(f)) * age),
