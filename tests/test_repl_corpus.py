@@ -557,3 +557,43 @@ def test_t31_builtins(salary, injury, strategy):
     # `now` is the exclusive snapshot instant (Time.hs:235-237)
     assert icicle_snapshot("2015-12-31") == "2016-01-01 00:00:00"
     assert pd.Timestamp(icicle_snapshot("2015-12-31")).year == 2016
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t18_nested_structs(spark, strategy):
+    """t18-nested-structs goldens: group by nested struct fields
+    (`group injury.severity ~> mean misery`, `group
+    injury.location.area ~> mean misery`) — homer {1: 1.5, 2: 6.5},
+    marge {2: 2.5} / {head: 1.5, leg: 6.5} and {leg: 2.5}."""
+    rows = [
+        ("homer", "2000-01-01", 1.5, {"location": {"area": "head", "depth": 0.5}, "severity": 1}),
+        ("homer", "2000-01-02", 5.5, {"location": {"area": "leg", "depth": 1.5}, "severity": 2}),
+        ("homer", "2000-01-03", 7.5, {"location": {"area": "leg", "depth": 1.5}, "severity": 2}),
+        ("marge", "2000-01-03", 2.5, {"location": {"area": "leg", "depth": 1.5}, "severity": 2}),
+    ]
+    pdf = pd.DataFrame(rows, columns=["entity", "time", "misery", "injury"])
+    pdf["time"] = pd.to_datetime(pdf["time"])
+    pdf["seq"] = np.arange(len(pdf))
+    person = spark.createDataFrame(
+        pdf,
+        "entity string, time timestamp, misery double, "
+        "injury struct<location: struct<area: string, depth: double>, severity: int>, "
+        "seq long",
+    )
+    plan = _plan(
+        Feature(
+            "by_sev", Agg.MEAN, "misery",
+            group=lambda p: p["injury"].map(lambda d: d["severity"]),
+            skip_nulls=True,
+        ),
+        Feature(
+            "by_area", Agg.MEAN, "misery",
+            group=lambda p: p["injury"].map(lambda d: d["location"]["area"]),
+            skip_nulls=True,
+        ),
+    )
+    r = _run(person, plan, strategy, snap=icicle_snapshot("2017-01-01"))
+    assert {k: v for k, v in r.loc["homer", "by_sev"].items()} == {"1": 1.5, "2": 6.5}
+    assert dict(r.loc["marge", "by_sev"]) == {"2": 2.5}
+    assert dict(r.loc["homer", "by_area"]) == {"head": 1.5, "leg": 6.5}
+    assert dict(r.loc["marge", "by_area"]) == {"leg": 2.5}
