@@ -293,14 +293,31 @@ def run_plan(
     """
     if (snapshot is None) == (chords is None):
         raise ValueError("exactly one of snapshot / chords required")
+    # CSE up front, re-aliasing duplicate outputs at the end: the
+    # reference shares the fold but keeps every named return
+    # (Condense.hs:25-66) — dropping a duplicate's COLUMN would be a
+    # silent output change.
+    requested = [f.name for f in plan.features]
+    plan, _dups = plan.cse()
+
+    def _realias(out: DataFrame) -> DataFrame:
+        if not _dups:
+            return out
+        from pyspark.sql import functions as _F
+
+        for dup, kept in _dups.items():
+            out = out.withColumn(dup, _F.col(kept))
+        lead = [c for c in out.columns if c not in requested]
+        return out.select(*lead, *requested)
+
     if strategy == "native":
         from icicle_spark.plans.native import compile_native
 
-        return compile_native(facts, plan, snapshot=snapshot, chords=chords)
+        return _realias(compile_native(facts, plan, snapshot=snapshot, chords=chords))
     if snapshot is not None and strategy in ("auto", "vectorized"):
         from icicle_spark.plans.vexec import run_snapshot_vectorized
 
-        return run_snapshot_vectorized(facts, plan, snapshot)
+        return _realias(run_snapshot_vectorized(facts, plan, snapshot))
     if chords is not None and strategy in ("auto", "vectorized"):
         from icicle_spark.plans.chordexec import (
             run_chords_vectorized,
@@ -308,7 +325,7 @@ def run_plan(
         )
 
         if supports_chords(plan):
-            return run_chords_vectorized(facts, plan, chords)
+            return _realias(run_chords_vectorized(facts, plan, chords))
         if strategy == "vectorized":
             raise ValueError(
                 "plan has folds outside the prefix-decomposable set; "
@@ -320,7 +337,7 @@ def run_plan(
             # e.g. windowed min/max: not prefix-decomposable, but the
             # Catalyst chord branch (broadcast chords + conditional
             # aggregation) handles it without per-entity Python
-            return compile_native(facts, plan, chords=chords)
+            return _realias(compile_native(facts, plan, chords=chords))
     plan = plan.condensed()
     ecol, tcol = plan.entity_col, plan.time_col
     entity_type = dict(facts.dtypes)[ecol]
@@ -338,7 +355,7 @@ def run_plan(
                 columns=[ecol, *[f.name for f in plan.features]],
             )
 
-        return facts.groupBy(ecol).applyInPandas(fn_snap, schema)
+        return _realias(facts.groupBy(ecol).applyInPandas(fn_snap, schema))
 
     has_label = "label" in chords.columns
     schema = _out_schema(plan, entity_type, chord=True, label=has_label)
@@ -369,7 +386,7 @@ def run_plan(
             + [f.name for f in plan.features],
         )
 
-    return (
+    return _realias(
         facts.groupBy(ecol)
         .cogroup(chords.groupBy(ecol))
         .applyInPandas(fn_chord, schema)

@@ -193,8 +193,16 @@ class Plan:
     def condensed(self) -> "Plan":
         """CSE: drop structurally identical duplicate folds, keep the
         first name (reference Core/Program/Condense.hs:25-66)."""
+        return self.cse()[0]
+
+    def cse(self) -> tuple["Plan", dict[str, str]]:
+        """CSE with the alias map: the deduped plan plus
+        {duplicate_name: kept_name} so callers can re-emit every
+        requested output column (the reference shares the fold but
+        keeps both returns, Condense.hs:25-66)."""
         seen: dict[tuple, str] = {}
         kept: list[Feature] = []
+        dups: dict[str, str] = {}
         for f in self.features:
             key = (
                 f.agg if isinstance(f.agg, Agg) else id(f.agg),
@@ -211,13 +219,18 @@ class Plan:
             if key not in seen:
                 seen[key] = f.name
                 kept.append(f)
-        return Plan(
-            kept,
-            entity_col=self.entity_col,
-            time_col=self.time_col,
-            seq_col=self.seq_col,
-            tombstone_col=self.tombstone_col,
-            max_group_size=self.max_group_size,
+            else:
+                dups[f.name] = seen[key]
+        return (
+            Plan(
+                kept,
+                entity_col=self.entity_col,
+                time_col=self.time_col,
+                seq_col=self.seq_col,
+                tombstone_col=self.tombstone_col,
+                max_group_size=self.max_group_size,
+            ),
+            dups,
         )
 
 

@@ -1,0 +1,124 @@
+"""Hypothesis property tests (the shrinking analogue of the
+reference's QuickCheck EvalCommutes suites): generated fact tables and
+fold plans must agree between the vectorized chord executor and the
+per-entity cogroup executor at generated chord times, and obey the
+zero-leakage rule.
+
+Example counts are small — every example round-trips Spark — but
+hypothesis varies row counts, tie density, null density, window
+shapes, and chord placement, and shrinks failures to minimal cases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from icicle_spark.plans import Agg, Feature, Plan, Window, run_plan
+
+AGGS = [
+    Agg.SUM, Agg.COUNT, Agg.MEAN, Agg.NEWEST, Agg.OLDEST, Agg.ANY,
+    Agg.ALL, Agg.VARIANCE, Agg.MIN, Agg.MAX,
+]
+
+
+@st.composite
+def fact_frame(draw):
+    n = draw(st.integers(80, 600))
+    ents = draw(st.integers(3, 25))
+    null_frac = draw(st.floats(0.0, 0.3))
+    tie_frac = draw(st.floats(0.0, 0.5))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    secs = rng.integers(0, 40 * 86_400, n)
+    ties = rng.random(n) < tie_frac
+    secs[ties] = (secs[ties] // 86_400) * 86_400
+    vals = rng.normal(10, 5, n).round(2)
+    vals[rng.random(n) < null_frac] = np.nan
+    return pd.DataFrame(
+        {
+            "entity": [f"e{i}" for i in rng.integers(0, ents, n)],
+            "time": np.datetime64("2024-01-01")
+            + secs.astype("timedelta64[s]"),
+            "value": vals,
+            "flag": rng.integers(0, 2, n).astype(bool),
+            "seq": np.arange(n, dtype=np.int64),
+        }
+    )
+
+
+@st.composite
+def feature(draw, i: int):
+    agg = draw(st.sampled_from(AGGS))
+    window = None
+    latest = None
+    if agg not in (Agg.MIN, Agg.MAX):
+        if draw(st.booleans()):
+            window = Window(
+                draw(st.integers(1, 45)),
+                draw(st.sampled_from([0, 0, 1, 7])),
+            )
+            if window.older_than_days >= window.newer_than_days:
+                window = Window(window.newer_than_days)
+        if agg in (Agg.SUM, Agg.COUNT, Agg.MEAN, Agg.NEWEST, Agg.OLDEST):
+            latest = draw(st.sampled_from([None, None, 1, 3, 5]))
+    expr = "flag" if agg in (Agg.ANY, Agg.ALL) else "value"
+    return Feature(
+        f"h{i}",
+        agg,
+        expr,
+        where=draw(st.sampled_from([None, None, "flag"])),
+        window=window,
+        latest=latest,
+        skip_nulls=draw(st.sampled_from([True, True, False])),
+    )
+
+
+@st.composite
+def case(draw):
+    pdf = draw(fact_frame())
+    feats = [draw(feature(i)) for i in range(draw(st.integers(2, 5)))]
+    qdays = sorted(
+        draw(
+            st.lists(st.integers(-5, 50), min_size=1, max_size=3, unique=True)
+        )
+    )
+    return pdf, feats, qdays
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=case())
+def test_chord_executors_commute(spark, data):
+    pdf, feats, qdays = data
+    facts = spark.createDataFrame(pdf)
+    ents = sorted(set(pdf["entity"]))
+    rows = [
+        (e, pd.Timestamp("2024-01-01") + pd.Timedelta(days=d, hours=i % 3))
+        for i, e in enumerate(ents)
+        for d in qdays
+    ]
+    chords = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["entity", "query_time"])
+    )
+    plan = Plan(feats, entity_col="entity", time_col="time", seq_col="seq")
+    key = ["entity", "query_time"]
+    a = run_plan(facts, plan, chords=chords, strategy="auto").toPandas()
+    b = run_plan(facts, plan, chords=chords, strategy="cogroup").toPandas()
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) == len(rows)
+    for f in feats:
+        av = pd.to_numeric(a[f.name], errors="coerce")
+        bv = pd.to_numeric(b[f.name], errors="coerce")
+        ok = (av.isna() & bv.isna()) | np.isclose(
+            av.astype(float), bv.astype(float), atol=1e-9, equal_nan=True
+        )
+        assert ok.all(), (f, a.loc[~ok, key + [f.name]].head(3), b.loc[~ok, f.name].head(3))
