@@ -46,7 +46,7 @@ def plan_fingerprint(plan: Plan) -> str:
                     f.expr if isinstance(f.expr, str) else "<fn>",
                     f.where if isinstance(f.where, str) else f.where and "<fn>",
                     f.window and (f.window.newer_than_days, f.window.older_than_days),
-                    f.latest, f.skip_nulls,
+                    f.latest, f.skip_nulls, f.half_life_days,
                     f.group if isinstance(f.group, str) else f.group and "<fn>",
                     f.distinct if isinstance(f.distinct, str) else f.distinct and "<fn>",
                 )
