@@ -597,3 +597,66 @@ def test_t18_nested_structs(spark, strategy):
     assert dict(r.loc["marge", "by_sev"]) == {"2": 2.5}
     assert dict(r.loc["homer", "by_area"]) == {"head": 1.5, "leg": 6.5}
     assert dict(r.loc["marge", "by_area"]) == {"leg": 2.5}
+
+
+def test_t06_01_scan_prev(spark, salary):
+    """t06.01-scan golden: `scan v = (second_last value) ~> filter
+    value > v ~> count` == count of elements greater than their
+    previous element -> 4 / 2; identical under `latest 10`."""
+    from pyspark.sql import functions as F
+
+    from icicle_spark.operators.window_ext import lag_lead
+
+    df = lag_lead(salary, "value", "entity", "time", seq_col="seq")
+    rises = (
+        df.where(F.col("value") > F.col("value_lag_1"))
+        .groupBy("entity")
+        .count()
+        .toPandas()
+        .set_index("entity")["count"]
+    )
+    assert rises["homer"] == 4 and rises["marge"] == 2
+    # latest 10 covers every fact -> same answer (reference transcript)
+    w10 = df.withColumn(
+        "rn",
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .partitionBy("entity").orderBy(F.desc("time"), F.desc("seq"))
+        ),
+    ).where(F.col("rn") <= 10)
+    rises10 = (
+        w10.where(F.col("value") > F.col("value_lag_1"))
+        .groupBy("entity").count().toPandas().set_index("entity")["count"]
+    )
+    assert rises10["homer"] == 4 and rises10["marge"] == 2
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t15_tombstones(spark, strategy):
+    """t15-tombstones goldens over the gonzo fixture (a, b, NA, NA, c
+    with NA = tombstone): `latest 5 ~> (value, tombstone)` keeps
+    tombstone slots; `numflips' value tombstone` (prelude.icicle:
+    278-291 — tombstones lift to None states) -> 3."""
+    rows = [
+        ("gonzo", "1989-12-17", "a", False),
+        ("gonzo", "1990-01-01", "b", False),
+        ("gonzo", "1994-01-01", None, True),
+        ("gonzo", "1999-01-01", None, True),
+        ("gonzo", "2010-01-01", "c", False),
+    ]
+    pdf = pd.DataFrame(rows, columns=["entity", "time", "value", "tombstone"])
+    pdf["time"] = pd.to_datetime(pdf["time"])
+    pdf["seq"] = np.arange(len(pdf))
+    facts = spark.createDataFrame(pdf)
+
+    lifted = lambda p: p["value"].where(~p["tombstone"], "tombstone")  # noqa: E731
+    plan = _plan(
+        Feature(
+            "l5", Agg.COLLECT, lifted, latest=5, skip_nulls=True,
+            dtype="array<string>",
+        ),
+        Feature("flips", Agg.NUMFLIPS, lifted, skip_nulls=True),
+    )
+    r = _run(facts, plan, strategy)
+    assert list(r.loc["gonzo", "l5"]) == ["a", "b", "tombstone", "tombstone", "c"]
+    assert r.loc["gonzo", "flips"] == 3
