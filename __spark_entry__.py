@@ -1231,6 +1231,47 @@ FROM w
 """
 
 
+def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact baseline (all-pairs at
+    verification scale) vs a DuckDB all-pairs oracle."""
+    from icicle_spark.operators.similarity import embedding_dedup_pairs
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = embedding_dedup_pairs(emb, threshold=0.45, round_digits=5)
+    return out.select("id_a", "id_b", _r("cosine_sim", 5).alias("cosine_sim"))
+
+
+_EMBED_DEDUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(CASE WHEN a.nrm * b.nrm > 0 THEN
+            list_sum(list_transform(generate_series(1, len(a.v)),
+                     i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)
+         ELSE 0.0 END, 5) AS cosine_sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.45
+"""
+
+
+def q_embed_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pairs via the blocked (IVF multi-assign) scale path —
+    rows-only (recall-bounded blocking)."""
+    from icicle_spark.operators.similarity import embedding_dedup_pairs
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = embedding_dedup_pairs(
+        emb, threshold=0.45, n_centroids=8, nprobe=3, round_digits=5
+    )
+    return out.select("id_a", "id_b", _r("cosine_sim", 5).alias("cosine_sim"))
+
+
 def q_json_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction + map/array builtins (SURVEY §2.7 Map/Array)."""
     ev = _events(spark, sf_dir)
@@ -1626,6 +1667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk_arrow": q_embed_topk_arrow,
         "embed_topk_lsh": q_embed_topk_lsh,
         "embed_topk_ivf": q_embed_topk_ivf,
+        "embed_dedup": q_embed_dedup,
+        "embed_dedup_ivf": q_embed_dedup_ivf,
         "json_map_ops": q_json_map_ops,
         "ewma_fold": q_ewma_fold,
         "decayed_sum": q_decayed_sum,
@@ -1679,6 +1722,7 @@ def oracle_sql() -> dict[str, str]:
         "json_map_ops": _JSON_MAP_SQL,
         "ewma_fold": _EWMA_SQL,
         "decayed_sum": _DECAY_SQL,
+        "embed_dedup": _EMBED_DEDUP_SQL,
         "max_by_min_by": _MAXBY_SQL,
         "any_all_distinct": _ANYALL_SQL,
         "calendar_windows": _CALWIN_SQL,

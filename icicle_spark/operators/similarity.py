@@ -274,6 +274,71 @@ def ivf_topk(
     )
 
 
+def embedding_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    nprobe: int = 2,
+    n_sample: int = 4096,
+    iters: int = 5,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: (id_a, id_b, cosine_sim)
+    with id_a < id_b and cosine >= threshold.
+
+    ``n_centroids=None`` is the exact baseline (all-pairs; use only at
+    verification scale). With ``n_centroids`` set, vectors are
+    multi-assigned to their ``nprobe`` nearest coarse clusters and only
+    pairs sharing a cluster are scored — the blocked-join scale path
+    (candidates ~ n^2 * nprobe / n_centroids instead of n^2), with
+    exact cosine verification before reporting, mirroring the
+    MinHash-LSH band-then-verify design."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if n_centroids is None:
+        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        cent = _train_centroids(emb, n_centroids, id_col, vec_col, n_sample, iters)
+        spark = emb.sparkSession
+        b_c = spark.sparkContext.broadcast(cent)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = b_c.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cm = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+                cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-30)
+                top = np.argsort(-(cm @ c.T), axis=1)[:, :nprobe]
+                n = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(pdf[id_col].to_numpy(), nprobe),
+                        "__cluster": top.ravel().astype("int32"),
+                    }
+                )
+
+        it = dict(emb.dtypes)[id_col]
+        buckets = emb.mapInPandas(assign, f"`{id_col}` {it}, __cluster int")
+        ca = buckets.select(F.col(id_col).alias("id_a"), "__cluster")
+        cb = buckets.select(F.col(id_col).alias("id_b"), "__cluster")
+        pairs = (
+            ca.join(cb, on="__cluster")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        cand = pairs.join(a, on="id_a").join(b, on="id_b")
+    scored = cand.select(
+        "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim")
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("cosine_sim", F.round("cosine_sim", round_digits))
+    return scored.where(F.col("cosine_sim") >= threshold)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
