@@ -91,7 +91,7 @@ def case(draw):
 
 @pytest.mark.usefixtures("spark")
 @settings(
-    max_examples=12,
+    max_examples=int(__import__("os").environ.get("HYP_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
