@@ -643,8 +643,16 @@ def compile_native(
     plan: Plan,
     snapshot: Any | None = None,
     chords: DataFrame | None = None,
+    broadcast_chords: bool = True,
 ) -> DataFrame:
-    """Compile and return the result DataFrame (lazy)."""
+    """Compile and return the result DataFrame (lazy).
+
+    ``broadcast_chords=False`` joins the chord table with a shuffle
+    join instead of a broadcast — required when the chord table is
+    itself at data scale (e.g. one chord per entity at 10^12 rows);
+    AQE's skew-join splitting then spreads a hot entity's join across
+    tasks, and the downstream two-stage aggregation is salted anyway.
+    """
     if (snapshot is None) == (chords is None):
         raise ValueError("exactly one of snapshot / chords required")
     if not native_supported(plan):
@@ -676,7 +684,8 @@ def compile_native(
 
     qt = F.col("query_time")
     keys = [ecol, "query_time"] + (["label"] if "label" in chords.columns else [])
-    base = facts.join(F.broadcast(chords), on=ecol, how="inner").where(
+    rhs = F.broadcast(chords) if broadcast_chords else chords
+    base = facts.join(rhs, on=ecol, how="inner").where(
         F.col(tcol) < qt
     )
     return _compile_scoped(chords, base, plan, qt, keys)

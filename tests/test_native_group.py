@@ -99,3 +99,29 @@ def test_max_group_size_overflow_is_null(spark, facts):
     sizes = out["g"].map(lambda m: None if m is None else len(m))
     assert (sizes.isna() | (sizes <= 2)).all()
     assert sizes.isna().any()
+
+
+def test_native_chord_shuffle_join(spark, facts):
+    """broadcast_chords=False (the huge-chord-table scale shape) must
+    equal the broadcast plan."""
+    from pyspark.sql import functions as F
+
+    chords = facts.groupBy("entity").agg(F.max("time").alias("query_time"))
+    plan = Plan(
+        [
+            Feature("s", Agg.SUM, "value", skip_nulls=True),
+            Feature("l3", Agg.MEAN, "value", latest=3, skip_nulls=True),
+        ],
+        entity_col="entity",
+        time_col="time",
+        seq_col="seq",
+    )
+    a = compile_native(facts, plan, chords=chords).toPandas()
+    b = compile_native(facts, plan, chords=chords, broadcast_chords=False).toPandas()
+    key = ["entity", "query_time"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    for col in ("s", "l3"):
+        av, bv = a[col].astype(float), b[col].astype(float)
+        assert ((av.isna() & bv.isna()) | np.isclose(av, bv, equal_nan=True)).all()
