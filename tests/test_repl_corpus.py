@@ -660,3 +660,34 @@ def test_t15_tombstones(spark, strategy):
     r = _run(facts, plan, strategy)
     assert list(r.loc["gonzo", "l5"]) == ["a", "b", "tombstone", "tombstone", "c"]
     assert r.loc["gonzo", "flips"] == 3
+
+
+def test_t01_2_trig(spark, salary):
+    """t01.2-trig goldens: trig constants map 1:1 to
+    pyspark.sql.functions; `atan2 (sin 1) (cos 1)` = 1.0; a Possibly
+    error inside (`sin (1/0)`) propagates to tombstone/null."""
+    from pyspark.sql import functions as F
+
+    from icicle_spark.functions.scalars import safe_div
+
+    row = (
+        salary.select(
+            F.acos(F.lit(1.0)).alias("acos1"),
+            F.asin(F.lit(0.0)).alias("asin0"),
+            F.atan2(F.lit(0.0), F.lit(0.0)).alias("atan2_00"),
+            F.cos(F.lit(0.0)).alias("cos0"),
+            F.cosh(F.lit(0.0)).alias("cosh0"),
+            F.tanh(F.lit(0.0)).alias("tanh0"),
+            F.atan2(F.sin(F.lit(1.0)), F.cos(F.lit(1.0))).alias("wrap"),
+            F.atan2(
+                F.sin(safe_div(F.lit(1.0), F.lit(0.0))), F.cos(F.lit(1.0))
+            ).alias("poss"),
+        )
+        .limit(1)
+        .collect()[0]
+    )
+    assert row["acos1"] == 0.0 and row["asin0"] == 0.0
+    assert row["atan2_00"] == 0.0
+    assert row["cos0"] == 1.0 and row["cosh0"] == 1.0 and row["tanh0"] == 0.0
+    assert row["wrap"] == pytest.approx(1.0)
+    assert row["poss"] is None  # error propagates, never NaN
