@@ -286,10 +286,17 @@ def run_plan(
     chords:   DataFrame (entity, query_time[, label]) — one output row
               per chord row (reference Runtime/Stencil.hs:121-134).
     strategy: 'auto' (vectorized partition-level executor for
-              snapshots, cogroup for chords), 'vectorized',
-              'cogroup' (per-entity applyInPandas), or 'native'
-              (Catalyst compiler — requires Spark-SQL expr syntax and
-              a native-supported plan; the 100 TB fast path).
+              snapshots, vectorized chord executor for chords),
+              'vectorized', 'cogroup' (per-entity applyInPandas), or
+              'native' (Catalyst compiler — requires Spark-SQL expr
+              syntax and a native-supported plan; the 100 TB fast
+              path).
+
+    Chord routing (BENCH.md "chord routing trade-off"): 'auto' scales
+    to arbitrary chord-table sizes (co-partitioned shuffle). With a
+    BROADCASTABLE chord table and heavy entity skew, 'native' is
+    ~1.5-2x faster (salted two-stage states); for huge chord tables
+    call plans.native.compile_native(..., broadcast_chords=False).
     """
     if (snapshot is None) == (chords is None):
         raise ValueError("exactly one of snapshot / chords required")
