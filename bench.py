@@ -203,9 +203,12 @@ def measure_scaling() -> dict:
     rows = os.environ.get("SPARK_GRAFT_SCALE_ROWS", "20000000")
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     out: dict[int, dict] = {}
-    # two interleaved pairs, min per config — the sandbox VM has
-    # +-15% run-to-run drift that a single pair can't average out
-    for cpus in (n, 4 * n) * 2:
+    # interleaved pairs, min per config — the sandbox VM has +-15%
+    # (occasionally +25%) run-to-run drift that a single pair can't
+    # average out; 3 pairs keeps a one-off slow JVM from deflating
+    # the measured efficiency
+    pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+    for cpus in (n, 4 * n) * pairs:
         env = dict(
             os.environ,
             SPARK_GRAFT_CPUS=str(cpus),
