@@ -174,6 +174,11 @@ class Plan:
         names = [f.name for f in self.features]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate feature names: {names}")
+        for f in self.features:
+            if f.agg is Agg.DECAYED_SUM and not f.half_life_days:
+                raise ValueError(
+                    f"feature {f.name}: DECAYED_SUM requires half_life_days"
+                )
 
     def fuse(self, other: "Plan") -> "Plan":
         """Query fusion: concatenate feature sets over the same input

@@ -17,7 +17,7 @@ from icicle_spark.plans import Agg, Feature, Plan, Window, run_plan
 AGG_POOL = [
     Agg.SUM, Agg.COUNT, Agg.MEAN, Agg.MIN, Agg.MAX, Agg.NEWEST,
     Agg.OLDEST, Agg.VARIANCE, Agg.SD, Agg.ANY, Agg.ALL, Agg.NUMFLIPS,
-    Agg.COUNT_DISTINCT,
+    Agg.COUNT_DISTINCT, Agg.DECAYED_SUM,
 ]
 
 
@@ -48,6 +48,7 @@ def random_feature(rng: np.random.Generator, i: int, sql: bool) -> Feature:
     expr = "cat" if agg in (Agg.NUMFLIPS, Agg.COUNT_DISTINCT) else (
         "flag" if agg in (Agg.ANY, Agg.ALL) else "value"
     )
+    half_life = float(rng.integers(2, 30)) if agg is Agg.DECAYED_SUM else None
     window = None
     if rng.random() < 0.4:
         window = Window(int(rng.integers(5, 90)), unit=rng.choice(["days", "weeks"]))
@@ -60,6 +61,8 @@ def random_feature(rng: np.random.Generator, i: int, sql: bool) -> Feature:
     where = None
     if rng.random() < 0.3:
         where = "cat = 'c1'" if sql else "cat == 'c1'"
+    if agg is Agg.DECAYED_SUM:
+        latest = None  # native two-stage computes decay without frames
     return Feature(
         f"f{i}",
         agg,
@@ -68,6 +71,7 @@ def random_feature(rng: np.random.Generator, i: int, sql: bool) -> Feature:
         window=window,
         latest=latest,
         skip_nulls=bool(rng.random() < 0.7),
+        half_life_days=half_life,
     )
 
 
@@ -94,7 +98,8 @@ def test_backends_commute(spark, seed):
     feats_pd = [
         Feature(f.name, f.agg, f.expr,
                 where=(f.where.replace(" = ", " == ") if f.where else None),
-                window=f.window, latest=f.latest, skip_nulls=f.skip_nulls)
+                window=f.window, latest=f.latest, skip_nulls=f.skip_nulls,
+                half_life_days=f.half_life_days)
         for f in feats_sql
     ]
     snap = str(pd.Timestamp("2024-01-01") + pd.Timedelta(days=int(rng.integers(30, 110))))
