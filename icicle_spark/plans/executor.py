@@ -149,6 +149,19 @@ def _feature_value(
         # skip_nulls acts like an element filter: nulls are dropped
         # BEFORE the latest-N buffer / distinct pass sees them.
         idx = idx[~pd.isna(vals[idx])]
+    for karr in (gkey, dkey):
+        # null group/distinct KEY (Possibly key, e.g. tombstoned
+        # struct — t03.1-distinct-tomb): poison, or drop under
+        # skip_nulls — matching plans.vexec.
+        if karr is None or len(idx) == 0:
+            continue
+        kn = pd.isna(karr[idx])
+        if not kn.any():
+            continue
+        if f.skip_nulls:
+            idx = idx[~kn]
+        else:
+            return None
     if dkey is not None:
         # `distinct k` — keep FIRST fact per key in stream order
         # (reference ToCore/Fold.hs:477-559: Map k Unit + lookup guard).
@@ -176,6 +189,11 @@ def _feature_value(
     if gkey is not None:
         # `group k ~> agg` — map from key to sub-aggregate
         # (reference ToCore/Fold.hs:413-475, map of accumulators).
+        # Possibly semantics poison the WHOLE map when any visible
+        # element value is null (t03.1: homer|tombstone), matching
+        # vexec's row-level poison.
+        if not f.skip_nulls and pd.isna(v).any():
+            return None
         keys = gkey[idx]
         out: dict[str, Any] = {}
         for k in pd.unique(keys):

@@ -587,7 +587,13 @@ def _compile_scoped(
         # by this feature's full visibility so absent keys never
         # surface with init values (executor parity).
         ex = F.expr(f.expr)
-        cond = _visibility(f, qt, tcol) & ex.isNotNull()
+        # skip_nulls (enforced by the support gate) drops null values
+        # AND null group keys, like the Arrow executors
+        cond = (
+            _visibility(f, qt, tcol)
+            & ex.isNotNull()
+            & F.expr(f.group).isNotNull()
+        )
         rows = base.where(cond).select(
             *[F.col(k) for k in keys],
             F.expr(f.group).cast("string").alias("__gk"),
@@ -615,7 +621,11 @@ def _compile_scoped(
         # (ToCore/Fold.hs:477-559), then a plain aggregate over those
         # firsts — one rank exchange + one agg exchange.
         ex = F.expr(f.expr)
-        cond = _visibility(f, qt, tcol) & ex.isNotNull()
+        cond = (
+            _visibility(f, qt, tcol)
+            & ex.isNotNull()
+            & F.expr(f.distinct).isNotNull()
+        )
         w = W.partitionBy(
             *[F.col(k) for k in keys], F.expr(f.distinct)
         ).orderBy(*_order_cols(plan))

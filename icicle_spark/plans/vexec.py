@@ -98,10 +98,28 @@ def _feature_series(
         sub["t"] = tns[idx]
     if f.by is not None:
         sub["by"] = eval_expr(f.by, base).to_numpy()[idx]
+    key_poison = None
+    key_null = np.zeros(len(sub), dtype=bool)
     if f.group is not None:
-        sub["gk"] = eval_expr(f.group, base).astype(str).to_numpy()[idx]
+        gk_raw = eval_expr(f.group, base)
+        key_null |= gk_raw.isna().to_numpy()[idx]
+        sub["gk"] = gk_raw.astype(str).to_numpy()[idx]
     if f.distinct is not None:
-        sub["dk"] = eval_expr(f.distinct, base).to_numpy()[idx]
+        dk_raw = eval_expr(f.distinct, base)
+        key_null |= dk_raw.isna().to_numpy()[idx]
+        sub["dk"] = dk_raw.to_numpy()[idx]
+    if key_null.any():
+        # null group/distinct KEY (a Possibly key, e.g. a tombstoned
+        # struct — reference t03.1-distinct-tomb): poisons under
+        # Possibly semantics, drops like an element filter under
+        # skip_nulls.
+        if f.skip_nulls:
+            sub = sub[~key_null]
+        else:
+            key_poison = (
+                np.bincount(sub["seg"].to_numpy()[key_null], minlength=n_seg) > 0
+            )
+    if f.distinct is not None:
         sub = sub.drop_duplicates(["seg", "dk"], keep="first")
     if f.latest is not None:
         sub = sub.groupby("seg", sort=False).tail(f.latest)
@@ -111,6 +129,8 @@ def _feature_series(
         # entity's aggregate — same order as plans.executor.
         nn = pd.isna(sub["v"]).to_numpy()
         poison = np.bincount(sub["seg"].to_numpy()[nn], minlength=n_seg) > 0
+        if key_poison is not None:
+            poison = poison | key_poison
 
     agg = f.agg
     if f.group is not None:

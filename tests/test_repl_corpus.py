@@ -691,3 +691,56 @@ def test_t01_2_trig(spark, salary):
     assert row["cos0"] == 1.0 and row["cosh0"] == 1.0 and row["tanh0"] == 0.0
     assert row["wrap"] == pytest.approx(1.0)
     assert row["poss"] is None  # error propagates, never NaN
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t03_1_distinct_tomb(spark, strategy):
+    """t03.1-distinct-tomb goldens (injury stream where homer's last
+    fact is a tombstone — location is Possibly, time is Definitely):
+    distinct/group over the POSSIBLY key tombstones homer; over the
+    definite time key, only value-aggregates of location tombstone;
+    `distinct time ~> count time` = 5/2, `group time ~> count time`
+    = all-ones maps."""
+    rows = [
+        ("homer", "1989-12-17", "head", False),
+        ("homer", "1990-01-01", "head", False),
+        ("homer", "1994-01-01", "arm", False),
+        ("homer", "1999-01-01", "torso", False),
+        ("homer", "2010-01-01", None, True),
+        ("marge", "1989-12-17", "head", False),
+        ("marge", "1990-01-01", "head", False),
+    ]
+    pdf = pd.DataFrame(rows, columns=["entity", "time", "location", "tombstone"])
+    pdf["time"] = pd.to_datetime(pdf["time"])
+    pdf["seq"] = np.arange(len(pdf))
+    injury = spark.createDataFrame(pdf)
+
+    tkey = lambda p: p["time"].dt.strftime("%Y-%m-%d")  # noqa: E731
+    plan = _plan(
+        # Possibly distinct key -> homer poisoned, marge 1
+        Feature("d_loc_cnt", Agg.COUNT, "location", distinct="location"),
+        # definite distinct key, Possibly value -> homer poisoned, marge 2
+        Feature("d_time_loc", Agg.COUNT, "location", distinct=tkey),
+        # definite key, definite value -> 5 / 2
+        Feature(
+            "d_time_time", Agg.COUNT, lambda p: p["time"], distinct=tkey,
+        ),
+        # Possibly group key -> homer poisoned; marge {head: 2}
+        Feature("g_loc", Agg.COUNT, "location", group="location"),
+        # definite group key, Possibly value -> homer poisoned
+        Feature("g_time_loc", Agg.COUNT, "location", group=tkey),
+        # definite everywhere -> all-ones map per time
+        Feature("g_time_time", Agg.COUNT, lambda p: p["time"], group=tkey),
+    )
+    r = _run(injury, plan, strategy)
+    assert pd.isna(r.loc["homer", "d_loc_cnt"])
+    assert r.loc["marge", "d_loc_cnt"] == 1
+    assert pd.isna(r.loc["homer", "d_time_loc"])
+    assert r.loc["marge", "d_time_loc"] == 2
+    assert r.loc["homer", "d_time_time"] == 5
+    assert r.loc["marge", "d_time_time"] == 2
+    assert r.loc["homer", "g_loc"] is None
+    assert {k: int(v) for k, v in r.loc["marge", "g_loc"].items()} == {"head": 2}
+    assert r.loc["homer", "g_time_loc"] is None
+    assert len(r.loc["homer", "g_time_time"]) == 5
+    assert all(int(v) == 1 for v in r.loc["homer", "g_time_time"].values())
