@@ -27,16 +27,19 @@ def build_plan(args) -> "Plan":
     registry for real deployments."""
     from icicle_spark.plans import Agg, Feature, Plan, Window
 
+    v = args.value_col
     return Plan(
         [
-            Feature("sum_ntok", Agg.SUM, "n_tok", skip_nulls=True),
-            Feature("cnt", Agg.COUNT, "n_tok", skip_nulls=True),
-            Feature("mean_ntok", Agg.MEAN, "n_tok", skip_nulls=True),
-            Feature("newest_ntok", Agg.NEWEST, "n_tok", skip_nulls=True),
-            Feature("win30_sum", Agg.SUM, "n_tok", window=Window(30),
+            Feature("sum_v", Agg.SUM, v, skip_nulls=True),
+            Feature("cnt", Agg.COUNT, v, skip_nulls=True),
+            Feature("mean_v", Agg.MEAN, v, skip_nulls=True),
+            Feature("newest_v", Agg.NEWEST, v, skip_nulls=True),
+            Feature("win30_sum", Agg.SUM, v, window=Window(30),
                     skip_nulls=True),
-            Feature("latest5_mean", Agg.MEAN, "n_tok", latest=5,
+            Feature("latest5_mean", Agg.MEAN, v, latest=5,
                     skip_nulls=True),
+            Feature("decay7", Agg.DECAYED_SUM, v,
+                    half_life_days=7.0, skip_nulls=True),
         ],
         entity_col=args.entity_col,
         time_col=args.time_col,
@@ -53,6 +56,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--entity-col", default="doc_id")
     ap.add_argument("--time-col", default="event_time")
     ap.add_argument("--seq-col", default="seq")
+    ap.add_argument("--value-col", default="n_tok")
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     ap.add_argument("--strategy", default="native")
     ap.add_argument("--checkpoint", help="write fold states here")

@@ -105,6 +105,34 @@ def main() -> int:
         ],
     )
 
+    from icicle_spark.plans import run_plan as _run_plan
+    from pyspark.sql import functions as FF
+
+    chords = facts.groupBy("doc_id").agg(FF.max("event_time").alias("query_time"))
+    chord_df = _run_plan(
+        facts,
+        Plan(
+            [Feature("s", Agg.SUM, "n_tok", skip_nulls=True),
+             Feature("l5", Agg.MEAN, "n_tok", latest=5, skip_nulls=True)],
+            entity_col="doc_id", time_col="event_time", seq_col="seq",
+        ),
+        chords=chords,
+        strategy="auto",
+    )
+    t4 = plan_text(chord_df)
+    ex4 = count(r"\(\d+\) Exchange", t4)
+    check(
+        "vectorized chord executor",
+        t4,
+        [
+            ("single co-partition exchange feeds the as-of pass "
+             f"(got {ex4} <= 2 incl. the chord-build agg)", ex4 <= 2),
+            ("union of facts+chords present", "Union" in t4),
+            ("arrow pass present (mapInPandas)",
+             "MapInPandas" in t4 or "PythonMapInArrow" in t4),
+        ],
+    )
+
     from icicle_spark.operators.similarity import brute_force_topk
 
     emb = spark.createDataFrame(
