@@ -383,7 +383,7 @@ agged AS (
          sum(CASE WHEN prev IS NOT NULL AND event_type <> prev THEN 1 ELSE 0 END) AS flips
   FROM lagged GROUP BY user_id
 )
-SELECT s.user_id, coalesce(flips, 0) AS flips
+SELECT s.user_id, CAST(coalesce(flips, 0) AS BIGINT) AS flips
 FROM spine s LEFT JOIN agged USING (user_id)
 """.format(snap=SNAP)
 
@@ -510,8 +510,8 @@ WITH flagged AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_id, user_id,
-       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
 FROM flagged
 """
 
@@ -609,6 +609,32 @@ best AS (
   FROM scores GROUP BY doc_id
 )
 SELECT doc_id, CASE WHEN b.s > 0 THEN b.l ELSE 'unk' END AS lang_pred FROM best
+"""
+
+
+_GREPL_PAT = r"\b(sc[a-z]+|st[a-z]+m|qu[aeiou]ry)\b"
+
+
+def q_grepl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grepl regex surface (reference Builtin.hs:106-108, DFA engine
+    icicle-data/src/Icicle/Data/Regex.hs): boolean match + match count
+    per document — pure JVM regex inside whole-stage codegen."""
+    from icicle_spark.functions.text import grepl, grepl_count
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        grepl(_GREPL_PAT, F.col("text")).alias("has_match"),
+        grepl_count(_GREPL_PAT, F.col("text")).cast("bigint").alias("n_matches"),
+    )
+
+
+_GREPL_SQL = r"""
+SELECT doc_id,
+       regexp_matches(text, '\b(sc[a-z]+|st[a-z]+m|qu[aeiou]ry)\b') AS has_match,
+       CAST(len(regexp_extract_all(text, '\b(sc[a-z]+|st[a-z]+m|qu[aeiou]ry)\b'))
+            AS BIGINT) AS n_matches
+FROM documents
 """
 
 
@@ -948,7 +974,7 @@ WITH withnext AS (
   FROM events WHERE ts < TIMESTAMP '{snap}'
 )
 SELECT user_id, event_type,
-       sum(date_diff('day', ts::DATE, coalesce(next_ts, TIMESTAMP '{snap}')::DATE)) AS days_in_state
+       CAST(sum(date_diff('day', ts::DATE, coalesce(next_ts, TIMESTAMP '{snap}')::DATE)) AS BIGINT) AS days_in_state
 FROM withnext GROUP BY user_id, event_type
 """.format(snap=SNAP)
 
@@ -1644,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "text_token_count": q_text_token_count,
         "lang_id": q_lang_id,
+        "grepl_filter": q_grepl_filter,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1701,6 +1728,7 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": _SESSION_STATS_SQL,
         "text_token_count": _TOKEN_COUNT_SQL,
         "lang_id": _langid_sql(),
+        "grepl_filter": _GREPL_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "ngram_jaccard": _NGRAM_SQL,
         "embed_topk": _EMBED_SQL,

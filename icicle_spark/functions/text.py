@@ -88,6 +88,26 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def grepl(pattern: str, text: Column) -> Column:
+    """``grepl pattern text``: True when the regex matches anywhere in
+    the string, null on null input (reference
+    icicle-source/src/Icicle/Source/Query/Builtin.hs:106-108; the
+    reference compiles patterns to a DFA in
+    icicle-data/src/Icicle/Data/Regex.hs — here the JVM regex engine
+    via ``rlike`` does the same unanchored search inside whole-stage
+    codegen)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return c.rlike(pattern)
+
+
+def grepl_count(pattern: str, text: Column) -> Column:
+    """Number of non-overlapping regex matches in the string (engine
+    extension over the reference's boolean grepl — the daily
+    training-data-pipeline form)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(pattern))
+
+
 def doc_fingerprint(text: Column, normalize: bool = True) -> Column:
     """64-bit content fingerprint: xxhash64 of the normalized word
     stream — a deterministic rolling-hash analogue for exact-dup keys."""

@@ -17,8 +17,6 @@ Scale design:
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
@@ -295,35 +293,41 @@ def ngram_jaccard_pairs(
     )
 
 
-def _h64(word: str) -> np.uint64:
-    """Deterministic 64-bit token hash (process-independent — never
-    python ``hash()``, which is salted per interpreter)."""
-    return np.frombuffer(
-        hashlib.blake2b(word.encode("utf-8"), digest_size=8).digest(),
-        dtype=np.uint64,
-    )[0]
+def _raw_word_hashes(text_col):
+    """Full-width xxhash64 per normalized word (JVM-side, whole-stage
+    codegen) — deterministic and process-independent."""
+    return F.transform(_norm_tokens(text_col), lambda t: F.xxhash64(t))
 
 
-def _simhash64_batch(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens (vectorized per Arrow batch)."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if t is None:
-            continue
-        toks = [
-            w
-            for w in "".join(c if c.isalnum() else " " for c in t.lower()).split()
-            if w
-        ]
-        if not toks:
-            continue
-        hs = np.array([_h64(w) for w in toks], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-        vote = bits.sum(axis=0) * 2 - len(toks)
-        fp = np.uint64(0)
-        for bpos in np.nonzero(vote > 0)[0]:
-            fp |= np.uint64(1) << np.uint64(bpos)
-        out[i] = fp.astype(np.int64)
+def _simhash_from_hashes(hash_arrays: pd.Series) -> pd.Series:
+    """64-bit SimHash bit-majority over precomputed word hashes: the
+    tokenizing + hashing already happened JVM-side; here one segmented
+    ``np.add.reduceat`` per bit position per Arrow BATCH (64 linear
+    passes over the flattened hash vector — no per-word Python, same
+    shape as minhash_signature_arrow's per-perm reduce)."""
+    n = len(hash_arrays)
+    lens = np.fromiter(
+        (0 if h is None else len(h) for h in hash_arrays),
+        dtype=np.int64, count=n,
+    )
+    out = np.zeros(n, dtype=np.int64)
+    total = int(lens.sum())
+    if n == 0 or total == 0:
+        return pd.Series(out)
+    flat = np.concatenate(
+        [np.asarray(h, dtype=np.int64) for h in hash_arrays
+         if h is not None and len(h)]
+    ).view(np.uint64)
+    starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    nonempty = lens > 0
+    ne_starts = starts[nonempty]
+    ne_lens = lens[nonempty]
+    fps = np.zeros(int(nonempty.sum()), dtype=np.uint64)
+    for bpos in range(64):
+        bit = ((flat >> np.uint64(bpos)) & np.uint64(1)).astype(np.int64)
+        ones = np.add.reduceat(bit, ne_starts)
+        fps |= np.uint64(1 << bpos) * (2 * ones > ne_lens)
+    out[nonempty] = fps.view(np.int64)
     return pd.Series(out)
 
 
@@ -332,13 +336,19 @@ def simhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: pigeonhole over 4×16-bit chunks (any
     pair with hamming<=3 must agree on >=1 chunk), verified by exact
-    hamming distance."""
+    hamming distance. Degenerate chunk buckets (boilerplate corpora
+    share 16-bit chunks) are capped at ``max_bucket`` members, same as
+    the MinHash band join, to keep the candidate join from going
+    quadratic at corpus scale."""
     # built lazily: pandas_udf parses its DDL type against the active session
-    simhash64 = pandas_udf(_simhash64_batch, "long")
-    fp = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("fp"))
+    simhash64 = pandas_udf(_simhash_from_hashes, "long")
+    fp = docs.select(
+        F.col(id_col), simhash64(_raw_word_hashes(text_col)).alias("fp")
+    )
     chunks = fp.select(
         id_col,
         "fp",
@@ -356,6 +366,10 @@ def simhash_dedup_pairs(
             )
         ).alias("c"),
     ).select(id_col, "fp", F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
+    # cap degenerate chunk buckets (mirror of the MinHash band cap)
+    chunks = chunks.withColumn(
+        "__bn", F.count(F.lit(1)).over(W.partitionBy("ck", "cv"))
+    ).where(F.col("__bn") <= max_bucket)
     a = chunks.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fa"), "ck", "cv")
     b = chunks.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fb"), "ck", "cv")
     cand = (

@@ -88,7 +88,7 @@ class _FeatureArrays:
     __slots__ = (
         "times", "pass_cum", "vals", "cum", "cumsq",
         "true_cum", "null_cum", "cmin", "cmax", "codes",
-        "dcum", "lam", "t0_s",
+        "dcum", "lam", "dera_w", "dseg", "dseg_start",
     )
 
     def __init__(self, f: Feature, facts: pd.DataFrame, codes: np.ndarray,
@@ -133,15 +133,34 @@ class _FeatureArrays:
             self.cum = np.concatenate([[0.0], np.cumsum(z)])
             self.cumsq = np.concatenate([[0.0], np.cumsum(z * z)])
             if f.agg is Agg.DECAYED_SUM:
-                # sum v*2^(-(qt-t)/hl) = e^(-lam*(qt-T0)) * sum v*e^(lam*(t-T0))
-                # with T0 = newest chunk fact: weights <= ~1, and facts
-                # so old they underflow contribute ~0 exactly as the
-                # direct formula would (< 1e-300).
+                # sum v*2^(-(qt-t)/hl) via era-segmented prefix sums.
+                # A single anchor at the chunk's newest fact underflows
+                # for facts ≳1075 half-lives older than it — wrong when
+                # the chord's qt is near those old facts. Instead bucket
+                # time into fixed eras of width W = 600/lam seconds and
+                # anchor each row's weight at its era END, so exponents
+                # stay in [-600, 0]; _eval_chord re-anchors each era at
+                # qt and stops once an era's multiplier underflows
+                # (those facts are < 1e-300 of the result in exact math
+                # too). At most ~3 eras are live per evaluation.
                 self.lam = np.log(2.0) / (float(f.half_life_days) * 86_400.0)
+                self.dera_w = 600.0 / self.lam
                 t_s = self.times.astype("float64") / 1e9
-                self.t0_s = float(t_s.max()) if len(t_s) else 0.0
-                z2 = z * np.exp(self.lam * (t_s - self.t0_s))
+                seg = np.floor(t_s / self.dera_w).astype(np.int64)
+                z2 = z * np.exp(self.lam * (t_s - (seg + 1) * self.dera_w))
                 self.dcum = np.concatenate([[0.0], np.cumsum(z2)])
+                self.dseg = seg
+                if len(seg):
+                    # first compacted index of each (entity, era) run
+                    change = np.ones(len(seg), dtype=bool)
+                    change[1:] = (seg[1:] != seg[:-1]) | (
+                        self.codes[1:] != self.codes[:-1]
+                    )
+                    self.dseg_start = np.flatnonzero(change)[
+                        np.cumsum(change) - 1
+                    ]
+                else:
+                    self.dseg_start = np.zeros(0, dtype=np.int64)
             else:
                 self.dcum = None
             if f.agg in (Agg.MIN, Agg.MAX) and len(v):
@@ -190,10 +209,21 @@ def _eval_chord(
     if agg is Agg.SUM:
         return float(fa.cum[hi] - fa.cum[lo])
     if agg is Agg.DECAYED_SUM:
+        # walk era runs newest→oldest; stop when an era's re-anchor
+        # multiplier underflows (every older era underflows harder)
         qt_s = qt.value / 1e9
-        return float(
-            np.exp(-fa.lam * (qt_s - fa.t0_s)) * (fa.dcum[hi] - fa.dcum[lo])
-        )
+        total = 0.0
+        e = hi
+        while e > lo:
+            i = e - 1
+            b = max(int(fa.dseg_start[i]), lo)
+            anchor = (float(fa.dseg[i]) + 1.0) * fa.dera_w
+            mult = np.exp(-fa.lam * (qt_s - anchor))
+            if mult == 0.0:
+                break
+            total += mult * (fa.dcum[e] - fa.dcum[b])
+            e = b
+        return float(total)
     if agg is Agg.MEAN:
         return float((fa.cum[hi] - fa.cum[lo]) / nvalid)
     if agg in (Agg.VARIANCE, Agg.SD):

@@ -26,6 +26,7 @@ Two compilers consume this IR:
 from __future__ import annotations
 
 import enum
+import math
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -175,10 +176,28 @@ class Plan:
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate feature names: {names}")
         for f in self.features:
-            if f.agg is Agg.DECAYED_SUM and not f.half_life_days:
-                raise ValueError(
-                    f"feature {f.name}: DECAYED_SUM requires half_life_days"
-                )
+            if f.agg is Agg.DECAYED_SUM:
+                hl = f.half_life_days
+                if (
+                    hl is None
+                    or not isinstance(hl, (int, float))
+                    or isinstance(hl, bool)
+                    or not math.isfinite(float(hl))
+                    or float(hl) <= 0.0
+                ):
+                    raise ValueError(
+                        f"feature {f.name}: DECAYED_SUM requires a finite "
+                        f"half_life_days > 0, got {hl!r}"
+                    )
+                if f.group is not None or f.distinct is not None:
+                    # per-key decayed sums are not implemented in any
+                    # backend (executor._feature_value returns the scalar
+                    # before the group branch; vexec has no pandas agg) —
+                    # reject up front instead of crashing at Arrow time
+                    raise ValueError(
+                        f"feature {f.name}: DECAYED_SUM does not support "
+                        "group/distinct"
+                    )
 
     def fuse(self, other: "Plan") -> "Plan":
         """Query fusion: concatenate feature sets over the same input

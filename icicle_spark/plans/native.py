@@ -351,20 +351,9 @@ def _finalize_latest(f: Feature, arr: Column) -> Column:
         out = F.element_at(
             F.filter(arr, lambda x: x["b"] == target), 1
         )["v"]
-    elif agg is Agg.DECAYED_SUM:
-        import math
-
-        lam = math.log(2.0) / (float(f.half_life_days) * 86_400.0)
-        age_s = (
-            F.unix_micros(qt.cast("timestamp"))
-            - F.unix_micros(F.col(tcol).cast("timestamp"))
-        ).cast("double") / F.lit(1e6)
-        out = F.coalesce(
-            F.sum(
-                F.when(cond, F.expr(f.expr).cast("double") * F.exp(-F.lit(lam) * age_s))
-            ),
-            F.lit(0.0),
-        )
+    # DECAYED_SUM + latest intentionally has no arm: _feature_native
+    # rejects the combination, so it routes to the executor fallback;
+    # the final else raises rather than leaving a half-wired branch.
     elif agg is Agg.NUMFLIPS:
         pair = F.aggregate(
             vs,

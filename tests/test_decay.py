@@ -83,6 +83,61 @@ def test_decay_chord_prefix_trick(spark, facts):
         assert np.allclose(x[col], y[col], atol=1e-9), col
 
 
+def test_decay_chord_old_qt_long_span(spark):
+    """Short half-life over ~9 years of history with chords near the OLD
+    facts: a single chunk-newest anchor underflows e^(lam*(t-T0)) to 0
+    for facts ≳1075 half-lives older than T0 and would return 0.0 where
+    the true decayed sum is large. The era-segmented prefix arrays must
+    match the direct formula at every chord."""
+    rows = []
+    # entity with facts in 2015 AND 2024 (span ~9y, 3-day half-life
+    # → lam*span ≈ 760 > 745: guaranteed underflow with a global anchor)
+    for d in range(10):
+        rows.append(("old", pd.Timestamp("2015-03-01") + pd.Timedelta(days=d), 10.0))
+    for d in range(10):
+        rows.append(("old", pd.Timestamp("2024-03-01") + pd.Timedelta(days=d), 5.0))
+    pdf = pd.DataFrame(rows, columns=["entity", "time", "value"])
+    pdf["seq"] = np.arange(len(pdf), dtype=np.int64)
+    facts = spark.createDataFrame(pdf)
+    plan = Plan(
+        [Feature("d3", Agg.DECAYED_SUM, "value", half_life_days=3.0,
+                 skip_nulls=True)],
+        entity_col="entity", time_col="time", seq_col="seq",
+    )
+    chord_rows = pd.DataFrame(
+        {
+            "entity": ["old", "old", "old"],
+            "query_time": [
+                pd.Timestamp("2015-03-06"),   # mid the old era
+                pd.Timestamp("2015-04-01"),   # just after the old era
+                pd.Timestamp("2024-03-15"),   # near the newest facts
+            ],
+        }
+    )
+    chords = spark.createDataFrame(chord_rows)
+    lam = np.log(2.0) / (3.0 * 86_400.0)
+
+    def direct(qt):
+        sub = pdf[pdf["time"] < qt]
+        age = (qt - sub["time"]).dt.total_seconds().to_numpy()
+        return float(np.sum(sub["value"].to_numpy() * np.exp(-lam * age)))
+
+    for strat in ["vectorized", "cogroup"]:
+        got = (
+            run_plan(facts, plan, chords=chords, strategy=strat)
+            .toPandas()
+            .sort_values("query_time")
+            .reset_index(drop=True)
+        )
+        for i, qt in enumerate(sorted(chord_rows["query_time"])):
+            expect = direct(qt)
+            assert got.loc[i, "d3"] == pytest.approx(expect, rel=1e-9, abs=1e-12), (
+                strat, qt, expect,
+            )
+        # the 2015 chords see real mass — the regression this guards
+        assert got.loc[0, "d3"] > 1.0
+
+
 def test_decay_numpy_oracle(spark, facts, pdf):
     a = (
         run_plan(facts, PLAN, snapshot=SNAP, strategy="vectorized")

@@ -31,11 +31,35 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
 
 
+def _kind(s: pd.Series) -> str:
+    """Dtype class as the driver's value hash sees it (int vs float matters)."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     if sorted(a.columns) != sorted(b.columns):
         return f"schema: {sorted(a.columns)} vs {sorted(b.columns)}"
     if len(a) != len(b):
         return f"rows: {len(a)} vs {len(b)}"
+    # The driver's value hash is dtype-sensitive: int64 3 and float64 3.0
+    # hash differently even though they compare equal. Mirror that here so
+    # a DuckDB HUGEINT-sum → float64 vs Spark int64 shows red locally
+    # exactly as it would in CORRECTNESS_r{N}.json.
+    for c in sorted(a.columns):
+        ka, kb = _kind(a[c]), _kind(b[c])
+        if ka != kb:
+            return (
+                f"dtype col {c}: spark {a[c].dtype} ({ka}) vs oracle "
+                f"{b[c].dtype} ({kb}) — driver hash would mismatch"
+            )
     a, b = norm(a), norm(b)
     for c in a.columns:
         av, bv = a[c], b[c]
