@@ -320,6 +320,48 @@ GROUP BY user_id, event_type
 """.format(snap=SNAP)
 
 
+def q_group_fold_chord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`group event_type ~> (count, sum)` under CHORD scope — per-entity
+    labelled query times (here: each user's max ts minus 7 days), the
+    map-of-accumulators evaluated as-of each chord."""
+    ev = _events(spark, sf_dir)
+    chords = ev.groupBy("user_id").agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("query_time")
+    )
+    plan = Plan(
+        [
+            Feature("cnt_by_type", Agg.COUNT, "value", group="event_type", skip_nulls=True),
+            Feature("sum_by_type", Agg.SUM, "value", group="event_type", skip_nulls=True),
+        ],
+        entity_col="user_id",
+        time_col="ts",
+        seq_col="event_id",
+    )
+    res = run_plan(ev, plan, chords=chords)
+    zipped = F.map_zip_with(
+        "cnt_by_type", "sum_by_type", lambda _k, c, s: F.struct(c.alias("c"), s.alias("s"))
+    )
+    return res.select(
+        "user_id", F.explode(zipped).alias("event_type", "cs")
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("cs.c").alias("cnt"),
+        _r(F.col("cs.s"), 6).alias("sum_val"),
+    )
+
+
+_GROUP_CHORD_SQL = """
+WITH qt AS (
+  SELECT user_id, max(ts) - INTERVAL 7 DAY AS qt FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.event_type, count(*) AS cnt, round(sum(e.value), 6) AS sum_val
+FROM events e JOIN qt USING (user_id)
+WHERE e.ts < qt.qt
+GROUP BY e.user_id, e.event_type
+"""
+
+
 def q_distinct_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`distinct event_type ~> sum value` — first fact per key."""
     plan = Plan(
@@ -1660,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_n": q_latest_n,
         "group_fold": q_group_fold,
         "group_fold_native": q_group_fold_native,
+        "group_fold_chord": q_group_fold_chord,
         "distinct_first": q_distinct_first,
         "numflips": q_numflips,
         "stats_moments": q_stats_moments,
@@ -1718,6 +1761,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_n": _LATEST_SQL,
         "group_fold": _GROUP_SQL,
         "group_fold_native": _GROUP_SQL,
+        "group_fold_chord": _GROUP_CHORD_SQL,
         "distinct_first": _DISTINCT_SQL,
         "numflips": _NUMFLIPS_SQL,
         "stats_moments": _STATS_SQL,

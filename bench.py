@@ -31,11 +31,13 @@ HEADLINE = [
     "asof_chord",
     "latest_n",
     "group_fold",
+    "group_fold_chord",
     "scan_running_sum",
     "sessionize",
     "decayed_sum",
     "exact_dedup",
     "minhash_pairs",
+    "simhash_pairs",
     "embed_topk",
     "tpch_q1",
 ]

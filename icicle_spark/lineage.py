@@ -14,9 +14,13 @@ executes a plan, writes the output, and records:
   snapshot time, row counts in/out, wall seconds, engine strategy,
   relevant spark conf
 
-All three land under ``<out>/_lineage/`` beside the data, so a resume
-(plans.resume) or a rerun can verify it consumed exactly the recorded
-inputs.
+The manifests are written as PARQUET DATAFRAMES under
+``<out>/_lineage/{inputs,partitions}`` — never collected to the
+driver: at 10^12-row scale the input manifest is ~10^6 file rows,
+which stays distributed end-to-end. The JSON run record keeps only
+scalar aggregates (counts, sums) of the manifests so a resume
+(plans.resume) or a rerun can verify it consumed exactly the
+recorded inputs.
 """
 
 from __future__ import annotations
@@ -29,7 +33,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
 
-from icicle_spark.plans.ir import Agg, CustomFold, Plan
+from icicle_spark.plans.ir import Agg, Plan
 
 
 def plan_fingerprint(plan: Plan) -> str:
@@ -59,51 +63,29 @@ def plan_fingerprint(plan: Plan) -> str:
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
-def input_manifest(facts: DataFrame, plan: Plan) -> list[dict[str, Any]]:
-    """Per input file: rows, time range, entity-cardinality estimate."""
-    rows = (
-        facts.groupBy(F.input_file_name().alias("file"))
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.min(plan.time_col).alias("min_time"),
-            F.max(plan.time_col).alias("max_time"),
-            F.approx_count_distinct(plan.entity_col).alias("approx_entities"),
-        )
-        .collect()
+def input_manifest(facts: DataFrame, plan: Plan) -> DataFrame:
+    """Per input file: rows, time range, entity-cardinality estimate.
+    Returned as a DataFrame (one row per file) — written, not
+    collected; a 100 TB input has ~10^6 files."""
+    return facts.groupBy(F.input_file_name().alias("file")).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.min(plan.time_col).cast("string").alias("min_time"),
+        F.max(plan.time_col).cast("string").alias("max_time"),
+        F.approx_count_distinct(plan.entity_col).alias("approx_entities"),
     )
-    return [
-        {
-            "file": r["file"],
-            "rows": r["rows"],
-            "min_time": str(r["min_time"]),
-            "max_time": str(r["max_time"]),
-            "approx_entities": r["approx_entities"],
-        }
-        for r in rows
-    ]
 
 
-def output_manifest(result: DataFrame, entity_col: str) -> list[dict[str, Any]]:
-    """Per output partition: id, rows, entity range."""
-    rows = (
-        result.withColumn("__pid", F.spark_partition_id())
-        .groupBy("__pid")
+def output_manifest(result: DataFrame, entity_col: str) -> DataFrame:
+    """Per output partition: id, rows, entity range — as a DataFrame."""
+    return (
+        result.withColumn("partition", F.spark_partition_id())
+        .groupBy("partition")
         .agg(
             F.count(F.lit(1)).alias("rows"),
             F.min(entity_col).cast("string").alias("min_entity"),
             F.max(entity_col).cast("string").alias("max_entity"),
         )
-        .collect()
     )
-    return [
-        {
-            "partition": r["__pid"],
-            "rows": r["rows"],
-            "min_entity": r["min_entity"],
-            "max_entity": r["max_entity"],
-        }
-        for r in sorted(rows, key=lambda r: r["__pid"])
-    ]
 
 
 def run_with_lineage(
@@ -115,7 +97,8 @@ def run_with_lineage(
     strategy: str = "native",
 ) -> dict[str, Any]:
     """Execute the plan, write parquet output + lineage manifests;
-    returns the run record."""
+    returns the run record (scalar summary only — the per-file and
+    per-partition manifests live beside it as parquet)."""
     from icicle_spark.plans import run_plan
 
     spark = facts.sparkSession
@@ -126,14 +109,42 @@ def run_with_lineage(
     result.write.mode("overwrite").parquet(out_path)
     wall = time.time() - t0
     written = spark.read.parquet(out_path)
+    lineage_dir = os.path.join(out_path, "_lineage")
+    inputs_path = os.path.join(lineage_dir, "inputs")
+    parts_path = os.path.join(lineage_dir, "partitions")
+    input_manifest(facts, plan).write.mode("overwrite").parquet(inputs_path)
+    output_manifest(written, plan.entity_col).write.mode("overwrite").parquet(
+        parts_path
+    )
+    # scalar rollups of the manifests (aggregate-only — no row collect)
+    in_sum = (
+        spark.read.parquet(inputs_path)
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("rows").alias("rows"),
+            F.min("min_time").alias("min_time"),
+            F.max("max_time").alias("max_time"),
+        )
+        .first()
+    )
+    out_sum = (
+        spark.read.parquet(parts_path)
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.sum("rows").alias("rows"))
+        .first()
+    )
     record = {
         "plan_fingerprint": plan_fingerprint(plan),
         "features": [f.name for f in plan.features],
         "snapshot": str(snapshot) if snapshot is not None else None,
         "strategy": strategy,
-        "rows_in": facts.count(),
-        "rows_out": written.count(),
+        "rows_in": in_sum["rows"],
+        "rows_out": out_sum["rows"],
         "wall_seconds": round(wall, 3),
+        "input_files": in_sum["n_files"],
+        "input_time_range": [in_sum["min_time"], in_sum["max_time"]],
+        "output_partitions": out_sum["n_parts"],
+        "inputs_manifest": "_lineage/inputs",
+        "partitions_manifest": "_lineage/partitions",
         "spark_conf": {
             k: spark.conf.get(k, None)
             for k in (
@@ -142,11 +153,7 @@ def run_with_lineage(
                 "spark.master",
             )
         },
-        "inputs": input_manifest(facts, plan),
-        "output_partitions": output_manifest(written, plan.entity_col),
     }
-    lineage_dir = os.path.join(out_path, "_lineage")
-    os.makedirs(lineage_dir, exist_ok=True)
     with open(os.path.join(lineage_dir, "manifest.json"), "w") as fh:
         json.dump(record, fh, indent=2)
     return record

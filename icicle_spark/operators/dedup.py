@@ -338,12 +338,18 @@ def simhash_dedup_pairs(
     max_hamming: int = 3,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: pigeonhole over 4×16-bit chunks (any
-    pair with hamming<=3 must agree on >=1 chunk), verified by exact
-    hamming distance. Degenerate chunk buckets (boilerplate corpora
-    share 16-bit chunks) are capped at ``max_bucket`` members, same as
-    the MinHash band join, to keep the candidate join from going
-    quadratic at corpus scale."""
+    """Near-dup pairs by SimHash: pigeonhole over ``max_hamming + 1``
+    bit-chunks of the 64-bit fingerprint (any pair within the hamming
+    budget must agree on >=1 chunk — exact, not probabilistic),
+    verified by exact hamming distance. Degenerate chunk buckets
+    (boilerplate corpora share chunk values) are capped at
+    ``max_bucket`` members, same as the MinHash band join, to keep the
+    candidate join from going quadratic at corpus scale."""
+    n_chunks = max_hamming + 1
+    if n_chunks < 1 or n_chunks > 16:
+        raise ValueError("max_hamming must be in [0, 15]")
+    # chunk bit-boundaries: n_chunks near-equal slices of the 64 bits
+    bounds = [round(64 * i / n_chunks) for i in range(n_chunks + 1)]
     # built lazily: pandas_udf parses its DDL type against the active session
     simhash64 = pandas_udf(_simhash_from_hashes, "long")
     fp = docs.select(
@@ -357,11 +363,15 @@ def simhash_dedup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("ck"),
-                        F.shiftrightunsigned("fp", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cv"),
+                        (
+                            F.col("fp")
+                            if bounds[i + 1] - bounds[i] >= 64
+                            else F.shiftrightunsigned("fp", bounds[i]).bitwiseAND(
+                                F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+                            )
+                        ).alias("cv"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),

@@ -353,35 +353,49 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: score only corpus rows sharing an LSH bucket
     with the query in ANY of ``n_tables`` hash tables. Recall grows
-    with n_tables; cost ~ corpus/2^n_planes per table per query."""
+    with n_tables; cost ~ corpus/2^n_planes per table per query.
+
+    ``dim`` is required: inferring it would need a driver-side action
+    against the corpus before the plan even builds. All tables' buckets
+    are emitted from ONE corpus scan (explode of per-table structs),
+    not n_tables unioned re-scans."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    pieces_c = []
-    pieces_q = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        pieces_c.append(
-            corpus.select(
-                F.col(id_col),
-                F.col(vec_col),
-                F.lit(t).alias("__tbl"),
-                lsh_bucket(F.col(vec_col), planes).alias("__bkt"),
+        raise ValueError(
+            "lsh_topk requires dim (embedding width); inferring it would "
+            "scan the corpus driver-side"
+        )
+
+    def _all_buckets(vec) -> "F.Column":
+        # one (table, bucket) struct per hash table, exploded from a
+        # single scan of the source
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket(
+                            vec, _hyperplanes(dim, n_planes, seed + t)
+                        ).alias("b"),
+                    )
+                    for t in range(n_tables)
+                ]
             )
         )
-        pieces_q.append(
-            queries.select(
-                F.col(query_id_col),
-                F.col(vec_col).alias("__qvec"),
-                F.lit(t).alias("__tbl"),
-                lsh_bucket(F.col(vec_col), planes).alias("__bkt"),
-            )
-        )
-    c_all = pieces_c[0]
-    for p in pieces_c[1:]:
-        c_all = c_all.unionByName(p)
-    q_all = pieces_q[0]
-    for p in pieces_q[1:]:
-        q_all = q_all.unionByName(p)
+
+    c_all = corpus.select(
+        F.col(id_col), F.col(vec_col), _all_buckets(F.col(vec_col)).alias("__tb")
+    ).select(
+        id_col, vec_col,
+        F.col("__tb.t").alias("__tbl"), F.col("__tb.b").alias("__bkt"),
+    )
+    q_all = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        _all_buckets(F.col(vec_col)).alias("__tb"),
+    ).select(
+        query_id_col, "__qvec",
+        F.col("__tb.t").alias("__tbl"), F.col("__tb.b").alias("__bkt"),
+    )
     cand = (
         c_all.join(F.broadcast(q_all), on=["__tbl", "__bkt"])
         .dropDuplicates([query_id_col, id_col])

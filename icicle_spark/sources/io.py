@@ -9,9 +9,11 @@ supported for parity.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -47,9 +49,90 @@ def read_psv_facts(spark: SparkSession, path: str) -> DataFrame:
     return df.withColumn("time", F.to_timestamp("time"))
 
 
-def write_output(df: DataFrame, path: str, fmt: str = "parquet") -> None:
-    w = df.write.mode("overwrite")
+def _psv_encoding(dt: T.DataType) -> dict:
+    """Spark type -> reference PsvEncoding JSON
+    (icicle-compiler/src/Icicle/Runtime/Serial/Psv/Schema.hs:83-90,
+    197-215: {"primitive": ...} | {"struct": [...]} | {"listof": ...}
+    | {"pairof": [a, b]})."""
+    if isinstance(dt, T.BooleanType):
+        return {"primitive": "boolean"}
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return {"primitive": "int"}
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return {"primitive": "double"}
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return {"primitive": "date"}
+    if isinstance(dt, T.ArrayType):
+        return {"listof": _psv_encoding(dt.elementType)}
+    if isinstance(dt, T.MapType):
+        # reference maps serialize as a list of key/value pairs
+        return {
+            "listof": {
+                "pairof": [
+                    _psv_encoding(dt.keyType),
+                    _psv_encoding(dt.valueType),
+                ]
+            }
+        }
+    if isinstance(dt, T.StructType):
+        return {
+            "struct": [
+                {
+                    "index": i,
+                    "name": f.name,
+                    "encoding": _psv_encoding(f.dataType),
+                }
+                for i, f in enumerate(dt.fields)
+            ]
+        }
+    return {"primitive": "string"}
+
+
+def psv_schema(
+    df: DataFrame, entity_col: str = "entity", missing_value: str = "NA"
+) -> dict:
+    """The reference's PSV schema sidecar JSON (Schema.hs:234-299:
+    version/encoding_version "1", entity_id at index 0, one attribute
+    entry per output column)."""
+    cols = [f for f in df.schema.fields if f.name != entity_col]
+    return {
+        "version": "1",
+        "encoding_version": "1",
+        "global_properties": {"missing_value": missing_value},
+        "entity_id": {"index": 0, "encoding": "string"},
+        "attributes": [
+            {"index": i, "name": f.name, "encoding": _psv_encoding(f.dataType)}
+            for i, f in enumerate(cols)
+        ],
+    }
+
+
+def write_output(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    entity_col: str = "entity",
+    missing_value: str = "NA",
+) -> None:
+    """Write results; PSV output also writes the reference's
+    ``_schema.json`` sidecar beside the data (parquet/Iceberg are
+    self-describing, so only PSV needs one)."""
     if fmt == "psv":
-        w.option("sep", "|").csv(path)
+        # complex columns serialize to JSON text in the PSV cells (the
+        # sidecar records their logical encoding); CSV itself only
+        # carries atomic types
+        flat = df.select(
+            *[
+                F.to_json(f.name).alias(f.name)
+                if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
+        flat.write.mode("overwrite").option("sep", "|").option(
+            "nullValue", missing_value
+        ).csv(path)
+        with open(os.path.join(path, "_schema.json"), "w") as fh:
+            json.dump(psv_schema(df, entity_col, missing_value), fh, indent=2)
     else:
-        w.parquet(path)
+        df.write.mode("overwrite").parquet(path)

@@ -1,0 +1,106 @@
+"""Dedup operator semantics on planted duplicates.
+
+Pins the SimHash rework (JVM word hashes + segmented numpy bit-vote):
+the pigeonhole banding must be EXACT for hamming <= max_hamming — every
+such pair surfaces (verified against brute-force hamming over the
+fingerprints) — and the degenerate-bucket cap must bound candidate
+growth on boilerplate corpora.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from icicle_spark.operators.dedup import (
+    _raw_word_hashes,
+    _simhash_from_hashes,
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash_dedup_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(7)
+    vocab = BASE.split()
+    rows = []
+    # 0/1: exact dup; 2: near dup of 0 (one word changed); 3..22 random
+    rows.append((0, BASE))
+    rows.append((1, BASE))
+    rows.append((2, BASE.replace("windowsill", "doorstep")))
+    for i in range(3, 23):
+        rows.append((i, " ".join(rng.choice(vocab, size=30))))
+    # 100..109: identical boilerplate block (bucket-cap fodder)
+    for i in range(100, 110):
+        rows.append((i, "lorem ipsum dolor sit amet " * 6))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).cache()
+
+
+def _fingerprints(docs_df) -> pd.DataFrame:
+    simhash64 = pandas_udf(_simhash_from_hashes, "long")
+    return docs_df.select(
+        "doc_id", simhash64(_raw_word_hashes("text")).alias("fp")
+    ).toPandas()
+
+
+def test_exact_dedup_keeps_one_per_text(docs):
+    kept = exact_dedup(docs).toPandas()
+    # 0/1 collapse to one; the 10 boilerplate docs collapse to one
+    assert len(kept) == 33 - 1 - 9
+    assert 0 in set(kept["doc_id"]) and 1 not in set(kept["doc_id"])
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    pairs = minhash_dedup_pairs(docs, threshold=0.5).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+
+
+def test_simhash_banding_is_exact_for_hamming_budget(docs):
+    fp = _fingerprints(docs)
+    f = dict(zip(fp["doc_id"], fp["fp"]))
+    ids = sorted(f)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((f[a] ^ f[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got_df = simhash_dedup_pairs(docs, max_bucket=10_000).toPandas()
+    got = set(map(tuple, got_df[["id_a", "id_b"]].values))
+    assert got == expected
+    assert (0, 1) in got  # exact dup -> hamming 0
+    # reported hamming agrees with brute force
+    for _, r in got_df.iterrows():
+        bf = bin((f[r["id_a"]] ^ f[r["id_b"]]) & ((1 << 64) - 1)).count("1")
+        assert r["hamming"] == bf
+
+
+def test_simhash_bucket_cap_suppresses_degenerate_buckets(docs):
+    # the 10 identical boilerplate docs put >cap members in every chunk
+    # bucket; with a tiny cap those pairs must be dropped, while the
+    # planted near-dup trio (bucket size 3) survives
+    pairs = simhash_dedup_pairs(docs, max_bucket=5).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert not any(a >= 100 and b >= 100 for a, b in got)
+    assert (0, 1) in got
+
+
+def test_simhash_wider_hamming_budget_is_superset(docs):
+    p3 = simhash_dedup_pairs(docs, max_hamming=3, max_bucket=10_000).toPandas()
+    p5 = simhash_dedup_pairs(docs, max_hamming=5, max_bucket=10_000).toPandas()
+    s3 = set(map(tuple, p3[["id_a", "id_b"]].values))
+    s5 = set(map(tuple, p5[["id_a", "id_b"]].values))
+    assert s3 <= s5

@@ -38,3 +38,36 @@ def test_psv_roundtrip_sum(spark, tmp_path):
         .set_index("entity")
     )
     assert r.loc["homer", "s"] == 1500 and r.loc["marge", "s"] == 30
+
+
+def test_psv_output_schema_sidecar(spark, tmp_path):
+    """PSV output writes the reference's _schema.json sidecar
+    (Runtime/Serial/Psv/Schema.hs:234-299): version "1", entity_id at
+    index 0, one attribute per non-entity column with the reference's
+    encoding JSON ({"primitive": ...} / {"listof": ...} /
+    {"struct": [...]})."""
+    import json
+    import os
+
+    from icicle_spark.sources.io import write_output
+
+    df = spark.createDataFrame(
+        [("homer", 1500, 300.0, [1, 2], {"a": 1})],
+        "entity string, s long, m double, arr array<int>, mp map<string,int>",
+    )
+    out = str(tmp_path / "out_psv")
+    write_output(df, out, fmt="psv")
+    schema = json.load(open(os.path.join(out, "_schema.json")))
+    assert schema["version"] == "1" and schema["encoding_version"] == "1"
+    assert schema["entity_id"] == {"index": 0, "encoding": "string"}
+    assert schema["global_properties"]["missing_value"] == "NA"
+    enc = {a["name"]: a["encoding"] for a in schema["attributes"]}
+    assert enc["s"] == {"primitive": "int"}
+    assert enc["m"] == {"primitive": "double"}
+    assert enc["arr"] == {"listof": {"primitive": "int"}}
+    assert enc["mp"] == {
+        "listof": {"pairof": [{"primitive": "string"}, {"primitive": "int"}]}
+    }
+    # the data itself is still readable PSV
+    back = spark.read.option("sep", "|").csv(out)
+    assert back.count() == 1

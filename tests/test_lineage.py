@@ -29,9 +29,16 @@ def test_lineage_manifest(spark, tmp_path):
     rec = run_with_lineage(facts, plan, out, snapshot=SNAPSHOT)
     assert rec["rows_in"] == n_in
     assert rec["rows_out"] == n_entities
-    assert sum(i["rows"] for i in rec["inputs"]) == n_in
-    assert sum(p["rows"] for p in rec["output_partitions"]) == n_entities
-    assert all(i["file"].startswith("file:") for i in rec["inputs"])
+    # manifests are parquet DataFrames beside the output, not collected
+    inputs = spark.read.parquet(os.path.join(out, rec["inputs_manifest"])).toPandas()
+    parts = spark.read.parquet(
+        os.path.join(out, rec["partitions_manifest"])
+    ).toPandas()
+    assert inputs["rows"].sum() == n_in
+    assert parts["rows"].sum() == n_entities
+    assert rec["input_files"] == len(inputs)
+    assert rec["output_partitions"] == len(parts)
+    assert inputs["file"].str.startswith("file:").all()
     on_disk = json.load(open(os.path.join(out, "_lineage", "manifest.json")))
     assert on_disk["plan_fingerprint"] == plan_fingerprint(plan)
     # fingerprint is stable and order-insensitive

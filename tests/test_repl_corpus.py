@@ -744,3 +744,166 @@ def test_t03_1_distinct_tomb(spark, strategy):
     assert r.loc["homer", "g_time_loc"] is None
     assert len(r.loc["homer", "g_time_time"]) == 5
     assert all(int(v) == 1 for v in r.loc["homer", "g_time_time"].values())
+
+
+@pytest.mark.parametrize("strategy", ["native", "vectorized", "cogroup"])
+def test_t04_1_filter_pattern(injury, strategy):
+    """t04.1-filters golden: `filter let "head" = location ~> sum
+    severity` — a literal pattern binding acts as an equality filter.
+    homer head severities 2+1 = 3; marge has no injury facts, so no
+    output row (the spine comes from the input's own entities)."""
+    plan = _plan(
+        Feature(
+            "s", Agg.SUM, "severity", where="location == 'head'",
+            skip_nulls=True,
+        )
+    )
+    r = _run(injury, plan, strategy)
+    assert r.loc["homer", "s"] == 3
+    assert "marge" not in r.index
+
+
+@pytest.fixture(scope="module")
+def gonzo_arrays(spark):
+    """t09.1-group-folds-element data.psv: gonzo, Array Int input."""
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "entity": ["gonzo", "gonzo"],
+            "time": pd.to_datetime(["1989-12-17", "1990-01-01"]),
+            "value": [[1, 2], [2, 3]],
+            "seq": [0, 1],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    # element-context lets (`let lengths = (array fold ...)`) are
+    # per-fact projections — precomputed columns in Spark terms
+    return df.select(
+        "entity", "time", "seq", "value",
+        F.size("value").alias("len_v"),
+        F.aggregate("value", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "sum_v"
+        ),
+        # `group v in 1 ~> group fold (k,v) ~> sum k` = sum of the
+        # map's KEYS = sum of distinct elements
+        F.aggregate(
+            F.array_distinct("value"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("dsum_v"),
+    ).cache()
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t09_1_group_folds_element(gonzo_arrays, strategy):
+    """t09.1-group-folds-element goldens: latest 10 of per-fact array
+    length [2,2]; per-fact array sum [3,5]; the map-keys detour
+    (group v in 1 ~> group fold sum k) also [3,5]."""
+    plan = _plan(
+        Feature("lens", Agg.COLLECT, "len_v", latest=10, skip_nulls=True),
+        Feature("sums", Agg.COLLECT, "sum_v", latest=10, skip_nulls=True),
+        Feature("ksums", Agg.COLLECT, "dsum_v", latest=10, skip_nulls=True),
+    )
+    r = _run(gonzo_arrays, plan, strategy)
+    assert list(r.loc["gonzo", "lens"]) == [2, 2]
+    assert list(r.loc["gonzo", "sums"]) == [3, 5]
+    assert list(r.loc["gonzo", "ksums"]) == [3, 5]
+
+
+@pytest.mark.parametrize("strategy", ["native", "vectorized", "cogroup"])
+def test_t13_1_cases_record(salary, strategy):
+    """t13.1-cases-record goldens (the three WELL-TYPED queries; the
+    other two are desugar errors by design): record construction +
+    case with record/Option patterns over {a = None, b = Some 4}.
+    q1 `{a=Some _}->2; {b=b}->4`      == 4
+    q4 `{a=Some a}->a; {b=None}->2; {a=None}->6`        == 6
+    q5 `{a=Some a}->a; {b=None}->2; {a=None,b=Some b}->b` == 4
+    Options encode as nullable columns, records as structs, case as a
+    first-match F.when chain (reference Constructor.hs record sugar)."""
+    from pyspark.sql import functions as F
+
+    plan = _plan(Feature("c", Agg.COUNT, "value", skip_nulls=True))
+    spine = run_plan(salary, plan, snapshot=SNAP, strategy=strategy)
+    rec = F.struct(
+        F.lit(None).cast("long").alias("a"), F.lit(4).cast("long").alias("b")
+    )
+    q1 = F.when(rec["a"].isNotNull(), F.lit(2)).otherwise(F.lit(4))
+    q4 = (
+        F.when(rec["a"].isNotNull(), rec["a"])
+        .when(rec["b"].isNull(), F.lit(2))
+        .when(rec["a"].isNull(), F.lit(6))
+    )
+    q5 = (
+        F.when(rec["a"].isNotNull(), rec["a"])
+        .when(rec["b"].isNull(), F.lit(2))
+        .when(rec["a"].isNull() & rec["b"].isNotNull(), rec["b"])
+    )
+    r = (
+        spine.select("entity", q1.alias("q1"), q4.alias("q4"), q5.alias("q5"))
+        .toPandas()
+        .set_index("entity")
+    )
+    for ent in ["homer", "marge"]:
+        assert r.loc[ent, "q1"] == 4
+        assert r.loc[ent, "q4"] == 6
+        assert r.loc[ent, "q5"] == 4
+
+
+@pytest.fixture(scope="module")
+def days_catch(spark):
+    """t30.2-array-strings data.psv: Array String facts."""
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        [
+            ("ID00000000", "2014-05-02", ["Blue mackerel", "Short mackerel"]),
+            ("ID00000000", "2014-06-02", ["Blue mackerel", "Wahoo"]),
+            ("ID00000001", "2014-06-02", ["Blue mackerel"]),
+            ("ID00000002", "2014-06-02", ["Atlantic mackerel"]),
+            ("ID00000002", "2014-06-02", ["Wahoo"]),
+        ],
+        columns=["entity", "time", "value"],
+    )
+    pdf["time"] = pd.to_datetime(pdf["time"])
+    pdf["seq"] = np.arange(len(pdf))
+    df = spark.createDataFrame(pdf)
+    # whole-array distinct key: serialize the array once, JVM-side
+    return df.withColumn("vkey", F.to_json("value")).cache()
+
+
+@pytest.mark.parametrize("strategy", ["native", "vectorized", "cogroup"])
+def test_t30_2_array_strings(days_catch, strategy):
+    """t30.2-array-strings golden: `distinct value ~> fold c = 0 then
+    c+1 ~> c` over Array String facts — count of distinct whole-array
+    values: ID00000000 2, ID00000001 1, ID00000002 2."""
+    plan = _plan(Feature("c", Agg.COUNT_DISTINCT, "vkey", skip_nulls=True))
+    r = _run(days_catch, plan, strategy)
+    assert r.loc["ID00000000", "c"] == 2
+    assert r.loc["ID00000001", "c"] == 1
+    assert r.loc["ID00000002", "c"] == 2
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t30_3_sum_not_error(salary, strategy):
+    """t30.3-sum-not-error golden: Either-state fold `perhaps = Left 0
+    then case perhaps of Left i then Right (double i+1); Right j then
+    Left (trunc j+1)` — alternating constructor state; homer 5.0 (5
+    facts), marge 3.0 (3 facts)."""
+    plan = _plan(
+        Feature(
+            "perhaps",
+            CustomFold(
+                init=("L", 0.0),
+                step_seq=lambda acc, v: (
+                    ("R", acc[1] + 1.0)
+                    if acc[0] == "L"
+                    else ("L", float(int(acc[1]) + 1))
+                ),
+                output=lambda acc: float(acc[1]),
+            ),
+            "value",
+            skip_nulls=True,
+        )
+    )
+    r = _run(salary, plan, strategy)
+    assert r.loc["homer", "perhaps"] == 5.0
+    assert r.loc["marge", "perhaps"] == 3.0
