@@ -362,6 +362,47 @@ GROUP BY e.user_id, e.event_type
 """
 
 
+def q_error_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error64 channel (reference Runtime/Data/Primitive.hs:212-233):
+    0 ok / 2 fold1-no-value / 3 cannot-compute, distinguished instead
+    of collapsed to null. A Possibly error is injected via the expr
+    (values < 0.5 become errors)."""
+    from icicle_spark.plans import error_codes
+
+    ev = _events(spark, sf_dir)
+    expr = "CASE WHEN value < 0.5 THEN NULL ELSE value END"
+    plan = Plan(
+        [
+            Feature("m", Agg.MEAN, expr, skip_nulls=False),
+            Feature("s", Agg.SUM, expr, skip_nulls=False),
+            Feature("ms", Agg.MEAN, expr, skip_nulls=True),
+        ],
+        entity_col="user_id",
+        time_col="ts",
+        seq_col="event_id",
+    )
+    return error_codes(ev, plan, snapshot=SNAP)
+
+
+_ERROR_CODES_SQL = """
+WITH vis AS (
+  SELECT user_id, CASE WHEN value < 0.5 THEN NULL ELSE value END AS v
+  FROM events WHERE ts < TIMESTAMP '{snap}'
+),
+agg AS (
+  SELECT user_id,
+         max(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS errany,
+         count(*) AS n, count(v) AS nn
+  FROM vis GROUP BY user_id
+)
+SELECT s.user_id,
+       CAST(CASE WHEN n IS NULL THEN 2 WHEN errany = 1 THEN 3 ELSE 0 END AS INT) AS m_err,
+       CAST(CASE WHEN n IS NULL THEN 0 WHEN errany = 1 THEN 3 ELSE 0 END AS INT) AS s_err,
+       CAST(CASE WHEN coalesce(nn, 0) = 0 THEN 2 ELSE 0 END AS INT) AS ms_err
+FROM (SELECT DISTINCT user_id FROM events) s LEFT JOIN agg USING (user_id)
+""".format(snap=SNAP)
+
+
 def q_distinct_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`distinct event_type ~> sum value` — first fact per key."""
     plan = Plan(
@@ -1703,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_fold": q_group_fold,
         "group_fold_native": q_group_fold_native,
         "group_fold_chord": q_group_fold_chord,
+        "error_codes": q_error_codes,
         "distinct_first": q_distinct_first,
         "numflips": q_numflips,
         "stats_moments": q_stats_moments,
@@ -1762,6 +1804,7 @@ def oracle_sql() -> dict[str, str]:
         "group_fold": _GROUP_SQL,
         "group_fold_native": _GROUP_SQL,
         "group_fold_chord": _GROUP_CHORD_SQL,
+        "error_codes": _ERROR_CODES_SQL,
         "distinct_first": _DISTINCT_SQL,
         "numflips": _NUMFLIPS_SQL,
         "stats_moments": _STATS_SQL,

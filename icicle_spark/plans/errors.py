@@ -1,0 +1,167 @@
+"""Error64 code vectors — the reference's per-output error channel.
+
+The reference never collapses "no value" into one null: every output
+carries an Error64 beside it
+(icicle-compiler/src/Icicle/Runtime/Data/Primitive.hs:212-233,
+IO.hs:181-196 — the per-fact ``inputTombstone`` vector feeds it):
+
+====  =============  ====================================================
+code  name           meaning here
+====  =============  ====================================================
+0     NotAnError     value computed normally (fold inits included)
+1     Tombstone      a visible TOMBSTONED fact poisoned the fold
+                     (only reachable with ``skip_nulls=False``)
+2     Fold1NoValue   a fold1-seeded aggregate saw zero elements
+                     (newest/oldest/mean/min/max/…, CustomFold(init=None))
+3     CannotCompute  a visible null element that is NOT a tombstone —
+                     i.e. a Possibly computation error (safe_div by 0,
+                     log of a negative, …) — poisoned the fold
+====  =============  ====================================================
+
+``error_codes`` is a standalone Catalyst pass: one groupBy over the
+visible facts with conditional aggregates per feature (map-side
+combine, no Python), emitting ``<name>_err: int`` per entity (or per
+entity x query_time under chords). ``run_plan(..., error_codes=True)``
+joins it onto the feature output. Keeping it a separate pass keeps the
+value compilers simple and costs one extra scan ONLY when auditing is
+requested.
+
+Expression strings must be Spark-SQL syntax (same contract as
+plans.native).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from icicle_spark.plans.ir import Agg, CustomFold, Feature, Plan
+from icicle_spark.plans.native import _order_cols, _visibility
+
+ERR_OK = 0
+ERR_TOMBSTONE = 1
+ERR_FOLD1_NO_VALUE = 2
+ERR_CANNOT_COMPUTE = 3
+
+# aggregates with no unit/init value: empty stream => Fold1NoValue
+# (sum/count/any/all/numflips/count_distinct/decayed_sum fold from a
+# unit init instead — reference Core/Eval/Stream.hs empty-fold path)
+_FOLD1_AGGS = {
+    Agg.NEWEST, Agg.OLDEST, Agg.MEAN, Agg.MIN, Agg.MAX,
+    Agg.VARIANCE, Agg.SD, Agg.MAX_BY, Agg.MIN_BY,
+}
+
+
+def _is_fold1(f: Feature) -> bool:
+    if isinstance(f.agg, CustomFold):
+        return f.agg.init is None
+    return f.agg in _FOLD1_AGGS
+
+
+def _expr(f: Feature) -> Column:
+    if not isinstance(f.expr, str):
+        raise ValueError(
+            f"feature {f.name}: error_codes needs a Spark-SQL expr string"
+        )
+    return F.expr(f.expr)
+
+
+def _err_col(f: Feature, tomb: Column, frame: Column) -> Column:
+    """Error64 for one feature from conditional aggregates over its
+    visible (and latest-N-framed) elements."""
+    ex = _expr(f)
+    if f.group is not None or f.distinct is not None:
+        # whole-map Possibly semantics: a null KEY poisons too
+        key = F.expr(f.group if f.group is not None else f.distinct)
+        null_elem = ex.isNull() | key.isNull()
+    else:
+        null_elem = ex.isNull()
+    if f.skip_nulls:
+        # nulls (tombstones AND possibly-errors) are dropped before the
+        # fold sees them — only the empty-stream case remains
+        n_vis = F.sum(F.when(frame & ~null_elem, 1).otherwise(0))
+        if _is_fold1(f):
+            return F.when(
+                F.coalesce(n_vis, F.lit(0)) == 0, F.lit(ERR_FOLD1_NO_VALUE)
+            ).otherwise(F.lit(ERR_OK))
+        return F.lit(ERR_OK)
+    tomb_any = F.max(F.when(frame & tomb, 1).otherwise(0))
+    err_any = F.max(F.when(frame & ~tomb & null_elem, 1).otherwise(0))
+    n_vis = F.sum(F.when(frame, 1).otherwise(0))
+    out = (
+        F.when(F.coalesce(tomb_any, F.lit(0)) == 1, F.lit(ERR_TOMBSTONE))
+        .when(F.coalesce(err_any, F.lit(0)) == 1, F.lit(ERR_CANNOT_COMPUTE))
+    )
+    if _is_fold1(f):
+        out = out.when(
+            F.coalesce(n_vis, F.lit(0)) == 0, F.lit(ERR_FOLD1_NO_VALUE)
+        )
+    return out.otherwise(F.lit(ERR_OK))
+
+
+def error_codes(
+    facts: DataFrame,
+    plan: Plan,
+    snapshot: Any | None = None,
+    chords: DataFrame | None = None,
+    broadcast_chords: bool = True,
+) -> DataFrame:
+    """Per-feature Error64 codes: one row per entity (snapshot) or per
+    chord row, columns ``<name>_err`` (int, see module table).
+
+    Single Catalyst aggregation pass; latest-N features with
+    ``skip_nulls=False`` additionally rank their frame with one window
+    (poison only counts inside the last-N buffer, matching the value
+    backends)."""
+    if (snapshot is None) == (chords is None):
+        raise ValueError("exactly one of snapshot / chords required")
+    ecol, tcol = plan.entity_col, plan.time_col
+
+    if plan.tombstone_col is not None and plan.tombstone_col in facts.columns:
+        tomb = F.coalesce(F.col(plan.tombstone_col).cast("boolean"), F.lit(False))
+    else:
+        tomb = F.lit(False)
+
+    if snapshot is not None:
+        qt = F.lit(snapshot).cast("timestamp")
+        keys = [ecol]
+        base = facts.where(F.col(tcol) < qt)
+        spine = facts.select(ecol).distinct()
+    else:
+        qt = F.col("query_time")
+        keys = [ecol, "query_time"] + (
+            ["label"] if "label" in chords.columns else []
+        )
+        rhs = F.broadcast(chords) if broadcast_chords else chords
+        base = facts.join(rhs, on=ecol, how="inner").where(F.col(tcol) < qt)
+        spine = chords
+
+    # tombstoned facts are null ELEMENTS for the value backends; for
+    # error attribution we need the pre-nulling expr, so evaluate expr
+    # nulls only on non-tombstoned facts (tomb handled separately)
+    aggs = []
+    for f in plan.features:
+        frame = _visibility(f, qt, tcol)
+        if f.latest is not None and not f.skip_nulls:
+            # poison counts only inside the last-N buffer
+            w_fwd = (
+                W.partitionBy(*keys)
+                .orderBy(*_order_cols(plan))
+                .rowsBetween(W.currentRow, W.unboundedFollowing)
+            )
+            rank = F.sum(F.when(frame, 1).otherwise(0)).over(w_fwd)
+            base = base.withColumn(f"__efr_{f.name}", frame & (rank <= f.latest))
+            frame = F.col(f"__efr_{f.name}")
+        aggs.append(_err_col(f, tomb, frame).alias(f"{f.name}_err"))
+    agged = base.groupBy(*keys).agg(*aggs)
+    out = spine.join(agged, on=keys, how="left")
+    # entities/chords with zero visible facts never reach the agg:
+    # empty stream => Fold1NoValue for fold1 aggregates, OK otherwise
+    for f in plan.features:
+        empty = F.lit(ERR_FOLD1_NO_VALUE if _is_fold1(f) else ERR_OK)
+        out = out.withColumn(
+            f"{f.name}_err",
+            F.coalesce(F.col(f"{f.name}_err"), empty).cast("int"),
+        )
+    return out.select(*keys, *[f"{f.name}_err" for f in plan.features])

@@ -297,6 +297,7 @@ def run_plan(
     snapshot: Any | None = None,
     chords: DataFrame | None = None,
     strategy: str = "auto",
+    error_codes: bool = False,
 ) -> DataFrame:
     """Evaluate a fused plan at a snapshot time or a chord table.
 
@@ -318,6 +319,23 @@ def run_plan(
     """
     if (snapshot is None) == (chords is None):
         raise ValueError("exactly one of snapshot / chords required")
+    if error_codes:
+        # Error64 channel (reference Primitive.hs:212-233): join the
+        # standalone audit pass's <name>_err columns onto the output.
+        # Requires Spark-SQL expr strings (plans.errors contract).
+        from icicle_spark.plans.errors import error_codes as _error_codes
+
+        res = run_plan(
+            facts, plan, snapshot=snapshot, chords=chords, strategy=strategy
+        )
+        errs = _error_codes(facts, plan, snapshot=snapshot, chords=chords)
+        if snapshot is not None:
+            keys = [plan.entity_col]
+        else:
+            keys = [plan.entity_col, "query_time"] + (
+                ["label"] if "label" in chords.columns else []
+            )
+        return res.join(errs, on=keys, how="left")
     # CSE up front, re-aliasing duplicate outputs at the end: the
     # reference shares the fold but keeps every named return
     # (Condense.hs:25-66) — dropping a duplicate's COLUMN would be a
