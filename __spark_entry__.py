@@ -1340,6 +1340,86 @@ FROM w
 """
 
 
+def q_token_seq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-SEQUENCE operators over array<int> token ids (the
+    north-rule payload): n-gram rolling ids, distinct counts, and
+    contiguous-subsequence search — all JVM HOFs. Ids derived from
+    text identically in both engines (operators/tokens.py
+    char_token_ids)."""
+    from icicle_spark.operators.tokens import (
+        char_token_ids,
+        subseq_count,
+        token_ngram_ids,
+    )
+
+    d = _docs(spark, sf_dir)
+    d = d.withColumn("toks", char_token_ids("text"))
+    big = token_ngram_ids(F.col("toks"), 2)
+    # 'the table' under char_token_ids: t=116 -> 116*32+3 / 116*32+5
+    pat = [116 * 32 + 3, 116 * 32 + 5]
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+        F.array_max(big).cast("bigint").alias("top_bigram"),
+        F.size(F.array_distinct(big)).cast("bigint").alias("n_uniq_big"),
+        subseq_count(F.col("toks"), pat).alias("the_table_hits"),
+    )
+
+
+_TOKEN_SEQ_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split(text, ' '), w -> w <> ''),
+           w -> ascii(w[1:1]) * 32 + least(length(w), 31)
+         ) AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, toks,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> (toks[i] * 131 + toks[i+1]) % 2147483647) AS big
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tok,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       CAST(list_max(big) AS BIGINT) AS top_bigram,
+       CAST(len(list_distinct(big)) AS BIGINT) AS n_uniq_big,
+       CAST(len(list_filter(generate_series(1, len(toks) - 1),
+                 i -> toks[i] = 3715 AND toks[i+1] = 3717)) AS BIGINT)
+         AS the_table_hits
+FROM g
+"""
+
+
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency top-20 (explode + groupBy, ONE
+    shuffle with map-side combine — the vocabulary-statistics shape
+    at 100 TB)."""
+    from icicle_spark.operators.tokens import char_token_ids, corpus_token_freq
+
+    d = _docs(spark, sf_dir).select(char_token_ids("text").alias("toks"))
+    return corpus_token_freq(d, "toks", k=20)
+
+
+_TOKEN_FREQ_SQL = """
+WITH t AS (
+  SELECT list_transform(
+           list_filter(string_split(text, ' '), w -> w <> ''),
+           w -> ascii(w[1:1]) * 32 + least(length(w), 31)
+         ) AS toks
+  FROM documents
+)
+SELECT CAST(token AS BIGINT) AS token, count(*) AS freq
+FROM (SELECT unnest(toks) AS token FROM t)
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 20
+"""
+
+
 def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact baseline (all-pairs at
     verification scale) vs a DuckDB all-pairs oracle."""
@@ -1790,6 +1870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_repack": q_latest_repack,
         "group_pair": q_group_pair,
         "token_arrays": q_token_arrays,
+        "token_seq_stats": q_token_seq_stats,
+        "token_freq": q_token_freq,
     }
 
 
@@ -1844,6 +1926,8 @@ def oracle_sql() -> dict[str, str]:
         "latest_repack": _LATEST_REPACK_SQL,
         "group_pair": _GROUP_PAIR_SQL,
         "token_arrays": _TOKEN_ARRAYS_SQL,
+        "token_seq_stats": _TOKEN_SEQ_SQL,
+        "token_freq": _TOKEN_FREQ_SQL,
         # embed_topk_lsh: approximate recall — rows-only.
         # approx_aggs: sketches differ across engines — rows-only.
         # minhash_pairs / simhash_pairs: LSH not SQL-expressible —

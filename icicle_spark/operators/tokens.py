@@ -1,0 +1,107 @@
+"""Token-sequence operators over ``tokens: array<int>`` columns.
+
+The engine's north-rule input is an Iceberg table of pre-tokenized
+training sequences (doc_id, tokens array<int32>, n_tok, source). These
+operators work directly on the token arrays — all JVM higher-order
+functions (whole-stage codegen), no Python in the hot path:
+
+* per-sequence: n-gram ids (rolling polynomial over token ids),
+  histograms, contiguous-subsequence counts
+* corpus-level: token frequency (ONE explode + groupBy shuffle with
+  map-side combine — the 100 TB shape for vocabulary statistics)
+
+``char_token_ids`` is a deterministic text->ids stand-in tokenizer
+used by tests/oracles (portable to DuckDB for cross-engine checks);
+real pipelines bring their own tokenizer output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# same modulus as the dedup shingle hashing: keeps a*x+b in int64
+_MERSENNE = (1 << 31) - 1
+
+
+def _c(col):
+    return F.col(col) if isinstance(col, str) else col
+
+
+def char_token_ids(text_col) -> Column:
+    """Deterministic fake tokenizer: one id per whitespace word,
+    ``ascii(first_char) * 32 + min(length, 31)``. Exists so token-array
+    tests and DuckDB oracles can derive identical ids from text in
+    both engines — NOT a real tokenizer."""
+    words = F.filter(F.split(_c(text_col), " "), lambda w: w != "")
+    return F.transform(
+        words,
+        lambda w: (
+            F.ascii(F.substring(w, 1, 1)) * 32 + F.least(F.length(w), F.lit(31))
+        ).cast("long"),
+    )
+
+
+def token_ngram_ids(tokens, n: int) -> Column:
+    """Rolling polynomial id per contiguous token n-gram
+    (id = ((t0*131 + t1)*131 + ...) mod 2^31-1): zip_with over n
+    shifted slices, O(len) integer ops, no string materialization —
+    same construction as dedup.shingle_hashes but over token ids."""
+    t = _c(tokens)
+    k = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    acc = F.transform(F.slice(t, 1, k), lambda x: F.pmod(x, F.lit(_MERSENNE)))
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(t, 1 + j, k),
+            lambda a, b: F.pmod(a * F.lit(131) + b, F.lit(_MERSENNE)),
+        )
+    return acc
+
+
+def token_histogram(tokens) -> Column:
+    """Per-sequence token -> count map (map_from_entries over the
+    distinct ids; O(distinct x len) — per-sequence scale, fine for
+    vocab-bounded token streams)."""
+    t = _c(tokens)
+    return F.map_from_entries(
+        F.transform(
+            F.array_distinct(t),
+            lambda k: F.struct(
+                k.alias("key"),
+                F.size(F.filter(t, lambda x: x == k)).cast("long").alias("value"),
+            ),
+        )
+    )
+
+
+def subseq_count(tokens, pattern: list[int]) -> Column:
+    """Occurrences of a contiguous token pattern in the sequence
+    (possibly overlapping): compare each len(pattern)-gram id against
+    the pattern's id. Collision-free for patterns whose rolling id is
+    unique mod 2^31-1 at the compared positions — exact verification
+    would re-check token equality; at id width 31 bits the collision
+    rate is ~len/2^31 per sequence."""
+    n = len(pattern)
+    if n == 0:
+        raise ValueError("pattern must be non-empty")
+    pid = 0
+    for x in pattern:
+        pid = (pid * 131 + x) % _MERSENNE
+    grams = token_ngram_ids(tokens, n)
+    return F.size(F.filter(grams, lambda g: g == F.lit(pid))).cast("long")
+
+
+def corpus_token_freq(
+    df: DataFrame, tokens_col: str = "tokens", k: int | None = None
+) -> DataFrame:
+    """Corpus-level token frequency: ONE shuffle (explode + groupBy
+    with map-side partial counts). Deterministic ordering
+    (freq desc, token asc) when ``k`` is set."""
+    freq = (
+        df.select(F.explode(_c(tokens_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if k is not None:
+        freq = freq.orderBy(F.desc("freq"), F.asc("token")).limit(k)
+    return freq
