@@ -776,6 +776,54 @@ WHERE len(list_intersect(a.s, b.s))::DOUBLE /
 """
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop per document from the exact n-gram near-dup pair
+    graph: connected components (iterative min-label propagation),
+    survivor = min doc_id per component — the standard final step of
+    a MinHash/SimHash dedup pipeline, verified against a DuckDB
+    recursive-CTE closure."""
+    from icicle_spark.operators.dedup import dedup_survivors, ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, block_col="lang")
+    return dedup_survivors(d, pairs)
+
+
+_SURVIVORS_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, lang,
+         list_distinct(CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+              ELSE list_transform(generate_series(1, len(words) - 2),
+                                  i -> array_to_string(words[i:i+2], ' ')) END) AS s
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS words
+        FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(id, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
+),
+comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+SELECT d.doc_id,
+       coalesce(c.cluster, d.doc_id) AS cluster,
+       d.doc_id = coalesce(c.cluster, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbours for 5 query vectors."""
     emb = _emb(spark, sf_dir).select(
@@ -1840,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_survivors": q_dedup_survivors,
         "embed_topk": q_embed_topk,
         "tpch_q1": q_tpch_q1,
         "join_revenue": q_join_revenue,
@@ -1900,6 +1949,7 @@ def oracle_sql() -> dict[str, str]:
         "grepl_filter": _GREPL_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "ngram_jaccard": _NGRAM_SQL,
+        "dedup_survivors": _SURVIVORS_SQL,
         "embed_topk": _EMBED_SQL,
         "tpch_q1": _TPCH_Q1_SQL,
         "join_revenue": _JOIN_REVENUE_SQL,

@@ -293,6 +293,93 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by iterative
+    min-label propagation: each round every node takes the minimum
+    label among itself and its neighbours (one join + one groupBy per
+    round), with an eager ``localCheckpoint`` to truncate the plan
+    lineage. Converges in graph-diameter rounds — near-dup clusters
+    are shallow (dup rings, boilerplate stars), so the default bound
+    is generous; iteration stops early at a fixpoint.
+
+    Returns (id, cluster) where cluster = min id reachable. At pair
+    scale this is all narrow int columns; the pair graph is orders of
+    magnitude smaller than the corpus (LSH output), so the per-round
+    shuffle is cheap relative to the candidate generation."""
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("v"), "cluster"), on="v"
+            )
+            .groupBy("u")
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["u"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Keep/drop decision per document from a near-dup pair graph:
+    cluster = connected component, survivor = min id in the cluster;
+    documents in no pair keep themselves. The standard last step of a
+    MinHash/SimHash dedup pipeline."""
+    clusters = dedup_clusters(pairs, id_a, id_b, max_iter)
+    out = docs.select(F.col(id_col)).join(
+        clusters.select(F.col("id").alias(id_col), "cluster"),
+        on=id_col,
+        how="left",
+    )
+    cluster = F.coalesce("cluster", F.col(id_col))
+    return out.select(
+        id_col,
+        cluster.alias("cluster"),
+        (F.col(id_col) == cluster).alias("keep"),
+    )
+
+
 def _raw_word_hashes(text_col):
     """Full-width xxhash64 per normalized word (JVM-side, whole-stage
     codegen) — deterministic and process-independent."""

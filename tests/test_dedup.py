@@ -104,3 +104,54 @@ def test_simhash_wider_hamming_budget_is_superset(docs):
     s3 = set(map(tuple, p3[["id_a", "id_b"]].values))
     s5 = set(map(tuple, p5[["id_a", "id_b"]].values))
     assert s3 <= s5
+
+
+def test_dedup_clusters_union_find_oracle(spark):
+    """Min-label propagation == python union-find on a random sparse
+    graph (includes a path component, which needs diameter rounds)."""
+    from icicle_spark.operators.dedup import dedup_clusters
+
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 60, (40, 2)) if a != b]
+    edges += [(200 + i, 201 + i) for i in range(8)]  # path of 9 nodes
+    pairs = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["id_a", "id_b"])
+    )
+    got = dedup_clusters(pairs).toPandas()
+    # union-find oracle
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id per component
+    comp: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp[r] = min(comp.get(r, n), n)
+    expect = {n: comp[find(n)] for n in parent}
+    assert dict(zip(got["id"], got["cluster"])) == expect
+
+
+def test_dedup_survivors_keep_semantics(spark, docs):
+    from icicle_spark.operators.dedup import dedup_survivors, minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    surv = dedup_survivors(docs, pairs).toPandas().set_index("doc_id")
+    # the planted trio 0/1/2 is one cluster surviving as 0
+    assert surv.loc[0, "keep"] and not surv.loc[1, "keep"]
+    assert surv.loc[1, "cluster"] == 0 and surv.loc[2, "cluster"] == 0
+    # unpaired docs keep themselves
+    lonely = surv[surv["cluster"] == surv.index]
+    assert lonely["keep"].all()
+    # exactly one survivor per cluster
+    per = surv.groupby("cluster")["keep"].sum()
+    assert (per == 1).all()
