@@ -61,6 +61,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--strategy", default="native")
     ap.add_argument("--checkpoint", help="write fold states here")
     ap.add_argument("--resume-from", help="resume from fold states here")
+    ap.add_argument(
+        "--error-codes",
+        action="store_true",
+        help="also write the Error64 audit table (<output>_errors): "
+        "per-feature tombstone / fold1-no-value / cannot-compute codes",
+    )
     args = ap.parse_args(argv)
     if not args.snapshot and not args.chords:
         ap.error("one of --snapshot / --chords required")
@@ -99,6 +105,15 @@ def main(argv: list[str] | None = None) -> int:
             "overwrite"
         ).parquet(args.checkpoint)
         record["checkpoint"] = args.checkpoint
+    if args.error_codes:
+        from icicle_spark.plans import error_codes
+
+        chords = spark.read.parquet(args.chords) if args.chords else None
+        err_path = args.output.rstrip("/") + "_errors"
+        error_codes(
+            facts, plan, snapshot=args.snapshot, chords=chords
+        ).write.mode("overwrite").parquet(err_path)
+        record["error_codes"] = err_path
     print(json.dumps({k: record[k] for k in record if k != "inputs"}, default=str))
     return 0
 
