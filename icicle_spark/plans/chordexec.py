@@ -55,6 +55,11 @@ _PREFIX_AGGS = {
     Agg.MIN,
     Agg.MAX,
     Agg.DECAYED_SUM,
+    # flips between ADJACENT compacted rows are a plain cumsum; any
+    # frame [lo, hi) is contiguous in compacted rows, so
+    # flips = flip_cum[hi] - flip_cum[lo+1] (the lo-th row's flip
+    # compares against a row outside the frame and is excluded)
+    Agg.NUMFLIPS,
 }
 
 _NUMERIC_AGGS = {Agg.SUM, Agg.MEAN, Agg.VARIANCE, Agg.SD, Agg.MIN, Agg.MAX}
@@ -88,7 +93,7 @@ class _FeatureArrays:
     __slots__ = (
         "times", "pass_cum", "vals", "cum", "cumsq",
         "true_cum", "null_cum", "cmin", "cmax", "codes",
-        "dcum", "lam", "dera_w", "dseg", "dseg_start",
+        "dcum", "lam", "dera_w", "dseg", "dseg_start", "flip_cum",
     )
 
     def __init__(self, f: Feature, facts: pd.DataFrame, codes: np.ndarray,
@@ -114,6 +119,18 @@ class _FeatureArrays:
         null = null_all[ok]
         self.null_cum = np.concatenate([[0], np.cumsum(null, dtype=np.int64)])
         self.vals = v  # original (object-safe) values for NEWEST/OLDEST
+        if f.agg is Agg.NUMFLIPS:
+            sv = np.asarray(v, dtype=object)
+            flip = np.zeros(len(sv), dtype=bool)
+            if len(sv) > 1:
+                same_ent = self.codes[1:] == self.codes[:-1]
+                neq = (sv[1:] != sv[:-1]).astype(bool)
+                flip[1:] = same_ent & neq
+            self.flip_cum = np.concatenate(
+                [[0], np.cumsum(flip, dtype=np.int64)]
+            )
+        else:
+            self.flip_cum = None
         if f.agg in (Agg.ANY, Agg.ALL):
             truth = np.zeros(len(v), dtype=bool)
             nn = ~null
@@ -206,6 +223,8 @@ def _eval_chord(
     agg = f.agg
     if agg is Agg.COUNT:
         return nvalid
+    if agg is Agg.NUMFLIPS:
+        return int(fa.flip_cum[hi] - fa.flip_cum[lo + 1])
     if agg is Agg.SUM:
         return float(fa.cum[hi] - fa.cum[lo])
     if agg is Agg.DECAYED_SUM:
@@ -251,7 +270,7 @@ def _eval_chord(
 def _fill(f: Feature) -> Any:
     return {
         Agg.SUM: 0.0, Agg.COUNT: 0, Agg.ANY: False, Agg.ALL: True,
-        Agg.DECAYED_SUM: 0.0,
+        Agg.DECAYED_SUM: 0.0, Agg.NUMFLIPS: 0,
     }.get(f.agg)
 
 

@@ -63,6 +63,9 @@ PLAN = Plan(
         Feature("fl2", Agg.COUNT, "value", where="flag", latest=2, skip_nulls=True),
         Feature("pois", Agg.SUM, "value", skip_nulls=False),
         Feature("poil", Agg.SUM, "value", latest=3, skip_nulls=False),
+        Feature("nf", Agg.NUMFLIPS, "flag", skip_nulls=True),
+        Feature("nfw", Agg.NUMFLIPS, "flag", window=Window(14), skip_nulls=True),
+        Feature("nfl", Agg.NUMFLIPS, "flag", latest=4, skip_nulls=True),
     ],
     entity_col="entity",
     time_col="time",
