@@ -60,6 +60,12 @@ _PREFIX_AGGS = {
     # flips = flip_cum[hi] - flip_cum[lo+1] (the lo-th row's flip
     # compares against a row outside the frame and is excluded)
     Agg.NUMFLIPS,
+    # O(frame)-sliced (not prefix) but still chunk-vectorized arrays +
+    # O(1) frame lookup — strictly cheaper than the per-entity cogroup
+    # fallback, which pays the same O(frame) plus pandas overhead:
+    Agg.COUNT_DISTINCT,
+    Agg.DISTINCT_VALUES,
+    Agg.COLLECT,
 }
 
 _NUMERIC_AGGS = {Agg.SUM, Agg.MEAN, Agg.VARIANCE, Agg.SD, Agg.MIN, Agg.MAX}
@@ -72,10 +78,9 @@ def supports_chords(plan: Plan) -> bool:
             return False
         if f.group is not None or f.distinct is not None:
             return False
-        if f.agg in (Agg.MIN, Agg.MAX) and (
-            f.window is not None or f.latest is not None
-        ):
-            return False  # not prefix-decomposable from a moving lower edge
+        # MIN/MAX under a moving lower edge (window / latest-N) uses an
+        # O(frame) slice instead of the entity-prefix cummin/cummax —
+        # see _eval_chord
         if f.agg is Agg.DECAYED_SUM and f.half_life_days is None:
             return False
     return True
@@ -94,6 +99,7 @@ class _FeatureArrays:
         "times", "pass_cum", "vals", "cum", "cumsq",
         "true_cum", "null_cum", "cmin", "cmax", "codes",
         "dcum", "lam", "dera_w", "dseg", "dseg_start", "flip_cum",
+        "fvals",
     )
 
     def __init__(self, f: Feature, facts: pd.DataFrame, codes: np.ndarray,
@@ -180,6 +186,11 @@ class _FeatureArrays:
                     self.dseg_start = np.zeros(0, dtype=np.int64)
             else:
                 self.dcum = None
+            if f.agg in (Agg.MIN, Agg.MAX, Agg.COLLECT):
+                # windowed / latest frames slice fvals directly
+                self.fvals = fvals
+            else:
+                self.fvals = None
             if f.agg in (Agg.MIN, Agg.MAX) and len(v):
                 g = pd.Series(fvals).groupby(self.codes)
                 self.cmin = g.cummin().to_numpy()
@@ -260,17 +271,29 @@ def _eval_chord(
         return fa.vals[hi - 1]
     if agg is Agg.OLDEST:
         return fa.vals[lo]
-    if agg is Agg.MIN:
-        return float(fa.cmin[hi - 1])
-    if agg is Agg.MAX:
-        return float(fa.cmax[hi - 1])
+    if agg is Agg.MIN or agg is Agg.MAX:
+        if lo == start:
+            # frame starts at the entity's first compacted row: the
+            # per-entity cummin/cummax prefix answers in O(1)
+            arrp = fa.cmin if agg is Agg.MIN else fa.cmax
+            return float(arrp[hi - 1])
+        sl = fa.fvals[lo:hi]
+        return float(np.min(sl)) if agg is Agg.MIN else float(np.max(sl))
+    if agg is Agg.COUNT_DISTINCT:
+        return int(pd.unique(fa.vals[lo:hi]).size)
+    if agg is Agg.DISTINCT_VALUES:
+        return sorted(str(x) for x in pd.unique(fa.vals[lo:hi]))
+    if agg is Agg.COLLECT:
+        return [float(x) for x in fa.fvals[lo:hi]]
     raise AssertionError(f"unreachable agg {agg}")  # pragma: no cover
 
 
 def _fill(f: Feature) -> Any:
+    if f.agg is Agg.DISTINCT_VALUES or f.agg is Agg.COLLECT:
+        return []
     return {
         Agg.SUM: 0.0, Agg.COUNT: 0, Agg.ANY: False, Agg.ALL: True,
-        Agg.DECAYED_SUM: 0.0, Agg.NUMFLIPS: 0,
+        Agg.DECAYED_SUM: 0.0, Agg.NUMFLIPS: 0, Agg.COUNT_DISTINCT: 0,
     }.get(f.agg)
 
 
@@ -328,7 +351,14 @@ def _process(plan: Plan, pdf: pd.DataFrame, has_label: bool) -> pd.DataFrame:
     data = {ecol: chords_pdf[ecol].to_numpy(), "query_time": qts}
     if has_label:
         data["label"] = chords_pdf["label"].to_numpy()
-    data.update(out)
+    for f in plan.features:
+        # list-valued features must stay object dtype even for an
+        # EMPTY chunk: pd.DataFrame([]) infers float64, which Arrow
+        # cannot convert to list<...>
+        if feature_dtype(f).startswith("array"):
+            data[f.name] = pd.Series(out[f.name], dtype=object)
+        else:
+            data[f.name] = out[f.name]
     return pd.DataFrame(data)
 
 

@@ -66,6 +66,12 @@ PLAN = Plan(
         Feature("nf", Agg.NUMFLIPS, "flag", skip_nulls=True),
         Feature("nfw", Agg.NUMFLIPS, "flag", window=Window(14), skip_nulls=True),
         Feature("nfl", Agg.NUMFLIPS, "flag", latest=4, skip_nulls=True),
+        Feature("wmn", Agg.MIN, "value", window=Window(7), skip_nulls=True),
+        Feature("wmx", Agg.MAX, "value", window=Window(14), skip_nulls=True),
+        Feature("lmn", Agg.MIN, "value", latest=5, skip_nulls=True),
+        Feature("cd", Agg.COUNT_DISTINCT, "value", skip_nulls=True),
+        Feature("dvv", Agg.DISTINCT_VALUES, "flag", skip_nulls=True),
+        Feature("co", Agg.COLLECT, "value", latest=3, skip_nulls=True),
     ],
     entity_col="entity",
     time_col="time",
@@ -79,7 +85,8 @@ def test_plan_is_vectorizable():
         Plan([Feature("g", Agg.COUNT, "value", group="flag")],
              entity_col="entity", time_col="time")
     )
-    assert not supports_chords(
+    # windowed MIN is supported via the O(frame) slice path
+    assert supports_chords(
         Plan([Feature("wmn", Agg.MIN, "value", window=Window(7))],
              entity_col="entity", time_col="time")
     )
@@ -95,8 +102,22 @@ def test_chordvec_commutes_with_cogroup(spark, data):
     assert len(a) == len(b) == n_rows
     for col in key:
         assert (a[col] == b[col]).all(), col
+    def _canon(x):
+        # list-valued outputs (COLLECT / DISTINCT_VALUES) compare as
+        # tuples — to_numeric would coerce them to NaN and trivially
+        # "match"
+        if isinstance(x, (list, np.ndarray)):
+            return tuple(x)
+        return x
+
     for col in a.columns:
         if col in key:
+            continue
+        if a[col].map(lambda x: isinstance(x, (list, np.ndarray))).any():
+            av = a[col].map(_canon)
+            bv = b[col].map(_canon)
+            ok = (av.isna() & bv.isna()) | (av == bv)
+            assert ok.all(), (col, a.loc[~ok, key + [col]].head())
             continue
         av = pd.to_numeric(a[col], errors="coerce")
         bv = pd.to_numeric(b[col], errors="coerce")
@@ -161,10 +182,10 @@ def test_chordvec_small_arrow_batches(spark, data):
         ).all(), col
 
 
-def test_windowed_minmax_routes_to_native(spark, data):
-    """Windowed MIN/MAX chords are not prefix-decomposable; auto must
-    route them through the native chord compiler and still agree with
-    the cogroup executor."""
+def test_windowed_minmax_vectorized_and_native_agree(spark, data):
+    """Windowed MIN/MAX chords: the vectorized executor answers them
+    with O(frame) slices (round 2 — previously routed to the native
+    chord compiler); both must agree with the cogroup executor."""
     facts, chords, n_rows = data
     plan = Plan(
         [
@@ -175,15 +196,18 @@ def test_windowed_minmax_routes_to_native(spark, data):
         time_col="time",
         seq_col="seq",
     )
-    assert not supports_chords(plan)
+    assert supports_chords(plan)
     key = ["entity", "query_time", "label"]
     a = run_plan(facts, plan, chords=chords, strategy="auto").toPandas()
     b = run_plan(facts, plan, chords=chords, strategy="cogroup").toPandas()
+    c = run_plan(facts, plan, chords=chords, strategy="native").toPandas()
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
-    assert len(a) == len(b) == n_rows
+    c = c.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) == len(c) == n_rows
     for col in ("wmn", "wmx"):
-        av, bv = a[col].astype(float), b[col].astype(float)
-        assert (
-            (av.isna() & bv.isna()) | np.isclose(av, bv, equal_nan=True)
-        ).all(), col
+        for other in (b, c):
+            av, ov = a[col].astype(float), other[col].astype(float)
+            assert (
+                (av.isna() & ov.isna()) | np.isclose(av, ov, equal_nan=True)
+            ).all(), col
