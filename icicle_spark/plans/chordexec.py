@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from icicle_spark.plans.ir import (
     Agg,
+    CustomFold,
     Feature,
     Plan,
     eval_expr,
@@ -74,6 +75,12 @@ _NUMERIC_AGGS = {Agg.SUM, Agg.MEAN, Agg.VARIANCE, Agg.SD, Agg.MIN, Agg.MAX}
 def supports_chords(plan: Plan) -> bool:
     """True if every feature is evaluable from prefix arrays."""
     for f in plan.features:
+        if isinstance(f.agg, CustomFold):
+            # evaluated per frame over the compacted value slice —
+            # O(frame), same cost argument as the sliced aggregates
+            if f.group is not None or f.distinct is not None:
+                return False
+            continue
         if not isinstance(f.agg, Agg) or f.agg not in _PREFIX_AGGS:
             return False
         if f.group is not None or f.distinct is not None:
@@ -232,6 +239,17 @@ def _eval_chord(
     # (skip_nulls compaction dropped nulls; otherwise they poisoned)
     nvalid = hi - lo
     agg = f.agg
+    if isinstance(agg, CustomFold):
+        # same contract as the cogroup executor: step over the whole
+        # compacted slice (vectorized) or step_seq per element
+        vals = np.asarray(fa.vals[lo:hi])
+        if agg.step is not None:
+            state = agg.step(vals)
+        else:
+            state = agg.init
+            for x in vals:
+                state = agg.step_seq(state, x)
+        return agg.output(state) if agg.output else state
     if agg is Agg.COUNT:
         return nvalid
     if agg is Agg.NUMFLIPS:
@@ -289,6 +307,10 @@ def _eval_chord(
 
 
 def _fill(f: Feature) -> Any:
+    if isinstance(f.agg, CustomFold):
+        # empty stream: the fold never steps — output of the init
+        a = f.agg
+        return a.output(a.init) if a.output else a.init
     if f.agg is Agg.DISTINCT_VALUES or f.agg is Agg.COLLECT:
         return []
     return {

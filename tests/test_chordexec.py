@@ -10,7 +10,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from icicle_spark.plans import Agg, Feature, Plan, Window, run_plan
+from icicle_spark.plans import Agg, CustomFold, Feature, Plan, Window, run_plan
 from icicle_spark.plans.chordexec import supports_chords
 
 
@@ -72,6 +72,22 @@ PLAN = Plan(
         Feature("cd", Agg.COUNT_DISTINCT, "value", skip_nulls=True),
         Feature("dvv", Agg.DISTINCT_VALUES, "flag", skip_nulls=True),
         Feature("co", Agg.COLLECT, "value", latest=3, skip_nulls=True),
+        Feature(
+            "ew",
+            CustomFold(
+                init=None,
+                step_seq=lambda a, v: float(v) if a is None else 0.7 * a + 0.3 * v,
+            ),
+            "value",
+            skip_nulls=True,
+        ),
+        Feature(
+            "cfs",
+            CustomFold(init=0.0, step=lambda xs: float(np.sum(xs.astype(float)))),
+            "value",
+            window=Window(14),
+            skip_nulls=True,
+        ),
     ],
     entity_col="entity",
     time_col="time",
