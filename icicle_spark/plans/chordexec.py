@@ -67,6 +67,8 @@ _PREFIX_AGGS = {
     Agg.COUNT_DISTINCT,
     Agg.DISTINCT_VALUES,
     Agg.COLLECT,
+    Agg.MAX_BY,
+    Agg.MIN_BY,
 }
 
 _NUMERIC_AGGS = {Agg.SUM, Agg.MEAN, Agg.VARIANCE, Agg.SD, Agg.MIN, Agg.MAX}
@@ -106,7 +108,7 @@ class _FeatureArrays:
         "times", "pass_cum", "vals", "cum", "cumsq",
         "true_cum", "null_cum", "cmin", "cmax", "codes",
         "dcum", "lam", "dera_w", "dseg", "dseg_start", "flip_cum",
-        "fvals",
+        "fvals", "byvals",
     )
 
     def __init__(self, f: Feature, facts: pd.DataFrame, codes: np.ndarray,
@@ -132,6 +134,13 @@ class _FeatureArrays:
         null = null_all[ok]
         self.null_cum = np.concatenate([[0], np.cumsum(null, dtype=np.int64)])
         self.vals = v  # original (object-safe) values for NEWEST/OLDEST
+        if f.agg in (Agg.MAX_BY, Agg.MIN_BY):
+            self.byvals = pd.to_numeric(
+                pd.Series(eval_expr(f.by, facts).to_numpy()[ok]),
+                errors="coerce",
+            ).to_numpy(dtype="float64")
+        else:
+            self.byvals = None
         if f.agg is Agg.NUMFLIPS:
             sv = np.asarray(v, dtype=object)
             flip = np.zeros(len(sv), dtype=bool)
@@ -303,6 +312,15 @@ def _eval_chord(
         return sorted(str(x) for x in pd.unique(fa.vals[lo:hi]))
     if agg is Agg.COLLECT:
         return [float(x) for x in fa.fvals[lo:hi]]
+    if agg is Agg.MAX_BY or agg is Agg.MIN_BY:
+        # nanarg* keep the FIRST occurrence on ties — the reference's
+        # first-wins strict-compare fold — and skip null keys like the
+        # other executors' idxmax/idxmin
+        b = fa.byvals[lo:hi]
+        if np.isnan(b).all():
+            return None
+        i = int(np.nanargmax(b)) if agg is Agg.MAX_BY else int(np.nanargmin(b))
+        return fa.vals[lo + i]
     raise AssertionError(f"unreachable agg {agg}")  # pragma: no cover
 
 

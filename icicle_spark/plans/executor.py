@@ -121,10 +121,17 @@ def _reduce_slice(f: Feature, vals: np.ndarray, by: np.ndarray | None) -> Any:
         return int(np.sum(vals[1:] != vals[:-1]))
     if agg is Agg.COLLECT:
         return list(vals)
-    if agg is Agg.MAX_BY:
-        return vals[int(np.argmax(by))]
-    if agg is Agg.MIN_BY:
-        return vals[int(np.argmin(by))]
+    if agg is Agg.MAX_BY or agg is Agg.MIN_BY:
+        # null keys can't win (np.argmax would return the FIRST NaN
+        # position — garbage); nanarg* skips them and keeps the first
+        # occurrence on ties, matching vexec's idxmax/idxmin
+        b = pd.to_numeric(pd.Series(by), errors="coerce").to_numpy(
+            dtype="float64"
+        )
+        if np.isnan(b).all():
+            return None
+        i = int(np.nanargmax(b)) if agg is Agg.MAX_BY else int(np.nanargmin(b))
+        return vals[i]
     raise ValueError(f"unknown agg {agg}")
 
 

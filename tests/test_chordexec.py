@@ -88,6 +88,9 @@ PLAN = Plan(
             window=Window(14),
             skip_nulls=True,
         ),
+        Feature("mxb", Agg.MAX_BY, "seq", by="value", skip_nulls=True),
+        Feature("mnb", Agg.MIN_BY, "value", by="seq", window=Window(14),
+                skip_nulls=True),
     ],
     entity_col="entity",
     time_col="time",
