@@ -1,4 +1,5 @@
 from icicle_spark.streaming.fold_stream import (  # noqa: F401
+    stream_exact_dedup,
     stream_fold,
     stream_session_agg,
     stream_windowed_agg,

@@ -189,3 +189,36 @@ def stream_session_agg(
             "n_events",
         )
     )
+
+
+def stream_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    time_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: keep only the FIRST arrival of each
+    normalized content fingerprint (functions.text.doc_fingerprint —
+    the same key the batch ``exact_dedup`` groups on).
+
+    With ``time_col`` + ``watermark`` this uses
+    ``dropDuplicatesWithinWatermark``: fingerprint state ages out past
+    the watermark — the only state-bounded form over an unbounded
+    stream (an exact-dedup guarantee then only holds within the
+    watermark horizon, which is what a training-data ingest pipeline
+    typically wants). Without a watermark, ``dropDuplicates`` keeps
+    ALL fingerprints in state — exact forever, but state grows with
+    the distinct corpus; use for bounded replays only.
+    """
+    from icicle_spark.functions.text import doc_fingerprint
+
+    fp = stream.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+    if watermark is not None:
+        if time_col is None:
+            raise ValueError("watermark requires time_col")
+        out = fp.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+            ["__fp"]
+        )
+    else:
+        out = fp.dropDuplicates(["__fp"])
+    return out.drop("__fp")

@@ -143,3 +143,52 @@ def test_stream_windowed_and_session(spark, stream_dir, tmp_path):
     q2.awaitTermination(120)
     got2 = spark.sql("SELECT * FROM sessstream").toPandas()
     assert got2.n_events.sum() >= 0  # session stream runs end-to-end
+
+
+def test_stream_exact_dedup(spark, tmp_path_factory, tmp_path):
+    """Streaming first-arrival dedup keeps exactly one row per distinct
+    normalized content — the same distinct set as batch exact_dedup."""
+    from icicle_spark.functions.text import doc_fingerprint
+    from icicle_spark.streaming import stream_exact_dedup
+
+    d = str(tmp_path_factory.mktemp("dedupsrc"))
+    texts = ["the quick fox", "lazy dog", "the quick  FOX", "new content",
+             "lazy dog", "unique one"]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(range(len(texts)), unit="m"),
+        }
+    )
+    batch = spark.createDataFrame(pdf)
+    batch.where(F.col("doc_id") < 3).coalesce(1).write.mode("overwrite").parquet(d)
+    batch.where(F.col("doc_id") >= 3).coalesce(1).write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    out = stream_exact_dedup(stream, "text", time_col="ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedupstream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedupstream").toPandas()
+    expect_fps = (
+        batch.select(doc_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    got_fps = (
+        spark.createDataFrame(got)
+        .select(doc_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    # normalization folds case/whitespace: "the quick  FOX" == doc 0
+    assert expect_fps == 4
+    assert len(got) == 4 and got_fps == 4
