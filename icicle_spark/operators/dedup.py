@@ -188,6 +188,116 @@ def minhash_signature_arrow(
     )
 
 
+def minhash_band_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 13,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """(id, band, bh) LSH bucket rows — the persistable dedup INDEX.
+
+    Write this once per corpus snapshot (parquet, partitioned by band)
+    and dedup future increments against it with
+    :func:`minhash_dedup_incremental` instead of re-banding the whole
+    corpus. Bucket rows carry ONLY (id, band, bh): at corpus scale the
+    band exchange must not shuffle document text bands-times per doc —
+    texts are re-joined for the (few) surviving candidate pairs.
+    The (num_perm, bands, shingle_n, seed) parameters are part of the
+    index identity and must match at query time."""
+    rows_per_band = num_perm // bands
+    if use_arrow:
+        sig = minhash_signature_arrow(
+            docs.select(id_col, text_col), text_col, num_perm, shingle_n, seed
+        )
+    else:
+        sig = docs.select(
+            F.col(id_col),
+            F.col(text_col),
+            minhash_signature(text_col, num_perm, shingle_n, seed).alias("__sig"),
+        )
+    return sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.array([F.lit(i) for i in range(bands)]),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.hash(
+                        F.slice(F.col("__sig"), bi * rows_per_band + 1, rows_per_band)
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    index_buckets: DataFrame,
+    texts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+    seed: int = 13,
+) -> DataFrame:
+    """Dedup an INCREMENT against an existing corpus index — the
+    production ingest flow: band only the new batch, join its buckets
+    against the persisted index (plus the new batch itself for
+    intra-batch dups), verify survivors with exact Jaccard.
+
+    Cost ~ |new| x bands for banding + the bucket join — independent
+    of corpus size except through bucket membership, vs re-banding the
+    full corpus every batch.
+
+    ``texts`` must cover every id that can appear in a pair (corpus +
+    increment); banding params must match the ones the index was built
+    with. Returns (id_a, id_b, jaccard) where at least one side is
+    from ``new_docs``."""
+    nb = minhash_band_buckets(
+        new_docs, text_col, id_col, num_perm, bands, shingle_n, seed
+    )
+    allb = index_buckets.select(id_col, "band", "bh").unionByName(nb)
+    # cap degenerate buckets across index+increment together
+    counted = allb.withColumn(
+        "__bn", F.count(F.lit(1)).over(W.partitionBy("band", "bh"))
+    ).where(F.col("__bn") <= max_bucket)
+    new_ids = new_docs.select(F.col(id_col)).distinct()
+    a = counted.join(new_ids, on=id_col).select(
+        F.col(id_col).alias("__na"), "band", "bh"
+    )
+    b = counted.select(F.col(id_col).alias("__cb"), "band", "bh")
+    cand = (
+        a.join(b, on=["band", "bh"])
+        .where(F.col("__na") != F.col("__cb"))
+        .select(
+            F.least("__na", "__cb").alias("id_a"),
+            F.greatest("__na", "__cb").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    t = texts.select(id_col, text_col)
+    cand = cand.join(
+        t.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")),
+        on="id_a",
+    ).join(
+        t.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")),
+        on="id_b",
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("__ta"), F.col("__tb"), shingle_n))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -205,34 +315,9 @@ def minhash_dedup_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    rows_per_band = num_perm // bands
-    if use_arrow:
-        sig = minhash_signature_arrow(
-            docs.select(id_col, text_col), text_col, num_perm, shingle_n, seed
-        )
-    else:
-        sig = docs.select(
-            F.col(id_col),
-            F.col(text_col),
-            minhash_signature(text_col, num_perm, shingle_n, seed).alias("__sig"),
-        )
-    # bucket rows carry ONLY (id, band, bh): at corpus scale the band
-    # exchange must not shuffle document text bands-times per doc —
-    # texts are re-joined for the (few) surviving candidate pairs.
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.array([F.lit(i) for i in range(bands)]),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.hash(
-                        F.slice(F.col("__sig"), bi * rows_per_band + 1, rows_per_band)
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("b"),
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    banded = minhash_band_buckets(
+        docs, text_col, id_col, num_perm, bands, shingle_n, seed, use_arrow
+    )
     # cap degenerate buckets (boilerplate) to avoid quadratic blowup
     counted = banded.withColumn(
         "__bn", F.count(F.lit(1)).over(W.partitionBy("band", "bh"))

@@ -155,3 +155,29 @@ def test_dedup_survivors_keep_semantics(spark, docs):
     # exactly one survivor per cluster
     per = surv.groupby("cluster")["keep"].sum()
     assert (per == 1).all()
+
+
+def test_minhash_incremental_matches_full(spark, docs):
+    """Banding only the increment against a persisted index yields
+    exactly the full-corpus pairs that touch the increment."""
+    from icicle_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_dedup_incremental,
+        minhash_dedup_pairs,
+    )
+
+    old = docs.where(F.col("doc_id") != 2)   # corpus without one near-dup
+    new = docs.where(F.col("doc_id") == 2)   # the increment
+    index = minhash_band_buckets(old)        # persisted once
+    inc = minhash_dedup_incremental(
+        new, index, texts=docs, threshold=0.5
+    ).toPandas()
+    full = minhash_dedup_pairs(docs, threshold=0.5).toPandas()
+    touching = {
+        (a, b)
+        for a, b in map(tuple, full[["id_a", "id_b"]].values)
+        if a == 2 or b == 2
+    }
+    got = set(map(tuple, inc[["id_a", "id_b"]].values))
+    assert got == touching
+    assert (0, 2) in got and (1, 2) in got
