@@ -230,6 +230,24 @@ def ivf_assign(
     return corpus.mapInPandas(assign, schema)
 
 
+def save_centroids(spark, centroids: np.ndarray, path: str) -> None:
+    """Persist a coarse quantizer as parquet (one row per centroid) so
+    future query/ingest batches reuse the index instead of retraining
+    — pair with a persisted ivf_assign output for the inverted lists."""
+    pdf = pd.DataFrame(
+        {
+            "idx": np.arange(len(centroids), dtype=np.int64),
+            "centroid": [c.astype("float64").tolist() for c in centroids],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> np.ndarray:
+    pdf = spark.read.parquet(path).toPandas().sort_values("idx")
+    return np.stack(pdf["centroid"].to_numpy()).astype("float64")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -241,6 +259,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: np.ndarray | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` inverted lists, then score each query only against
@@ -250,9 +270,20 @@ def ivf_topk(
     cluster scale the assignment is a narrow mapInPandas over the
     scan, the probe join broadcasts (query × nprobe) rows, and the
     only shuffle is the final per-query top-k window over candidates.
+
+    Pass ``centroids`` (and optionally ``assigned`` — a persisted
+    ``ivf_assign`` output with a ``__cluster`` column) to reuse a
+    built index across query batches instead of re-training and
+    re-assigning per call; see save_centroids / load_centroids.
     """
-    cent = _train_centroids(corpus, n_centroids, id_col, vec_col, n_sample, iters)
-    tagged = ivf_assign(corpus, cent, id_col, vec_col)
+    cent = (
+        centroids
+        if centroids is not None
+        else _train_centroids(corpus, n_centroids, id_col, vec_col, n_sample, iters)
+    )
+    tagged = (
+        assigned if assigned is not None else ivf_assign(corpus, cent, id_col, vec_col)
+    )
 
     qp = queries.select(query_id_col, vec_col).toPandas()
     qm = np.stack(qp[vec_col].to_numpy()).astype("float64")

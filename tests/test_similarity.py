@@ -135,3 +135,37 @@ def test_embedding_dedup_pairs(spark):
     got_b = {(int(a), int(b)) for a, b in zip(blocked["id_a"], blocked["id_b"])}
     assert got_b <= got  # verified subset, never false positives
     assert len(got_b & planted) >= 8  # high recall on true near-dups
+
+
+def test_ivf_index_reuse_roundtrip(spark, emb, tmp_path):
+    """Persisted centroids + assignments give identical IVF results to
+    the train-per-call path (same seed/sample => same quantizer)."""
+    from icicle_spark.operators.similarity import (
+        _train_centroids,
+        ivf_assign,
+        ivf_topk,
+        load_centroids,
+        save_centroids,
+    )
+
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fresh = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=3).toPandas()
+    cent = _train_centroids(emb, 8, "vec_id", "embedding", 4096, 5)
+    p = str(tmp_path / "centroids")
+    save_centroids(spark, cent, p)
+    cent2 = load_centroids(spark, p)
+    assert np.allclose(cent, cent2)
+    assigned = ivf_assign(emb, cent2)
+    ap = str(tmp_path / "assigned")
+    assigned.write.mode("overwrite").parquet(ap)
+    reused = ivf_topk(
+        emb, q, k=5, nprobe=3,
+        centroids=cent2, assigned=spark.read.parquet(ap),
+    ).toPandas()
+    key = ["query_id", "vec_id"]
+    f = fresh.sort_values(key).reset_index(drop=True)
+    r = reused.sort_values(key).reset_index(drop=True)
+    assert (f[key].values == r[key].values).all()
+    assert np.allclose(f["cosine_sim"], r["cosine_sim"])
