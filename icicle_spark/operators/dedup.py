@@ -93,13 +93,18 @@ def shingle_hashes(text_col, n: int = 3):
     return _grams_from(_word_hashes(text_col), n)
 
 
+def exact_key(text_col):
+    """The exact-dedup grouping key: xxhash64 of the normalized word
+    stream (case/punctuation/whitespace folded)."""
+    return F.xxhash64(F.array_join(_norm_tokens(text_col), " "))
+
+
 def exact_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact dedup: keep the smallest id per identical (normalized)
     text. Returns the surviving rows."""
-    h = F.xxhash64(F.array_join(_norm_tokens(text_col), " ")).alias("__h")
-    with_h = docs.withColumn("__h", h)
+    with_h = docs.withColumn("__h", exact_key(text_col))
     keep = with_h.groupBy("__h").agg(F.min(id_col).alias(id_col))
     return (
         with_h.join(keep, on=["__h", id_col], how="inner")

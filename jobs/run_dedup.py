@@ -1,0 +1,141 @@
+"""Production dedup pipeline — spark-submit entry.
+
+    zip -r icicle_spark.zip icicle_spark
+    spark-submit --py-files icicle_spark.zip jobs/run_dedup.py \\
+        --input /data/documents --output /data/dedup_decisions \\
+        --method minhash --threshold 0.7 \\
+        [--id-col doc_id] [--text-col text] \\
+        [--index /data/minhash_index]        # reuse a persisted index \\
+        [--write-index /data/minhash_index]  # persist this corpus' index \\
+        [--pairs-out /data/dup_pairs]
+
+Flow: exact dedup first (hash groupBy — removes byte-identical copies
+cheaply), then near-dup pairs (minhash | simhash), then connected
+components -> one survivor per cluster. Output: (id, cluster, keep)
+decisions, optionally the verified pairs and the reusable LSH bucket
+index. With ``--index`` the near-dup stage bands ONLY documents that
+survive exact dedup and joins against the persisted corpus index
+(incremental ingest — cost scales with the increment).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--method", default="minhash", choices=["minhash", "simhash", "exact"])
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--threshold", type=float, default=0.7)
+    ap.add_argument("--max-hamming", type=int, default=3)
+    ap.add_argument("--num-perm", type=int, default=64)
+    ap.add_argument("--bands", type=int, default=16)
+    ap.add_argument("--max-bucket", type=int, default=1000)
+    ap.add_argument("--index", help="existing MinHash bucket index (parquet)")
+    ap.add_argument("--corpus-texts", help="texts covering the indexed corpus "
+                    "(required with --index for Jaccard verification)")
+    ap.add_argument("--write-index", help="persist this corpus' bucket index here")
+    ap.add_argument("--pairs-out", help="also write verified pairs here")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from icicle_spark.operators.dedup import (
+        dedup_survivors,
+        exact_dedup,
+        exact_key,
+        minhash_band_buckets,
+        minhash_dedup_incremental,
+        minhash_dedup_pairs,
+        simhash_dedup_pairs,
+    )
+    from icicle_spark.session import get_spark
+
+    t0 = time.time()
+    spark = get_spark(app_name="icicle_spark_dedup")
+    docs = spark.read.parquet(args.input)
+    idc, txt = args.id_col, args.text_col
+
+    # stage 1: exact dedup — survivors carry the near-dup cost
+    kept_ids = exact_dedup(docs, txt, idc).select(idc)
+    survivors = docs.join(kept_ids, on=idc)
+
+    # stage 2: near-dup pairs among exact survivors
+    if args.method == "exact":
+        pairs = None
+    elif args.index:
+        if not args.corpus_texts:
+            ap.error("--index requires --corpus-texts")
+        corpus_texts = spark.read.parquet(args.corpus_texts)
+        texts = corpus_texts.select(idc, txt).unionByName(
+            survivors.select(idc, txt)
+        ).dropDuplicates([idc])
+        pairs = minhash_dedup_incremental(
+            survivors, spark.read.parquet(args.index), texts,
+            txt, idc, args.num_perm, args.bands,
+            threshold=args.threshold, max_bucket=args.max_bucket,
+        )
+    elif args.method == "minhash":
+        pairs = minhash_dedup_pairs(
+            survivors, txt, idc, args.num_perm, args.bands,
+            threshold=args.threshold, max_bucket=args.max_bucket,
+        )
+    else:
+        pairs = simhash_dedup_pairs(
+            survivors, txt, idc,
+            max_hamming=args.max_hamming, max_bucket=args.max_bucket,
+        )
+
+    # stage 3: decisions. Exact-dropped docs point at their exact
+    # survivor; near-dup clusters keep their min id.
+    exact_cluster = docs.groupBy(exact_key(txt).alias("__k")).agg(
+        F.min(idc).alias("__surv")
+    )
+    base = docs.withColumn("__k", exact_key(txt)).join(exact_cluster, on="__k")
+    if pairs is not None:
+        near = dedup_survivors(survivors, pairs, idc)
+        decisions = base.join(
+            near.select(F.col(idc).alias("__surv"),
+                        F.col("cluster").alias("__nc")),
+            on="__surv", how="left",
+        ).select(
+            idc,
+            F.coalesce("__nc", "__surv").alias("cluster"),
+            (F.col(idc) == F.coalesce("__nc", "__surv")).alias("keep"),
+        )
+    else:
+        decisions = base.select(
+            idc,
+            F.col("__surv").alias("cluster"),
+            (F.col(idc) == F.col("__surv")).alias("keep"),
+        )
+    decisions.write.mode("overwrite").parquet(args.output)
+
+    record = {
+        "mode": "incremental" if args.index else args.method,
+        "docs_in": docs.count(),
+        "kept": spark.read.parquet(args.output).where("keep").count(),
+        "output": args.output,
+        "wall_seconds": round(time.time() - t0, 3),
+    }
+    if args.pairs_out and pairs is not None:
+        pairs.write.mode("overwrite").parquet(args.pairs_out)
+        record["pairs_out"] = args.pairs_out
+    if args.write_index:
+        minhash_band_buckets(
+            survivors, txt, idc, args.num_perm, args.bands
+        ).write.mode("overwrite").partitionBy("band").parquet(args.write_index)
+        record["index"] = args.write_index
+    print(json.dumps(record))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
