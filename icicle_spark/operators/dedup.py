@@ -508,20 +508,17 @@ def _simhash_from_hashes(hash_arrays: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def simhash_dedup_pairs(
+def simhash_chunk_index(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    max_bucket: int = 1000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: pigeonhole over ``max_hamming + 1``
-    bit-chunks of the 64-bit fingerprint (any pair within the hamming
-    budget must agree on >=1 chunk — exact, not probabilistic),
-    verified by exact hamming distance. Degenerate chunk buckets
-    (boilerplate corpora share chunk values) are capped at
-    ``max_bucket`` members, same as the MinHash band join, to keep the
-    candidate join from going quadratic at corpus scale."""
+    """(id, ck, cv, fp) SimHash chunk rows — the persistable index
+    (pigeonhole over ``max_hamming + 1`` near-equal bit-chunks of the
+    64-bit fingerprint: any pair within the hamming budget must agree
+    on >=1 chunk — exact, not probabilistic). ``max_hamming`` is part
+    of the index identity."""
     n_chunks = max_hamming + 1
     if n_chunks < 1 or n_chunks > 16:
         raise ValueError("max_hamming must be in [0, 15]")
@@ -532,7 +529,7 @@ def simhash_dedup_pairs(
     fp = docs.select(
         F.col(id_col), simhash64(_raw_word_hashes(text_col)).alias("fp")
     )
-    chunks = fp.select(
+    return fp.select(
         id_col,
         "fp",
         F.explode(
@@ -553,6 +550,22 @@ def simhash_dedup_pairs(
             )
         ).alias("c"),
     ).select(id_col, "fp", F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
+
+
+def simhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: pigeonhole chunk banding (see
+    simhash_chunk_index), verified by exact hamming distance.
+    Degenerate chunk buckets (boilerplate corpora share chunk values)
+    are capped at ``max_bucket`` members, same as the MinHash band
+    join, to keep the candidate join from going quadratic at corpus
+    scale."""
+    chunks = simhash_chunk_index(docs, text_col, id_col, max_hamming)
     # cap degenerate chunk buckets (mirror of the MinHash band cap)
     chunks = chunks.withColumn(
         "__bn", F.count(F.lit(1)).over(W.partitionBy("ck", "cv"))
@@ -570,3 +583,42 @@ def simhash_dedup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_dedup_incremental(
+    new_docs: DataFrame,
+    index_chunks: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Dedup an increment against a persisted SimHash chunk index
+    (simhash_chunk_index output): chunk only the new batch, join its
+    buckets against index+increment, verify by exact hamming — the
+    fingerprints travel with the index, so unlike the MinHash form no
+    text re-join is needed. ``max_hamming`` must match the index.
+    Returns (id_a, id_b, hamming) where at least one side is new."""
+    nb = simhash_chunk_index(new_docs, text_col, id_col, max_hamming)
+    allc = index_chunks.select(id_col, "fp", "ck", "cv").unionByName(nb)
+    counted = allc.withColumn(
+        "__bn", F.count(F.lit(1)).over(W.partitionBy("ck", "cv"))
+    ).where(F.col("__bn") <= max_bucket)
+    new_ids = new_docs.select(F.col(id_col)).distinct()
+    a = counted.join(new_ids, on=id_col).select(
+        F.col(id_col).alias("__na"), F.col("fp").alias("__fa"), "ck", "cv"
+    )
+    b = counted.select(
+        F.col(id_col).alias("__cb"), F.col("fp").alias("__fb"), "ck", "cv"
+    )
+    cand = (
+        a.join(b, on=["ck", "cv"])
+        .where(F.col("__na") != F.col("__cb"))
+        .select(
+            F.least("__na", "__cb").alias("id_a"),
+            F.greatest("__na", "__cb").alias("id_b"),
+            F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.where(F.col("hamming") <= max_hamming)

@@ -181,3 +181,25 @@ def test_minhash_incremental_matches_full(spark, docs):
     got = set(map(tuple, inc[["id_a", "id_b"]].values))
     assert got == touching
     assert (0, 2) in got and (1, 2) in got
+
+
+def test_simhash_incremental_matches_full(spark, docs):
+    from icicle_spark.operators.dedup import (
+        simhash_chunk_index,
+        simhash_dedup_incremental,
+        simhash_dedup_pairs,
+    )
+
+    old = docs.where(F.col("doc_id") != 1)
+    new = docs.where(F.col("doc_id") == 1)
+    index = simhash_chunk_index(old)
+    inc = simhash_dedup_incremental(new, index, max_bucket=10_000).toPandas()
+    full = simhash_dedup_pairs(docs, max_bucket=10_000).toPandas()
+    touching = {
+        (a, b)
+        for a, b in map(tuple, full[["id_a", "id_b"]].values)
+        if a == 1 or b == 1
+    }
+    got = set(map(tuple, inc[["id_a", "id_b"]].values))
+    assert got == touching
+    assert (0, 1) in got  # the exact dup pair
