@@ -150,6 +150,39 @@ def main() -> int:
         ],
     )
 
+    from icicle_spark.operators.similarity import lsh_topk
+
+    t5 = plan_text(lsh_topk(emb, q, k=3, n_planes=4, n_tables=4, dim=3))
+    lsh_scans = count(r"\(\d+\) Scan ExistingRDD", t5)
+    check(
+        "lsh topk single-scan buckets",
+        t5,
+        [
+            # corpus + query sides only — all 4 tables' buckets explode
+            # from one pass each, never n_tables unioned re-scans
+            (f"2 source scans, not n_tables x 2 (got {lsh_scans})",
+             lsh_scans <= 2),
+            ("no Union of per-table re-scans", "Union" not in t5),
+        ],
+    )
+
+    from icicle_spark.operators.tokens import corpus_token_freq
+
+    toks = facts.limit(1).sparkSession.read.parquet(
+        generate(n_rows=50_000, n_docs=2_000)
+    ).select("doc_id", "tokens")
+    t6 = plan_text(corpus_token_freq(toks, "tokens"))
+    ex6 = count(r"\(\d+\) Exchange", t6)
+    check(
+        "corpus token freq",
+        t6,
+        [
+            (f"exactly one shuffle (got {ex6})", ex6 == 1),
+            ("map-side partial aggregation before the exchange",
+             "partial_count" in t6 or "HashAggregate" in t6),
+        ],
+    )
+
     print("=====")
     if failures:
         print("PLAN AUDIT FAILURES:", *failures, sep="\n  ")
