@@ -1412,6 +1412,25 @@ FROM w
 """
 
 
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source mixing (training-data mixture weights):
+    per-source survivor counts after hash-gated downsampling. Rows-only
+    (membership is a pure function of xxhash64, which the oracle engine
+    lacks); determinism + proportions are pinned in
+    tests/test_sampling.py."""
+    from icicle_spark.operators.sampling import mix_sources
+
+    d = _docs(spark, sf_dir)
+    mixed = mix_sources(
+        d, {"src0": 1.0, "src1": 0.5, "src2": 0.1}, default=0.25
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .orderBy("source")
+    )
+
+
 def q_token_seq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-SEQUENCE operators over array<int> token ids (the
     north-rule payload): n-gram rolling ids, distinct counts, and
@@ -1946,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_arrays": q_token_arrays,
         "token_seq_stats": q_token_seq_stats,
         "token_freq": q_token_freq,
+        "source_mix": q_source_mix,
     }
 
 
@@ -2008,5 +2028,7 @@ def oracle_sql() -> dict[str, str]:
         # approx_aggs: sketches differ across engines — rows-only.
         # minhash_pairs / simhash_pairs: LSH not SQL-expressible —
         # rows-only check by design.
+        # source_mix: membership = f(xxhash64), not available in the
+        # oracle engine — rows-only; pinned by tests/test_sampling.py.
     }
     return {k: (v if "1.37e-" in v else _stab(v)) for k, v in raw.items()}
