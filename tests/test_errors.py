@@ -148,3 +148,29 @@ def test_error_codes_latest_frame(spark, facts):
     assert errs.loc["tomb", "l1_err"] == ERR_TOMBSTONE
     assert errs.loc["poss", "l1_err"] == ERR_CANNOT_COMPUTE
     assert errs.loc["late", "l1_err"] == ERR_FOLD1_NO_VALUE
+
+
+def test_error_codes_group_features(spark, facts):
+    """Group folds: a null group KEY or element poisons the whole map
+    (code 1/3 by source); skip_nulls drops both -> OK."""
+    plan = Plan(
+        [
+            Feature("g", Agg.COUNT, "value", group="value", skip_nulls=False),
+            Feature("gs", Agg.COUNT, "value", group="value", skip_nulls=True),
+        ],
+        entity_col="entity",
+        time_col="time",
+        seq_col="seq",
+        tombstone_col="dead",
+    )
+    errs = (
+        error_codes(facts, plan, snapshot=SNAP)
+        .toPandas()
+        .set_index("entity")
+        .sort_index()
+    )
+    assert errs.loc["ok", "g_err"] == ERR_OK
+    assert errs.loc["tomb", "g_err"] == ERR_TOMBSTONE
+    assert errs.loc["poss", "g_err"] == ERR_CANNOT_COMPUTE
+    for ent in ["ok", "tomb", "poss", "both", "late"]:
+        assert errs.loc[ent, "gs_err"] == ERR_OK  # group folds have map init
