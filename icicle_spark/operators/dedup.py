@@ -441,6 +441,15 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # the loop exhausted max_iter with labels still moving: a
+        # chain longer than max_iter would silently split into several
+        # "clusters" each keeping its own survivor — never return
+        # wrong components without saying so
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            "(pair-graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels
 
 

@@ -79,8 +79,13 @@ def _err_col(f: Feature, tomb: Column, frame: Column) -> Column:
         null_elem = ex.isNull()
     if f.skip_nulls:
         # nulls (tombstones AND possibly-errors) are dropped before the
-        # fold sees them — only the empty-stream case remains
-        n_vis = F.sum(F.when(frame & ~null_elem, 1).otherwise(0))
+        # fold sees them — only the empty-stream case remains. Count
+        # tombstoned facts as dropped even when their RAW expr value is
+        # non-null: the value backends null every non-key column on a
+        # tombstoned fact before skip_nulls applies, so an
+        # all-tombstone frame yields a null fold1 value and must carry
+        # ERR_FOLD1_NO_VALUE ("codes explain every null").
+        n_vis = F.sum(F.when(frame & ~null_elem & ~tomb, 1).otherwise(0))
         if _is_fold1(f):
             return F.when(
                 F.coalesce(n_vis, F.lit(0)) == 0, F.lit(ERR_FOLD1_NO_VALUE)

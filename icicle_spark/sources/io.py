@@ -101,8 +101,11 @@ def psv_schema(
         "global_properties": {"missing_value": missing_value},
         "entity_id": {"index": 0, "encoding": "string"},
         "attributes": [
+            # 1-based: index is the physical column position, with
+            # entity_id pinned at 0 (Schema.hs ppSchema imap
+            # (ppColumn . (+1)))
             {"index": i, "name": f.name, "encoding": _psv_encoding(f.dataType)}
-            for i, f in enumerate(cols)
+            for i, f in enumerate(cols, start=1)
         ],
     }
 

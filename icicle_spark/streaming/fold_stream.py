@@ -198,8 +198,11 @@ def stream_exact_dedup(
     watermark: str | None = None,
 ) -> DataFrame:
     """Streaming exact dedup: keep only the FIRST arrival of each
-    normalized content fingerprint (functions.text.doc_fingerprint —
-    the same key the batch ``exact_dedup`` groups on).
+    normalized content key (operators.dedup.exact_key — literally the
+    same Column expression the batch ``exact_dedup`` groups on, so a
+    corpus ingested via the stream and one ingested in batch agree on
+    which rows are exact duplicates; text.doc_fingerprint keeps
+    apostrophes/accents and would disagree on "don't" vs "don t").
 
     With ``time_col`` + ``watermark`` this uses
     ``dropDuplicatesWithinWatermark``: fingerprint state ages out past
@@ -210,9 +213,9 @@ def stream_exact_dedup(
     ALL fingerprints in state — exact forever, but state grows with
     the distinct corpus; use for bounded replays only.
     """
-    from icicle_spark.functions.text import doc_fingerprint
+    from icicle_spark.operators.dedup import exact_key
 
-    fp = stream.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+    fp = stream.withColumn("__fp", exact_key(F.col(text_col)))
     if watermark is not None:
         if time_col is None:
             raise ValueError("watermark requires time_col")

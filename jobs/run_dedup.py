@@ -54,6 +54,8 @@ def main(argv: list[str] | None = None) -> int:
         minhash_band_buckets,
         minhash_dedup_incremental,
         minhash_dedup_pairs,
+        simhash_chunk_index,
+        simhash_dedup_incremental,
         simhash_dedup_pairs,
     )
     from icicle_spark.session import get_spark
@@ -69,10 +71,18 @@ def main(argv: list[str] | None = None) -> int:
 
     # stage 2: near-dup pairs among exact survivors
     if args.method == "exact":
+        if args.index:
+            ap.error("--index is meaningless with --method exact")
         pairs = None
+    elif args.index and args.method == "simhash":
+        # SimHash index carries the fingerprints — no text re-join
+        pairs = simhash_dedup_incremental(
+            survivors, spark.read.parquet(args.index), txt, idc,
+            max_hamming=args.max_hamming, max_bucket=args.max_bucket,
+        )
     elif args.index:
         if not args.corpus_texts:
-            ap.error("--index requires --corpus-texts")
+            ap.error("--index with --method minhash requires --corpus-texts")
         corpus_texts = spark.read.parquet(args.corpus_texts)
         texts = corpus_texts.select(idc, txt).unionByName(
             survivors.select(idc, txt)
@@ -119,7 +129,7 @@ def main(argv: list[str] | None = None) -> int:
     decisions.write.mode("overwrite").parquet(args.output)
 
     record = {
-        "mode": "incremental" if args.index else args.method,
+        "mode": f"incremental_{args.method}" if args.index else args.method,
         "docs_in": docs.count(),
         "kept": spark.read.parquet(args.output).where("keep").count(),
         "output": args.output,
@@ -129,9 +139,14 @@ def main(argv: list[str] | None = None) -> int:
         pairs.write.mode("overwrite").parquet(args.pairs_out)
         record["pairs_out"] = args.pairs_out
     if args.write_index:
-        minhash_band_buckets(
-            survivors, txt, idc, args.num_perm, args.bands
-        ).write.mode("overwrite").partitionBy("band").parquet(args.write_index)
+        if args.method == "simhash":
+            simhash_chunk_index(
+                survivors, txt, idc, args.max_hamming
+            ).write.mode("overwrite").partitionBy("ck").parquet(args.write_index)
+        else:
+            minhash_band_buckets(
+                survivors, txt, idc, args.num_perm, args.bands
+            ).write.mode("overwrite").partitionBy("band").parquet(args.write_index)
         record["index"] = args.write_index
     print(json.dumps(record))
     return 0

@@ -141,6 +141,21 @@ def test_dedup_clusters_union_find_oracle(spark):
     assert dict(zip(got["id"], got["cluster"])) == expect
 
 
+def test_dedup_clusters_raises_on_non_convergence(spark):
+    """A chain longer than max_iter must raise, not silently return
+    split components each keeping its own survivor (round-2 ADVICE)."""
+    from icicle_spark.operators.dedup import dedup_clusters
+
+    path = spark.createDataFrame(
+        pd.DataFrame([(i, i + 1) for i in range(6)], columns=["id_a", "id_b"])
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(path, max_iter=2)
+    # and a generous bound still converges to one component
+    ok = dedup_clusters(path, max_iter=10).toPandas()
+    assert set(ok["cluster"]) == {0}
+
+
 def test_dedup_survivors_keep_semantics(spark, docs):
     from icicle_spark.operators.dedup import dedup_survivors, minhash_dedup_pairs
 

@@ -43,6 +43,11 @@ def facts(spark):
         ("both", "2016-01-01", None, True),
         ("both", "2016-02-01", None, False),
         ("late", "2017-06-01", 9.0,  False),
+        # tombstoned facts carrying NON-null raw values: the value
+        # backends null them before skip_nulls applies, so the
+        # skip_nulls fold sees an empty stream
+        ("tombv", "2016-01-01", 3.0, True),
+        ("tombv", "2016-02-01", 4.0, True),
     ]
     pdf = pd.DataFrame(rows, columns=["entity", "time", "value", "dead"])
     pdf["time"] = pd.to_datetime(pdf["time"])
@@ -89,6 +94,28 @@ def test_error_codes_snapshot(spark, facts):
     # the fold1 mean saw an empty stream
     assert errs.loc["both", "ms_err"] == ERR_FOLD1_NO_VALUE
     assert errs.loc["late", "ms_err"] == ERR_FOLD1_NO_VALUE
+
+
+def test_error_codes_all_tombstone_nonnull_values(spark, facts):
+    """A skip_nulls fold1 whose visible frame is ONLY tombstoned facts
+    with non-null RAW values: the value backends null every non-key
+    column on a tombstoned fact before skip_nulls drops it, so the
+    fold saw an empty stream — ERR_FOLD1_NO_VALUE, never ERR_OK
+    beside a null value (round-2 ADVICE)."""
+    errs = (
+        error_codes(facts, _plan(), snapshot=SNAP)
+        .toPandas()
+        .set_index("entity")
+    )
+    assert errs.loc["tombv", "ms_err"] == ERR_FOLD1_NO_VALUE
+    assert errs.loc["tombv", "m_err"] == ERR_TOMBSTONE
+    # and the value side really is null there
+    out = (
+        run_plan(facts, _plan(), snapshot=SNAP, error_codes=True)
+        .toPandas()
+        .set_index("entity")
+    )
+    assert pd.isna(out.loc["tombv", "ms"])
 
 
 def test_error_codes_join_matches_values(spark, facts):

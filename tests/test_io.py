@@ -61,6 +61,9 @@ def test_psv_output_schema_sidecar(spark, tmp_path):
     assert schema["version"] == "1" and schema["encoding_version"] == "1"
     assert schema["entity_id"] == {"index": 0, "encoding": "string"}
     assert schema["global_properties"]["missing_value"] == "NA"
+    # 1-based attribute indices: entity_id holds physical position 0
+    # (Schema.hs ppSchema: imap (ppColumn . (+1)))
+    assert [a["index"] for a in schema["attributes"]] == [1, 2, 3, 4]
     enc = {a["name"]: a["encoding"] for a in schema["attributes"]}
     assert enc["s"] == {"primitive": "int"}
     assert enc["m"] == {"primitive": "double"}

@@ -147,13 +147,15 @@ def test_stream_windowed_and_session(spark, stream_dir, tmp_path):
 
 def test_stream_exact_dedup(spark, tmp_path_factory, tmp_path):
     """Streaming first-arrival dedup keeps exactly one row per distinct
-    normalized content — the same distinct set as batch exact_dedup."""
-    from icicle_spark.functions.text import doc_fingerprint
+    normalized content — the same distinct set, under the SAME key, as
+    batch exact_dedup (apostrophe/accent texts pinned: doc_fingerprint
+    would key "don't stop" and "don t stop" differently)."""
+    from icicle_spark.operators.dedup import exact_key
     from icicle_spark.streaming import stream_exact_dedup
 
     d = str(tmp_path_factory.mktemp("dedupsrc"))
     texts = ["the quick fox", "lazy dog", "the quick  FOX", "new content",
-             "lazy dog", "unique one"]
+             "lazy dog", "unique one", "don't stop", "don t stop"]
     pdf = pd.DataFrame(
         {
             "doc_id": range(len(texts)),
@@ -179,16 +181,17 @@ def test_stream_exact_dedup(spark, tmp_path_factory, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT * FROM dedupstream").toPandas()
     expect_fps = (
-        batch.select(doc_fingerprint(F.col("text")).alias("fp"))
+        batch.select(exact_key(F.col("text")).alias("fp"))
         .distinct()
         .count()
     )
     got_fps = (
         spark.createDataFrame(got)
-        .select(doc_fingerprint(F.col("text")).alias("fp"))
+        .select(exact_key(F.col("text")).alias("fp"))
         .distinct()
         .count()
     )
-    # normalization folds case/whitespace: "the quick  FOX" == doc 0
-    assert expect_fps == 4
-    assert len(got) == 4 and got_fps == 4
+    # normalization folds case/whitespace AND punctuation:
+    # "the quick  FOX" == doc 0, "don't stop" == "don t stop"
+    assert expect_fps == 5
+    assert len(got) == 5 and got_fps == 5
