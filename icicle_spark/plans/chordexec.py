@@ -39,6 +39,7 @@ from icicle_spark.plans.ir import (
     CustomFold,
     Feature,
     Plan,
+    apply_filter_let,
     eval_expr,
     feature_dtype,
 )
@@ -114,6 +115,10 @@ class _FeatureArrays:
     def __init__(self, f: Feature, facts: pd.DataFrame, codes: np.ndarray,
                  tns: np.ndarray, tomb: np.ndarray | None) -> None:
         n = len(facts)
+        # `filter let Some b = e`: binds visible to this feature's
+        # exprs; null binds (and tombstoned facts, whose raw bind may
+        # be non-null here) fail the pattern and drop.
+        facts, bmask = apply_filter_let(f, facts) if n else (facts, None)
         vals = eval_expr(f.expr, facts).to_numpy() if n else np.empty(0)
         if tomb is not None:
             vals = vals.astype(object)
@@ -123,6 +128,10 @@ class _FeatureArrays:
             ok = ok.fillna(False).to_numpy().astype(bool)
         else:
             ok = np.ones(n, dtype=bool)
+        if bmask is not None:
+            ok &= bmask
+            if tomb is not None:
+                ok &= ~tomb
         null_all = pd.isna(pd.Series(vals)).to_numpy() if n else np.zeros(0, bool)
         if f.skip_nulls:
             ok = ok & ~null_all

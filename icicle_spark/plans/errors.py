@@ -37,7 +37,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from icicle_spark.plans.ir import Agg, CustomFold, Feature, Plan
-from icicle_spark.plans.native import _order_cols, _visibility
+from icicle_spark.plans.native import _order_cols, _visibility, _with_binds
 
 ERR_OK = 0
 ERR_TOMBSTONE = 1
@@ -145,9 +145,16 @@ def error_codes(
     # tombstoned facts are null ELEMENTS for the value backends; for
     # error attribution we need the pre-nulling expr, so evaluate expr
     # nulls only on non-tombstoned facts (tomb handled separately)
+    # filter_let binds: errors reads RAW facts (no tombstone nulling),
+    # so materialize the binds here and drop tombstoned facts from the
+    # frame explicitly — in the value backends the pattern fails on
+    # them because their binds were nulled first.
+    base = _with_binds(base, plan)
     aggs = []
     for f in plan.features:
         frame = _visibility(f, qt, tcol)
+        if f.filter_let is not None:
+            frame = frame & ~tomb
         if f.latest is not None and not f.skip_nulls:
             # poison counts only inside the last-N buffer
             w_fwd = (

@@ -40,6 +40,7 @@ from icicle_spark.plans.ir import (
     CustomFold,
     Feature,
     Plan,
+    apply_filter_let,
     eval_expr,
     feature_dtype,
 )
@@ -229,12 +230,14 @@ def _run_entity(
     times = pdf[plan.time_col].to_numpy()
     cols: dict[str, dict[str, np.ndarray | None]] = {}
     for f in plan.features:
-        vals = eval_expr(f.expr, pdf).to_numpy()
-        mask = None
+        # `filter let Some b = e`: bind columns for this feature's
+        # exprs; facts with a null bind fail the pattern and drop.
+        fpdf, bmask = apply_filter_let(f, pdf)
+        vals = eval_expr(f.expr, fpdf).to_numpy()
+        mask = bmask
         if f.where is not None:
-            mask = (
-                eval_expr(f.where, pdf).fillna(False).to_numpy().astype(bool)
-            )
+            w = eval_expr(f.where, fpdf).fillna(False).to_numpy().astype(bool)
+            mask = w if mask is None else (mask & w)
         if plan.tombstone_col is not None and plan.tombstone_col in pdf.columns:
             # a tombstone fact's value is an error element
             # (doc/design/tombstones.md:56-73): poison it to null so
@@ -243,12 +246,16 @@ def _run_entity(
             if ts_mask.any():
                 vals = vals.astype(object)
                 vals[ts_mask] = None
+                if bmask is not None:
+                    # a tombstone carries no value: the Some pattern
+                    # fails even when the raw bind expr is non-null
+                    mask = mask & ~ts_mask
         cols[f.name] = {
             "vals": vals,
             "mask": mask,
-            "by": eval_expr(f.by, pdf).to_numpy() if f.by is not None else None,
-            "gkey": eval_expr(f.group, pdf).to_numpy() if f.group is not None else None,
-            "dkey": eval_expr(f.distinct, pdf).to_numpy() if f.distinct is not None else None,
+            "by": eval_expr(f.by, fpdf).to_numpy() if f.by is not None else None,
+            "gkey": eval_expr(f.group, fpdf).to_numpy() if f.group is not None else None,
+            "dkey": eval_expr(f.distinct, fpdf).to_numpy() if f.distinct is not None else None,
         }
     rows = []
     for qt in qtimes:

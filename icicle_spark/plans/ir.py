@@ -150,6 +150,18 @@ class Feature:
     half_life_days: float | None = None  # DECAYED_SUM only: weight
                                       # halves every this-many days
                                       # before the query time
+    filter_let: tuple[tuple[str, ExprLike], ...] | None = None
+                                      # `filter let Some b = e` (Context.hs:31,
+                                      # ToCore/Fold.hs:289-305): drop facts
+                                      # where e is null OR tombstoned (the
+                                      # pattern fails), and bind b to the
+                                      # unwrapped value for this feature's
+                                      # expr/where/by/group/distinct. Binds
+                                      # apply sequentially (later binds may
+                                      # reference earlier ones) and BEFORE
+                                      # where/window/latest, matching the
+                                      # context pipeline order. Bind names
+                                      # must not shadow fact columns.
 
 
 @dataclass
@@ -198,6 +210,26 @@ class Plan:
                         f"feature {f.name}: DECAYED_SUM does not support "
                         "group/distinct"
                     )
+        # filter_let bind consistency: a bind name must mean ONE thing
+        # across the plan (the native compiler materializes binds as
+        # shared physical columns) and never shadow a key column.
+        seen_binds: dict[str, Any] = {}
+        keycols = {self.entity_col, self.time_col, self.seq_col,
+                   self.tombstone_col}
+        for f in self.features:
+            for b, e in (f.filter_let or ()):
+                if b in keycols:
+                    raise ValueError(
+                        f"feature {f.name}: filter_let bind {b!r} shadows "
+                        "a plan key column"
+                    )
+                canon = e if isinstance(e, str) else id(e)
+                if b in seen_binds and seen_binds[b] != canon:
+                    raise ValueError(
+                        f"filter_let bind {b!r} is defined with different "
+                        "expressions in different features"
+                    )
+                seen_binds[b] = canon
 
     def fuse(self, other: "Plan") -> "Plan":
         """Query fusion: concatenate feature sets over the same input
@@ -239,6 +271,12 @@ class Plan:
                 f.distinct if isinstance(f.distinct, str) else id(f.distinct),
                 f.skip_nulls,
                 f.half_life_days,
+                tuple(
+                    (b, e if isinstance(e, str) else id(e))
+                    for b, e in f.filter_let
+                )
+                if f.filter_let
+                else None,
             )
             if key not in seen:
                 seen[key] = f.name
@@ -298,3 +336,26 @@ def eval_expr(expr: ExprLike, pdf: pd.DataFrame) -> pd.Series:
     if expr in pdf.columns:
         return pdf[expr]
     return pdf.eval(expr)
+
+
+def apply_filter_let(
+    f: Feature, pdf: pd.DataFrame
+) -> tuple[pd.DataFrame, "np.ndarray | None"]:
+    """Pandas-side `filter let Some b = e`: extend a fact block with
+    the feature's binds and return ``(frame, keep_mask)`` where
+    keep_mask marks facts whose every bind matched ``Some`` (non-null).
+    Returns ``(pdf, None)`` when the feature has no binds. Callers
+    with raw (un-nulled) tombstone columns must ALSO drop tombstoned
+    facts from the mask — a tombstone carries no value, so the
+    pattern fails."""
+    if not f.filter_let:
+        return pdf, None
+    pdf = pdf.copy()
+    mask = np.ones(len(pdf), dtype=bool)
+    for b, e in f.filter_let:
+        if b in pdf.columns:
+            raise ValueError(f"filter_let bind {b!r} shadows a fact column")
+        s = eval_expr(e, pdf)
+        pdf[b] = s
+        mask &= s.notna().to_numpy()
+    return pdf, mask

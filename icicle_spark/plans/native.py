@@ -65,6 +65,10 @@ def _feature_native(f: Feature) -> bool:
         return False
     if f.where is not None and not isinstance(f.where, str):
         return False
+    if f.filter_let is not None and not all(
+        isinstance(e, str) for _, e in f.filter_let
+    ):
+        return False
     if f.by is not None and not isinstance(f.by, str):
         return False
     if f.group is not None:
@@ -201,6 +205,25 @@ def _agg_col(
     return out.alias(f.name)
 
 
+def _with_binds(facts: DataFrame, plan: Plan) -> DataFrame:
+    """Materialize every filter_let bind as a physical column (one
+    projection — Catalyst folds it into the scan stage). Must run
+    AFTER tombstone nulling so tombstoned facts bind to null and the
+    Some-pattern drops them."""
+    added: set[str] = set()
+    for f in plan.features:
+        for b, e in (f.filter_let or ()):
+            if b in added:
+                continue  # plan validation pinned one expr per name
+            if b in facts.columns:
+                raise ValueError(
+                    f"filter_let bind {b!r} shadows a fact column"
+                )
+            facts = facts.withColumn(b, F.expr(e))
+            added.add(b)
+    return facts
+
+
 def _visibility(f: Feature, qt: Column, tcol: str) -> Column:
     cond = F.col(tcol) < qt  # strict: zero temporal leakage
     if f.window is not None:
@@ -211,6 +234,13 @@ def _visibility(f: Feature, qt: Column, tcol: str) -> Column:
             cond &= F.col(tcol) <= qt - F.expr(
                 f.window.sql_interval(f.window.older_than_days)
             )
+    if f.filter_let is not None:
+        # `filter let Some b = e`: the pattern fails on null binds.
+        # Bind columns are materialized on the facts AFTER tombstone
+        # nulling (compile_native / errors handle raw-tombstone cases),
+        # so a tombstoned fact's bind is null and drops here too.
+        for b, _ in f.filter_let:
+            cond &= F.col(b).isNotNull()
     if f.where is not None:
         cond &= F.coalesce(F.expr(f.where).cast("boolean"), F.lit(False))
     return cond
@@ -672,6 +702,8 @@ def compile_native(
                 for c in facts.columns
             ]
         )
+
+    facts = _with_binds(facts, plan)
 
     if snapshot is not None:
         qt = F.lit(snapshot).cast("timestamp")

@@ -60,6 +60,7 @@ def resumable(plan: Plan) -> bool:
         and f.distinct is None
         and isinstance(f.expr, str)
         and (f.where is None or isinstance(f.where, str))
+        and f.filter_let is None  # binds not yet part of resume state
         and not (
             f.agg is Agg.DECAYED_SUM
             and (f.half_life_days is None or f.latest is not None)

@@ -34,6 +34,7 @@ from icicle_spark.plans.ir import (
     CustomFold,
     Feature,
     Plan,
+    apply_filter_let,
     eval_expr,
     feature_dtype,
 )
@@ -81,6 +82,12 @@ def _feature_series(
         if f.window.older_than_days:
             hi = f.window.edge(qt_ts, f.window.older_than_days).value
             mask = mask & (tns <= hi)
+    # `filter let Some b = e`: bind columns visible to this feature's
+    # exprs; null binds fail the pattern. Tombstone columns were
+    # nulled on the whole block up-front, so tombstoned facts drop too.
+    base, bmask = apply_filter_let(f, base)
+    if bmask is not None:
+        mask = mask & bmask
     vals = eval_expr(f.expr, base)
     if f.where is not None:
         w = eval_expr(f.where, base)

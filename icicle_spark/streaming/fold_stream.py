@@ -31,7 +31,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from icicle_spark.plans.ir import Agg, Feature, Plan, eval_expr
+from icicle_spark.plans.ir import (
+    Agg,
+    Feature,
+    Plan,
+    apply_filter_let,
+    eval_expr,
+)
 
 _STREAMABLE = {Agg.SUM, Agg.COUNT, Agg.MEAN, Agg.MIN, Agg.MAX, Agg.NEWEST}
 
@@ -92,10 +98,13 @@ def stream_fold(
                 pdf[tcol].to_numpy().astype("datetime64[us]").view("int64")
             )
             for i, f in enumerate(features):
-                vals = eval_expr(f.expr, pdf)
-                mask = np.ones(len(pdf), dtype=bool)
+                fpdf, bmask = apply_filter_let(f, pdf)
+                vals = eval_expr(f.expr, fpdf)
+                mask = (
+                    np.ones(len(pdf), dtype=bool) if bmask is None else bmask
+                )
                 if f.where is not None:
-                    mask &= eval_expr(f.where, pdf).fillna(False).to_numpy().astype(bool)
+                    mask &= eval_expr(f.where, fpdf).fillna(False).to_numpy().astype(bool)
                 mask &= ~vals.isna().to_numpy()
                 v = vals.to_numpy()[mask].astype("float64")
                 if v.size == 0:

@@ -22,6 +22,21 @@ import json
 import sys
 
 
+def load_dictionary(spec: str):
+    """Load a Dictionary from ``path/to/module.py:ATTR`` — the
+    dictionary-driven entry point (reference Command/Compile.hs:127-175
+    compiles everything from the declared dictionary)."""
+    import importlib.util
+
+    path, _, attr = spec.partition(":")
+    if not attr:
+        raise SystemExit("--dictionary wants path/to/module.py:ATTR")
+    mod_spec = importlib.util.spec_from_file_location("_feature_dict", path)
+    mod = importlib.util.module_from_spec(mod_spec)
+    mod_spec.loader.exec_module(mod)
+    return getattr(mod, attr)
+
+
 def build_plan(args) -> "Plan":
     """Demo fused plan over the token table; replace with a feature
     registry for real deployments."""
@@ -58,6 +73,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--seq-col", default="seq")
     ap.add_argument("--value-col", default="n_tok")
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument(
+        "--dictionary",
+        help="path/to/module.py:ATTR — a Dictionary registry; replaces "
+        "the demo plan with the fused plan of every output over "
+        "--dict-input (facts still come from --input)",
+    )
+    ap.add_argument("--dict-input", default="facts",
+                    help="declared input name within --dictionary")
     ap.add_argument("--strategy", default="native")
     ap.add_argument("--checkpoint", help="write fold states here")
     ap.add_argument("--resume-from", help="resume from fold states here")
@@ -82,7 +105,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.format == "iceberg"
         else spark.read.parquet(args.input)
     )
-    plan = build_plan(args)
+    if args.dictionary:
+        # dictionary-driven: the declared registry validates the facts
+        # against its encoding, applies the InputKey nub, and supplies
+        # the fused plan of every output over --dict-input
+        d = load_dictionary(args.dictionary)
+        facts = d.load(spark, args.dict_input, df=facts)
+        plan = d.plan_for(args.dict_input)
+    else:
+        plan = build_plan(args)
 
     if args.resume_from and args.snapshot:
         states = spark.read.parquet(args.resume_from)

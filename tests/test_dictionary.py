@@ -1,0 +1,201 @@
+"""Dictionary registry — the declared, validated entry point
+(reference Dictionary/Data.hs:61-81, Command/Compile.hs:127-175).
+
+Pins: construction-time validation, load-time encoding validation,
+InputKey nubbing, one fused pass per input, and the dictionary-driven
+spark-submit job producing byte-identical output to the hand-built
+plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from icicle_spark.dictionary import Dictionary, DictionaryInput, DictionaryOutput
+from icicle_spark.plans import Agg, Feature, Plan, Window, run_plan
+
+SNAP = "2017-01-01 00:00:00"
+ENC = "entity string, time timestamp, value double, seq bigint"
+
+
+def _facts_pdf():
+    rows = [
+        ("homer", "2016-01-01", 100.0),
+        ("homer", "2016-02-01", 200.0),
+        ("homer", "2016-02-01", 200.0),   # consecutive same-key dup
+        ("homer", "2016-03-01", 300.0),
+        ("marge", "2016-01-01", 10.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["entity", "time", "value"])
+    pdf["time"] = pd.to_datetime(pdf["time"])
+    pdf["seq"] = np.arange(len(pdf), dtype="int64")
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    return spark.createDataFrame(_facts_pdf(), schema=ENC).cache()
+
+
+FEATS_A = (
+    Feature("s", Agg.SUM, "value", skip_nulls=True),
+    Feature("c", Agg.COUNT, "value", skip_nulls=True),
+)
+FEATS_B = (
+    Feature("w60", Agg.SUM, "value", window=Window(60), skip_nulls=True),
+)
+
+
+def _dict(key=None):
+    return Dictionary(
+        inputs=[
+            DictionaryInput(
+                "facts", ENC, entity_col="entity", time_col="time",
+                seq_col="seq", key=key,
+            )
+        ],
+        outputs=[
+            DictionaryOutput("basic", "facts", FEATS_A),
+            DictionaryOutput("windowed", "facts", FEATS_B),
+        ],
+    )
+
+
+def test_outputs_fuse_into_one_plan_matching_hand_built(spark, facts):
+    d = _dict()
+    got = (
+        d.run(spark, frames={"facts": facts}, snapshot=SNAP,
+              strategy="native")["facts"]
+        .toPandas()
+        .set_index("entity")
+        .sort_index()
+    )
+    hand = Plan(
+        list(FEATS_A + FEATS_B),
+        entity_col="entity", time_col="time", seq_col="seq",
+    )
+    want = (
+        run_plan(facts, hand, snapshot=SNAP, strategy="native")
+        .toPandas()
+        .set_index("entity")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got.loc["homer", "s"] == 800.0  # no key: dup fact counts
+
+
+def test_input_key_nubs_consecutive_duplicates(spark, facts):
+    d = _dict(key="value")
+    got = (
+        d.run(spark, frames={"facts": facts}, snapshot=SNAP)["facts"]
+        .toPandas()
+        .set_index("entity")
+    )
+    # the consecutive duplicate (200 @ 2016-02-01) is nubbed
+    assert got.loc["homer", "s"] == 600.0
+    assert got.loc["homer", "c"] == 3
+
+
+def test_registry_validation():
+    inp = DictionaryInput("facts", ENC, entity_col="entity",
+                          time_col="time", seq_col="seq")
+    with pytest.raises(ValueError, match="duplicate input"):
+        Dictionary([inp, inp], [])
+    with pytest.raises(ValueError, match="undeclared input"):
+        Dictionary([inp], [DictionaryOutput("o", "nope", FEATS_A)])
+    with pytest.raises(ValueError, match="not in the declared encoding"):
+        Dictionary(
+            [DictionaryInput("f", ENC, entity_col="user")], []
+        )
+    # outputs over one input FUSE: colliding feature names surface at
+    # registry construction, not run time
+    with pytest.raises(ValueError, match="duplicate feature names"):
+        Dictionary(
+            [inp],
+            [
+                DictionaryOutput("a", "facts", FEATS_A),
+                DictionaryOutput("b", "facts", FEATS_A),
+            ],
+        )
+
+
+def test_load_validates_encoding(spark, facts):
+    bad_missing = DictionaryInput(
+        "facts", ENC + ", extra int", entity_col="entity", time_col="time"
+    )
+    d = Dictionary([bad_missing], [DictionaryOutput("o", "facts", FEATS_A)])
+    with pytest.raises(ValueError, match="missing from the data"):
+        d.load(spark, "facts", df=facts)
+    bad_type = DictionaryInput(
+        "facts",
+        "entity string, time timestamp, value string, seq bigint",
+        entity_col="entity", time_col="time",
+    )
+    d2 = Dictionary([bad_type], [DictionaryOutput("o", "facts", FEATS_A)])
+    with pytest.raises(ValueError, match="declared string"):
+        d2.load(spark, "facts", df=facts)
+
+
+DICT_MODULE = '''
+from icicle_spark.dictionary import Dictionary, DictionaryInput, DictionaryOutput
+from icicle_spark.plans import Agg, Feature
+
+DICT = Dictionary(
+    inputs=[
+        DictionaryInput(
+            "facts",
+            "entity string, time timestamp, value double, seq bigint",
+            entity_col="entity", time_col="time", seq_col="seq",
+        )
+    ],
+    outputs=[
+        DictionaryOutput(
+            "basic", "facts",
+            (
+                Feature("s", Agg.SUM, "value", skip_nulls=True),
+                Feature("c", Agg.COUNT, "value", skip_nulls=True),
+            ),
+        )
+    ],
+)
+'''
+
+
+def test_run_features_job_dictionary_driven(spark, facts, tmp_path):
+    """jobs/run_features.py --dictionary: identical output to the
+    hand-built plan (the dictionary only supplies what the CLI flags
+    would have)."""
+    from jobs.run_features import main
+
+    src = str(tmp_path / "facts_pq")
+    facts.write.mode("overwrite").parquet(src)
+    mod = tmp_path / "feature_dict.py"
+    mod.write_text(DICT_MODULE)
+    out_dict = str(tmp_path / "out_dict")
+    out_hand = str(tmp_path / "out_hand")
+
+    assert main([
+        "--input", src, "--output", out_dict, "--snapshot", SNAP,
+        "--dictionary", f"{mod}:DICT", "--dict-input", "facts",
+        "--strategy", "native",
+    ]) == 0
+    hand = Plan(list(FEATS_A), entity_col="entity", time_col="time",
+                seq_col="seq")
+    run_plan(facts, hand, snapshot=SNAP, strategy="native").write.mode(
+        "overwrite"
+    ).parquet(out_hand)
+
+    a = spark.read.parquet(out_dict).toPandas().set_index("entity").sort_index()
+    b = spark.read.parquet(out_hand).toPandas().set_index("entity").sort_index()
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+    # lineage manifest still written
+    assert os.path.exists(os.path.join(out_dict, "_lineage", "manifest.json"))
+    manifest = json.load(
+        open(os.path.join(out_dict, "_lineage", "manifest.json"))
+    )
+    assert manifest

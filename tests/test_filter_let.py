@@ -1,0 +1,177 @@
+"""`filter let Some b = e` — the Option-destructuring filter bind
+(reference icicle-source/src/Icicle/Source/Query/Context.hs:31,
+ToCore/Fold.hs:289-305; repl corpus t17-latest lines 26-27).
+
+Semantics pinned here, identical across all value backends:
+
+* facts where the bind expr is null fail the pattern and are DROPPED
+  (an element filter, before window/latest frames) — they never
+  poison, even under Possibly semantics;
+* tombstoned facts carry no value, so the pattern fails on them too;
+* the bound name is visible to the feature's expr/where/by/group/
+  distinct;
+* error attribution: an entity whose every fact fails the pattern is
+  an empty stream (FOLD1_NO_VALUE for fold1 aggregates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from icicle_spark.plans import (
+    ERR_FOLD1_NO_VALUE,
+    ERR_OK,
+    Agg,
+    Feature,
+    Plan,
+    error_codes,
+    run_plan,
+)
+
+SNAP = "2017-01-01 00:00:00"
+STRATEGIES = ["native", "vectorized", "cogroup"]
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    # bonus is the nullable Option source; dead marks tombstones
+    rows = [
+        ("homer", "2016-01-01", 100.0, None, False),
+        ("homer", "2016-02-01", 200.0, 5.0,  False),
+        ("homer", "2016-03-01", 300.0, None, False),
+        ("homer", "2016-04-01", 400.0, 7.0,  False),
+        ("marge", "2016-01-01", 0.0,   None, False),
+        # every bart fact fails the pattern: null bind or tombstone
+        ("bart",  "2016-01-01", 50.0,  None, False),
+        ("bart",  "2016-02-01", 60.0,  8.0,  True),
+    ]
+    pdf = pd.DataFrame(rows, columns=["entity", "time", "value", "bonus", "dead"])
+    pdf["time"] = pd.to_datetime(pdf["time"])
+    pdf["seq"] = np.arange(len(pdf))
+    return spark.createDataFrame(pdf).cache()
+
+
+def _plan(*features, **kw):
+    return Plan(
+        list(features), entity_col="entity", time_col="time", seq_col="seq", **kw
+    )
+
+
+BIND = (("b2", "bonus + value"),)
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_filter_let_binds_and_drops(facts, strategy):
+    plan = _plan(
+        Feature("s", Agg.SUM, "b2", filter_let=BIND, skip_nulls=True),
+        Feature("m", Agg.MEAN, "b2", filter_let=BIND, skip_nulls=True),
+        Feature(
+            "sw", Agg.SUM, "b2", filter_let=BIND, where="value > 300",
+            skip_nulls=True,
+        ),
+        # Possibly semantics: pattern-failing facts DROP, they do not
+        # poison — the remaining stream is clean
+        Feature("sp", Agg.SUM, "b2", filter_let=BIND, skip_nulls=False),
+    )
+    r = run_plan(facts, plan, snapshot=SNAP, strategy=strategy).toPandas()
+    r = r.set_index("entity").sort_index()
+    assert r.loc["homer", "s"] == 612.0  # (200+5) + (400+7)
+    assert r.loc["homer", "m"] == 306.0
+    assert r.loc["homer", "sw"] == 407.0
+    assert r.loc["homer", "sp"] == 612.0
+    # marge: every fact fails the pattern -> empty stream
+    assert r.loc["marge", "s"] == 0.0
+    assert pd.isna(r.loc["marge", "m"])
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_filter_let_tombstone_fails_pattern(facts, strategy):
+    """A tombstoned fact's raw bind expr may be non-null, but a
+    tombstone carries no value: the Some pattern fails — dropped, not
+    poisoning, in every backend."""
+    plan = _plan(
+        Feature("s", Agg.SUM, "b2", filter_let=BIND, skip_nulls=False),
+        tombstone_col="dead",
+    )
+    r = run_plan(facts, plan, snapshot=SNAP, strategy=strategy).toPandas()
+    r = r.set_index("entity")
+    # bart: null-bind fact dropped AND tombstoned fact dropped -> unit
+    assert r.loc["bart", "s"] == 0.0
+    assert r.loc["homer", "s"] == 612.0
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_filter_let_chord_scope(spark, facts, strategy):
+    """Chords see the same bind semantics: a query time between
+    homer's two Some facts sees only the first."""
+    chords = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity": ["homer", "homer"],
+                "query_time": pd.to_datetime(["2016-03-15", "2017-01-01"]),
+            }
+        )
+    )
+    plan = _plan(Feature("s", Agg.SUM, "b2", filter_let=BIND, skip_nulls=True))
+    r = (
+        run_plan(facts, plan, chords=chords, strategy=strategy)
+        .toPandas()
+        .sort_values("query_time")
+        .reset_index(drop=True)
+    )
+    assert r.loc[0, "s"] == 205.0
+    assert r.loc[1, "s"] == 612.0
+
+
+def test_filter_let_error_codes(facts):
+    """Error channel: all-pattern-failed entities are empty streams
+    (FOLD1_NO_VALUE for fold1), never OK beside a null value."""
+    plan = _plan(
+        Feature("m", Agg.MEAN, "b2", filter_let=BIND, skip_nulls=True),
+        tombstone_col="dead",
+    )
+    errs = (
+        error_codes(facts, plan, snapshot=SNAP)
+        .toPandas()
+        .set_index("entity")
+    )
+    assert errs.loc["homer", "m_err"] == ERR_OK
+    assert errs.loc["marge", "m_err"] == ERR_FOLD1_NO_VALUE
+    assert errs.loc["bart", "m_err"] == ERR_FOLD1_NO_VALUE
+
+
+def test_filter_let_validation(facts):
+    # a bind name may not mean two different things in one plan
+    with pytest.raises(ValueError, match="different expressions"):
+        _plan(
+            Feature("a", Agg.SUM, "b2", filter_let=(("b2", "bonus + value"),)),
+            Feature("b", Agg.SUM, "b2", filter_let=(("b2", "bonus * 2"),)),
+        )
+    # ... nor shadow a key column
+    with pytest.raises(ValueError, match="shadows a plan key column"):
+        _plan(Feature("a", Agg.SUM, "time", filter_let=(("time", "bonus"),)))
+    # ... nor shadow a fact column (checked at compile time)
+    plan = _plan(
+        Feature("a", Agg.SUM, "value", filter_let=(("value", "bonus"),))
+    )
+    with pytest.raises(ValueError, match="shadows a fact column"):
+        run_plan(facts, plan, snapshot=SNAP, strategy="native").collect()
+
+
+def test_filter_let_sequential_binds(facts):
+    """Later binds may reference earlier ones."""
+    plan = _plan(
+        Feature(
+            "s", Agg.SUM, "b3", skip_nulls=True,
+            filter_let=(("b2", "bonus + value"), ("b3", "b2 * 2")),
+        )
+    )
+    for strategy in STRATEGIES:
+        r = (
+            run_plan(facts, plan, snapshot=SNAP, strategy=strategy)
+            .toPandas()
+            .set_index("entity")
+        )
+        assert r.loc["homer", "s"] == 1224.0, strategy

@@ -234,6 +234,22 @@ def test_t17_latest_element_expr(salary, strategy):
     assert list(r.loc["marge", "zods"]) == [2.0, 12.0, 22.0]
 
 
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t17_filter_let_some_bind(salary, strategy):
+    """t17-latest golden line 26 (`filter let Some zod = Some (value
+    + 1) ~> latest 3 ~> zod`): the bind unwraps for downstream exprs
+    -> homer [301,401,501], marge [1,11,21]."""
+    plan = _plan(
+        Feature(
+            "zods", Agg.COLLECT, "zod", latest=3, skip_nulls=True,
+            filter_let=(("zod", "value + 1"),),
+        )
+    )
+    r = _run(salary, plan, strategy)
+    assert list(r.loc["homer", "zods"]) == [301.0, 401.0, 501.0]
+    assert list(r.loc["marge", "zods"]) == [1.0, 11.0, 21.0]
+
+
 @pytest.mark.parametrize("strategy", ["native", "vectorized", "cogroup"])
 def test_t19_month_windows(spark, strategy):
     """t19-windows golden (one salary fact per month of 1970):
