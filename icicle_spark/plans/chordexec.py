@@ -425,6 +425,16 @@ def run_chords_vectorized(
     has_label = "label" in chords.columns
     entity_type = dict(facts.dtypes)[ecol]
 
+    # prune unreferenced fact columns BEFORE the union+shuffle: the
+    # tagged rows otherwise carry every spare column through the
+    # exchange and the Arrow transfer (mapInPandas is opaque to
+    # Catalyst, so this pruning cannot happen automatically)
+    from icicle_spark.plans.vexec import _blob_references, _expr_blob, referenced_columns
+
+    needed = referenced_columns(plan, facts.columns)
+    if needed is not None:
+        facts = facts.select(*needed)
+
     fact_cols = facts.columns
     f_tagged = facts.withColumn("__kind", F.lit(1)).withColumn(
         "label", F.lit(None).cast("string")
@@ -450,6 +460,15 @@ def run_chords_vectorized(
         [plan.seq_col] if plan.seq_col and plan.seq_col in fact_cols else []
     )
     arranged = merged.repartition(int(n_part), ecol).sortWithinPartitions(*sort_cols)
+    blob = _expr_blob(plan)
+    if (
+        plan.seq_col
+        and plan.seq_col in fact_cols
+        and blob is not None
+        and not _blob_references(blob, plan.seq_col)
+    ):
+        # row order already encodes the tiebreaker after the JVM sort
+        arranged = arranged.drop(plan.seq_col)
 
     schema = ", ".join(
         [f"`{ecol}` {entity_type}", "query_time timestamp"]
