@@ -205,6 +205,28 @@ def _agg_col(
     return out.alias(f.name)
 
 
+def prepare_facts(facts: DataFrame, plan: Plan) -> DataFrame:
+    """The shared Catalyst-side fact preamble: null every non-key
+    column on tombstoned facts (they contribute null elements — error
+    values, doc/design/tombstones.md:56-73), then materialize
+    filter_let binds (which therefore bind null on tombstoned facts,
+    failing the Some pattern). Used by compile_native AND the
+    resumable-fold paths so both see identical element semantics."""
+    ecol, tcol = plan.entity_col, plan.time_col
+    if plan.tombstone_col is not None and plan.tombstone_col in facts.columns:
+        tb = F.coalesce(F.col(plan.tombstone_col).cast("boolean"), F.lit(False))
+        keep = {ecol, tcol, plan.tombstone_col, plan.seq_col}
+        facts = facts.select(
+            *[
+                F.when(~tb, F.col(c)).otherwise(F.lit(None)).alias(c)
+                if c not in keep
+                else F.col(c)
+                for c in facts.columns
+            ]
+        )
+    return _with_binds(facts, plan)
+
+
 def _with_binds(facts: DataFrame, plan: Plan) -> DataFrame:
     """Materialize every filter_let bind as a physical column (one
     projection — Catalyst folds it into the scan stage). Must run
@@ -689,21 +711,7 @@ def compile_native(
     plan = plan.condensed()
     ecol, tcol = plan.entity_col, plan.time_col
 
-    if plan.tombstone_col is not None and plan.tombstone_col in facts.columns:
-        # tombstoned facts contribute null elements (error values,
-        # doc/design/tombstones.md:56-73): null every non-key column.
-        tb = F.coalesce(F.col(plan.tombstone_col).cast("boolean"), F.lit(False))
-        keep = {ecol, tcol, plan.tombstone_col, plan.seq_col}
-        facts = facts.select(
-            *[
-                F.when(~tb, F.col(c)).otherwise(F.lit(None)).alias(c)
-                if c not in keep
-                else F.col(c)
-                for c in facts.columns
-            ]
-        )
-
-    facts = _with_binds(facts, plan)
+    facts = prepare_facts(facts, plan)
 
     if snapshot is not None:
         qt = F.lit(snapshot).cast("timestamp")

@@ -38,7 +38,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, functions as F
 
 from icicle_spark.plans.ir import Agg, Feature, Plan
-from icicle_spark.plans.native import _INIT, _visibility
+from icicle_spark.plans.native import _INIT, _visibility, prepare_facts
 
 _STATEFUL = {
     Agg.SUM, Agg.COUNT, Agg.MEAN, Agg.MIN, Agg.MAX, Agg.NEWEST, Agg.OLDEST,
@@ -60,7 +60,10 @@ def resumable(plan: Plan) -> bool:
         and f.distinct is None
         and isinstance(f.expr, str)
         and (f.where is None or isinstance(f.where, str))
-        and f.filter_let is None  # binds not yet part of resume state
+        and (
+            f.filter_let is None
+            or all(isinstance(e, str) for _, e in f.filter_let)
+        )
         and not (
             f.agg is Agg.DECAYED_SUM
             and (f.half_life_days is None or f.latest is not None)
@@ -326,7 +329,10 @@ def fold_states(facts: DataFrame, plan: Plan, as_of: Any) -> DataFrame:
         raise ValueError("plan not resumable")
     plan = plan.condensed()
     qt = F.lit(as_of).cast("timestamp")
-    base = facts.where(F.col(plan.time_col) < qt)
+    # same element semantics as compile_native: tombstones null every
+    # non-key column (so they poison / drop), filter_let binds
+    # materialize (so the Some pattern fails on null binds)
+    base = prepare_facts(facts, plan).where(F.col(plan.time_col) < qt)
     flips = _needs_prev(plan)
     if flips:
         from icicle_spark.plans.native import _helper_stage
@@ -377,7 +383,9 @@ def resume_plan(
     ecol, tcol = plan.entity_col, plan.time_col
     qt = F.lit(snapshot).cast("timestamp")
     ck = states.select(F.max("__ck_time")).first()[0]
-    inc = new_facts.where((F.col(tcol) >= F.lit(ck)) & (F.col(tcol) < qt))
+    inc = prepare_facts(new_facts, plan).where(
+        (F.col(tcol) >= F.lit(ck)) & (F.col(tcol) < qt)
+    )
 
     flips = _needs_prev(plan)
     base = inc

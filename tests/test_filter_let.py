@@ -160,6 +160,75 @@ def test_filter_let_validation(facts):
         run_plan(facts, plan, snapshot=SNAP, strategy="native").collect()
 
 
+def test_filter_let_resume_parity(spark, facts):
+    """Checkpoint/resume sees the bind semantics too: fold_states at
+    T0 + increment == the full run (resume materializes the binds via
+    the same prepare_facts preamble as compile_native)."""
+    from pyspark.sql import functions as F
+
+    from icicle_spark.plans.resume import fold_states, resume_plan
+
+    plan = _plan(
+        Feature("s", Agg.SUM, "b2", filter_let=BIND, skip_nulls=True),
+        Feature("m", Agg.MEAN, "b2", filter_let=BIND, skip_nulls=True),
+        tombstone_col="dead",
+    )
+    t0 = "2016-02-15 00:00:00"
+    states = fold_states(facts, plan, as_of=t0)
+    inc = facts.where(F.col("time") >= F.lit(t0).cast("timestamp"))
+    got = (
+        resume_plan(inc, plan, states, snapshot=SNAP)
+        .toPandas()
+        .set_index("entity")
+        .sort_index()
+    )
+    want = (
+        run_plan(facts, plan, snapshot=SNAP, strategy="native")
+        .toPandas()
+        .set_index("entity")
+        .sort_index()
+    )
+    for c in ["s", "m"]:
+        a, b = got[c].to_numpy("float64"), want[c].to_numpy("float64")
+        assert np.allclose(a, b, equal_nan=True), c
+
+
+def test_resume_tombstone_parity(spark, facts):
+    """Tombstoned facts poison / drop identically in the resumed and
+    direct paths (the resume preamble nulls them like compile_native —
+    previously resume read raw values)."""
+    from pyspark.sql import functions as F
+
+    from icicle_spark.plans.resume import fold_states, resume_plan
+
+    plan = _plan(
+        Feature("sp", Agg.SUM, "value"),          # Possibly: tombstone poisons
+        Feature("ss", Agg.SUM, "value", skip_nulls=True),
+        tombstone_col="dead",
+    )
+    t0 = "2016-01-15 00:00:00"
+    states = fold_states(facts, plan, as_of=t0)
+    inc = facts.where(F.col("time") >= F.lit(t0).cast("timestamp"))
+    got = (
+        resume_plan(inc, plan, states, snapshot=SNAP)
+        .toPandas()
+        .set_index("entity")
+        .sort_index()
+    )
+    want = (
+        run_plan(facts, plan, snapshot=SNAP, strategy="native")
+        .toPandas()
+        .set_index("entity")
+        .sort_index()
+    )
+    # bart has a tombstoned fact (value 60): poisons sp, drops from ss
+    assert pd.isna(want.loc["bart", "sp"]) and pd.isna(got.loc["bart", "sp"])
+    assert want.loc["bart", "ss"] == 50.0 and got.loc["bart", "ss"] == 50.0
+    for c in ["sp", "ss"]:
+        a, b = got[c].to_numpy("float64"), want[c].to_numpy("float64")
+        assert np.allclose(a, b, equal_nan=True), c
+
+
 def test_filter_let_sequential_binds(facts):
     """Later binds may reference earlier ones."""
     plan = _plan(
