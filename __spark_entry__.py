@@ -2001,6 +2001,57 @@ def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resume_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume ("Bubblegum", reference
+    doc/internals/core.md:129-148): fold states checkpointed at T0,
+    finished at the snapshot from ONLY the incremental facts — the
+    oracle is plain SQL over the FULL history, so this row certifies
+    resumed == direct, including the windowed-recompute path."""
+    from icicle_spark.plans.resume import fold_states, resume_plan
+
+    t0 = "2024-01-10 00:00:00"
+    plan = Plan(
+        [
+            Feature("r_sum", Agg.SUM, "value", skip_nulls=True),
+            Feature("r_cnt", Agg.COUNT, "value", skip_nulls=True),
+            Feature("r_mean", Agg.MEAN, "value", skip_nulls=True),
+            Feature("r_new", Agg.NEWEST, "value", skip_nulls=True),
+            Feature(
+                "r_win7", Agg.SUM, "value", window=Window(7), skip_nulls=True
+            ),
+        ],
+        entity_col="user_id",
+        time_col="ts",
+        seq_col="event_id",
+    )
+    ev = _events(spark, sf_dir)
+    states = fold_states(ev, plan, as_of=t0)
+    inc = ev.where(F.col("ts") >= F.lit(t0).cast("timestamp"))
+    return _round_doubles(resume_plan(inc, plan, states, snapshot=SNAP))
+
+
+_RESUME_SQL = """
+WITH spine AS (SELECT DISTINCT user_id FROM events),
+vis AS (SELECT * FROM events WHERE ts < TIMESTAMP '{snap}'),
+agged AS (
+  SELECT user_id,
+         round(sum(value), 6)          AS r_sum,
+         count(*)                      AS r_cnt,
+         round(avg(value), 6)          AS r_mean,
+         round(arg_max(value, ts), 6)  AS r_new,
+         round(coalesce(sum(value) FILTER (
+           ts >= TIMESTAMP '{snap}' - INTERVAL 7 DAY), 0.0), 6) AS r_win7
+  FROM vis GROUP BY user_id
+)
+SELECT s.user_id,
+       coalesce(a.r_sum, 0.0) AS r_sum,
+       coalesce(a.r_cnt, 0)   AS r_cnt,
+       a.r_mean, a.r_new,
+       coalesce(a.r_win7, 0.0) AS r_win7
+FROM spine s LEFT JOIN agged a USING (user_id)
+""".format(snap=SNAP)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fused as-of + windowed fold pass (executor path)
     over sf0.001 events."""
@@ -2059,7 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "days_in": q_days_in,
         "circular_stats": q_circular_stats,
         "chord_labeled": q_chord_labeled,
-        "media_features": q_media_features,
+        "resume_fold": q_resume_fold,
         "embed_dedup": q_embed_dedup,
         "json_map_ops": q_json_map_ops,
         "ewma_fold": q_ewma_fold,
@@ -2081,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_snapshot_native": q_asof_snapshot_native,
         "asof_chord_native": q_asof_chord_native,
         "group_fold_native": q_group_fold_native,
+        "media_features": q_media_features,
         "session_stats": q_session_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "join_revenue": q_join_revenue,
@@ -2152,6 +2204,7 @@ def oracle_sql() -> dict[str, str]:
         "token_freq": _TOKEN_FREQ_SQL,
         "filter_let_bind": _FILTER_LET_SQL,
         "dictionary_native": _FOLD_SQL,
+        "resume_fold": _RESUME_SQL,
         # minhash_incremental / simhash_incremental: LSH banding not
         # SQL-expressible — rows-only; full-vs-incremental parity is
         # pinned by tests/test_dedup.py.

@@ -133,6 +133,41 @@ def main() -> int:
         ],
     )
 
+    # Arrow snapshot executor: unreferenced columns must not ride the
+    # entity exchange (mapInPandas is opaque to Catalyst — the pruning
+    # is the executor's own, vexec.referenced_columns) and the seq
+    # tiebreaker must leave the plan after the JVM sort encodes it.
+    wide = spark.read.parquet(generate(n_rows=50_000, n_docs=2_000))
+    vex = run_plan(
+        wide,
+        Plan(
+            [
+                Feature("s", Agg.SUM, "n_tok", skip_nulls=True),
+                Feature(
+                    "web", Agg.COUNT, "n_tok", where="source == 'web'",
+                    skip_nulls=True,
+                ),
+            ],
+            entity_col="doc_id", time_col="event_time", seq_col="seq",
+        ),
+        snapshot="2024-05-30",
+        strategy="vectorized",
+    )
+    t6 = plan_text(vex)
+    mip = re.search(r"\(\d+\) MapInPandas\nInput \[\d+\]: \[([^\]]*)\]", t6)
+    mip_input = mip.group(1) if mip else "<no MapInPandas block>"
+    check(
+        "arrow snapshot executor pruning",
+        t6,
+        [
+            ("unreferenced 'tokens' column pruned before the exchange",
+             "tokens" not in t6),
+            ("seq dropped from the Arrow transfer (sort-only)",
+             "seq" not in mip_input),
+            ("seq still orders the partition sort", "seq" in t6),
+        ],
+    )
+
     from icicle_spark.operators.similarity import brute_force_topk
 
     emb = spark.createDataFrame(
