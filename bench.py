@@ -131,6 +131,39 @@ def run_fused(
     from icicle_spark.plans import run_plan
     from icicle_spark.sources.benchgen import generate
 
+    if strategy == "arranged":
+        # the arranged-store path: same plan through the Arrow
+        # executor, but the input is an entity-bucketed time-sorted
+        # fact store (written once, untimed — storage maintained at
+        # ingest in production), so the executor skips the entity
+        # exchange + sort entirely (assume_arranged)
+        from icicle_spark.sources.io import read_fact_store, write_fact_store
+
+        plan = _fused_plan("vectorized")
+        raw = generate(n_rows=BENCH_ROWS, n_docs=BENCH_DOCS)
+        store = raw.replace(".parquet", "_store")
+        if not os.path.exists(os.path.join(store, "_fact_store.json")):
+            write_fact_store(
+                spark.read.parquet(raw).drop("tokens"),
+                store,
+                "doc_id",
+                "event_time",
+                "seq",
+                buckets=2 * CPUS,
+            )
+        facts, _meta = read_fact_store(spark, store)
+        out = run_plan(
+            facts,
+            plan,
+            snapshot="2024-05-30 00:00:00",
+            strategy="vectorized",
+            assume_arranged=True,
+        )
+        t0 = time.perf_counter()
+        _force(out)
+        elapsed = time.perf_counter() - t0
+        return elapsed, out.count(), len(plan.features)
+
     plan = _fused_plan(strategy)
     path = generate(n_rows=BENCH_ROWS, n_docs=BENCH_DOCS)
     facts = spark.read.parquet(path).drop("tokens")  # column pruning
@@ -202,6 +235,12 @@ def main() -> None:
     timings["fused_flagship"] = round(el, 3)
     timings["fused_flagship_arrow"] = round(
         _fused_subprocess("vectorized")["elapsed"], 3
+    )
+    # arranged-store variant: same Arrow executor over an
+    # entity-bucketed, time-sorted fact store (assume_arranged) —
+    # evidences the no-shuffle scan path a maintained store buys
+    timings["fused_flagship_arranged"] = round(
+        _fused_subprocess("arranged")["elapsed"], 3
     )
     result = {
         "metric": "feature_rows_per_sec",

@@ -312,6 +312,7 @@ def run_plan(
     chords: DataFrame | None = None,
     strategy: str = "auto",
     error_codes: bool = False,
+    assume_arranged: bool = False,
 ) -> DataFrame:
     """Evaluate a fused plan at a snapshot time or a chord table.
 
@@ -340,7 +341,8 @@ def run_plan(
         from icicle_spark.plans.errors import error_codes as _error_codes
 
         res = run_plan(
-            facts, plan, snapshot=snapshot, chords=chords, strategy=strategy
+            facts, plan, snapshot=snapshot, chords=chords, strategy=strategy,
+            assume_arranged=assume_arranged,
         )
         errs = _error_codes(facts, plan, snapshot=snapshot, chords=chords)
         if snapshot is not None:
@@ -367,6 +369,15 @@ def run_plan(
         lead = [c for c in out.columns if c not in requested]
         return out.select(*lead, *requested)
 
+    if assume_arranged and not (
+        snapshot is not None and strategy in ("auto", "vectorized")
+    ):
+        # only the vectorized snapshot executor consumes the arranged
+        # layout; refusing beats silently reshuffling
+        raise ValueError(
+            "assume_arranged requires snapshot scope with "
+            "strategy='auto'/'vectorized'"
+        )
     if strategy == "native":
         from icicle_spark.plans.native import compile_native
 
@@ -374,7 +385,11 @@ def run_plan(
     if snapshot is not None and strategy in ("auto", "vectorized"):
         from icicle_spark.plans.vexec import run_snapshot_vectorized
 
-        return _realias(run_snapshot_vectorized(facts, plan, snapshot))
+        return _realias(
+            run_snapshot_vectorized(
+                facts, plan, snapshot, assume_arranged=assume_arranged
+            )
+        )
     if chords is not None and strategy in ("auto", "vectorized"):
         from icicle_spark.plans.chordexec import (
             run_chords_vectorized,

@@ -337,7 +337,21 @@ def run_snapshot_vectorized(
     plan: Plan,
     snapshot: Any,
     partitions: int | None = None,
+    assume_arranged: bool = False,
 ) -> DataFrame:
+    """One vectorized pass per partition (see module docstring).
+
+    ``assume_arranged=True`` skips the entity exchange AND the
+    partition sort — the single biggest cost of this executor
+    (measured 4.6 s of the 6.9 s fused flagship at 8M rows) — for
+    facts whose STORAGE already guarantees the invariant: every
+    entity's facts in one partition, contiguous, time(+seq)-sorted.
+    ``sources.io.write_fact_store`` / ``read_fact_store`` maintain
+    exactly that layout (the reference's store holds the same
+    invariant: entity-major, ingestion-ordered — README.md:132-141).
+    The batch function still VERIFIES contiguity per chunk (an entity
+    reappearing after another raises), so a violated contract fails
+    loudly instead of returning partial folds."""
     plan = plan.condensed()
     ecol, tcol = plan.entity_col, plan.time_col
     qt = pd.Timestamp(snapshot)
@@ -351,10 +365,16 @@ def run_snapshot_vectorized(
     needed = referenced_columns(plan, facts.columns)
     if needed is not None:
         facts = facts.select(*needed)  # prune BEFORE the shuffle
-    arranged = facts.repartition(int(n_part), ecol).sortWithinPartitions(*sort_cols)
+    if assume_arranged:
+        arranged = facts
+    else:
+        arranged = facts.repartition(int(n_part), ecol).sortWithinPartitions(
+            *sort_cols
+        )
     blob = _expr_blob(plan)
     if (
         plan.seq_col
+        and plan.seq_col in arranged.columns
         and blob is not None
         and not _blob_references(blob, plan.seq_col)
     ):
@@ -371,12 +391,25 @@ def run_snapshot_vectorized(
             if len(pdf) == 0:
                 continue
             ent = pdf[ecol].to_numpy()
-            # hold back the (possibly incomplete) last entity
+            codes, _u = pd.factorize(ent, sort=False)
+            # contiguity guard: factorize assigns codes by first
+            # occurrence, so contiguous entities <=> nondecreasing
+            # codes. Cheap (O(n)), and the only thing standing between
+            # a violated assume_arranged contract and silently split
+            # folds.
+            if len(codes) > 1 and bool(np.any(np.diff(codes) < 0)):
+                raise ValueError(
+                    "facts are not entity-contiguous within the "
+                    "partition; re-run without assume_arranged or "
+                    "rebuild the fact store with write_fact_store"
+                )
+            # hold back the (possibly incomplete) trailing entity
             last = ent[-1]
-            cut = int(np.searchsorted(ent, last, side="left")) if ent[0] != last else 0
             if ent[0] == last:
                 carry = pdf
                 continue
+            nz = np.flatnonzero(ent != last)
+            cut = int(nz[-1] + 1)
             carry = pdf.iloc[cut:]
             yield _process_chunk(plan, pdf.iloc[:cut], qt)
         if carry is not None and len(carry):

@@ -38,6 +38,78 @@ def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(table)
 
 
+def write_fact_store(
+    df: DataFrame,
+    path: str,
+    entity_col: str,
+    time_col: str,
+    seq_col: str | None = None,
+    buckets: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write facts in the ARRANGED layout: hash-bucketed by entity,
+    one parquet file per bucket, rows sorted (entity, time[, seq])
+    within each file — the reference store's own invariant
+    (entity-major, ingestion-ordered: README.md:132-141).
+
+    A store in this layout lets the vectorized snapshot executor run
+    with ``assume_arranged=True``, skipping the entity exchange + sort
+    that otherwise dominate its cost (measured 4.6 s of the 6.9 s
+    fused flagship at 8M rows / 32 cores). At 100 TB this is the
+    difference between re-shuffling the corpus per feature run and a
+    pure scan: maintain the store bucketed once at ingest, amortized
+    over every downstream snapshot.
+    """
+    n = int(
+        buckets
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    sort_cols = [entity_col, time_col] + ([seq_col] if seq_col else [])
+    (
+        df.repartition(n, entity_col)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+    meta = {
+        "layout": "icicle_fact_store_v1",
+        "entity_col": entity_col,
+        "time_col": time_col,
+        "seq_col": seq_col,
+        "buckets": n,
+    }
+    with open(os.path.join(path, "_fact_store.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def read_fact_store(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """Read an arranged fact store (see write_fact_store); returns
+    (facts, layout_meta). Raises when any data file exceeds
+    ``spark.sql.files.maxPartitionBytes``: Spark would SPLIT such a
+    file across tasks, breaking the entity-completeness the arranged
+    executors rely on — raise the conf (or re-bucket the store)
+    rather than silently computing split folds."""
+    with open(os.path.join(path, "_fact_store.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("layout") != "icicle_fact_store_v1":
+        raise ValueError(f"{path} is not an arranged fact store")
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    digits = "".join(ch for ch in str(raw) if ch.isdigit())
+    max_bytes = int(digits or "134217728")
+    if os.path.isdir(path):  # local paths: verify no file would split
+        for name in os.listdir(path):
+            if name.endswith(".parquet"):
+                sz = os.path.getsize(os.path.join(path, name))
+                if sz > max_bytes:
+                    raise ValueError(
+                        f"fact-store file {name} is {sz} bytes > "
+                        f"spark.sql.files.maxPartitionBytes={max_bytes}; "
+                        "Spark would split it across tasks. Raise the "
+                        "conf or rebuild with more buckets."
+                    )
+    return spark.read.parquet(path), meta
+
+
 def read_psv_facts(spark: SparkSession, path: str) -> DataFrame:
     """entity|attribute|value|time fact rows (reference
     icicle-compiler/test/cli/repl/data.psv:1-13)."""

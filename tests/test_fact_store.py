@@ -1,0 +1,121 @@
+"""Arranged fact store: entity-bucketed, time-sorted parquet layout
+(write_fact_store/read_fact_store) that lets the vectorized snapshot
+executor skip the entity exchange (assume_arranged) — the reference
+store's own invariant (README.md:132-141) made into a storage
+contract, with loud failure when violated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from icicle_spark.plans import Agg, Feature, Plan, Window, run_plan
+from icicle_spark.sources.fixtures import token_facts
+from icicle_spark.sources.io import read_fact_store, write_fact_store
+
+SNAP = "2024-07-01 00:00:00"
+
+PLAN = Plan(
+    [
+        Feature("s", Agg.SUM, "n_tok", skip_nulls=True),
+        Feature("m", Agg.MEAN, "n_tok", skip_nulls=True),
+        Feature("n5", Agg.MEAN, "n_tok", latest=5, skip_nulls=True),
+        Feature("w30", Agg.SUM, "n_tok", window=Window(30), skip_nulls=True),
+        Feature("flips", Agg.NUMFLIPS, "source", skip_nulls=True),
+    ],
+    entity_col="doc_id",
+    time_col="event_time",
+    seq_col="seq",
+)
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    facts = token_facts(spark, n_rows=4000, n_docs=200)
+    path = str(tmp_path_factory.mktemp("store") / "facts")
+    write_fact_store(
+        facts, path, "doc_id", "event_time", "seq", buckets=8
+    )
+    return facts, path
+
+
+def test_arranged_matches_shuffled(spark, store):
+    facts, path = store
+    arranged, meta = read_fact_store(spark, path)
+    assert meta["buckets"] == 8 and meta["entity_col"] == "doc_id"
+    a = (
+        run_plan(arranged, PLAN, snapshot=SNAP, strategy="vectorized",
+                 assume_arranged=True)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        run_plan(facts, PLAN, snapshot=SNAP, strategy="vectorized")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in [f.name for f in PLAN.features]:
+        x = a[c].astype("float64").to_numpy()
+        y = b[c].astype("float64").to_numpy()
+        assert np.allclose(x, y, equal_nan=True), c
+
+
+def test_arranged_skips_exchange(spark, store):
+    _, path = store
+    arranged, _ = read_fact_store(spark, path)
+    df = run_plan(arranged, PLAN, snapshot=SNAP, strategy="vectorized",
+                  assume_arranged=True)
+    plan_str = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_str  # scan -> mapInPandas, no shuffle
+    # and the normal path DOES exchange
+    df2 = run_plan(arranged, PLAN, snapshot=SNAP, strategy="vectorized")
+    assert "Exchange" in df2._jdf.queryExecution().executedPlan().toString()
+
+
+def test_contiguity_guard_fires(spark):
+    """A store that interleaves entities must raise, not return split
+    folds."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 1, 2],  # entity 1 reappears after 2
+            "event_time": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+            ),
+            "seq": [0, 1, 2, 3],
+            "n_tok": [1.0, 2.0, 3.0, 4.0],
+            "source": ["web"] * 4,
+        }
+    )
+    bad = spark.createDataFrame(pdf).coalesce(1)
+    with pytest.raises(Exception, match="not entity-contiguous"):
+        run_plan(
+            bad, PLAN, snapshot=SNAP, strategy="vectorized",
+            assume_arranged=True,
+        ).collect()
+
+
+def test_assume_arranged_rejected_off_path(spark, store):
+    facts, _ = store
+    with pytest.raises(ValueError, match="assume_arranged requires"):
+        run_plan(facts, PLAN, snapshot=SNAP, strategy="native",
+                 assume_arranged=True)
+
+
+def test_oversize_file_guard(spark, store, tmp_path, monkeypatch):
+    _, path = store
+    import icicle_spark.sources.io as io_mod
+
+    # pretend the conf is tiny so every real file exceeds it
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "10")
+    try:
+        with pytest.raises(ValueError, match="would split"):
+            read_fact_store(spark, path)
+    finally:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024)
+        )
