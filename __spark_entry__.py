@@ -2052,6 +2052,77 @@ FROM spine s LEFT JOIN agged a USING (user_id)
 """.format(snap=SNAP)
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-pipeline extension): emails / IPs /
+    SSNs / phone spans replaced with <KIND> placeholders via chained
+    regexp_replace (whole-stage codegen). The corpus itself is clean,
+    so deterministic PII spans are synthesized from doc_id on BOTH
+    sides — the oracle certifies actual regex-surface parity, not a
+    no-op."""
+    from icicle_spark.functions.text import redact_pii
+
+    d = _docs(spark, sf_dir)
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789 tel +1 555 123 4567 end"),
+    )
+    return d.select("doc_id", redact_pii(synth).alias("clean"))
+
+
+_REDACT_SQL = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com from 10.0.'
+               || CAST(doc_id % 256 AS VARCHAR)
+               || '.7 ssn 123-45-6789 tel +1 555 123 4567 end',
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+    '\+?\d[\d() -]{7,}\d', '<PHONE>', 'g') AS clean
+FROM documents
+"""
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (training-pipeline extension): sliding
+    32-word windows with 8-word overlap, pure JVM HOFs, no shuffle —
+    chunking at corpus scale is a map stage."""
+    from icicle_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), "text", "doc_id", max_words=32, overlap=8
+    )
+
+
+# stride = 32 - 8 = 24; DuckDB list slice is 1-based inclusive, so
+# ws[s+1 : s+32] == F.slice(ws, s+1, 32)
+_CHUNK_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(ws)/24.0) AS INT))) AS chunk_id,
+         ws
+  FROM w WHERE len(ws) > 0
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       array_to_string(ws[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text,
+       CAST(len(ws[chunk_id*24+1 : chunk_id*24+32]) AS INT) AS n_words
+FROM c
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fused as-of + windowed fold pass (executor path)
     over sf0.001 events."""
@@ -2111,8 +2182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "circular_stats": q_circular_stats,
         "chord_labeled": q_chord_labeled,
         "resume_fold": q_resume_fold,
-        "embed_dedup": q_embed_dedup,
-        "json_map_ops": q_json_map_ops,
+        "redact_pii": q_redact_pii,
+        "chunk_docs": q_chunk_docs,
         "ewma_fold": q_ewma_fold,
         "decayed_sum": q_decayed_sum,
         "max_by_min_by": q_max_by_min_by,
@@ -2133,6 +2204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_chord_native": q_asof_chord_native,
         "group_fold_native": q_group_fold_native,
         "media_features": q_media_features,
+        "embed_dedup": q_embed_dedup,
+        "json_map_ops": q_json_map_ops,
         "session_stats": q_session_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "join_revenue": q_join_revenue,
@@ -2205,6 +2278,8 @@ def oracle_sql() -> dict[str, str]:
         "filter_let_bind": _FILTER_LET_SQL,
         "dictionary_native": _FOLD_SQL,
         "resume_fold": _RESUME_SQL,
+        "redact_pii": _REDACT_SQL,
+        "chunk_docs": _CHUNK_SQL,
         # minhash_incremental / simhash_incremental: LSH banding not
         # SQL-expressible — rows-only; full-vs-incremental parity is
         # pinned by tests/test_dedup.py.

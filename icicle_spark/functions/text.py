@@ -108,6 +108,31 @@ def grepl_count(pattern: str, text: Column) -> Column:
     return F.regexp_count(c, F.lit(pattern))
 
 
+# PII patterns: shared RE2/Java-regex subset (no lookaround, ASCII \b)
+# so the same pattern runs in Spark (hot path) and any RE2 oracle.
+# Order matters: emails before phone-ish digit runs.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\+?\d[\d() -]{7,}\d"),
+]
+
+
+def redact_pii(text: Column, kinds: list[str] | None = None) -> Column:
+    """Replace PII spans with ``<KIND>`` placeholders — the standard
+    scrubbing pass of a training-data pipeline. Pure chained
+    ``regexp_replace`` (whole-stage codegen; zero Python per row).
+    ``kinds`` restricts to a subset of PII_PATTERNS names, applied in
+    the canonical order."""
+    want = {k for k, _ in PII_PATTERNS} if kinds is None else set(kinds)
+    out = text
+    for name, pat in PII_PATTERNS:
+        if name in want:
+            out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
 def doc_fingerprint(text: Column, normalize: bool = True) -> Column:
     """64-bit content fingerprint: xxhash64 of the normalized word
     stream — a deterministic rolling-hash analogue for exact-dup keys."""
