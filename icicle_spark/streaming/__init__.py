@@ -1,3 +1,6 @@
+from icicle_spark.streaming.dedup_stream import (  # noqa: F401
+    minhash_ingest_sink,
+)
 from icicle_spark.streaming.fold_stream import (  # noqa: F401
     stream_exact_dedup,
     stream_fold,

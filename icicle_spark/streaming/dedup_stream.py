@@ -1,0 +1,130 @@
+"""Streaming near-dup dedup: ingest micro-batches against a persisted,
+self-extending MinHash index (the streaming form of
+``jobs/run_dedup.py``'s incremental flow).
+
+State is the parquet index itself, not the Spark state store:
+near-dup membership over an unbounded corpus cannot live in executor
+state (it grows with the corpus and needs banding joins), so each
+micro-batch runs the same banded incremental join the batch pipeline
+uses — via ``foreachBatch``, the Structured Streaming escape hatch for
+batch-grade operators.
+
+Per micro-batch:
+
+1. intra-batch exact dedup (hash groupBy, dedup.exact_key);
+2. band ONLY the batch; join buckets against index + batch
+   (``minhash_dedup_incremental``) — cost ~ |batch| x bands,
+   independent of corpus size;
+3. drop a batch doc that near-matches any indexed doc, or a
+   smaller-id doc in the same batch;
+4. append survivors to the output, their band buckets to the index,
+   and their texts to the text store — later batches dedup against
+   them.
+
+Exactly-once caveat (stated, not hidden): the three appends are not
+transactional. On failure-replay of a micro-batch the appends run
+again; production deployments should point the sink at a
+transactional table format (Iceberg/Delta) keyed by batch_id, or
+make ids idempotent upstream. The LOGIC is replay-safe — re-deduping
+a batch against an index that already contains it drops every doc as
+a self-duplicate only if ids differ; identical ids re-appear as
+bucket rows, which the bucket cap tolerates.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from icicle_spark.operators.dedup import (
+    exact_dedup,
+    minhash_band_buckets,
+    minhash_dedup_incremental,
+    minhash_dedup_pairs,
+)
+
+
+def minhash_ingest_sink(
+    index_path: str,
+    texts_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> Callable[[DataFrame, int], None]:
+    """Build the ``foreachBatch`` function:
+
+        stream.writeStream.foreachBatch(
+            minhash_ingest_sink(index, texts, out)
+        ).start()
+    """
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        batch_d = exact_dedup(batch, text_col, id_col)
+        have_index = os.path.exists(index_path)
+        if have_index:
+            index = spark.read.parquet(index_path)
+            corpus_texts = spark.read.parquet(texts_path)
+            texts = corpus_texts.unionByName(
+                batch_d.select(id_col, text_col)
+            ).dropDuplicates([id_col])
+            pairs = minhash_dedup_incremental(
+                batch_d, index, texts, text_col, id_col,
+                num_perm, bands, shingle_n, threshold, max_bucket,
+            )
+        else:
+            pairs = minhash_dedup_pairs(
+                batch_d, text_col, id_col, num_perm, bands, shingle_n,
+                threshold, max_bucket,
+            )
+        # a batch doc drops when it matches any indexed doc, or a
+        # smaller-id doc of the same batch (pairs carry id_a < id_b,
+        # so for intra-batch pairs the larger side drops; for
+        # cross pairs the batch side drops whichever side it is)
+        bids = batch_d.select(F.col(id_col).alias("__bid"))
+        p = pairs.join(
+            bids.withColumnRenamed("__bid", "id_a").withColumn(
+                "__a_new", F.lit(True)
+            ),
+            on="id_a", how="left",
+        ).join(
+            bids.withColumnRenamed("__bid", "id_b").withColumn(
+                "__b_new", F.lit(True)
+            ),
+            on="id_b", how="left",
+        )
+        drops = p.select(
+            F.when(
+                F.coalesce("__a_new", F.lit(False))
+                & F.coalesce("__b_new", F.lit(False)),
+                F.col("id_b"),                       # both new: keep min
+            )
+            .when(F.coalesce("__a_new", F.lit(False)), F.col("id_a"))
+            .otherwise(F.col("id_b"))                # matched the index
+            .alias(id_col)
+        ).distinct()
+        kept = batch_d.join(drops, on=id_col, how="left_anti")
+        # cache: kept feeds three sinks; recomputing it re-runs the
+        # banded join per sink
+        kept = kept.persist()
+        try:
+            kept.write.mode("append").parquet(out_path)
+            minhash_band_buckets(
+                kept, text_col, id_col, num_perm, bands, shingle_n
+            ).write.mode("append").parquet(index_path)
+            kept.select(id_col, text_col).write.mode("append").parquet(
+                texts_path
+            )
+        finally:
+            kept.unpersist()
+
+    return fn

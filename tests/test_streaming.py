@@ -145,6 +145,65 @@ def test_stream_windowed_and_session(spark, stream_dir, tmp_path):
     assert got2.n_events.sum() >= 0  # session stream runs end-to-end
 
 
+def test_stream_minhash_ingest(spark, tmp_path_factory, tmp_path):
+    """Streaming near-dup ingest against the self-extending MinHash
+    index: a later micro-batch's near-dup of an earlier batch's doc is
+    dropped; genuinely new docs survive and extend the index."""
+    import numpy as np
+
+    from icicle_spark.streaming import minhash_ingest_sink
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill and the birds sing outside")
+    rng = np.random.default_rng(3)
+    vocab = base.split()
+    src = str(tmp_path_factory.mktemp("ingest_src"))
+    rows1 = [(0, base)] + [
+        (i, " ".join(rng.choice(vocab, size=30))) for i in range(1, 6)
+    ]
+    rows2 = [
+        (10, base.replace("windowsill", "doorstep")),  # near dup of 0
+        (11, " ".join(rng.choice(vocab, size=30))),    # new
+        (12, rows1[3][1]),                             # exact dup of 3
+    ]
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(pd.DataFrame(rows1, columns=["doc_id", "text"]))
+    b2 = spark.createDataFrame(pd.DataFrame(rows2, columns=["doc_id", "text"]))
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    index = str(tmp_path / "index")
+    texts = str(tmp_path / "texts")
+    out = str(tmp_path / "out")
+    sink = minhash_ingest_sink(index, texts, out, threshold=0.5)
+
+    def run_available():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck_ingest"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_available()                       # batch 1 seeds the index
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run_available()                       # batch 2 dedups against it
+
+    kept = set(
+        spark.read.parquet(out).toPandas()["doc_id"].tolist()
+    )
+    assert set(range(6)) <= kept          # all of batch 1 survives
+    assert 11 in kept                     # new doc survives
+    assert 10 not in kept                 # near dup of doc 0 dropped
+    assert 12 not in kept                 # exact dup of doc 3 dropped
+    # the index extended with the survivors
+    idx_ids = set(
+        spark.read.parquet(index).select("doc_id").distinct().toPandas()["doc_id"]
+    )
+    assert 11 in idx_ids and 10 not in idx_ids
+
+
 def test_stream_exact_dedup(spark, tmp_path_factory, tmp_path):
     """Streaming first-arrival dedup keeps exactly one row per distinct
     normalized content — the same distinct set, under the SAME key, as
