@@ -78,6 +78,11 @@ _NUMERIC_AGGS = {Agg.SUM, Agg.MEAN, Agg.VARIANCE, Agg.SD, Agg.MIN, Agg.MAX}
 def supports_chords(plan: Plan) -> bool:
     """True if every feature is evaluable from prefix arrays."""
     for f in plan.features:
+        if f.latest_outer is not None:
+            # the prefix layout compacts where-failing rows up-front,
+            # but an OUTER latest frame must see pre-filter facts —
+            # route to the cogroup executor
+            return False
         if isinstance(f.agg, CustomFold):
             # evaluated per frame over the compacted value slice —
             # O(frame), same cost argument as the sliced aggregates

@@ -70,6 +70,10 @@ def _expr(f: Feature) -> Column:
 def _err_col(f: Feature, tomb: Column, frame: Column) -> Column:
     """Error64 for one feature from conditional aggregates over its
     visible (and latest-N-framed) elements."""
+    if f.latest_outer is not None:
+        raise NotImplementedError(
+            "error_codes does not support latest_outer frames yet"
+        )
     ex = _expr(f)
     if f.group is not None or f.distinct is not None:
         # whole-map Possibly semantics: a null KEY poisons too

@@ -151,8 +151,12 @@ def _feature_value(
 ) -> Any:
     """Evaluate one feature over the visible index range [lo, hi)."""
     idx = np.arange(lo, hi)
+    if f.latest_outer is not None:
+        # outer latest frame: the filter stage sees ONLY the last A
+        # visible facts (`latest A ~> filter p ~> ...`, t17-latest:28)
+        idx = idx[-f.latest_outer:]
     if mask is not None:
-        idx = idx[mask[lo:hi]]
+        idx = idx[mask[idx]]
     if f.skip_nulls and len(idx):
         # skip_nulls acts like an element filter: nulls are dropped
         # BEFORE the latest-N buffer / distinct pass sees them.

@@ -140,6 +140,17 @@ class Feature:
     where: ExprLike | None = None     # element filter (Context.hs:30)
     window: Window | None = None      # days-before window (Context.hs:26)
     latest: int | None = None         # last-N-facts frame (Context.hs:27)
+    latest_outer: int | None = None   # OUTER latest frame applied
+                                      # BEFORE where/filter_let/skip_nulls
+                                      # drops — Icicle contexts compose in
+                                      # any order (Query.hs:59-63), and
+                                      # `latest A ~> filter p ~> latest B`
+                                      # (repl t17-latest:28-29) is not the
+                                      # same program as filter-then-latest:
+                                      # the filter sees only the last A
+                                      # facts. Evaluated by the fold
+                                      # executors (native/chord-prefix
+                                      # route to the cogroup fallback).
     by: ExprLike | None = None        # key expr for MAX_BY/MIN_BY
     group: ExprLike | None = None     # `group k ~>` — output map k->agg (Context.hs:28)
     distinct: ExprLike | None = None  # `distinct k ~>` — first fact per key (Context.hs:29)
@@ -271,6 +282,7 @@ class Plan:
                 f.distinct if isinstance(f.distinct, str) else id(f.distinct),
                 f.skip_nulls,
                 f.half_life_days,
+                f.latest_outer,
                 tuple(
                     (b, e if isinstance(e, str) else id(e))
                     for b, e in f.filter_let

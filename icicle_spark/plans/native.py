@@ -63,6 +63,10 @@ _DISTINCT_NATIVE_AGGS = {
 def _feature_native(f: Feature) -> bool:
     if not isinstance(f.agg, Agg) or not isinstance(f.expr, str):
         return False
+    if f.latest_outer is not None:
+        # pre-filter latest frames would need a second rank stage;
+        # the fold executors evaluate them instead
+        return False
     if f.where is not None and not isinstance(f.where, str):
         return False
     if f.filter_let is not None and not all(

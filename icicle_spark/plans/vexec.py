@@ -82,6 +82,20 @@ def _feature_series(
         if f.window.older_than_days:
             hi = f.window.edge(qt_ts, f.window.older_than_days).value
             mask = mask & (tns <= hi)
+    if f.latest_outer is not None:
+        # outer latest frame (t17-latest:28): restrict to the last A
+        # VISIBLE facts per entity BEFORE the filter stage
+        vidx = np.flatnonzero(mask)
+        if len(vidx):
+            keep = (
+                pd.DataFrame({"i": vidx, "seg": seg[vidx]})
+                .groupby("seg", sort=False)
+                .tail(f.latest_outer)["i"]
+                .to_numpy()
+            )
+            m2 = np.zeros(len(mask), dtype=bool)
+            m2[keep] = True
+            mask = m2
     # `filter let Some b = e`: bind columns visible to this feature's
     # exprs; null binds fail the pattern. Tombstone columns were
     # nulled on the whole block up-front, so tombstoned facts drop too.

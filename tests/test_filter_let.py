@@ -160,6 +160,28 @@ def test_filter_let_validation(facts):
         run_plan(facts, plan, snapshot=SNAP, strategy="native").collect()
 
 
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_latest_outer_vs_filter_first(facts, strategy):
+    """`latest 2 ~> filter let Some b ~> sum b` is NOT
+    `filter let Some b ~> latest 2 ~> sum b`: the outer frame truncates
+    BEFORE the pattern drops. homer's last 2 facts are (300, None) and
+    (400, 7) — outer-first sums 407; filter-first sums 612."""
+    outer = Feature(
+        "o", Agg.SUM, "b2", filter_let=BIND, latest_outer=2,
+        skip_nulls=True,
+    )
+    inner = Feature(
+        "i", Agg.SUM, "b2", filter_let=BIND, latest=2, skip_nulls=True
+    )
+    r = (
+        run_plan(facts, _plan(outer, inner), snapshot=SNAP, strategy=strategy)
+        .toPandas()
+        .set_index("entity")
+    )
+    assert r.loc["homer", "o"] == 407.0
+    assert r.loc["homer", "i"] == 612.0
+
+
 def test_filter_let_resume_parity(spark, facts):
     """Checkpoint/resume sees the bind semantics too: fold_states at
     T0 + increment == the full run (resume materializes the binds via

@@ -250,6 +250,30 @@ def test_t17_filter_let_some_bind(salary, strategy):
     assert list(r.loc["marge", "zods"]) == [1.0, 11.0, 21.0]
 
 
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t17_latest_then_filter_let(salary, strategy):
+    """t17-latest goldens lines 27-29: contexts compose in any order —
+    `latest 4 ~> filter let Some zod = Some (value + 1) ~> latest 3 ~>
+    zod` (outer frame BEFORE the filter) and the nested
+    `latest 4 ~> latest 3`. With the always-Some bind the results
+    match the filter-first form: homer [301,401,501], marge
+    [1,11,21]."""
+    plan = _plan(
+        Feature(
+            "zods", Agg.COLLECT, "zod", latest=3, latest_outer=4,
+            skip_nulls=True, filter_let=(("zod", "value + 1"),),
+        ),
+        Feature(
+            "nested", Agg.COLLECT, "value + 1", latest=3, latest_outer=4,
+            skip_nulls=True,
+        ),
+    )
+    r = _run(salary, plan, strategy)
+    for col in ["zods", "nested"]:
+        assert list(r.loc["homer", col]) == [301.0, 401.0, 501.0], col
+        assert list(r.loc["marge", col]) == [1.0, 11.0, 21.0], col
+
+
 @pytest.mark.parametrize("strategy", ["native", "vectorized", "cogroup"])
 def test_t19_month_windows(spark, strategy):
     """t19-windows golden (one salary fact per month of 1970):
