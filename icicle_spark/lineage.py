@@ -95,6 +95,7 @@ def run_with_lineage(
     snapshot: Any | None = None,
     chords: DataFrame | None = None,
     strategy: str = "native",
+    assume_arranged: bool = False,
 ) -> dict[str, Any]:
     """Execute the plan, write parquet output + lineage manifests;
     returns the run record (scalar summary only — the per-file and
@@ -104,7 +105,8 @@ def run_with_lineage(
     spark = facts.sparkSession
     t0 = time.time()
     result = run_plan(
-        facts, plan, snapshot=snapshot, chords=chords, strategy=strategy
+        facts, plan, snapshot=snapshot, chords=chords, strategy=strategy,
+        assume_arranged=assume_arranged,
     )
     result.write.mode("overwrite").parquet(out_path)
     wall = time.time() - t0

@@ -100,11 +100,23 @@ def main(argv: list[str] | None = None) -> int:
     from icicle_spark.sources.io import read_iceberg
 
     spark = get_spark(app_name="icicle_spark_features")
-    facts = (
-        read_iceberg(spark, args.input)
-        if args.format == "iceberg"
-        else spark.read.parquet(args.input)
-    )
+    import os as _os
+
+    arranged = False
+    if args.format == "iceberg":
+        facts = read_iceberg(spark, args.input)
+    elif _os.path.exists(_os.path.join(args.input, "_fact_store.json")):
+        # arranged fact store (write_fact_store): the vectorized
+        # executor can skip its entity exchange + sort entirely
+        from icicle_spark.sources.io import read_fact_store
+
+        facts, _store_meta = read_fact_store(spark, args.input)
+        arranged = (
+            args.snapshot is not None
+            and args.strategy in ("auto", "vectorized")
+        )
+    else:
+        facts = spark.read.parquet(args.input)
     if args.dictionary:
         # dictionary-driven: the declared registry validates the facts
         # against its encoding, applies the InputKey nub, and supplies
@@ -129,8 +141,11 @@ def main(argv: list[str] | None = None) -> int:
             snapshot=args.snapshot,
             chords=chords,
             strategy=args.strategy,
+            assume_arranged=arranged,
         )
         record["mode"] = "full"
+        if arranged:
+            record["arranged_store"] = True
     if args.checkpoint and args.snapshot:
         fold_states(facts, plan, as_of=args.snapshot).write.mode(
             "overwrite"

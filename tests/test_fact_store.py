@@ -106,6 +106,37 @@ def test_assume_arranged_rejected_off_path(spark, store):
                  assume_arranged=True)
 
 
+def test_run_features_job_detects_store(spark, store, tmp_path):
+    """jobs/run_features auto-detects the arranged layout (sidecar
+    manifest) and produces the same output as over raw parquet."""
+    from jobs.run_features import main
+
+    facts, path = store
+    raw = str(tmp_path / "raw")
+    facts.write.mode("overwrite").parquet(raw)
+    out_store = str(tmp_path / "out_store")
+    out_raw = str(tmp_path / "out_raw")
+    args = ["--snapshot", SNAP, "--entity-col", "doc_id",
+            "--time-col", "event_time", "--seq-col", "seq",
+            "--strategy", "vectorized"]
+    assert main(["--input", path, "--output", out_store] + args) == 0
+    assert main(["--input", raw, "--output", out_raw] + args) == 0
+    a = (
+        spark.read.parquet(out_store).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        spark.read.parquet(out_raw).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    num = [c for c in a.columns if c != "doc_id"]
+    assert np.allclose(
+        a[num].astype("float64").to_numpy(),
+        b[num].astype("float64").to_numpy(),
+        equal_nan=True,
+    )
+
+
 def test_oversize_file_guard(spark, store, tmp_path, monkeypatch):
     _, path = store
     import icicle_spark.sources.io as io_mod

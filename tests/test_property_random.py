@@ -87,6 +87,51 @@ SCHEMA = T.StructType(
 )
 
 
+@pytest.mark.parametrize("seed", [7, 19, 43])
+def test_executors_commute_extended(spark, seed):
+    """vectorized vs cogroup over the EXTENDED feature surface —
+    filter_let binds (null binds drop; value NaNs make the pattern
+    genuinely partial) and outer latest frames (latest A ~> filter ~>
+    latest B) — which the native compiler doesn't take."""
+    rng = np.random.default_rng(seed)
+    pdf = random_facts(rng, n_rows=int(rng.integers(500, 2000)), n_ents=40)
+    facts = spark.createDataFrame(pdf, SCHEMA)
+    feats = []
+    for i in range(int(rng.integers(3, 6))):
+        f = random_feature(np.random.default_rng(seed * 77 + i), i, False)
+        kw = dict(
+            where=f.where, window=f.window, latest=f.latest,
+            skip_nulls=f.skip_nulls, half_life_days=f.half_life_days,
+        )
+        r = np.random.default_rng(seed * 31 + i)
+        if r.random() < 0.6 and f.agg not in (
+            Agg.NUMFLIPS, Agg.COUNT_DISTINCT, Agg.ANY, Agg.ALL,
+        ):
+            kw["filter_let"] = ((f"b{i}", "value * 2"),)
+            expr = f"b{i}"
+        else:
+            expr = f.expr
+        if r.random() < 0.5 and f.agg is not Agg.DECAYED_SUM:
+            kw["latest_outer"] = int(r.integers(2, 7))
+        feats.append(Feature(f.name, f.agg, expr, **kw))
+    snap = str(
+        pd.Timestamp("2024-01-01") + pd.Timedelta(days=int(rng.integers(30, 110)))
+    )
+    plan = Plan(feats, entity_col="entity", time_col="time", seq_col="seq")
+    ve = run_plan(facts, plan, snapshot=snap, strategy="vectorized").toPandas()
+    co = run_plan(facts, plan, snapshot=snap, strategy="cogroup").toPandas()
+    ve, co = (d.sort_values("entity").reset_index(drop=True) for d in (ve, co))
+    assert len(ve) == len(co)
+    for f in feats:
+        b = ve[f.name].astype("float64").to_numpy()
+        c = co[f.name].astype("float64").to_numpy()
+        bad = ~np.isclose(b, c, equal_nan=True)
+        assert not bad.any(), (
+            seed, f, ve.loc[bad, ["entity", f.name]].head(3),
+            co.loc[bad, ["entity", f.name]].head(3),
+        )
+
+
 @pytest.mark.parametrize("seed", [11, 23, 37, 59])
 def test_backends_commute(spark, seed):
     rng = np.random.default_rng(seed)
