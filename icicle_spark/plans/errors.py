@@ -70,10 +70,6 @@ def _expr(f: Feature) -> Column:
 def _err_col(f: Feature, tomb: Column, frame: Column) -> Column:
     """Error64 for one feature from conditional aggregates over its
     visible (and latest-N-framed) elements."""
-    if f.latest_outer is not None:
-        raise NotImplementedError(
-            "error_codes does not support latest_outer frames yet"
-        )
     ex = _expr(f)
     if f.group is not None or f.distinct is not None:
         # whole-map Possibly semantics: a null KEY poisons too
@@ -159,6 +155,22 @@ def error_codes(
         frame = _visibility(f, qt, tcol)
         if f.filter_let is not None:
             frame = frame & ~tomb
+        if f.latest_outer is not None:
+            # outer latest frame truncates BEFORE the filter stage
+            # (latest A ~> filter ~> ...): rank over the PRE-filter
+            # visibility, then conjoin — the outer buffer can empty a
+            # stream that has older matching elements.
+            vis_only = _visibility(f, qt, tcol, include_filters=False)
+            w_out = (
+                W.partitionBy(*keys)
+                .orderBy(*_order_cols(plan))
+                .rowsBetween(W.currentRow, W.unboundedFollowing)
+            )
+            rank_o = F.sum(F.when(vis_only, 1).otherwise(0)).over(w_out)
+            base = base.withColumn(
+                f"__eor_{f.name}", vis_only & (rank_o <= f.latest_outer)
+            )
+            frame = F.col(f"__eor_{f.name}") & frame
         if f.latest is not None and not f.skip_nulls:
             # poison counts only inside the last-N buffer
             w_fwd = (

@@ -250,7 +250,12 @@ def _with_binds(facts: DataFrame, plan: Plan) -> DataFrame:
     return facts
 
 
-def _visibility(f: Feature, qt: Column, tcol: str) -> Column:
+def _visibility(
+    f: Feature, qt: Column, tcol: str, include_filters: bool = True
+) -> Column:
+    """Per-feature visibility condition. ``include_filters=False``
+    stops after the time/window stage — the pre-filter frame an outer
+    latest buffer truncates (Feature.latest_outer)."""
     cond = F.col(tcol) < qt  # strict: zero temporal leakage
     if f.window is not None:
         cond &= F.col(tcol) >= qt - F.expr(
@@ -260,6 +265,8 @@ def _visibility(f: Feature, qt: Column, tcol: str) -> Column:
             cond &= F.col(tcol) <= qt - F.expr(
                 f.window.sql_interval(f.window.older_than_days)
             )
+    if not include_filters:
+        return cond
     if f.filter_let is not None:
         # `filter let Some b = e`: the pattern fails on null binds.
         # Bind columns are materialized on the facts AFTER tombstone

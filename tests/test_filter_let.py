@@ -142,6 +142,35 @@ def test_filter_let_error_codes(facts):
     assert errs.loc["bart", "m_err"] == ERR_FOLD1_NO_VALUE
 
 
+def test_latest_outer_error_codes(spark, facts):
+    """Error channel with an outer latest frame: the last visible fact
+    failing the filter empties the frame (FOLD1_NO_VALUE) even though
+    older matching facts exist — and without the outer frame the same
+    feature is OK."""
+    mk = lambda name, outer: Feature(  # noqa: E731
+        name, Agg.MEAN, "value", where="value < 350",
+        latest_outer=outer, skip_nulls=True,
+    )
+    plan = _plan(mk("m_out", 1), mk("m_all", None))
+    errs = (
+        error_codes(facts, plan, snapshot=SNAP)
+        .toPandas()
+        .set_index("entity")
+    )
+    # homer's last visible fact is 400 (fails value < 350): the
+    # 1-deep outer frame sees only it
+    assert errs.loc["homer", "m_out_err"] == ERR_FOLD1_NO_VALUE
+    assert errs.loc["homer", "m_all_err"] == ERR_OK
+    # and the value side agrees (cogroup path evaluates latest_outer)
+    vals = (
+        run_plan(facts, plan, snapshot=SNAP, strategy="cogroup")
+        .toPandas()
+        .set_index("entity")
+    )
+    assert pd.isna(vals.loc["homer", "m_out"])
+    assert vals.loc["homer", "m_all"] == 200.0  # mean(100, 200, 300)
+
+
 def test_filter_let_validation(facts):
     # a bind name may not mean two different things in one plan
     with pytest.raises(ValueError, match="different expressions"):
