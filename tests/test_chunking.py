@@ -55,6 +55,32 @@ def test_chunk_windows_overlap(docs):
         chunk_documents(docs, max_words=4, overlap=4)
 
 
+def test_chunks_reassemble_lossless(spark):
+    """Invariant: with overlap=0, concatenating a document's chunks in
+    chunk_id order reproduces the normalized word stream exactly, and
+    n_words sums to the document's word count."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    texts = [
+        " ".join(f"t{rng.integers(0, 50)}" for _ in range(int(n)))
+        for n in rng.integers(1, 40, 25)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    out = (
+        chunk_documents(docs, max_words=7, overlap=0)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    joined = out.groupby("doc_id")["chunk_text"].apply(" ".join)
+    sums = out.groupby("doc_id")["n_words"].sum()
+    for i, t in enumerate(texts):
+        assert joined[i] == t, i
+        assert sums[i] == len(t.split()), i
+
+
 def test_pack_chunks_bins(spark):
     chunks = spark.createDataFrame(
         pd.DataFrame(

@@ -142,6 +142,36 @@ def test_filter_let_error_codes(facts):
     assert errs.loc["bart", "m_err"] == ERR_FOLD1_NO_VALUE
 
 
+def test_latest_outer_chord_routing(spark, facts):
+    """Chord scope + latest_outer: supports_chords and the native
+    compiler both decline, so auto routes to the cogroup executor —
+    and the semantics hold per query time."""
+    chords = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity": ["homer", "homer"],
+                "query_time": pd.to_datetime(["2016-03-15", "2017-01-01"]),
+            }
+        )
+    )
+    plan = _plan(
+        Feature(
+            "o", Agg.SUM, "b2", filter_let=BIND, latest_outer=2,
+            skip_nulls=True,
+        )
+    )
+    r = (
+        run_plan(facts, plan, chords=chords, strategy="auto")
+        .toPandas()
+        .sort_values("query_time")
+        .reset_index(drop=True)
+    )
+    # at 2016-03-15 the last 2 visible are (100,None),(200,5) -> 205;
+    # at 2017-01-01 they are (300,None),(400,7) -> 407
+    assert r.loc[0, "o"] == 205.0
+    assert r.loc[1, "o"] == 407.0
+
+
 def test_latest_outer_error_codes(spark, facts):
     """Error channel with an outer latest frame: the last visible fact
     failing the filter empties the frame (FOLD1_NO_VALUE) even though
