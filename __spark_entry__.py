@@ -2123,6 +2123,62 @@ FROM c
 """
 
 
+def q_math_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BuiltinMath scalar surface (Builtin.hs:47-67) with Possibly
+    semantics: acos/asin outside [-1,1] are null (not NaN), rounding
+    is Haskell-faithful (round = half-to-even ≙ DuckDB round_even,
+    truncate toward zero ≙ trunc). exp/cosh overflow-as-null is
+    pytest-pinned (DuckDB lacks cosh and huge exp magnitudes are
+    ulp-unstable across engines)."""
+    from icicle_spark.functions.scalars import (
+        atan,
+        atan2,
+        ceiling_,
+        cos,
+        floor_,
+        round_,
+        safe_acos,
+        safe_asin,
+        sin,
+        truncate_,
+    )
+
+    ev = _events(spark, sf_dir)
+    x = (F.col("value") - F.lit(50.0)) / F.lit(20.0)
+    return ev.select(
+        "event_id",
+        _r(safe_acos(x)).alias("r_acos"),
+        _r(safe_asin(x)).alias("r_asin"),
+        _r(atan(x)).alias("r_atan"),
+        _r(atan2(F.col("value"), F.lit(10.0))).alias("r_atan2"),
+        _r(cos(x)).alias("r_cos"),
+        _r(sin(x)).alias("r_sin"),
+        round_(F.col("value")).alias("r_round"),
+        truncate_(x * 3).alias("r_trunc"),
+        floor_(x).alias("r_floor"),
+        ceiling_(x).alias("r_ceil"),
+    )
+
+
+_MATH_SQL = """
+WITH b AS (
+  SELECT event_id, value, (value - 50.0) / 20.0 AS x FROM events
+)
+SELECT event_id,
+  round(CASE WHEN x BETWEEN -1 AND 1 THEN acos(x) END, 6) AS r_acos,
+  round(CASE WHEN x BETWEEN -1 AND 1 THEN asin(x) END, 6) AS r_asin,
+  round(atan(x), 6)             AS r_atan,
+  round(atan2(value, 10.0), 6)  AS r_atan2,
+  round(cos(x), 6)              AS r_cos,
+  round(sin(x), 6)              AS r_sin,
+  CAST(round_even(value, 0) AS BIGINT) AS r_round,
+  CAST(trunc(x * 3) AS BIGINT)  AS r_trunc,
+  CAST(floor(x) AS BIGINT)      AS r_floor,
+  CAST(ceil(x) AS BIGINT)       AS r_ceil
+FROM b
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the fused as-of + windowed fold pass (executor path)
     over sf0.001 events."""
@@ -2179,7 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression": q_regression,
         "possibly_scalars": q_possibly_scalars,
         "days_in": q_days_in,
-        "circular_stats": q_circular_stats,
+        "math_builtins": q_math_builtins,
         "chord_labeled": q_chord_labeled,
         "resume_fold": q_resume_fold,
         "redact_pii": q_redact_pii,
@@ -2206,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "embed_dedup": q_embed_dedup,
         "json_map_ops": q_json_map_ops,
+        "circular_stats": q_circular_stats,
         "session_stats": q_session_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "join_revenue": q_join_revenue,
@@ -2280,6 +2337,7 @@ def oracle_sql() -> dict[str, str]:
         "resume_fold": _RESUME_SQL,
         "redact_pii": _REDACT_SQL,
         "chunk_docs": _CHUNK_SQL,
+        "math_builtins": _MATH_SQL,
         # minhash_incremental / simhash_incremental: LSH banding not
         # SQL-expressible — rows-only; full-vs-incremental parity is
         # pinned by tests/test_dedup.py.
