@@ -33,7 +33,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Mapping
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from icicle_spark.plans.ir import Feature, Plan
@@ -59,9 +59,22 @@ class DictionaryInput:
     key: str | None = None               # InputKey column: nub
                                          # consecutive same-key facts
     tombstone_col: str | None = None
+    tombstones: frozenset[str] = frozenset()
+                                         # PSV value texts meaning
+                                         # Tombstone (Data.hs:71
+                                         # inputTombstones, checked
+                                         # BEFORE decoding —
+                                         # Encoding.hs:176-179)
 
     def struct(self) -> T.StructType:
         return _as_struct(self.schema)
+
+    def value_fields(self) -> list[T.StructField]:
+        """The declared VALUE encoding: every field that is not a key
+        column (entity/time/seq/tombstone)."""
+        keys = {self.entity_col, self.time_col, self.seq_col,
+                self.tombstone_col}
+        return [f for f in self.struct().fields if f.name not in keys]
 
 
 @dataclass(frozen=True)
@@ -189,6 +202,61 @@ class Dictionary:
                 df, inp.key, inp.entity_col, inp.time_col, inp.seq_col
             )
         return df
+
+    def load_psv(
+        self, spark: SparkSession, name: str, path: str
+    ) -> DataFrame:
+        """Typed PSV fact ingestion — the reference's ``parseFact``
+        (Dictionary/Data.hs:131-143 + Encoding.hs:176-210):
+        ``entity|attribute|value|time`` rows are filtered to this
+        input's attribute, the tombstone marker set is checked BEFORE
+        decoding, then the value text parses per the declared
+        encoding — primitives by (ANSI) cast, so a malformed value is
+        a loud DecodeError-equivalent, booleans case-insensitively,
+        multi-field (struct) encodings from JSON. Output carries the
+        declared column layout plus a boolean tombstone column."""
+        if name not in self.inputs:
+            raise KeyError(name)
+        inp = self.inputs[name]
+        from icicle_spark.sources.io import read_psv_facts
+
+        raw = read_psv_facts(spark, path).where(F.col("attribute") == name)
+        tomb = (
+            F.col("value").isin(*sorted(inp.tombstones))
+            if inp.tombstones
+            else F.lit(False)
+        )
+        vfields = inp.value_fields()
+        if len(vfields) == 1 and not isinstance(
+            vfields[0].dataType, T.StructType
+        ):
+            f0 = vfields[0]
+            vals = [
+                F.when(~tomb, F.col("value").cast(f0.dataType)).alias(f0.name)
+            ]
+        else:
+            # struct encoding: the PSV value is JSON (reference
+            # Encoding.hs:204-210 valueOfJSON)
+            js = F.from_json(
+                F.when(~tomb, F.col("value")), T.StructType(vfields)
+            )
+            vals = [js[f.name].alias(f.name) for f in vfields]
+        tcol = F.col("time").cast(
+            dict((f.name, f.dataType) for f in inp.struct().fields)[
+                inp.time_col
+            ]
+        )
+        out = raw.select(
+            F.col("entity").alias(inp.entity_col),
+            tcol.alias(inp.time_col),
+            *vals,
+            tomb.alias(inp.tombstone_col or "tombstone"),
+        )
+        if inp.key is not None:
+            from icicle_spark.operators.folds_ext import nub_by_key
+
+            out = nub_by_key(out, inp.key, inp.entity_col, inp.time_col)
+        return out
 
     # -- run -----------------------------------------------------------
 

@@ -141,6 +141,78 @@ def test_load_validates_encoding(spark, facts):
         d2.load(spark, "facts", df=facts)
 
 
+PSV = """\
+homer|salary|100|1989-12-17
+homer|salary|200|1990-01-01
+homer|salary|300|1994-01-01
+homer|salary|400|1999-01-01
+homer|salary|500|2010-01-01
+homer|salary|NA|2011-01-01
+marge|salary|0|1989-12-17
+homer|injury|{"location":"head","severity":2}|1989-12-17
+homer|injury|{"location":"arm","severity":4}|1994-01-01
+homer|injury|NA|1995-01-01
+"""
+
+
+def test_load_psv_typed_parse(spark, tmp_path):
+    """parseFact parity (Data.hs:131-143, Encoding.hs:176-210): the
+    tombstone marker set is checked before decoding; Int values cast;
+    struct encodings parse from JSON; downstream plans see the
+    reference's tombstone semantics."""
+    p = tmp_path / "data.psv"
+    p.write_text(PSV)
+    d = Dictionary(
+        inputs=[
+            DictionaryInput(
+                "salary", "entity string, time timestamp, value bigint",
+                tombstones=frozenset({"NA"}),
+            ),
+            DictionaryInput(
+                "injury",
+                "entity string, time timestamp, location string, "
+                "severity bigint",
+                tombstones=frozenset({"NA"}),
+            ),
+        ],
+        outputs=[
+            DictionaryOutput(
+                "sal", "salary",
+                (
+                    Feature("s", Agg.SUM, "value", skip_nulls=True),
+                    Feature("sp", Agg.SUM, "value"),  # Possibly
+                ),
+            )
+        ],
+    )
+    sal = d.load_psv(spark, "salary", str(p)).toPandas()
+    assert len(sal) == 7  # only salary facts
+    h = sal[sal.entity == "homer"].sort_values("time")
+    assert list(h["value"].dropna()) == [100, 200, 300, 400, 500]
+    assert h["tombstone"].tolist() == [False] * 5 + [True]
+    assert str(sal.dtypes["time"]).startswith("datetime")
+
+    inj = d.load_psv(spark, "injury", str(p)).toPandas().sort_values("time")
+    assert list(inj["location"].dropna()) == ["head", "arm"]
+    assert list(inj["severity"].dropna()) == [2, 4]
+    assert inj["tombstone"].tolist() == [False, False, True]
+
+    # downstream: tombstone poisons Possibly, drops under skip_nulls
+    facts = d.load_psv(spark, "salary", str(p))
+    plan = Plan(
+        list(d.outputs["sal"].features),
+        entity_col="entity", time_col="time", tombstone_col="tombstone",
+    )
+    r = (
+        run_plan(facts, plan, snapshot="2017-01-01", strategy="native")
+        .toPandas()
+        .set_index("entity")
+    )
+    assert r.loc["homer", "s"] == 1500.0
+    assert pd.isna(r.loc["homer", "sp"])
+    assert r.loc["marge", "sp"] == 0.0
+
+
 DICT_MODULE = '''
 from icicle_spark.dictionary import Dictionary, DictionaryInput, DictionaryOutput
 from icicle_spark.plans import Agg, Feature
