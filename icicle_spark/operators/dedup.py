@@ -144,6 +144,26 @@ def jaccard(text_a, text_b, shingle_n: int = 3):
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _jaccard_grams(ga, gb):
+    """Jaccard over two DISTINCT gram-hash array COLUMNS. Column refs,
+    not inline HOF trees, so nothing re-evaluates per access; the
+    union comes from |A| + |B| - |A∩B| (one intersect, two sizes)."""
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    union = F.size(ga).cast("double") + F.size(gb).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def _gram_sets(docs: DataFrame, text_col, id_col: str, shingle_n: int) -> DataFrame:
+    """(id, distinct gram-hash array) — the verify-side shingle sets.
+    Jaccard over these equals string-shingle Jaccard up to xxhash64
+    collisions (~|shingles| / 2^31 per doc), and skips re-tokenizing
+    text for every candidate pair."""
+    return docs.select(
+        F.col(id_col),
+        F.array_distinct(shingle_hashes(text_col, shingle_n)).alias("__g"),
+    )
+
+
 def minhash_signature_arrow(
     docs: DataFrame,
     text_col: str,
@@ -288,16 +308,16 @@ def minhash_dedup_incremental(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    t = texts.select(id_col, text_col)
+    grams = _gram_sets(texts, text_col, id_col, shingle_n)
     cand = cand.join(
-        t.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")),
+        grams.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga")),
         on="id_a",
     ).join(
-        t.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")),
+        grams.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb")),
         on="id_b",
     )
     return (
-        cand.withColumn("jaccard", jaccard(F.col("__ta"), F.col("__tb"), shingle_n))
+        cand.withColumn("jaccard", _jaccard_grams(F.col("__ga"), F.col("__gb")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -335,16 +355,16 @@ def minhash_dedup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    texts = docs.select(id_col, text_col)
+    grams = _gram_sets(docs, text_col, id_col, shingle_n)
     cand = cand.join(
-        texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")),
+        grams.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga")),
         on="id_a",
     ).join(
-        texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")),
+        grams.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb")),
         on="id_b",
     )
     return (
-        cand.withColumn("jaccard", jaccard(F.col("__ta"), F.col("__tb"), shingle_n))
+        cand.withColumn("jaccard", _jaccard_grams(F.col("__ga"), F.col("__gb")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
