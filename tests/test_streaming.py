@@ -95,6 +95,46 @@ def test_stream_fold_matches_batch(spark, stream_dir, tmp_path):
     )
 
 
+def test_stream_fold_filter_let_parity(spark, stream_dir, tmp_path):
+    """filter_let binds in streaming folds: a genuinely partial
+    pattern ((n_tok - 5) ** 0.5 is NaN below 5) drops the same facts
+    the batch executor drops."""
+    batch_df = spark.read.parquet(stream_dir)
+    stream = spark.readStream.schema(batch_df.schema).parquet(stream_dir)
+    bind = (("b", "(n_tok - 5) ** 0.5"),)
+    plan = Plan(
+        [
+            Feature("sb", Agg.SUM, "b", filter_let=bind, skip_nulls=True),
+            Feature("cb", Agg.COUNT, "b", filter_let=bind, skip_nulls=True),
+        ],
+        entity_col="doc_id",
+        time_col="event_time",
+        seq_col="seq",
+    )
+    out = _run_stream(
+        spark, stream_fold(stream, plan), str(tmp_path), "flstream"
+    )
+    final = out.toPandas().groupby("doc_id").last().sort_index()
+    batch = (
+        run_plan(batch_df, plan, snapshot="2099-01-01", strategy="cogroup")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # entities whose every fact fails the pattern emit no stream row
+    batch = batch.loc[final.index]
+    for c in ["sb", "cb"]:
+        assert np.allclose(
+            final[c].astype("float64"),
+            batch[c].astype("float64"),
+            equal_nan=True,
+        ), c
+    # and the pattern is genuinely partial on this corpus
+    assert (final["cb"] > 0).any()
+    raw = batch_df.toPandas()
+    assert (raw["n_tok"] < 5).any()
+
+
 def test_stream_windowed_and_session(spark, stream_dir, tmp_path):
     schema = spark.read.parquet(stream_dir).schema
     stream = spark.readStream.schema(schema).parquet(stream_dir)
