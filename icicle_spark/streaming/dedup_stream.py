@@ -43,6 +43,9 @@ from icicle_spark.operators.dedup import (
     minhash_band_buckets,
     minhash_dedup_incremental,
     minhash_dedup_pairs,
+    simhash_chunk_index,
+    simhash_dedup_incremental,
+    simhash_dedup_pairs,
 )
 
 
@@ -57,13 +60,21 @@ def minhash_ingest_sink(
     shingle_n: int = 3,
     threshold: float = 0.7,
     max_bucket: int = 1000,
+    method: str = "minhash",
+    max_hamming: int = 3,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` function:
 
         stream.writeStream.foreachBatch(
             minhash_ingest_sink(index, texts, out)
         ).start()
+
+    ``method="simhash"`` keeps the same flow over a SimHash chunk
+    index instead (fingerprints travel with the index, so the text
+    store is only maintained for downstream use, not for verification).
     """
+    if method not in ("minhash", "simhash"):
+        raise ValueError(f"unknown method {method!r}")
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -71,7 +82,12 @@ def minhash_ingest_sink(
             return
         batch_d = exact_dedup(batch, text_col, id_col)
         have_index = os.path.exists(index_path)
-        if have_index:
+        if have_index and method == "simhash":
+            pairs = simhash_dedup_incremental(
+                batch_d, spark.read.parquet(index_path), text_col, id_col,
+                max_hamming=max_hamming, max_bucket=max_bucket,
+            )
+        elif have_index:
             index = spark.read.parquet(index_path)
             corpus_texts = spark.read.parquet(texts_path)
             texts = corpus_texts.unionByName(
@@ -80,6 +96,11 @@ def minhash_ingest_sink(
             pairs = minhash_dedup_incremental(
                 batch_d, index, texts, text_col, id_col,
                 num_perm, bands, shingle_n, threshold, max_bucket,
+            )
+        elif method == "simhash":
+            pairs = simhash_dedup_pairs(
+                batch_d, text_col, id_col,
+                max_hamming=max_hamming, max_bucket=max_bucket,
             )
         else:
             pairs = minhash_dedup_pairs(
@@ -118,9 +139,14 @@ def minhash_ingest_sink(
         kept = kept.persist()
         try:
             kept.write.mode("append").parquet(out_path)
-            minhash_band_buckets(
-                kept, text_col, id_col, num_perm, bands, shingle_n
-            ).write.mode("append").parquet(index_path)
+            if method == "simhash":
+                simhash_chunk_index(
+                    kept, text_col, id_col, max_hamming
+                ).write.mode("append").parquet(index_path)
+            else:
+                minhash_band_buckets(
+                    kept, text_col, id_col, num_perm, bands, shingle_n
+                ).write.mode("append").parquet(index_path)
             kept.select(id_col, text_col).write.mode("append").parquet(
                 texts_path
             )
