@@ -1,0 +1,174 @@
+"""Icicle source-language front-end: REAL reference query strings
+(verbatim from the repl corpus scripts) parsed into the IR and
+evaluated against the transcribed goldens."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from icicle_spark.plans import Agg, icicle_snapshot, run_plan
+from icicle_spark.source_lang import parse_program, parse_query
+
+SNAP = icicle_snapshot("2017-01-01")
+
+SALARY = [
+    ("homer", "1989-12-17", 100),
+    ("homer", "1990-01-01", 200),
+    ("homer", "1994-01-01", 300),
+    ("homer", "1999-01-01", 400),
+    ("homer", "2010-01-01", 500),
+    ("marge", "1989-12-17", 0),
+    ("marge", "1989-12-17", 10),
+    ("marge", "1989-12-17", 20),
+]
+
+
+@pytest.fixture(scope="module")
+def salary(spark):
+    pdf = pd.DataFrame(SALARY, columns=["entity", "time", "value"])
+    pdf["time"] = pd.to_datetime(pdf["time"])
+    pdf["seq"] = np.arange(len(pdf))
+    return spark.createDataFrame(pdf).cache()
+
+
+@pytest.fixture(scope="module")
+def injury(spark):
+    rows = [
+        ("homer", "1989-12-17", "head", 2),
+        ("homer", "1990-01-01", "head", 1),
+        ("homer", "1994-01-01", "arm", 4),
+        ("homer", "1999-01-01", "torso", 3),
+        ("homer", "2010-01-01", "torso", 1),
+    ]
+    pdf = pd.DataFrame(rows, columns=["entity", "time", "location", "severity"])
+    pdf["time"] = pd.to_datetime(pdf["time"])
+    pdf["seq"] = np.arange(len(pdf))
+    return spark.createDataFrame(pdf).cache()
+
+
+def _run(df, q, dialect, strategy, snap=SNAP):
+    _, f = parse_query(q, "r", dialect=dialect)
+    plans = parse_program(
+        [q], dialect=dialect, entity_col="entity", time_col="time",
+        seq_col="seq",
+    )
+    plan = next(iter(plans.values()))
+    out = run_plan(df, plan, snapshot=snap, strategy=strategy).toPandas()
+    return out.set_index("entity").sort_index()
+
+
+def test_t01_sum_and_filtered_count(salary):
+    r = _run(salary, "from salary ~> sum value", "sql", "native")
+    assert r.loc["homer", "q0"] == 1500 and r.loc["marge", "q0"] == 30
+    r = _run(
+        salary, "from salary ~> filter value > 10 ~> count value",
+        "sql", "native",
+    )
+    assert r.loc["homer", "q0"] == 5 and r.loc["marge", "q0"] == 1
+
+
+def test_latest_mean_and_count_unit(salary):
+    r = _run(salary, "from salary ~> latest 3 ~> mean value", "sql", "native")
+    assert r.loc["homer", "q0"] == 400.0 and r.loc["marge", "q0"] == 10.0
+    r = _run(salary, "from salary ~> count ()", "sql", "native")
+    assert r.loc["homer", "q0"] == 5 and r.loc["marge", "q0"] == 3
+
+
+def test_t19_month_window(spark):
+    rows = [("homer", f"1970-{m:02d}-01", m) for m in range(1, 13)]
+    pdf = pd.DataFrame(rows, columns=["entity", "time", "value"])
+    pdf["time"] = pd.to_datetime(pdf["time"])
+    pdf["seq"] = np.arange(len(pdf))
+    df = spark.createDataFrame(pdf)
+    r = _run(
+        df, "from salary ~> windowed 3 months ~> sum value",
+        "sql", "native", snap=icicle_snapshot("1970-12-01"),
+    )
+    assert r.loc["homer", "q0"] == 10 + 11 + 12
+    r = _run(
+        df,
+        "from salary ~> windowed between 1 months and 3 months ~> sum value",
+        "sql", "native", snap=icicle_snapshot("1970-12-01"),
+    )
+    assert r.loc["homer", "q0"] == 10 + 11
+
+
+def test_t02_group(salary):
+    r = _run(
+        salary, "from salary ~> group value ~> count value",
+        "pandas", "cogroup",
+    )
+    assert {k: int(v) for k, v in r.loc["marge", "q0"].items()} == {
+        "0": 1, "10": 1, "20": 1,
+    }
+
+
+def test_t04_1_literal_pattern(injury):
+    r = _run(
+        injury, 'from injury ~> filter let "head" = location ~> sum severity',
+        "sql", "native",
+    )
+    assert r.loc["homer", "q0"] == 3
+
+
+def test_t17_filter_let_latest_array(salary):
+    q = ("from salary ~> filter let Some zod = Some (value + 1) "
+         "~> latest 3 ~> zod")
+    r = _run(salary, q, "pandas", "vectorized")
+    assert list(r.loc["homer", "q0"]) == [301.0, 401.0, 501.0]
+    assert list(r.loc["marge", "q0"]) == [1.0, 11.0, 21.0]
+    # line 28: the outer frame before the filter
+    q2 = ("from salary ~> latest 4 ~> filter let Some zod = "
+          "Some (value + 1) ~> latest 3 ~> zod")
+    _, f = parse_query(q2, "r")
+    assert f.latest_outer == 4 and f.latest == 3
+    r2 = _run(salary, q2, "pandas", "vectorized")
+    assert list(r2.loc["homer", "q0"]) == [301.0, 401.0, 501.0]
+    # back-to-back latests collapse to the min
+    _, f3 = parse_query("from salary ~> latest 4 ~> latest 3 ~> value")
+    assert f3.latest == 3 and f3.latest_outer is None
+
+
+def test_let_substitution_and_max_by(salary):
+    r = _run(
+        salary, "from salary ~> let x = value * 2 ~> sum x",
+        "sql", "native",
+    )
+    assert r.loc["homer", "q0"] == 3000
+    r = _run(
+        salary, "from salary ~> max_by value value", "sql", "native"
+    )
+    assert r.loc["homer", "q0"] == 500.0
+
+
+def test_program_fusion(salary):
+    plans = parse_program(
+        {
+            "s": "from salary ~> sum value",
+            "c": "from salary ~> count value",
+            "sev": "from injury ~> sum severity",
+        },
+        entity_col="entity", time_col="time", seq_col="seq",
+    )
+    assert set(plans) == {"salary", "injury"}
+    assert [f.name for f in plans["salary"].features] == ["s", "c"]
+    out = (
+        run_plan(salary, plans["salary"], snapshot=SNAP, strategy="native")
+        .toPandas()
+        .set_index("entity")
+    )
+    assert out.loc["homer", "s"] == 1500 and out.loc["homer", "c"] == 5
+
+
+def test_unsupported_forms_raise():
+    for q in [
+        "from salary ~> (sum value, count value)",
+        "from salary ~> double (sum value) / count value",
+        "from salary ~> now",
+        "sum value",
+        "from salary ~> frobnicate value ~> sum value",
+    ]:
+        with pytest.raises(ValueError):
+            parse_query(q)
