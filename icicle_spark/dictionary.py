@@ -79,13 +79,42 @@ class DictionaryInput:
 
 @dataclass(frozen=True)
 class DictionaryOutput:
-    """One named output query over a declared input (Data.hs:76-81)."""
+    """One named output query over a declared input (Data.hs:76-81).
+
+    Built either from IR Features or from an Icicle query STRING
+    (``query="from salary ~> sum value"`` — parsed via
+    :mod:`icicle_spark.source_lang`; the `from` input must match
+    ``input``). ``dialect`` selects the element-expression dialect the
+    parsed feature targets ('sql' for the native compiler, 'pandas'
+    for the Arrow executors)."""
 
     name: str
     input: str
     features: tuple[Feature, ...]
 
-    def __init__(self, name: str, input: str, features) -> None:  # noqa: A002
+    def __init__(
+        self,
+        name: str,
+        input: str,  # noqa: A002
+        features=None,
+        query: str | None = None,
+        dialect: str = "sql",
+        skip_nulls: bool = False,
+    ) -> None:
+        if (features is None) == (query is None):
+            raise ValueError("exactly one of features / query required")
+        if query is not None:
+            from icicle_spark.source_lang import parse_query
+
+            qinput, feat = parse_query(
+                query, name, dialect=dialect, skip_nulls=skip_nulls
+            )
+            if qinput != input:
+                raise ValueError(
+                    f"output {name!r} reads {qinput!r} in its query but "
+                    f"is declared over {input!r}"
+                )
+            features = (feat,)
         object.__setattr__(self, "name", name)
         object.__setattr__(self, "input", input)
         object.__setattr__(self, "features", tuple(features))

@@ -101,6 +101,43 @@ def test_input_key_nubs_consecutive_duplicates(spark, facts):
     assert got.loc["homer", "c"] == 3
 
 
+def test_output_from_query_string(spark, facts):
+    """The full reference loop: declared input + Icicle query STRING
+    outputs, fused and evaluated — identical to IR-built features."""
+    d = Dictionary(
+        inputs=[
+            DictionaryInput(
+                "facts", ENC, entity_col="entity", time_col="time",
+                seq_col="seq",
+            )
+        ],
+        outputs=[
+            DictionaryOutput("s", "facts", query="from facts ~> sum value",
+                             skip_nulls=True),
+            DictionaryOutput(
+                "big_c", "facts",
+                query="from facts ~> filter value > 150 ~> count value",
+                skip_nulls=True,
+            ),
+        ],
+    )
+    got = (
+        d.run(spark, frames={"facts": facts}, snapshot=SNAP,
+              strategy="native")["facts"]
+        .toPandas()
+        .set_index("entity")
+        .sort_index()
+    )
+    assert got.loc["homer", "s"] == 800.0
+    assert got.loc["homer", "big_c"] == 3  # 200, 200, 300
+    assert got.loc["marge", "big_c"] == 0
+    # query must read the declared input
+    with pytest.raises(ValueError, match="reads 'other'"):
+        DictionaryOutput("x", "facts", query="from other ~> sum value")
+    with pytest.raises(ValueError, match="exactly one of"):
+        DictionaryOutput("x", "facts")
+
+
 def test_registry_validation():
     inp = DictionaryInput("facts", ENC, entity_col="entity",
                           time_col="time", seq_col="seq")
