@@ -1968,6 +1968,46 @@ def q_dictionary_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(res)
 
 
+def q_source_postcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Icicle source strings with aggregate-expression tails parsed
+    straight into the IR: each aggregate subterm becomes one fused
+    fold and the surrounding arithmetic a POSTCOMPUTATION on the
+    result frame — the reference Core split
+    (Core/Program/Program.hs:33-36 postcomps, ToCore aggregate
+    lowering; repl t01-sanity:8, t04-lets). ``big_share`` also pins
+    aggregate-let context FREEZING: its denominator fold binds before
+    the filter narrows the stream."""
+    from icicle_spark.source_lang import parse_program
+
+    qs = {
+        "avg_manual": "from events ~> sum value / count value",
+        "spread": "from events ~> max value - min value",
+        "big_share": (
+            "from events ~> let n = count value ~> "
+            "filter value > 50 ~> count value / n"
+        ),
+    }
+    plan = parse_program(
+        qs, dialect="sql", skip_nulls=True,
+        entity_col="user_id", time_col="ts", seq_col="event_id",
+    )["events"]
+    return _round_doubles(
+        run_plan(_events(spark, sf_dir), plan, snapshot=SNAP,
+                 strategy="native")
+    )
+
+
+_SOURCE_POSTCOMP_SQL = """
+WITH vis AS (SELECT * FROM events WHERE ts < TIMESTAMP '{snap}')
+SELECT user_id,
+       round(sum(value) / count(value), 6)  AS avg_manual,
+       round(max(value) - min(value), 6)    AS spread,
+       round(count(CASE WHEN value > 50 THEN 1 END) / count(value), 6)
+                                            AS big_share
+FROM vis GROUP BY user_id
+""".format(snap=SNAP)
+
+
 def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash dedup — the production ingest flow: band
     ONLY the increment (doc_id % 10 == 0) against the persisted band
@@ -2228,7 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_survivors": q_dedup_survivors,
         "embed_topk": q_embed_topk,
-        "tpch_q1": q_tpch_q1,
+        "source_postcomp": q_source_postcomp,
         "group_fold_map": q_group_fold_map,
         "array_fold": q_array_fold,
         "nub_by_key": q_nub_by_key,
@@ -2256,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "simhash_incremental": q_simhash_incremental,
         # ---- position 51+: driver-certified in r01/r02 ----
+        "tpch_q1": q_tpch_q1,
         "asof_snapshot_native": q_asof_snapshot_native,
         "asof_chord_native": q_asof_chord_native,
         "group_fold_native": q_group_fold_native,
@@ -2305,6 +2346,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_SQL,
         "dedup_survivors": _SURVIVORS_SQL,
         "embed_topk": _EMBED_SQL,
+        "source_postcomp": _SOURCE_POSTCOMP_SQL,
         "tpch_q1": _TPCH_Q1_SQL,
         "join_revenue": _JOIN_REVENUE_SQL,
         "group_fold_map": _GROUP_FOLD_SQL,

@@ -91,6 +91,8 @@ class DictionaryOutput:
     name: str
     input: str
     features: tuple[Feature, ...]
+    postcomps: tuple = ()   # ((name, sql_expr), ...) over the folds
+    hidden: tuple = ()      # fold names not emitted (postcomp inputs)
 
     def __init__(
         self,
@@ -100,13 +102,15 @@ class DictionaryOutput:
         query: str | None = None,
         dialect: str = "sql",
         skip_nulls: bool = False,
+        postcomps=(),
+        hidden=(),
     ) -> None:
         if (features is None) == (query is None):
             raise ValueError("exactly one of features / query required")
         if query is not None:
-            from icicle_spark.source_lang import parse_query
+            from icicle_spark.source_lang import parse_query_multi
 
-            qinput, feat = parse_query(
+            qinput, feats, postcomps, hidden = parse_query_multi(
                 query, name, dialect=dialect, skip_nulls=skip_nulls
             )
             if qinput != input:
@@ -114,10 +118,12 @@ class DictionaryOutput:
                     f"output {name!r} reads {qinput!r} in its query but "
                     f"is declared over {input!r}"
                 )
-            features = (feat,)
+            features = tuple(feats)
         object.__setattr__(self, "name", name)
         object.__setattr__(self, "input", input)
         object.__setattr__(self, "features", tuple(features))
+        object.__setattr__(self, "postcomps", tuple(postcomps))
+        object.__setattr__(self, "hidden", tuple(hidden))
 
 
 class Dictionary:
@@ -169,9 +175,13 @@ class Dictionary:
     def _build_plan(self, input_name: str) -> Plan | None:
         inp = self.inputs[input_name]
         feats: list[Feature] = []
+        posts: list[tuple] = []
+        hidden: list[str] = []
         for o in self.outputs.values():
             if o.input == input_name:
                 feats.extend(o.features)
+                posts.extend(o.postcomps)
+                hidden.extend(o.hidden)
         if not feats:
             return None
         return Plan(
@@ -180,6 +190,8 @@ class Dictionary:
             time_col=inp.time_col,
             seq_col=inp.seq_col,
             tombstone_col=inp.tombstone_col,
+            postcomps=tuple(posts),
+            hidden=tuple(hidden),
         )
 
     def plan_for(self, input_name: str) -> Plan:

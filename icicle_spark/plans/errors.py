@@ -192,4 +192,26 @@ def error_codes(
             f"{f.name}_err",
             F.coalesce(F.col(f"{f.name}_err"), empty).cast("int"),
         )
-    return out.select(*keys, *[f"{f.name}_err" for f in plan.features])
+    if not plan.postcomps and not plan.hidden:
+        return out.select(*keys, *[f"{f.name}_err" for f in plan.features])
+    # postcomputation error: a postcomp is poisoned iff any fold it
+    # reads is (the reference's Possibly applicative over the postcomp
+    # let-chain) — greatest() picks the worst referenced code. Hidden
+    # folds' own codes are inputs only, not outputs.
+    import re as _re
+
+    fold_names = [f.name for f in plan.features]
+    codes: dict[str, Column] = {n: F.col(f"{n}_err") for n in fold_names}
+    for name, e in plan.postcomps:
+        refs = [n for n in list(codes) if _re.search(rf"\b{_re.escape(n)}\b", e)]
+        col = (
+            F.greatest(*[codes[n] for n in refs]) if len(refs) > 1
+            else codes[refs[0]] if refs else F.lit(ERR_OK)
+        )
+        codes[name] = col
+        out = out.withColumn(f"{name}_err", col.cast("int"))
+    hid = set(plan.hidden)
+    emit = [n for n in fold_names if n not in hid] + [
+        n for n, _ in plan.postcomps
+    ]
+    return out.select(*keys, *[f"{n}_err" for n in emit])

@@ -361,15 +361,22 @@ def run_plan(
     # (Condense.hs:25-66) — dropping a duplicate's COLUMN would be a
     # silent output change.
     requested = [f.name for f in plan.features]
-    plan, _dups = plan.cse()
+    full = plan
+    plan, _dups = plan.stripped().cse()
 
     def _realias(out: DataFrame) -> DataFrame:
-        if not _dups:
+        if not _dups and not full.postcomps and not full.hidden:
             return out
         from pyspark.sql import functions as _F
 
+        from icicle_spark.plans.ir import apply_postcomps
+
         for dup, kept in _dups.items():
             out = out.withColumn(dup, _F.col(kept))
+        if full.postcomps or full.hidden:
+            # postcomputation stage (Core/Program/Program.hs:33-36):
+            # evaluate over the fold outputs, drop hidden folds
+            return apply_postcomps(out, full)
         lead = [c for c in out.columns if c not in requested]
         return out.select(*lead, *requested)
 

@@ -193,11 +193,38 @@ class Plan:
     tombstone_col: str | None = None
     max_group_size: int = 1_048_576   # maxMapSize analogue
                                       # (Core/Program/Program.hs:32)
+    postcomps: tuple = ()             # ((name, spark_sql_expr), ...) —
+                                      # postcomputations over the FOLD
+                                      # OUTPUT columns, evaluated on the
+                                      # result frame after aggregation
+                                      # (reference Core programs carry
+                                      # exactly this stage:
+                                      # Core/Program/Program.hs:33-36
+                                      # `postcomps`, ToCore/ToCore.hs
+                                      # aggregate-expression lowering).
+                                      # Always Spark-SQL dialect — they
+                                      # run on the small output frame,
+                                      # never inside an executor.
+    hidden: tuple = ()                # fold names NOT emitted: internal
+                                      # inputs of postcomps (the
+                                      # reference's fresh names for agg
+                                      # subterms, ToCore fresh binds)
 
     def __post_init__(self) -> None:
         names = [f.name for f in self.features]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate feature names: {names}")
+        self.postcomps = tuple((str(n), str(e)) for n, e in self.postcomps)
+        self.hidden = tuple(self.hidden)
+        pnames = [n for n, _ in self.postcomps]
+        clash = (set(pnames) & set(names)) or (
+            {n for n in pnames if pnames.count(n) > 1}
+        )
+        if clash:
+            raise ValueError(f"postcomp name collides: {sorted(clash)}")
+        missing = set(self.hidden) - set(names)
+        if missing:
+            raise ValueError(f"hidden names are not folds: {sorted(missing)}")
         for f in self.features:
             if f.agg is Agg.DECAYED_SUM:
                 hl = f.half_life_days
@@ -255,7 +282,32 @@ class Plan:
             seq_col=self.seq_col or other.seq_col,
             tombstone_col=self.tombstone_col or other.tombstone_col,
             max_group_size=min(self.max_group_size, other.max_group_size),
+            postcomps=self.postcomps + other.postcomps,
+            hidden=self.hidden + other.hidden,
         )
+
+    def stripped(self) -> "Plan":
+        """The same folds without postcomps/hidden — what the fold
+        backends evaluate (postcomputation is applied on their output
+        by run_plan / compile_native)."""
+        if not self.postcomps and not self.hidden:
+            return self
+        return Plan(
+            self.features,
+            entity_col=self.entity_col,
+            time_col=self.time_col,
+            seq_col=self.seq_col,
+            tombstone_col=self.tombstone_col,
+            max_group_size=self.max_group_size,
+        )
+
+    def output_names(self) -> list[str]:
+        """Emitted columns: non-hidden folds (plan order), then
+        postcomputations (declaration order)."""
+        hid = set(self.hidden)
+        return [f.name for f in self.features if f.name not in hid] + [
+            n for n, _ in self.postcomps
+        ]
 
     def condensed(self) -> "Plan":
         """CSE: drop structurally identical duplicate folds, keep the
@@ -303,6 +355,8 @@ class Plan:
                 seq_col=self.seq_col,
                 tombstone_col=self.tombstone_col,
                 max_group_size=self.max_group_size,
+                postcomps=self.postcomps,
+                hidden=tuple(h for h in self.hidden if h not in dups),
             ),
             dups,
         )
@@ -339,6 +393,25 @@ def feature_dtype(f: Feature) -> str:
     if f.group is not None:
         return f"map<string,{base}>"
     return base
+
+
+def apply_postcomps(df, plan: Plan):
+    """Evaluate a plan's postcomputations over the aggregated result
+    frame and drop hidden folds (reference Core evaluator runs
+    postcomps after the fold loop: Core/Eval/Program.hs postcomps
+    stage).  `df` must contain every fold output column; key/lead
+    columns pass through in front."""
+    if not plan.postcomps and not plan.hidden:
+        return df
+    from pyspark.sql import functions as F
+
+    for name, e in plan.postcomps:
+        df = df.withColumn(name, F.expr(e))
+    names = set(n for f in plan.features for n in (f.name,)) | {
+        n for n, _ in plan.postcomps
+    }
+    lead = [c for c in df.columns if c not in names]
+    return df.select(*lead, *plan.output_names())
 
 
 def eval_expr(expr: ExprLike, pdf: pd.DataFrame) -> pd.Series:

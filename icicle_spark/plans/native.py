@@ -38,7 +38,13 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-from icicle_spark.plans.ir import Agg, Feature, Plan, feature_dtype
+from icicle_spark.plans.ir import (
+    Agg,
+    Feature,
+    Plan,
+    apply_postcomps,
+    feature_dtype,
+)
 
 _NATIVE_AGGS = {
     Agg.SUM, Agg.COUNT, Agg.MEAN, Agg.MIN, Agg.MAX, Agg.VARIANCE, Agg.SD,
@@ -719,10 +725,18 @@ def compile_native(
         raise ValueError("exactly one of snapshot / chords required")
     if not native_supported(plan):
         raise ValueError("plan not native-compilable; use plans.executor")
-    plan = plan.condensed()
+    full = plan
+    plan, _dups = plan.stripped().cse()
     ecol, tcol = plan.entity_col, plan.time_col
 
     facts = prepare_facts(facts, plan)
+
+    def _finalize(out: DataFrame) -> DataFrame:
+        # re-emit CSE-shared fold columns, then run the postcomp stage
+        # (Core/Program/Program.hs:33-36) on the aggregated frame
+        for dup, kept in _dups.items():
+            out = out.withColumn(dup, F.col(kept))
+        return apply_postcomps(out, full)
 
     if snapshot is not None:
         qt = F.lit(snapshot).cast("timestamp")
@@ -730,7 +744,7 @@ def compile_native(
         # partition pruning; per-feature windows re-check inside.
         base = facts.where(F.col(tcol) < qt)
         spine = facts.select(ecol).distinct()
-        return _compile_scoped(spine, base, plan, qt, [ecol])
+        return _finalize(_compile_scoped(spine, base, plan, qt, [ecol]))
 
     qt = F.col("query_time")
     keys = [ecol, "query_time"] + (["label"] if "label" in chords.columns else [])
@@ -738,4 +752,4 @@ def compile_native(
     base = facts.join(rhs, on=ecol, how="inner").where(
         F.col(tcol) < qt
     )
-    return _compile_scoped(chords, base, plan, qt, keys)
+    return _finalize(_compile_scoped(chords, base, plan, qt, keys))

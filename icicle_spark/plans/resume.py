@@ -380,7 +380,8 @@ def resume_plan(
     """
     if not resumable(plan):
         raise ValueError("plan not resumable")
-    plan = plan.condensed()
+    full = plan
+    plan, _dups = plan.stripped().cse()
     ecol, tcol = plan.entity_col, plan.time_col
     qt = F.lit(snapshot).cast("timestamp")
     ck = states.select(F.max("__ck_time")).first()[0]
@@ -470,4 +471,11 @@ def resume_plan(
                         F.col("__s").isNull(), F.lit(_INIT[f.agg])
                     ).otherwise(F.col(f.name)),
                 )
-    return out.drop("__s").select(ecol, *[f.name for f in plan.features])
+    out = out.drop("__s").select(ecol, *[f.name for f in plan.features])
+    # re-emit CSE-shared folds, then the postcomp stage (same contract
+    # as run_plan / compile_native)
+    from icicle_spark.plans.ir import apply_postcomps
+
+    for dup, kept in _dups.items():
+        out = out.withColumn(dup, F.col(kept))
+    return apply_postcomps(out, full)

@@ -19,25 +19,42 @@ IR was shaped by these contexts, Context.hs:25-37):
 * ``latest N`` (repeated: a filter between two latests makes the
   first an OUTER frame; back-to-back latests collapse to the min)
 * ``group e`` / ``distinct e``
-* ``let x = e`` (pure bind; substituted textually downstream)
-* terminal aggregates: sum count mean min max newest oldest variance
-  sd any all / ``max_by k v`` ``min_by k v`` / ``count ()`` /
-  a bare element expression under ``latest N`` (array result)
+* ``let x = e`` — element binds substitute textually downstream;
+  AGGREGATE lets (``let sx = sum value ~> sx * 2``, repl t04-lets)
+  freeze their folds at the bind point (a later ``filter`` narrows
+  only later aggregates) and substitute into the postcomputation
+* juxtaposed scalar builtins ``double trunc log exp sqrt abs``
+  (rewritten per dialect; ``trunc`` is Catalyst-only)
+* ``fold x = INIT then STEP`` / ``fold1 x = INIT then STEP``
+  (Context.hs:32-33) — compiled to :class:`CustomFold`; STEP/INIT are
+  python-eval expressions over the bind name + fact columns (``fold1``
+  seeds from the first visible element, empty stream -> null)
+* terminal AGGREGATE EXPRESSIONS: any arithmetic over aggregate
+  subterms — ``sum v / count v``, ``max v - min v``,
+  ``mean v + 2 * sd v``, a fold bind ``x``, … . Each aggregate subterm
+  becomes one fused fold; the surrounding arithmetic becomes a
+  POSTCOMPUTATION on the result frame, exactly the reference Core
+  split (Core/Program/Program.hs:33-36 ``postcomps``,
+  ToCore/ToCore.hs aggregate lowering). Aggregate subterms: sum count
+  mean min max newest oldest variance sd any all / ``max_by k v``
+  ``min_by k v`` / ``count ()`` / fold bind names. A bare element
+  expression under ``latest N`` is an array result (collect).
 
 Element expressions pass through verbatim to the execution dialect:
 ``dialect="sql"`` for the native Catalyst compiler, ``"pandas"`` for
 the Arrow fold executors (plain comparisons like ``value > 10`` and
-``location == "head"`` are valid in both). Out-of-scope forms —
-aggregate arithmetic (``sum x / count x``), tuples, ``now``, custom
-function definitions — raise ValueError naming the construct; they
-compose from multiple parsed queries / CustomFold at the API layer.
+``location == "head"`` are valid in both). Postcomputation arithmetic
+is ALWAYS Spark-SQL (it runs on the aggregated frame, never inside an
+executor). Out-of-scope forms — tuples, ``now``, custom function
+definitions — raise ValueError naming the construct.
 """
 
 from __future__ import annotations
 
+import math
 import re
 
-from icicle_spark.plans.ir import Agg, Feature, Plan, Window
+from icicle_spark.plans.ir import Agg, CustomFold, Feature, Plan, Window
 
 _AGGS = {
     "sum": Agg.SUM, "count": Agg.COUNT, "mean": Agg.MEAN,
@@ -56,6 +73,103 @@ def _unit(u: str) -> str:
     return _UNITS[u]
 
 
+class _Uninit:
+    """fold1 pre-seed marker. One instance lives inside the
+    CustomFold's closure graph, so identity survives cloudpickle to
+    the executors (ToCore/Fold.hs:213-233 seeds fold1 from the first
+    element; an empty stream yields no value)."""
+
+
+_FOLD_FUNCS = {
+    "log": math.log, "exp": math.exp, "sqrt": math.sqrt, "abs": abs,
+    "floor": math.floor, "ceil": math.ceil, "pow": pow,
+    "minimum": min, "maximum": max,
+}
+_FOLD_KEYWORDS = {"and", "or", "not", "True", "False", "None", "if",
+                  "else"}
+_ID_RE = re.compile(r"[A-Za-z_]\w*")
+
+
+def _fold_cols(srcs: list[str], bind: str) -> list[str]:
+    """Fact columns a fold body references: every identifier that is
+    not the bind, a provided function, or a python keyword."""
+    cols: set[str] = set()
+    for s in srcs:
+        for m in _ID_RE.finditer(s or ""):
+            w = m.group(0)
+            if w != bind and w not in _FOLD_FUNCS and w not in _FOLD_KEYWORDS:
+                cols.add(w)
+    return sorted(cols)
+
+
+def _compile_fold(bind: str, init_src: str, step_src: str, fold1: bool):
+    """``fold x = INIT then STEP`` -> CustomFold (Context.hs:32-33).
+
+    Bodies are python-eval expressions over the bind + fact columns
+    (with log/exp/sqrt/abs/floor/ceil/pow/minimum/maximum). Sequential
+    by construction — the faithful reading of an Icicle fold; for
+    vectorizable folds build CustomFold(step=...) directly at the API
+    layer. Multi-column bodies receive raw values (handle nulls in the
+    body); single-column bodies go through the engine's usual element
+    null channel."""
+    cols = _fold_cols([step_src] + ([init_src] if fold1 else []), bind)
+    step_code = compile(step_src, "<fold-step>", "eval")
+    init_code = compile(init_src, "<fold-init>", "eval")
+    funcs = dict(_FOLD_FUNCS)
+
+    if fold1:
+        seed: object = _Uninit()
+
+        def step_seq(acc, x):
+            env = dict(zip(cols, x)) if len(cols) > 1 else (
+                {cols[0]: x} if cols else {}
+            )
+            if isinstance(acc, _Uninit):
+                return eval(init_code, {"__builtins__": {}}, {**funcs, **env})
+            env[bind] = acc
+            return eval(step_code, {"__builtins__": {}}, {**funcs, **env})
+
+        def output(acc):
+            return None if isinstance(acc, _Uninit) else acc
+
+        return CustomFold(seed, step_seq=step_seq, output=output), cols
+
+    init_val = eval(init_code, {"__builtins__": {}}, dict(funcs))
+
+    def step_seq(acc, x):
+        env = dict(zip(cols, x)) if len(cols) > 1 else (
+            {cols[0]: x} if cols else {}
+        )
+        env[bind] = acc
+        return eval(step_code, {"__builtins__": {}}, {**funcs, **env})
+
+    return CustomFold(init_val, step_seq=step_seq), cols
+
+
+def _fold_expr(cols: list[str]):
+    """Element expression feeding a compiled fold: the single column
+    itself, a tuple Series for multi-column bodies, or a constant for
+    body-only folds (``fold c = 0 then c + 1``)."""
+    import pandas as pd
+
+    if len(cols) == 1:
+        return cols[0]
+    if cols:
+        colsl = list(cols)
+
+        def expr(pdf):
+            return pd.Series(
+                list(zip(*[pdf[c] for c in colsl])), index=pdf.index
+            )
+
+        return expr
+
+    def const(pdf):
+        return pd.Series(1.0, index=pdf.index)
+
+    return const
+
+
 def _strip_some(e: str) -> str:
     """`Some (expr)` / `Some expr` -> expr (the parser's Option
     constructors are erased; null IS None in the engine encoding)."""
@@ -67,27 +181,44 @@ def _strip_some(e: str) -> str:
 
 
 class _Builder:
-    def __init__(self, dialect: str) -> None:
+    def __init__(self, dialect: str, qname: str, skip_nulls: bool) -> None:
         if dialect not in ("sql", "pandas"):
             raise ValueError("dialect must be 'sql' or 'pandas'")
         self.dialect = dialect
+        self.qname = qname
+        self.skip_nulls = skip_nulls
         self.filters: list[str] = []
         self.binds: list[tuple[str, str]] = []
         self.lets: dict[str, str] = {}
+        self.agg_lets: dict[str, str] = {}  # aggregate `let`: name ->
+                                            # postcomp fragment over
+                                            # hidden folds (contexts
+                                            # FROZEN at the bind point)
         self.window: Window | None = None
         self.latest: int | None = None
         self.latest_outer: int | None = None
         self._filter_since_latest = False
         self.group: str | None = None
         self.distinct: str | None = None
+        self.folds: dict[str, tuple] = {}  # bind -> (CustomFold, cols)
+        self.fold_feats: dict[str, str] = {}  # bind -> hidden feature
+        self.feats: list = []
+        self._n = 0
 
     def sub(self, e: str) -> str:
-        """Apply pure `let` binds textually (parenthesized, word
-        boundaries). filter-let binds stay COLUMNS (the IR carries
-        them), so they are not substituted."""
+        """Apply pure element `let` binds textually (parenthesized,
+        word boundaries). filter-let binds stay COLUMNS (the IR
+        carries them), so they are not substituted."""
         out = e.strip()
         for k, v in self.lets.items():
             out = re.sub(rf"\b{re.escape(k)}\b", f"({v})", out)
+        return out
+
+    def sub_agg(self, e: str) -> str:
+        """Substitute aggregate `let` binds (postcomp fragments)."""
+        out = e
+        for k, v in self.agg_lets.items():
+            out = re.sub(rf"\b{re.escape(k)}\b", v, out)
         return out
 
     def where(self) -> str | None:
@@ -97,6 +228,69 @@ class _Builder:
             return self.filters[0]
         j = " and " if self.dialect == "pandas" else " AND "
         return j.join(f"({f})" for f in self.filters)
+
+    def fresh(self) -> str:
+        n = f"__{self.qname}_{self._n}"
+        self._n += 1
+        return n
+
+    def mk_feature(self, fname: str, agg, expr, by=None):
+        """A Feature frozen over the CURRENT context state (aggregate
+        lets bind before later contexts narrow the stream —
+        repl t04-lets 'Aggregate let outside filter')."""
+
+        def J(x):
+            return _juxta(x, self.dialect) if isinstance(x, str) else x
+
+        return Feature(
+            fname, agg, J(expr),
+            where=J(self.where()), window=self.window, latest=self.latest,
+            latest_outer=self.latest_outer, by=J(by), group=J(self.group),
+            distinct=J(self.distinct),
+            filter_let=tuple((n, J(e)) for n, e in self.binds)
+            if self.binds else None,
+            skip_nulls=self.skip_nulls,
+        )
+
+
+def _extract_aggs(b: _Builder, s: str) -> str:
+    """Replace every aggregate subterm / fold-bind reference in ``s``
+    with a hidden fold column, appending the folds to ``b.feats``.
+    The surrounding arithmetic is returned for the postcomp stage."""
+    parts: list[str] = []
+    i = 0
+    while True:
+        m = _AGG_KW.search(s, i)
+        if not m:
+            parts.append(s[i:])
+            break
+        parts.append(s[i : m.start()])
+        kw, j = m.group(1), m.end()
+        hname = b.fresh()
+        if kw in ("max_by", "min_by"):
+            a1, j = _scan_atom(s, j, kw)
+            a2, j = _scan_atom(s, j, kw)
+            agg = Agg.MAX_BY if kw == "max_by" else Agg.MIN_BY
+            b.feats.append(b.mk_feature(hname, agg, b.sub(a2), by=b.sub(a1)))
+        elif kw == "count" and re.match(r"\s*\(\s*\)", s[j:]):
+            j += re.match(r"\s*\(\s*\)", s[j:]).end()
+            b.feats.append(b.mk_feature(hname, Agg.COUNT, "1"))
+        else:
+            a, j = _scan_atom(s, j, kw)
+            b.feats.append(b.mk_feature(hname, _AGGS[kw], b.sub(a)))
+        parts.append(hname)
+        i = j
+    out = "".join(parts)
+    # fold binds referenced at aggregate level -> (shared) hidden folds
+    for bind, (cf, cols) in b.folds.items():
+        if not re.search(rf"\b{re.escape(bind)}\b", out):
+            continue
+        if bind not in b.fold_feats:
+            hname = f"__{b.qname}_f_{bind}"
+            b.fold_feats[bind] = hname
+            b.feats.append(b.mk_feature(hname, cf, _fold_expr(cols)))
+        out = re.sub(rf"\b{re.escape(bind)}\b", b.fold_feats[bind], out)
+    return out
 
 
 def _apply_context(b: _Builder, c: str) -> None:
@@ -153,11 +347,183 @@ def _apply_context(b: _Builder, c: str) -> None:
     if m:
         b.distinct = b.sub(m.group(1))
         return
+    m = re.fullmatch(
+        r"(fold1?)\s+(\w+)\s*=\s*(.+?)\s+then\s+(.+)", c, re.S
+    )
+    if m:
+        kw, bind, init_src, step_src = m.groups()
+        if bind in b.folds or bind in b.lets or bind in b.agg_lets:
+            raise ValueError(f"fold bind {bind!r} already bound")
+        # fold bodies are python-eval; juxtaposed builtins get the
+        # python forms (log/exp/sqrt/abs are provided functions)
+        b.folds[bind] = _compile_fold(
+            bind,
+            _juxta(b.sub(init_src), "pandas"),
+            _juxta(b.sub(step_src), "pandas"),
+            kw == "fold1",
+        )
+        return
     m = re.fullmatch(r"let\s+(\w+)\s*=\s*(.+)", c, re.S)
     if m:
-        b.lets[m.group(1)] = b.sub(m.group(2))
+        nm, rhs = m.group(1), m.group(2)
+        if nm in b.lets or nm in b.agg_lets or nm in b.folds:
+            raise ValueError(f"let {nm!r} already bound")
+        if _AGG_KW.search(rhs) or any(
+            re.search(rf"\b{re.escape(x)}\b", rhs)
+            for x in (*b.folds, *b.agg_lets)
+        ):
+            # aggregate `let` (repl t04-lets): its folds FREEZE the
+            # contexts seen so far; the value is a postcomp fragment
+            # element lets are constants at aggregate level — b.sub
+            # covers uses OUTSIDE aggregate arguments too
+            b.agg_lets[nm] = (
+                "(" + b.sub(b.sub_agg(_extract_aggs(b, rhs))) + ")"
+            )
+        else:
+            b.lets[nm] = b.sub(rhs)
         return
     raise ValueError(f"unsupported context: {c!r}")
+
+
+_AGG_KW = re.compile(
+    r"\b(sum|count|mean|min|max|newest|oldest|variance|sd|any|all"
+    r"|max_by|min_by)\b"
+)
+
+# Juxtaposed scalar functions (Icicle application syntax `double x`,
+# prelude.icicle / Builtin.hs): rewritten per dialect. `log` is
+# natural log in both (Spark SQL's ln).
+_JUXTA_SQL = {"double": "double({})", "trunc": "int({})", "log": "ln({})",
+              "exp": "exp({})", "sqrt": "sqrt({})", "abs": "abs({})"}
+_JUXTA_PD = {"double": "(({}) * 1.0)", "log": "log({})", "exp": "exp({})",
+             "sqrt": "sqrt({})", "abs": "abs({})"}
+
+
+def _juxta(s: str, dialect: str) -> str:
+    """`double x` / `log (x + 1)` -> dialect call syntax, recursively
+    (also normalizes call syntax `log(x)` — same rewrite)."""
+    table = _JUXTA_SQL if dialect == "sql" else _JUXTA_PD
+    pat = re.compile(
+        r"\b(" + "|".join(_JUXTA_SQL) + r")\b"
+    )
+    out: list[str] = []
+    i = 0
+    while True:
+        m = pat.search(s, i)
+        if not m:
+            out.append(s[i:])
+            return "".join(out)
+        out.append(s[i : m.start()])
+        kw = m.group(1)
+        if kw not in table:
+            raise ValueError(
+                f"builtin {kw!r} has no {dialect!r}-dialect form"
+            )
+        atom, j = _scan_atom(s, m.end(), kw)
+        inner = atom[1:-1] if atom.startswith("(") else atom
+        out.append(table[kw].format(_juxta(inner, dialect)))
+        i = j
+
+
+def _scan_atom(s: str, i: int, what: str) -> tuple[str, int]:
+    """One aggregate argument: an identifier / number / string, or a
+    balanced parenthesized group (application binds tightest, so
+    ``sum value / count value`` reads ``(sum value) / (count value)``
+    — the reference grammar's function application rule)."""
+    n = len(s)
+    while i < n and s[i].isspace():
+        i += 1
+    if i >= n:
+        raise ValueError(f"missing argument after {what!r}")
+    if s[i] == "(":
+        depth = 0
+        for j in range(i, n):
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    return s[i : j + 1], j + 1
+        raise ValueError(f"unbalanced parens in {what!r} argument")
+    m = re.match(r"[A-Za-z_]\w*|\d+(?:\.\d+)?|\"[^\"]*\"", s[i:])
+    if not m:
+        raise ValueError(f"cannot parse {what!r} argument at: {s[i:]!r}")
+    return m.group(0), i + m.end()
+
+
+def parse_query_multi(
+    q: str,
+    name: str = "q0",
+    dialect: str = "sql",
+    skip_nulls: bool = False,
+) -> tuple[str, list[Feature], list[tuple[str, str]], list[str]]:
+    """Parse one query; returns ``(input_name, features, postcomps,
+    hidden)``.  A simple-aggregate tail yields one visible feature and
+    empty postcomps; an aggregate EXPRESSION yields one hidden fold
+    per aggregate subterm plus one postcomputation named ``name``
+    (the reference Core split — folds then postcomps,
+    Core/Program/Program.hs:33-36)."""
+    import dataclasses
+
+    segs = [s.strip() for s in q.strip().split("~>")]
+    m = re.fullmatch(r"from\s+([A-Za-z_]\w*)", segs[0])
+    if not m:
+        raise ValueError(f"query must start with 'from INPUT': {segs[0]!r}")
+    input_name = m.group(1)
+    if len(segs) < 2:
+        raise ValueError("query has no aggregate")
+    b = _Builder(dialect, name, skip_nulls)
+    for c in segs[1:-1]:
+        _apply_context(b, c)
+    tail = segs[-1].strip()
+    if tail == "now":
+        raise ValueError("`now` is not an aggregate; use the snapshot time")
+
+    rewritten = _extract_aggs(b, tail)
+    had_let_ref = any(
+        re.search(rf"\b{re.escape(k)}\b", rewritten) for k in b.agg_lets
+    )
+    # element lets are constants at aggregate level (t04-lets:5 uses
+    # `sx` both inside `sum (value + sx)` and outside as `sx * count`)
+    rewritten = b.sub(b.sub_agg(rewritten)).strip()
+
+    if not b.feats and not had_let_ref:
+        if b.latest is not None:
+            # bare element expr under latest N -> array result
+            return (
+                input_name,
+                [b.mk_feature(name, Agg.COLLECT, b.sub(tail))],
+                [],
+                [],
+            )
+        raise ValueError(f"unsupported aggregate form: {tail!r}")
+    # a tail that is exactly one fold (possibly parenthesized) needs
+    # no postcomputation: emit the fold under the output name
+    core = re.fullmatch(r"\(\s*(__\w+)\s*\)", rewritten)
+    core = core.group(1) if core else rewritten
+    if len(b.feats) == 1 and core == b.feats[0].name:
+        return (
+            input_name,
+            [dataclasses.replace(b.feats[0], name=name)],
+            [],
+            [],
+        )
+    if b.group is not None or b.distinct is not None:
+        raise ValueError(
+            "aggregate arithmetic over group/distinct maps is unsupported"
+        )
+    if "," in rewritten:
+        raise ValueError(
+            "tuple outputs are unsupported; declare one output per "
+            "component (they fuse into one pass anyway)"
+        )
+    rewritten = _juxta(rewritten, "sql")  # postcomps are always Spark SQL
+    return (
+        input_name,
+        b.feats,
+        [(name, rewritten)],
+        [f.name for f in b.feats],
+    )
 
 
 def parse_query(
@@ -168,53 +534,19 @@ def parse_query(
 ) -> tuple[str, Feature]:
     """Parse one `from INPUT ~> ... ~> AGG` query string; returns
     (input_name, Feature). ``skip_nulls=False`` is the faithful
-    Possibly default (a null element poisons the aggregate)."""
-    segs = [s.strip() for s in q.strip().split("~>")]
-    m = re.fullmatch(r"from\s+([A-Za-z_]\w*)", segs[0])
-    if not m:
-        raise ValueError(f"query must start with 'from INPUT': {segs[0]!r}")
-    input_name = m.group(1)
-    if len(segs) < 2:
-        raise ValueError("query has no aggregate")
-    b = _Builder(dialect)
-    for c in segs[1:-1]:
-        _apply_context(b, c)
-    tail = segs[-1].strip()
-    by = None
-    if tail in ("now",) or tail.startswith("("):
-        raise ValueError(f"unsupported aggregate form: {tail!r}")
-    m = re.fullmatch(r"(max_by|min_by)\s+(\S+)\s+(.+)", tail, re.S)
-    if m:
-        agg = Agg.MAX_BY if m.group(1) == "max_by" else Agg.MIN_BY
-        by, expr = b.sub(m.group(2)), b.sub(m.group(3))
-    else:
-        m = re.fullmatch(r"([a-z_]+)\s*\(\s*\)", tail)
-        if m and m.group(1) == "count":
-            agg, expr = Agg.COUNT, "1"
-        else:
-            m = re.fullmatch(r"([a-z_]+)\s+(.+)", tail, re.S)
-            if m and m.group(1) in _AGGS:
-                agg, expr = _AGGS[m.group(1)], b.sub(m.group(2))
-            elif b.latest is not None:
-                # bare element expr under latest N -> array result
-                agg, expr = Agg.COLLECT, b.sub(tail)
-            else:
-                raise ValueError(f"unsupported aggregate form: {tail!r}")
-    feature = Feature(
-        name,
-        agg,
-        expr,
-        where=b.where(),
-        window=b.window,
-        latest=b.latest,
-        latest_outer=b.latest_outer,
-        by=by,
-        group=b.group,
-        distinct=b.distinct,
-        filter_let=tuple(b.binds) if b.binds else None,
-        skip_nulls=skip_nulls,
+    Possibly default (a null element poisons the aggregate). Queries
+    whose tail is an aggregate EXPRESSION compile to several folds +
+    a postcomputation — use :func:`parse_query_multi` /
+    :func:`parse_program` for those."""
+    input_name, feats, posts, _hidden = parse_query_multi(
+        q, name, dialect, skip_nulls
     )
-    return input_name, feature
+    if posts or len(feats) != 1:
+        raise ValueError(
+            "query compiles to folds + a postcomputation; use "
+            "parse_query_multi or parse_program"
+        )
+    return input_name, feats[0]
 
 
 def parse_program(
@@ -235,9 +567,13 @@ def parse_program(
         else ((f"q{i}", q) for i, q in enumerate(queries))
     )
     feats: dict[str, list[Feature]] = {}
+    posts: dict[str, list[tuple[str, str]]] = {}
+    hidden: dict[str, list[str]] = {}
     for name, q in items:
-        inp, f = parse_query(q, name, dialect, skip_nulls)
-        feats.setdefault(inp, []).append(f)
+        inp, fs, ps, hs = parse_query_multi(q, name, dialect, skip_nulls)
+        feats.setdefault(inp, []).extend(fs)
+        posts.setdefault(inp, []).extend(ps)
+        hidden.setdefault(inp, []).extend(hs)
     return {
         inp: Plan(
             fs,
@@ -245,6 +581,8 @@ def parse_program(
             time_col=time_col,
             seq_col=seq_col,
             tombstone_col=tombstone_col,
+            postcomps=tuple(posts[inp]),
+            hidden=tuple(hidden[inp]),
         )
         for inp, fs in feats.items()
     }

@@ -165,10 +165,125 @@ def test_program_fusion(salary):
 def test_unsupported_forms_raise():
     for q in [
         "from salary ~> (sum value, count value)",
-        "from salary ~> double (sum value) / count value",
+        "from salary ~> double (sum value) / count value",  # multi-fold
         "from salary ~> now",
         "sum value",
         "from salary ~> frobnicate value ~> sum value",
     ]:
         with pytest.raises(ValueError):
             parse_query(q)
+    with pytest.raises(ValueError, match="tuple"):
+        parse_program(["from salary ~> (sum value, count value)"])
+    with pytest.raises(ValueError, match="group/distinct"):
+        parse_program(["from salary ~> group value ~> sum value / count value"])
+
+
+# -- aggregate expressions / postcomputations (Core postcomps) ---------
+
+# goldens transcribed from the reference repl corpus `expected` files:
+# t01-sanity:8,14; t04-lets:5 + 'Aggregate let' + 'Aggregate let
+# outside filter'; t06-custom-folds:2,5,14 (tuple fold split into two
+# scalar folds — tuples are per-component outputs here)
+AGG_EXPR_GOLDENS = {
+    "avg": ("from salary ~> double (sum value) / count value",
+            300.0, 10.0),
+    "avg3": ("from salary ~> latest 3 ~> sum (double value) / count value",
+             400.0, 10.0),
+    "purelet": (
+        "from salary ~> let sx = 13013 ~> sum (value + sx) - "
+        "(sx * count value)",
+        1500.0, 30.0),
+    "agglet": ("from salary ~> let sx = sum value ~> sx * 2",
+               3000.0, 60.0),
+    # the let's fold is FROZEN before the later filter narrows the
+    # stream: reference golden is the tuple (1500, 1400) / (30, 0)
+    "frozen_sx": (
+        "from salary ~> let sx = sum value ~> filter value > 100 ~> sx",
+        1500.0, 30.0),
+    "frozen_post": (
+        "from salary ~> let sx = sum value ~> filter value > 100 "
+        "~> sum value",
+        1400.0, 0.0),
+    "spread": ("from salary ~> max value - min value", 400.0, 20.0),
+}
+
+FOLD_GOLDENS = {
+    "roll": (
+        "from salary ~> let v = double value ~> fold1 roll = v then "
+        "roll * 0.5 + v * 0.5 ~> roll",
+        406.25, 12.5),
+    "xsum": ("from salary ~> fold xsum = 0 then xsum + value ~> xsum",
+             1500.0, 30.0),
+    "tuplesum": (
+        "from salary ~> fold xcount = 0 then xcount + 1 ~> "
+        "fold xsum2 = 0 then xsum2 + value ~> double xsum2 / xcount",
+        300.0, 10.0),
+}
+
+
+@pytest.mark.parametrize("strategy,dialect", [
+    ("native", "sql"), ("auto", "pandas"), ("cogroup", "pandas"),
+])
+def test_aggregate_expressions_repl_goldens(salary, strategy, dialect):
+    qs = {k: q for k, (q, _, _) in AGG_EXPR_GOLDENS.items()}
+    if dialect == "pandas":
+        qs.update({k: q for k, (q, _, _) in FOLD_GOLDENS.items()})
+    plan = parse_program(
+        qs, dialect=dialect, entity_col="entity", time_col="time",
+        seq_col="seq",
+    )["salary"]
+    out = (
+        run_plan(salary, plan, snapshot=SNAP, strategy=strategy)
+        .toPandas().set_index("entity").sort_index()
+    )
+    # hidden folds never leak into the output
+    assert not [c for c in out.columns if c.startswith("__")]
+    both = {**AGG_EXPR_GOLDENS, **FOLD_GOLDENS}
+    for name in qs:
+        _, homer, marge = both[name]
+        assert out.loc["homer", name] == pytest.approx(homer), name
+        assert out.loc["marge", name] == pytest.approx(marge), name
+
+
+def test_postcomp_chord_scope(salary, spark):
+    chords = spark.createDataFrame(
+        pd.DataFrame({
+            "entity": ["homer", "homer", "marge"],
+            "query_time": pd.to_datetime(
+                ["1995-01-02", "2017-01-02", "2017-01-02"]
+            ),
+        })
+    )
+    plan = parse_program(
+        {"avg": "from salary ~> sum value / count value"},
+        dialect="sql", entity_col="entity", time_col="time", seq_col="seq",
+    )["salary"]
+    out = (
+        run_plan(salary, plan, chords=chords, strategy="native")
+        .toPandas().sort_values(["entity", "query_time"])
+    )
+    assert list(out["avg"]) == [200.0, 300.0, 10.0]
+
+
+def test_postcomp_error_channel(spark):
+    # a null element poisons BOTH folds of the postcomp -> the
+    # postcomp's err is CannotCompute; clean entity stays OK
+    pdf = pd.DataFrame({
+        "entity": ["a", "a", "b"],
+        "time": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-01"]),
+        "seq": [0, 1, 2],
+        "value": [1.0, None, 5.0],
+    })
+    df = spark.createDataFrame(pdf)
+    plan = parse_program(
+        {"avg": "from f ~> sum value / count value"},
+        dialect="sql", entity_col="entity", time_col="time", seq_col="seq",
+    )["f"]
+    out = (
+        run_plan(df, plan, snapshot="2024-02-01", strategy="native",
+                 error_codes=True)
+        .toPandas().set_index("entity").sort_index()
+    )
+    assert list(out.columns) == ["avg", "avg_err"]
+    assert np.isnan(out.loc["a", "avg"]) and out.loc["a", "avg_err"] == 3
+    assert out.loc["b", "avg"] == 5.0 and out.loc["b", "avg_err"] == 0
