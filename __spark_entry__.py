@@ -1968,6 +1968,66 @@ def q_dictionary_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(res)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C style): corpus docs
+    sharing any word 8-gram with the held-out 'benchmark' split are
+    flagged with their distinct-hit counts. One corpus scan, gram
+    explode as a narrow flatMap, broadcast gram index — the oracle
+    rebuilds the same shingle strings exactly."""
+    from icicle_spark.operators.dedup import (
+        benchmark_gram_index,
+        contaminated_ids,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where("doc_id % 10 != 0")
+    bench = docs.where("doc_id % 10 = 0")
+    idx = benchmark_gram_index(bench, "text", n=8)
+    hits = contaminated_ids(corpus, idx, "text", "doc_id", n=8)
+    return (
+        corpus.select("doc_id")
+        .join(hits, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.col("n_hits").isNotNull().alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) <= 7 THEN [array_to_string(ws, ' ')]
+              ELSE [array_to_string(ws[i+1:i+8], ' ')
+                    FOR i IN range(0, len(ws) - 7)]
+         END gs
+  FROM toks
+),
+g2 AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+bench AS (SELECT DISTINCT g FROM g2 WHERE doc_id % 10 = 0),
+hits AS (
+  SELECT g2.doc_id, count(DISTINCT g2.g) AS n_hits
+  FROM g2 JOIN bench ON g2.g = bench.g
+  WHERE g2.doc_id % 10 != 0
+  GROUP BY g2.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0)  AS n_hits,
+       h.n_hits IS NOT NULL   AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d
+LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_source_postcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Icicle source strings with aggregate-expression tails parsed
     straight into the IR: each aggregate subterm becomes one fused
@@ -2272,7 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_fold_map": q_group_fold_map,
         "array_fold": q_array_fold,
         "nub_by_key": q_nub_by_key,
-        "regression": q_regression,
+        "decontaminate": q_decontaminate,
         "possibly_scalars": q_possibly_scalars,
         "days_in": q_days_in,
         "math_builtins": q_math_builtins,
@@ -2297,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_incremental": q_simhash_incremental,
         # ---- position 51+: driver-certified in r01/r02 ----
         "tpch_q1": q_tpch_q1,
+        "regression": q_regression,
         "asof_snapshot_native": q_asof_snapshot_native,
         "asof_chord_native": q_asof_chord_native,
         "group_fold_native": q_group_fold_native,
@@ -2343,6 +2404,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _langid_sql(),
         "grepl_filter": _GREPL_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
         "ngram_jaccard": _NGRAM_SQL,
         "dedup_survivors": _SURVIVORS_SQL,
         "embed_topk": _EMBED_SQL,

@@ -112,6 +112,81 @@ def exact_dedup(
     )
 
 
+def benchmark_gram_index(
+    benchmark: DataFrame, text_col: str = "text", n: int = 13
+) -> DataFrame:
+    """DISTINCT word n-gram hashes of an evaluation set — the
+    contamination index (GPT-3 appendix C / PaLM-style n-gram
+    decontamination). One column ``gram_hash: bigint`` (full-width
+    xxhash64 of the shingle string: collision odds across a
+    corpus-x-benchmark join stay ~|grams|^2/2^64, negligible — NOT
+    the mod-2^31 word hashes the MinHash path uses).
+
+    Eval suites are MBs, so the index is broadcastable; persist it
+    once (parquet) and reuse across corpus batches. Texts shorter
+    than ``n`` words contribute their whole normalized text as one
+    gram (same rule as :func:`shingles`), so exact short-answer
+    matches are still caught."""
+    return (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
+                )
+            ).alias("gram_hash")
+        )
+        .distinct()
+    )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    gram_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    broadcast_index: bool = True,
+) -> DataFrame:
+    """Corpus documents sharing at least one word ``n``-gram with the
+    benchmark index: ``(id_col, n_hits)`` where n_hits counts the
+    doc's DISTINCT contaminated grams.
+
+    100 TB shape: ONE corpus scan, gram explode is a narrow flatMap
+    (no pre-shuffle), the index joins map-side when broadcast, and
+    the only exchange is the groupBy over matched grams — a tiny
+    fraction of the corpus. ``broadcast_index=False`` falls back to
+    a shuffle join (AQE) for index sizes beyond broadcast."""
+    grams = corpus.select(
+        _c(id_col).alias(id_col),
+        F.explode(
+            F.array_distinct(F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)))
+        ).alias("gram_hash"),
+    )
+    rhs = F.broadcast(gram_index) if broadcast_index else gram_index
+    return grams.join(rhs, on="gram_hash").groupBy(id_col).agg(
+        F.count("*").alias("n_hits")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    broadcast_index: bool = True,
+) -> DataFrame:
+    """Drop every corpus row sharing a word ``n``-gram with
+    ``benchmark`` (training-set decontamination). The contaminated id
+    set is broadcast into a left-anti join — it is bounded by the
+    benchmark's reach, not the corpus."""
+    idx = benchmark_gram_index(benchmark, text_col, n)
+    bad = contaminated_ids(
+        corpus, idx, text_col, id_col, n, broadcast_index
+    ).select(id_col)
+    return corpus.join(F.broadcast(bad), on=id_col, how="left_anti")
+
+
 def minhash_signature(
     text_col: str, num_perm: int = 64, shingle_n: int = 3, seed: int = 13
 ):

@@ -218,3 +218,56 @@ def test_simhash_incremental_matches_full(spark, docs):
     got = set(map(tuple, inc[["id_a", "id_b"]].values))
     assert got == touching
     assert (0, 1) in got  # the exact dup pair
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from icicle_spark.operators.dedup import (
+        benchmark_gram_index,
+        contaminated_ids,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [900, 901],
+                "text": [
+                    "What is the capital of France? Paris is the capital.",
+                    "short answer",  # < n words: whole text is the gram
+                ],
+            }
+        )
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    # contains an exact 8-gram of bench doc 900
+                    "trivia time what is the capital of france paris "
+                    "is the answer everyone knows",
+                    # same words, different order: no shared 8-gram
+                    "paris capital the of what france is answer",
+                    # exact short match (whole-text gram rule)
+                    "Short ANSWER!",
+                    "completely unrelated text about gardening and soil",
+                ],
+            }
+        )
+    )
+    idx = benchmark_gram_index(bench, "text", n=8)
+    hits = (
+        contaminated_ids(corpus, idx, "text", "doc_id", n=8)
+        .toPandas().set_index("doc_id")
+    )
+    assert set(hits.index) == {1, 3}
+    assert hits.loc[1, "n_hits"] >= 1 and hits.loc[3, "n_hits"] == 1
+    # broadcast and shuffle modes agree
+    hits2 = (
+        contaminated_ids(corpus, idx, "text", "doc_id", n=8,
+                         broadcast_index=False)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert hits.sort_index().equals(hits2)
+    clean = decontaminate(corpus, bench, "text", "doc_id", n=8)
+    assert sorted(r.doc_id for r in clean.select("doc_id").collect()) == [2, 4]
