@@ -2028,6 +2028,70 @@ ORDER BY doc_id
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 A1):
+    duplicate n-gram position fraction + top n-gram share for n=2,3
+    and the type-token ratio — all run-length statistics over SORTED
+    gram arrays (one pass, whole-stage codegen, no explode)."""
+    from icicle_spark.functions.text import repetition_stats
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return _round_doubles(repetition_stats(docs).drop("text")).orderBy(
+        "doc_id"
+    )
+
+
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') ws
+  FROM documents
+),
+gr AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) <= 1 THEN [array_to_string(ws, ' ')]
+              ELSE [array_to_string(ws[i+1:i+2], ' ')
+                    FOR i IN range(0, len(ws) - 1)] END g2s,
+         CASE WHEN len(ws) <= 2 THEN [array_to_string(ws, ' ')]
+              ELSE [array_to_string(ws[i+1:i+3], ' ')
+                    FOR i IN range(0, len(ws) - 2)] END g3s,
+         len(list_distinct(ws)) * 1.0 / len(ws) AS dwr
+  FROM toks
+),
+c2 AS (
+  SELECT doc_id, g, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(g2s) AS g FROM gr) GROUP BY doc_id, g
+),
+s2 AS (
+  SELECT doc_id,
+         coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) * 1.0 / sum(cnt)
+           AS dup2,
+         max(cnt) * 1.0 / sum(cnt) AS top2
+  FROM c2 GROUP BY doc_id
+),
+c3 AS (
+  SELECT doc_id, g, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(g3s) AS g FROM gr) GROUP BY doc_id, g
+),
+s3 AS (
+  SELECT doc_id,
+         coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) * 1.0 / sum(cnt)
+           AS dup3,
+         max(cnt) * 1.0 / sum(cnt) AS top3
+  FROM c3 GROUP BY doc_id
+)
+SELECT gr.doc_id,
+       round(s2.dup2, 6) AS dup2_frac,
+       round(s2.top2, 6) AS top2_share,
+       round(s3.dup3, 6) AS dup3_frac,
+       round(s3.top3, 6) AS top3_share,
+       round(gr.dwr, 6)  AS distinct_word_ratio
+FROM gr JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_source_postcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Icicle source strings with aggregate-expression tails parsed
     straight into the IR: each aggregate subterm becomes one fused
@@ -2329,7 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "embed_topk": q_embed_topk,
         "source_postcomp": q_source_postcomp,
-        "group_fold_map": q_group_fold_map,
+        "repetition_stats": q_repetition_stats,
         "array_fold": q_array_fold,
         "nub_by_key": q_nub_by_key,
         "decontaminate": q_decontaminate,
@@ -2358,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: driver-certified in r01/r02 ----
         "tpch_q1": q_tpch_q1,
         "regression": q_regression,
+        "group_fold_map": q_group_fold_map,
         "asof_snapshot_native": q_asof_snapshot_native,
         "asof_chord_native": q_asof_chord_native,
         "group_fold_native": q_group_fold_native,
@@ -2405,6 +2470,7 @@ def oracle_sql() -> dict[str, str]:
         "grepl_filter": _GREPL_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "repetition_stats": _REPETITION_SQL,
         "ngram_jaccard": _NGRAM_SQL,
         "dedup_survivors": _SURVIVORS_SQL,
         "embed_topk": _EMBED_SQL,

@@ -138,3 +138,110 @@ def doc_fingerprint(text: Column, normalize: bool = True) -> Column:
     stream — a deterministic rolling-hash analogue for exact-dup keys."""
     basis = F.array_join(_words(text), " ") if normalize else text
     return F.xxhash64(basis)
+
+
+# ---- repetition / boilerplate statistics (Gopher-style) --------------
+# Rae et al. 2021 "Scaling Language Models" table A1 uses duplicate
+# line/n-gram fractions as quality filters; our data has no line
+# structure so the n-gram family carries the signal. Tokenization
+# matches the dedup suite (operators.dedup._norm_tokens) so filter
+# thresholds compose with dedup decisions.
+
+
+def _gram_run_stats(grams_sorted: Column) -> Column:
+    """One pass over a SORTED gram array: struct(dups, mx) where
+    ``dups`` counts gram POSITIONS whose gram occurs >1 time and
+    ``mx`` is the highest occurrence count. Equal grams are adjacent
+    after the sort, so both are run-length statistics — O(grams),
+    no explode, stays in whole-stage codegen."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dups"),
+        F.lit(0).cast("long").alias("mx"),
+    )
+
+    def step(acc, g):
+        same = acc.prev.eqNullSafe(g)
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc.dups)
+            .otherwise(
+                acc.dups
+                + F.when(acc.run > 1, acc.run).otherwise(F.lit(0))
+            )
+            .alias("dups"),
+            F.when(same, acc.mx)
+            .otherwise(F.greatest(acc.mx, acc.run))
+            .alias("mx"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            (
+                acc.dups + F.when(acc.run > 1, acc.run).otherwise(F.lit(0))
+            ).alias("dups"),
+            F.greatest(acc.mx, acc.run).alias("mx"),
+        )
+
+    return F.aggregate(grams_sorted, init, step, finish)
+
+
+def dup_ngram_frac(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-gram positions whose gram occurs more than
+    once in the document, in [0, 1] — high values mean templated /
+    looping text. Documents shorter than ``n`` words count as one
+    whole-text gram (fraction 0)."""
+    from icicle_spark.operators.dedup import shingles
+
+    st = _gram_run_stats(F.array_sort(shingles(text, n)))
+    sz = F.size(F.array_sort(shingles(text, n)))
+    return st.dups / sz
+
+
+def top_ngram_share(text: Column, n: int = 2) -> Column:
+    """Occurrence share of the MOST FREQUENT word n-gram, in (0, 1].
+    A trivially short document (a single gram) scores 1 by
+    definition; gate on token_count when filtering."""
+    from icicle_spark.operators.dedup import shingles
+
+    st = _gram_run_stats(F.array_sort(shingles(text, n)))
+    sz = F.size(F.array_sort(shingles(text, n)))
+    return st.mx / sz
+
+
+def distinct_word_ratio(text: Column) -> Column:
+    """distinct words / words (type-token ratio); null for empty
+    text. Low values flag repetitive documents."""
+    from icicle_spark.operators.dedup import _norm_tokens
+
+    toks = _norm_tokens(text)
+    return F.when(
+        F.size(toks) > 0,
+        F.size(F.array_distinct(toks)) / F.size(toks),
+    )
+
+
+def repetition_stats(df, text_col: str = "text", ns: tuple = (2, 3)):
+    """Batch form: adds ``dup{n}_frac`` / ``top{n}_share`` per n plus
+    ``distinct_word_ratio``, materializing each sorted gram array and
+    run-stat struct ONCE via withColumn — HOF expressions re-evaluate
+    inline subtrees per reference, so the scalar helpers above cost
+    2x per metric; this is the production path."""
+    from icicle_spark.operators.dedup import shingles
+
+    out = df
+    tmp = []
+    for n in ns:
+        g, s = f"__grams_{n}", f"__st_{n}"
+        tmp += [g, s]
+        out = out.withColumn(g, F.array_sort(shingles(text_col, n)))
+        out = out.withColumn(s, _gram_run_stats(F.col(g)))
+        out = out.withColumn(
+            f"dup{n}_frac", F.col(s).dups / F.size(g)
+        ).withColumn(f"top{n}_share", F.col(s).mx / F.size(g))
+    out = out.withColumn(
+        "distinct_word_ratio", distinct_word_ratio(F.col(text_col))
+    )
+    return out.drop(*tmp)

@@ -1,0 +1,71 @@
+"""Repetition / boilerplate statistics (Gopher-style quality
+signals): hand-computed goldens + the batch/scalar parity."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from icicle_spark.functions.text import (
+    distinct_word_ratio,
+    dup_ngram_frac,
+    repetition_stats,
+    top_ngram_share,
+)
+
+DOCS = {
+    1: "a b c d e f",
+    2: "a b a b a b",
+    3: "lorem ipsum dolor sit amet lorem ipsum dolor",
+    4: "x",
+}
+
+# (dup2, top2, dup3, top3, dwr) by hand:
+# doc2 2-grams: ab,ba,ab,ba,ab -> 5 positions all duplicated, mode 3/5
+# doc3 2-grams: 7 positions, 4 duplicated, mode 2/7; 3-grams: 6, 2 dup
+EXPECTED = {
+    1: (0.0, 1 / 5, 0.0, 1 / 4, 1.0),
+    2: (1.0, 3 / 5, 1.0, 2 / 4, 2 / 6),
+    3: (4 / 7, 2 / 7, 2 / 6, 2 / 6, 5 / 8),
+    4: (0.0, 1.0, 0.0, 1.0, 1.0),
+}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": list(DOCS), "text": list(DOCS.values())}
+    )
+    return spark.createDataFrame(pdf).cache()
+
+
+def test_repetition_stats_hand_goldens(docs):
+    out = repetition_stats(docs).toPandas().set_index("doc_id")
+    for i, (d2, t2, d3, t3, dwr) in EXPECTED.items():
+        assert out.loc[i, "dup2_frac"] == pytest.approx(d2), i
+        assert out.loc[i, "top2_share"] == pytest.approx(t2), i
+        assert out.loc[i, "dup3_frac"] == pytest.approx(d3), i
+        assert out.loc[i, "top3_share"] == pytest.approx(t3), i
+        assert out.loc[i, "distinct_word_ratio"] == pytest.approx(dwr), i
+
+
+def test_scalar_forms_match_batch(docs):
+    out = docs.select(
+        "doc_id",
+        dup_ngram_frac(F.col("text"), 2).alias("d2"),
+        top_ngram_share(F.col("text"), 2).alias("t2"),
+        distinct_word_ratio(F.col("text")).alias("dwr"),
+    ).toPandas().set_index("doc_id")
+    for i, (d2, t2, _, _, dwr) in EXPECTED.items():
+        assert out.loc[i, "d2"] == pytest.approx(d2)
+        assert out.loc[i, "t2"] == pytest.approx(t2)
+        assert out.loc[i, "dwr"] == pytest.approx(dwr)
+
+
+def test_empty_text_is_safe(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [""]}))
+    row = repetition_stats(df).collect()[0]
+    # empty text: one empty whole-text gram; ratio is null
+    assert row["dup2_frac"] == 0.0 and row["top2_share"] == 1.0
+    assert row["distinct_word_ratio"] is None
