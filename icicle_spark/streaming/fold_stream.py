@@ -138,13 +138,19 @@ def stream_fold(
                 row[f.name] = None if np.isnan(a[5]) else a[5]
         yield pd.DataFrame([row])
 
-    return stream.groupBy(ecol).applyInPandasWithState(
+    out = stream.groupBy(ecol).applyInPandasWithState(
         update,
         out_schema,
         state_schema,
         "update",
         getattr(GroupStateTimeout, timeout),
     )
+    # postcomputation stage (Core/Program/Program.hs:33-36): plain
+    # column expressions over the emitted fold values — they compose
+    # with the streaming frame exactly as with the batch result
+    from icicle_spark.plans.ir import apply_postcomps
+
+    return apply_postcomps(out, plan)
 
 
 def stream_windowed_agg(

@@ -300,3 +300,32 @@ def test_stream_exact_dedup(spark, tmp_path_factory, tmp_path):
     # "the quick  FOX" == doc 0, "don't stop" == "don t stop"
     assert expect_fps == 5
     assert len(got) == 5 and got_fps == 5
+
+
+def test_stream_fold_postcomp_parity(spark, stream_dir, tmp_path):
+    """Streaming postcomputation stage: `sum v / count v` parsed from
+    source matches the batch result at end-of-stream."""
+    from icicle_spark.source_lang import parse_program
+
+    batch_df = spark.read.parquet(stream_dir)
+    stream = spark.readStream.schema(batch_df.schema).parquet(stream_dir)
+    plan = parse_program(
+        {"avg_manual": "from s ~> sum n_tok / count n_tok",
+         "spread": "from s ~> max n_tok - min n_tok"},
+        dialect="sql", skip_nulls=True,
+        entity_col="doc_id", time_col="event_time", seq_col="seq",
+    )["s"]
+    out = _run_stream(
+        spark, stream_fold(stream, plan), str(tmp_path), "postcompstream"
+    )
+    final = out.toPandas().groupby("doc_id").last().sort_index()
+    assert list(final.columns) == ["avg_manual", "spread"]
+    batch = (
+        run_plan(batch_df, plan, snapshot="2099-01-01", strategy="native")
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    for c in ["avg_manual", "spread"]:
+        assert np.allclose(
+            final[c].astype("float64"), batch[c].astype("float64"),
+            equal_nan=True,
+        ), c

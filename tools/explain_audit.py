@@ -218,6 +218,51 @@ def main() -> int:
         ],
     )
 
+    # Decontamination: the corpus side must be ONE scan feeding a
+    # narrow gram explode into a BROADCAST join — no corpus shuffle
+    # before the match; repetition stats must be a single scan with
+    # no exchange and no explode at all.
+    from icicle_spark.functions.text import repetition_stats
+    from icicle_spark.operators.dedup import (
+        benchmark_gram_index,
+        contaminated_ids,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc {i} words run long enough")
+         for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    idx = benchmark_gram_index(docs.where("doc_id < 10"), "text", n=5)
+    t7 = plan_text(contaminated_ids(docs, idx, "text", "doc_id", n=5))
+    ex7 = count(r"\(\d+\) Exchange", t7)
+    check(
+        "decontamination",
+        t7,
+        [
+            ("gram index broadcast into the corpus join",
+             "BroadcastHashJoin" in t7),
+            ("no shuffle join on the corpus side",
+             "SortMergeJoin" not in t7 and "ShuffledHashJoin" not in t7),
+            ("corpus gram explode is a narrow Generate",
+             count(r"\(\d+\) Generate", t7) == 2),  # corpus + index
+            (f"only index-distinct + hit-count exchanges (got {ex7} <= 3)",
+             ex7 <= 3),
+        ],
+    )
+
+    t8 = plan_text(repetition_stats(docs))
+    ex8 = count(r"\(\d+\) Exchange", t8)
+    check(
+        "repetition stats",
+        t8,
+        [
+            (f"zero exchanges (got {ex8})", ex8 == 0),
+            ("no explode (run-length over sorted arrays)",
+             "Generate" not in t8),
+        ],
+    )
+
     print("=====")
     if failures:
         print("PLAN AUDIT FAILURES:", *failures, sep="\n  ")
