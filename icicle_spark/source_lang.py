@@ -134,7 +134,13 @@ def _compile_fold(bind: str, init_src: str, step_src: str, fold1: bool):
 
         return CustomFold(seed, step_seq=step_seq, output=output), cols
 
-    init_val = eval(init_code, {"__builtins__": {}}, dict(funcs))
+    try:
+        init_val = eval(init_code, {"__builtins__": {}}, dict(funcs))
+    except NameError as e:
+        raise ValueError(
+            f"fold init {init_src!r} must be a constant (use fold1 to "
+            f"seed from the first element): {e}"
+        ) from None
 
     def step_seq(acc, x):
         env = dict(zip(cols, x)) if len(cols) > 1 else (
