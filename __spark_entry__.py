@@ -2028,6 +2028,46 @@ ORDER BY doc_id
 """
 
 
+def q_source_group_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`group fold (k, v) = (group e ~> agg)` parsed from source
+    (Context.hs:36, repl t09-group-folds): the inner grouped count is
+    ONE hidden native map fold; the outer aggregates are map-HOF
+    postcomputations (aggregate/array_max/filter over map_entries) —
+    no second shuffle, no Python."""
+    from icicle_spark.source_lang import parse_program
+
+    gf = "from events ~> group fold (k, v) = (group event_type ~> count value) ~> "
+    qs = {
+        "n_types": gf + "count v",
+        "cnt_total": gf + "sum v",
+        "max_type_cnt": gf + "max v",
+        "top_type": gf + "max_by v k",
+    }
+    plan = parse_program(
+        qs, dialect="sql", skip_nulls=True,
+        entity_col="user_id", time_col="ts", seq_col="event_id",
+    )["events"]
+    return run_plan(
+        _events(spark, sf_dir), plan, snapshot=SNAP, strategy="native"
+    ).orderBy("user_id")
+
+
+_SOURCE_GROUP_FOLD_SQL = """
+WITH vis AS (SELECT * FROM events WHERE ts < TIMESTAMP '{snap}'),
+c AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM vis GROUP BY user_id, event_type
+),
+c2 AS (SELECT *, max(cnt) OVER (PARTITION BY user_id) AS mx FROM c)
+SELECT user_id,
+       count(*)                 AS n_types,
+       CAST(sum(cnt) AS BIGINT) AS cnt_total,
+       max(cnt)                 AS max_type_cnt,
+       min(CASE WHEN cnt = mx THEN event_type END) AS top_type
+FROM c2 GROUP BY user_id ORDER BY user_id
+""".format(snap=SNAP)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 A1):
     duplicate n-gram position fraction + top n-gram share for n=2,3
@@ -2394,7 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "source_postcomp": q_source_postcomp,
         "repetition_stats": q_repetition_stats,
-        "array_fold": q_array_fold,
+        "source_group_fold": q_source_group_fold,
         "nub_by_key": q_nub_by_key,
         "decontaminate": q_decontaminate,
         "possibly_scalars": q_possibly_scalars,
@@ -2423,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "regression": q_regression,
         "group_fold_map": q_group_fold_map,
+        "array_fold": q_array_fold,
         "asof_snapshot_native": q_asof_snapshot_native,
         "asof_chord_native": q_asof_chord_native,
         "group_fold_native": q_group_fold_native,
@@ -2475,6 +2516,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": _SURVIVORS_SQL,
         "embed_topk": _EMBED_SQL,
         "source_postcomp": _SOURCE_POSTCOMP_SQL,
+        "source_group_fold": _SOURCE_GROUP_FOLD_SQL,
         "tpch_q1": _TPCH_Q1_SQL,
         "join_revenue": _JOIN_REVENUE_SQL,
         "group_fold_map": _GROUP_FOLD_SQL,

@@ -176,6 +176,31 @@ def _fold_expr(cols: list[str]):
     return const
 
 
+def _split_pipeline(q: str) -> list[str]:
+    """Split a query on ``~>`` at paren depth 0 only — parenthesized
+    subqueries (`group fold (k,v) = (group t ~> count v)`) keep their
+    own pipeline intact."""
+    segs: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    i, n = 0, len(q)
+    while i < n:
+        ch = q[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and q.startswith("~>", i):
+            segs.append("".join(cur).strip())
+            cur = []
+            i += 2
+            continue
+        cur.append(ch)
+        i += 1
+    segs.append("".join(cur).strip())
+    return segs
+
+
 def _strip_some(e: str) -> str:
     """`Some (expr)` / `Some expr` -> expr (the parser's Option
     constructors are erased; null IS None in the engine encoding)."""
@@ -206,6 +231,7 @@ class _Builder:
         self._filter_since_latest = False
         self.group: str | None = None
         self.distinct: str | None = None
+        self.group_fold: tuple | None = None  # (k, v, hidden, int?)
         self.folds: dict[str, tuple] = {}  # bind -> (CustomFold, cols)
         self.fold_feats: dict[str, str] = {}  # bind -> hidden feature
         self.feats: list = []
@@ -345,6 +371,42 @@ def _apply_context(b: _Builder, c: str) -> None:
             b.latest = min(b.latest, n)  # latest A ~> latest B == min
         b._filter_since_latest = False
         return
+    m = re.fullmatch(
+        r"group\s+fold\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*=\s*\((.+)\)",
+        c, re.S,
+    )
+    if m:
+        # `group fold (k, v) = (group e ~> agg)` (Context.hs:36,
+        # repl t09): evaluate the inner grouped aggregate as a hidden
+        # map fold, bind (k, v) for the outer aggregate which becomes
+        # a map-HOF postcomputation.
+        kname, vname, inner = m.groups()
+        if b.group_fold is not None:
+            raise ValueError("nested group folds are unsupported")
+        segs_i = _split_pipeline(inner)
+        for cc in segs_i[:-1]:
+            _apply_context(b, cc)
+        if b.group is None:
+            raise ValueError("group fold requires an inner `group k`")
+        tail_i = segs_i[-1]
+        mm = re.fullmatch(r"([a-z_]+)\s*\(\s*\)", tail_i)
+        if mm and mm.group(1) == "count":
+            agg, expr = Agg.COUNT, "1"
+        else:
+            mm = re.fullmatch(r"([a-z_]+)\s+(.+)", tail_i, re.S)
+            if not (mm and mm.group(1) in _AGGS):
+                raise ValueError(
+                    f"group fold inner aggregate unsupported: {tail_i!r}"
+                )
+            agg, expr = _AGGS[mm.group(1)], b.sub(mm.group(2))
+        hname = f"__{b.qname}_g"
+        b.feats.append(b.mk_feature(hname, agg, expr))
+        b.group = None  # consumed by the map fold
+        int_valued = agg in (
+            Agg.COUNT, Agg.COUNT_DISTINCT, Agg.NUMFLIPS,
+        )
+        b.group_fold = (kname, vname, hname, int_valued)
+        return
     m = re.fullmatch(r"group\s+(.+)", c, re.S)
     if m:
         b.group = b.sub(m.group(1))
@@ -457,6 +519,41 @@ def _scan_atom(s: str, i: int, what: str) -> tuple[str, int]:
     return m.group(0), i + m.end()
 
 
+def _group_fold_tail(
+    tail: str, k: str, v: str, h: str, int_valued: bool
+) -> str:
+    """Outer aggregate of a `group fold (k, v) = (...)` — a pure
+    map-HOF Spark-SQL postcomputation over the hidden map fold ``h``
+    (ToCore/ToCore.hs:190-220 lowers these to PrimFoldMap; here the
+    finished map is a column, so the fold is aggregate()/array_max
+    over map_values — no shuffle, no Python)."""
+    t = tail.strip()
+    vals = f"map_values({h})"
+    if re.fullmatch(rf"sum\s+{re.escape(v)}", t):
+        if int_valued:
+            return (
+                f"aggregate({vals}, cast(0 as bigint), (a, x) -> a + x)"
+            )
+        return (
+            f"aggregate({vals}, cast(0.0 as double), "
+            f"(a, x) -> a + cast(x as double))"
+        )
+    if re.fullmatch(rf"count\s+(?:{re.escape(v)}|{re.escape(k)})", t):
+        return f"cast(size({h}) as bigint)"
+    if re.fullmatch(rf"max\s+{re.escape(v)}", t):
+        return f"array_max({vals})"
+    if re.fullmatch(rf"min\s+{re.escape(v)}", t):
+        return f"array_min({vals})"
+    if re.fullmatch(rf"(max_by|min_by)\s+{re.escape(v)}\s+{re.escape(k)}", t):
+        ext = "array_max" if t.startswith("max_by") else "array_min"
+        # smallest key achieving the extreme value — deterministic
+        return (
+            f"array_min(transform(filter(map_entries({h}), "
+            f"e -> e.value = {ext}({vals})), e -> e.key))"
+        )
+    raise ValueError(f"unsupported group fold aggregate: {tail!r}")
+
+
 def parse_query_multi(
     q: str,
     name: str = "q0",
@@ -471,7 +568,7 @@ def parse_query_multi(
     Core/Program/Program.hs:33-36)."""
     import dataclasses
 
-    segs = [s.strip() for s in q.strip().split("~>")]
+    segs = _split_pipeline(q.strip())
     m = re.fullmatch(r"from\s+([A-Za-z_]\w*)", segs[0])
     if not m:
         raise ValueError(f"query must start with 'from INPUT': {segs[0]!r}")
@@ -484,6 +581,15 @@ def parse_query_multi(
     tail = segs[-1].strip()
     if tail == "now":
         raise ValueError("`now` is not an aggregate; use the snapshot time")
+
+    if b.group_fold is not None:
+        post = _group_fold_tail(tail, *b.group_fold)
+        return (
+            input_name,
+            b.feats,
+            [(name, post)],
+            [f.name for f in b.feats],
+        )
 
     rewritten = _extract_aggs(b, tail)
     had_let_ref = any(

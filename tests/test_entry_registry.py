@@ -14,6 +14,7 @@ import __spark_entry__ as entry
 MUST_BE_IN_WINDOW = {
     # round-3 additions needing their first oracle row
     "source_postcomp",
+    "source_group_fold",
     "decontaminate",
     "repetition_stats",
     "filter_let_bind",

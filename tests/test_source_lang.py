@@ -245,6 +245,61 @@ def test_aggregate_expressions_repl_goldens(salary, strategy, dialect):
         assert out.loc["marge", name] == pytest.approx(marge), name
 
 
+# t09-group-folds goldens: count/sum/max over (group time ~> count),
+# max over (group time ~> oldest)
+GROUP_FOLD_GOLDENS = {
+    "gfc": ("from salary ~> group fold (k, v) = "
+            "(group time ~> count value) ~> count v", 5, 1),
+    "gfs": ("from salary ~> group fold (k, v) = "
+            "(group time ~> count value) ~> sum v", 5, 3),
+    "gfm": ("from salary ~> group fold (k, v) = "
+            "(group time ~> count value) ~> max v", 1, 3),
+}
+
+
+@pytest.mark.parametrize("strategy,dialect", [
+    ("native", "sql"), ("cogroup", "pandas"),
+])
+def test_t09_group_folds_source(salary, strategy, dialect):
+    qs = {k: q for k, (q, _, _) in GROUP_FOLD_GOLDENS.items()}
+    if strategy == "cogroup":
+        # OLDEST-valued groups are executor-only (not group-native)
+        qs["gfo"] = ("from salary ~> group fold (k, v) = "
+                     "(group time ~> oldest value) ~> max v")
+    plan = parse_program(
+        qs, dialect=dialect, skip_nulls=True,
+        entity_col="entity", time_col="time", seq_col="seq",
+    )["salary"]
+    out = (
+        run_plan(salary, plan, snapshot=SNAP, strategy=strategy)
+        .toPandas().set_index("entity").sort_index()
+    )
+    assert not [c for c in out.columns if c.startswith("__")]
+    for name in GROUP_FOLD_GOLDENS:
+        _, h, m = GROUP_FOLD_GOLDENS[name]
+        assert out.loc["homer", name] == h, name
+        assert out.loc["marge", name] == m, name
+    if strategy == "cogroup":
+        assert out.loc["homer", "gfo"] == 500 and out.loc["marge", "gfo"] == 0
+
+
+def test_group_fold_argmax_key(salary):
+    plan = parse_program(
+        {"top": "from salary ~> group fold (k, v) = "
+                "(group value ~> count value) ~> max_by v k"},
+        dialect="sql", skip_nulls=True,
+        entity_col="entity", time_col="time", seq_col="seq",
+    )["salary"]
+    out = (
+        run_plan(salary, plan, snapshot=SNAP, strategy="native")
+        .toPandas().set_index("entity")
+    )
+    # homer: every value once -> smallest key "100"; marge: all once
+    # -> "0" (string map keys, lexicographic tie-break)
+    assert out.loc["homer", "top"] == "100"
+    assert out.loc["marge", "top"] == "0"
+
+
 def test_postcomp_chord_scope(salary, spark):
     chords = spark.createDataFrame(
         pd.DataFrame({
