@@ -554,6 +554,42 @@ def _group_fold_tail(
     raise ValueError(f"unsupported group fold aggregate: {tail!r}")
 
 
+def _safe_divisions(s: str) -> str:
+    """Wrap every division's DENOMINATOR in ``nullif(x, 0)``.
+
+    Icicle's `/` on an empty stream divides a unit-init fold by a zero
+    count; the engine encodes Possibly computation errors as nulls
+    (functions/scalars safe_div convention, Error64 CannotCompute), so
+    postcomputation division-by-zero yields null — never an ANSI
+    exception, and never IEEE NaN. Denominators are single operands in
+    this grammar (atoms, call syntax, or a juxtaposed builtin +
+    argument), so a linear scan suffices."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        out.append(ch)
+        i += 1
+        if ch != "/":
+            continue
+        start = i
+        atom, j = _scan_atom(s, i, "/")
+        if atom in _JUXTA_SQL:
+            # juxtaposed builtin: its argument belongs to the operand
+            _arg, j = _scan_atom(s, j, atom)
+        elif re.fullmatch(r"[A-Za-z_]\w*", atom) and re.match(
+            r"\s*\(", s[j:]
+        ):
+            # call syntax f(...): consume the balanced group
+            _grp, j = _scan_atom(s, j, atom)
+        operand = s[start:j].strip()
+        if "/" in operand:
+            operand = _safe_divisions(operand)
+        out.append(f" nullif({operand}, 0)")
+        i = j
+    return "".join(out)
+
+
 def parse_query_multi(
     q: str,
     name: str = "q0",
@@ -629,7 +665,9 @@ def parse_query_multi(
             "tuple outputs are unsupported; declare one output per "
             "component (they fuse into one pass anyway)"
         )
-    rewritten = _juxta(rewritten, "sql")  # postcomps are always Spark SQL
+    # postcomps are always Spark SQL; divisions are null-on-zero (the
+    # engine's Possibly error channel), then juxtaposed builtins
+    rewritten = _juxta(_safe_divisions(rewritten), "sql")
     return (
         input_name,
         b.feats,
