@@ -38,6 +38,8 @@ HEADLINE = [
     "exact_dedup",
     "minhash_pairs",
     "simhash_pairs",
+    "decontaminate",
+    "repetition_stats",
     "embed_topk",
     "tpch_q1",
 ]

@@ -149,13 +149,15 @@ def doc_fingerprint(text: Column, normalize: bool = True) -> Column:
 
 
 def _gram_run_stats(grams_sorted: Column) -> Column:
-    """One pass over a SORTED gram array: struct(dups, mx) where
+    """One pass over a SORTED gram-id array: struct(dups, mx) where
     ``dups`` counts gram POSITIONS whose gram occurs >1 time and
     ``mx`` is the highest occurrence count. Equal grams are adjacent
     after the sort, so both are run-length statistics — O(grams),
-    no explode, stays in whole-stage codegen."""
+    no explode, stays in whole-stage codegen. Gram ids are the 62-bit
+    double-polynomial hashes (dedup.ngram_hashes64): building actual
+    shingle strings was the measured bottleneck (~10x)."""
     init = F.struct(
-        F.lit(None).cast("string").alias("prev"),
+        F.lit(None).cast("long").alias("prev"),
         F.lit(0).cast("long").alias("run"),
         F.lit(0).cast("long").alias("dups"),
         F.lit(0).cast("long").alias("mx"),
@@ -192,23 +194,24 @@ def dup_ngram_frac(text: Column, n: int = 2) -> Column:
     """Fraction of word n-gram positions whose gram occurs more than
     once in the document, in [0, 1] — high values mean templated /
     looping text. Documents shorter than ``n`` words count as one
-    whole-text gram (fraction 0)."""
-    from icicle_spark.operators.dedup import shingles
+    whole-text gram (fraction 0). Scalar convenience form — prefer
+    :func:`repetition_stats`, which materializes the gram arrays
+    once."""
+    from icicle_spark.operators.dedup import ngram_hashes64, word_hashes
 
-    st = _gram_run_stats(F.array_sort(shingles(text, n)))
-    sz = F.size(F.array_sort(shingles(text, n)))
-    return st.dups / sz
+    grams = F.array_sort(ngram_hashes64(word_hashes(text), n))
+    return _gram_run_stats(grams).dups / F.size(grams)
 
 
 def top_ngram_share(text: Column, n: int = 2) -> Column:
     """Occurrence share of the MOST FREQUENT word n-gram, in (0, 1].
     A trivially short document (a single gram) scores 1 by
-    definition; gate on token_count when filtering."""
-    from icicle_spark.operators.dedup import shingles
+    definition; gate on token_count when filtering. Scalar
+    convenience form — prefer :func:`repetition_stats`."""
+    from icicle_spark.operators.dedup import ngram_hashes64, word_hashes
 
-    st = _gram_run_stats(F.array_sort(shingles(text, n)))
-    sz = F.size(F.array_sort(shingles(text, n)))
-    return st.mx / sz
+    grams = F.array_sort(ngram_hashes64(word_hashes(text), n))
+    return _gram_run_stats(grams).mx / F.size(grams)
 
 
 def distinct_word_ratio(text: Column) -> Column:
@@ -229,14 +232,16 @@ def repetition_stats(df, text_col: str = "text", ns: tuple = (2, 3)):
     run-stat struct ONCE via withColumn — HOF expressions re-evaluate
     inline subtrees per reference, so the scalar helpers above cost
     2x per metric; this is the production path."""
-    from icicle_spark.operators.dedup import shingles
+    from icicle_spark.operators.dedup import ngram_hashes64, word_hashes
 
-    out = df
-    tmp = []
+    out = df.withColumn("__wh", word_hashes(F.col(text_col)))
+    tmp = ["__wh"]
     for n in ns:
         g, s = f"__grams_{n}", f"__st_{n}"
         tmp += [g, s]
-        out = out.withColumn(g, F.array_sort(shingles(text_col, n)))
+        out = out.withColumn(
+            g, F.array_sort(ngram_hashes64(F.col("__wh"), n))
+        )
         out = out.withColumn(s, _gram_run_stats(F.col(g)))
         out = out.withColumn(
             f"dup{n}_frac", F.col(s).dups / F.size(g)
