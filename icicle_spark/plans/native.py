@@ -57,6 +57,7 @@ _NATIVE_AGGS = {
 # pure Catalyst, two exchanges, no Python (the 100 TB path for maps)
 _GROUP_NATIVE_AGGS = {
     Agg.SUM, Agg.COUNT, Agg.MEAN, Agg.MIN, Agg.MAX, Agg.ANY, Agg.ALL,
+    Agg.VARIANCE, Agg.SD, Agg.NEWEST, Agg.OLDEST,
 }
 
 # `distinct k ~> agg` compiles to a first-per-(entity,k) rank + agg
@@ -122,6 +123,10 @@ def _plain_agg(agg: Agg, x: Column) -> Column:
         return F.bool_or(x.cast("boolean"))
     if agg is Agg.ALL:
         return F.bool_and(x.cast("boolean"))
+    if agg is Agg.VARIANCE:
+        return F.var_samp(x.cast("double"))
+    if agg is Agg.SD:
+        return F.stddev_samp(x.cast("double"))
     raise ValueError(f"not a group-native agg: {agg}")  # pragma: no cover
 
 
@@ -656,9 +661,20 @@ def _compile_scoped(
             *[F.col(k) for k in keys],
             F.expr(f.group).cast("string").alias("__gk"),
             ex.alias("__gv"),
+            F.struct(*_order_cols(plan)).alias("__gord"),
         )
+        if f.agg in (Agg.NEWEST, Agg.OLDEST):
+            # value at the stream-order extreme per key (fold1 pair
+            # semantics, prelude.icicle newest/oldest): arg-extreme
+            # on the (time, seq) order struct
+            pick = F.max_by if f.agg is Agg.NEWEST else F.min_by
+            per_key_agg = pick(
+                F.col("__gv").cast("double"), F.col("__gord")
+            )
+        else:
+            per_key_agg = _plain_agg(f.agg, F.col("__gv"))
         per_key = rows.groupBy(*keys, "__gk").agg(
-            _plain_agg(f.agg, F.col("__gv")).alias("__v")
+            per_key_agg.alias("__v")
         )
         m = per_key.groupBy(*keys).agg(
             F.map_from_entries(

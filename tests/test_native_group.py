@@ -39,6 +39,9 @@ PLAN = Plan(
         Feature("gc", Agg.COUNT, "value", group="cat", skip_nulls=True),
         Feature("gwin", Agg.MEAN, "value", group="cat", window=Window(14),
                 skip_nulls=True),
+        Feature("gnew", Agg.NEWEST, "value", group="cat", skip_nulls=True),
+        Feature("gold", Agg.OLDEST, "value", group="cat", skip_nulls=True),
+        Feature("gvar", Agg.VARIANCE, "value", group="cat", skip_nulls=True),
         Feature("ds", Agg.SUM, "value", distinct="cat", skip_nulls=True),
         Feature("dn", Agg.COUNT_DISTINCT, "cat", distinct="cat", skip_nulls=True),
         Feature("dnew", Agg.NEWEST, "value", distinct="cat", skip_nulls=True),
@@ -71,13 +74,18 @@ def test_native_group_distinct_commute(spark, facts):
     a = a.sort_values("entity").reset_index(drop=True)
     b = b.sort_values("entity").reset_index(drop=True)
     assert (a["entity"] == b["entity"]).all()
-    for col in ["gs", "gc", "gwin"]:
+    for col in ["gs", "gc", "gwin", "gnew", "gold", "gvar"]:
         for i in range(len(a)):
             ma = dict(a.loc[i, col] or {})
             mb = dict(b.loc[i, col] or {})
             assert set(ma) == set(mb), (col, a.loc[i, "entity"])
             for k in ma:
-                assert np.isclose(ma[k], mb[k], atol=1e-9), (col, k)
+                va, vb = ma[k], mb[k]
+                if va is None or vb is None:
+                    # e.g. single-sample variance
+                    assert va is None and vb is None, (col, k)
+                else:
+                    assert np.isclose(va, vb, atol=1e-9), (col, k)
     for col in ["ds", "dn", "dnew", "plain"]:
         av = pd.to_numeric(a[col], errors="coerce")
         bv = pd.to_numeric(b[col], errors="coerce")

@@ -262,10 +262,10 @@ GROUP_FOLD_GOLDENS = {
 ])
 def test_t09_group_folds_source(salary, strategy, dialect):
     qs = {k: q for k, (q, _, _) in GROUP_FOLD_GOLDENS.items()}
-    if strategy == "cogroup":
-        # OLDEST-valued groups are executor-only (not group-native)
-        qs["gfo"] = ("from salary ~> group fold (k, v) = "
-                     "(group time ~> oldest value) ~> max v")
+    # OLDEST-valued groups compile natively via min_by on the
+    # (time, seq) order struct
+    qs["gfo"] = ("from salary ~> group fold (k, v) = "
+                 "(group time ~> oldest value) ~> max v")
     plan = parse_program(
         qs, dialect=dialect, skip_nulls=True,
         entity_col="entity", time_col="time", seq_col="seq",
@@ -279,8 +279,7 @@ def test_t09_group_folds_source(salary, strategy, dialect):
         _, h, m = GROUP_FOLD_GOLDENS[name]
         assert out.loc["homer", name] == h, name
         assert out.loc["marge", name] == m, name
-    if strategy == "cogroup":
-        assert out.loc["homer", "gfo"] == 500 and out.loc["marge", "gfo"] == 0
+    assert out.loc["homer", "gfo"] == 500 and out.loc["marge", "gfo"] == 0
 
 
 def test_group_fold_argmax_key(salary):
