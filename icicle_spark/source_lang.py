@@ -736,3 +736,162 @@ def parse_program(
         )
         for inp, fs in feats.items()
     }
+
+
+# ---- dictionary source files (module / input / feature) --------------
+# The reference's dictionary.icicle format (data/example/
+# dictionary.icicle, Source/Parser/Toplevel.hs): `module X where`,
+# `input NAME : TYPE` declarations and `feature NAME = QUERY` blocks
+# whose pipelines separate contexts with `in`. Custom function
+# definitions and out-of-grammar queries are SKIPPED with the reason
+# recorded — partial loading is explicit, never silent.
+
+def _parse_icicle_type(t: str):
+    """Icicle type text -> Spark DataType (no session needed)."""
+    from pyspark.sql import types as T
+
+    scalars = {
+        "Int": T.LongType(), "Double": T.DoubleType(),
+        "String": T.StringType(), "Bool": T.BooleanType(),
+        "Time": T.TimestampType(), "Unit": T.StringType(),
+    }
+    t = t.strip()
+    if t.startswith("Option"):
+        return _parse_icicle_type(t[len("Option"):])
+    if t.startswith("Array"):
+        return T.ArrayType(_parse_icicle_type(t[len("Array"):]))
+    if t.startswith("(") and t.endswith(")"):
+        return _parse_icicle_type(t[1:-1])
+    if t.startswith("{"):
+        if not t.endswith("}"):
+            raise ValueError(f"unterminated record type: {t!r}")
+        fields = []
+        depth = 0
+        cur = []
+        for ch in t[1:-1]:
+            if ch in "{(":
+                depth += 1
+            elif ch in ")}":
+                depth -= 1
+            if ch == "," and depth == 0:
+                fields.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        fields.append("".join(cur))
+        cols = []
+        for f in fields:
+            name, _, ft = f.partition(":")
+            if not ft:
+                raise ValueError(f"bad record field: {f!r}")
+            cols.append(
+                T.StructField(name.strip(), _parse_icicle_type(ft))
+            )
+        return T.StructType(cols)
+    if t in scalars:
+        return scalars[t]
+    raise ValueError(f"unsupported input type: {t!r}")
+
+
+def _top_level_blocks(text: str) -> list[str]:
+    """Group source lines into top-level declarations (a declaration
+    starts in column 0; its continuation lines are indented)."""
+    blocks: list[list[str]] = []
+    for raw in text.splitlines():
+        line = raw.split("--")[0].rstrip()
+        if not line.strip():
+            continue
+        if raw[0].isspace() and blocks:
+            blocks[-1].append(line)
+        else:
+            blocks.append([line])
+    return [" ".join(b) for b in blocks]
+
+
+def parse_dictionary_source(
+    text: str,
+    dialect: str = "sql",
+    skip_nulls: bool = False,
+    entity_col: str = "entity",
+    time_col: str = "time",
+    seq_col: str | None = None,
+):
+    """Parse a dictionary.icicle source file into a validated
+    :class:`icicle_spark.dictionary.Dictionary` plus the skipped
+    declarations: ``(dictionary, skipped: {name: reason})``.
+
+    Scalar inputs expose their value as column ``value``; record
+    inputs expose one column per field. `in`-separated feature
+    pipelines are the reference surface syntax for `~>`. Custom
+    function definitions and queries outside the supported grammar
+    are skipped with the raising reason — call sites decide whether
+    partial coverage is acceptable."""
+    from icicle_spark.dictionary import (
+        Dictionary,
+        DictionaryInput,
+        DictionaryOutput,
+    )
+
+    inputs: list = []
+    outputs: list = []
+    skipped: dict[str, str] = {}
+    feature_inputs: set[str] = set()
+    for block in _top_level_blocks(text):
+        if block.startswith(("module ", "import ")):
+            continue
+        m = re.match(r"input\s+(\w+)\s*:\s*(.+)", block, re.S)
+        if m:
+            name, t = m.group(1), m.group(2)
+            from pyspark.sql import types as T
+
+            try:
+                dt = _parse_icicle_type(t)
+            except ValueError as e:
+                skipped[name] = str(e)
+                continue
+            fields = [
+                T.StructField(entity_col, T.StringType()),
+                T.StructField(time_col, T.TimestampType()),
+            ]
+            if seq_col:
+                fields.append(T.StructField(seq_col, T.LongType()))
+            if isinstance(dt, T.StructType):
+                fields.extend(dt.fields)
+            else:
+                fields.append(T.StructField("value", dt))
+            inputs.append(
+                DictionaryInput(
+                    name, T.StructType(fields),
+                    entity_col=entity_col, time_col=time_col,
+                    seq_col=seq_col,
+                )
+            )
+            continue
+        m = re.match(r"feature\s+(\w+)\s*=\s*(.+)", block, re.S)
+        if m:
+            name, q = m.group(1), m.group(2)
+            q = re.sub(r"\bin\b", "~>", q)
+            try:
+                qinput, _f, _p, _h = (
+                    parse_query_multi(q, name, dialect, skip_nulls)
+                )
+                outputs.append(
+                    DictionaryOutput(
+                        name, qinput, query=q, dialect=dialect,
+                        skip_nulls=skip_nulls,
+                    )
+                )
+                feature_inputs.add(qinput)
+            except ValueError as e:
+                skipped[name] = str(e)
+            continue
+        # custom function definition or other toplevel form
+        word = block.split()[0].rstrip(":")
+        skipped.setdefault(
+            word, f"unsupported toplevel declaration: {block[:60]!r}"
+        )
+    declared = {i.name for i in inputs}
+    missing = feature_inputs - declared
+    if missing:
+        raise ValueError(f"features read undeclared inputs: {sorted(missing)}")
+    return Dictionary(inputs=inputs, outputs=outputs), skipped

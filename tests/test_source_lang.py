@@ -341,3 +341,111 @@ def test_postcomp_error_channel(spark):
     assert list(out.columns) == ["avg", "avg_err"]
     assert np.isnan(out.loc["a", "avg"]) and out.loc["a", "avg_err"] == 3
     assert out.loc["b", "avg"] == 5.0 and out.loc["b", "avg_err"] == 0
+
+
+DICT_SRC = """
+module Default where
+
+import Missing
+
+input injury : {
+    action   : Option String
+  , location : String
+  , severity : Double
+  }
+
+input salary : Int
+
+is_head : String -> Bool
+is_head l =
+  l == "head"
+
+feature sum_severity =
+  from injury
+    in sum severity
+
+feature head_damage =
+  from injury
+    in filter location = "head"
+    in sum severity
+
+feature actioned_damage =
+  from injury
+    in filter let Some act = action
+    in group act
+    in sum severity
+
+feature mean_salary =
+  from salary
+    in sum value / count value
+
+feature worst =
+  from injury
+    in group fold (k, e) = (group location in sum severity)
+    in max_by e k
+
+feature days_loc =
+  from injury
+    in days_in location time now
+"""
+
+
+def test_parse_dictionary_source_file(spark):
+    """Full dictionary.icicle surface (data/example/dictionary.icicle
+    style): module/import headers, typed inputs (records + Option),
+    `in`-separated feature pipelines, and explicit skips for custom
+    function definitions and out-of-grammar queries."""
+    from icicle_spark.source_lang import parse_dictionary_source
+
+    d, skipped = parse_dictionary_source(
+        DICT_SRC, dialect="sql", skip_nulls=True, seq_col="seq"
+    )
+    assert sorted(d.inputs) == ["injury", "salary"]
+    assert sorted(d.outputs) == [
+        "actioned_damage", "head_damage", "mean_salary",
+        "sum_severity", "worst",
+    ]
+    assert set(skipped) == {"is_head", "days_loc"}
+    assert "toplevel" in skipped["is_head"]
+
+    inj = pd.DataFrame({
+        "entity": ["homer"] * 4 + ["marge"],
+        "time": pd.to_datetime([
+            "2020-01-01", "2020-02-01", "2020-03-01", "2020-04-01",
+            "2020-01-05",
+        ]),
+        "seq": range(5),
+        "action": [None, "fall", "hit", None, "fall"],
+        "location": ["head", "head", "arm", "torso", "head"],
+        "severity": [2.0, 1.0, 4.0, 3.0, 5.0],
+    })
+    sal = pd.DataFrame({
+        "entity": ["homer"] * 3,
+        "time": pd.to_datetime(["2020-01-01"] * 3),
+        "seq": range(3),
+        "value": [100, 200, 300],
+    })
+    out = d.run(
+        spark,
+        frames={
+            "injury": spark.createDataFrame(inj),
+            "salary": spark.createDataFrame(sal),
+        },
+        snapshot="2021-01-01",
+        strategy="native",
+    )
+    got = out["injury"].toPandas().set_index("entity").sort_index()
+    assert got.loc["homer", "sum_severity"] == 10.0
+    assert got.loc["homer", "head_damage"] == 3.0
+    assert dict(got.loc["homer", "actioned_damage"]) == {
+        "fall": 1.0, "hit": 4.0,
+    }
+    assert got.loc["homer", "worst"] == "arm"
+    assert got.loc["marge", "worst"] == "head"
+    sal_out = out["salary"].toPandas().set_index("entity")
+    assert sal_out.loc["homer", "mean_salary"] == 200.0
+    # undeclared input -> loud error
+    with pytest.raises(ValueError, match="undeclared"):
+        parse_dictionary_source(
+            "feature x =\n  from ghost\n    in sum value"
+        )
