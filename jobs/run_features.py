@@ -25,12 +25,29 @@ import sys
 def load_dictionary(spec: str):
     """Load a Dictionary from ``path/to/module.py:ATTR`` — the
     dictionary-driven entry point (reference Command/Compile.hs:127-175
-    compiles everything from the declared dictionary)."""
+    compiles everything from the declared dictionary). A ``.icicle``
+    path is parsed as dictionary SOURCE (module/input/feature blocks,
+    `in` pipelines) with skipped declarations reported to stderr."""
     import importlib.util
+    import sys as _sys
 
     path, _, attr = spec.partition(":")
+    if path.endswith(".icicle"):
+        from icicle_spark.source_lang import parse_dictionary_source
+
+        kw = {}
+        if attr:  # module.icicle:entity_col,time_col,seq_col
+            parts = attr.split(",")
+            kw = dict(zip(("entity_col", "time_col", "seq_col"), parts))
+        d, skipped = parse_dictionary_source(
+            open(path).read(), dialect="sql", **kw
+        )
+        for name, why in skipped.items():
+            print(f"dictionary: skipped {name}: {why}", file=_sys.stderr)
+        return d
     if not attr:
-        raise SystemExit("--dictionary wants path/to/module.py:ATTR")
+        raise SystemExit("--dictionary wants path/to/module.py:ATTR "
+                         "or path/to/dict.icicle[:entity,time,seq]")
     mod_spec = importlib.util.spec_from_file_location("_feature_dict", path)
     mod = importlib.util.module_from_spec(mod_spec)
     mod_spec.loader.exec_module(mod)

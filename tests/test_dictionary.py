@@ -308,3 +308,47 @@ def test_run_features_job_dictionary_driven(spark, facts, tmp_path):
         open(os.path.join(out_dict, "_lineage", "manifest.json"))
     )
     assert manifest
+
+
+def test_run_features_job_icicle_source(spark, facts, tmp_path):
+    """--dictionary path/to/file.icicle: dictionary SOURCE drives the
+    job end-to-end; results equal the python-module registry."""
+    from jobs.run_features import main
+
+    src = str(tmp_path / "facts_pq2")
+    facts.write.mode("overwrite").parquet(src)
+    dic = tmp_path / "features.icicle"
+    dic.write_text(
+        "module Default where\n"
+        "\n"
+        "input facts : Double\n"
+        "\n"
+        "feature s =\n"
+        "  from facts\n"
+        "    in sum value\n"
+        "\n"
+        "feature c =\n"
+        "  from facts\n"
+        "    in count value\n"
+        "\n"
+        "feature avg =\n"
+        "  from facts\n"
+        "    in sum value / count value\n"
+    )
+    out = str(tmp_path / "out_icicle")
+    assert main([
+        "--input", src, "--output", out, "--snapshot", SNAP,
+        "--dictionary", f"{dic}:entity,time,seq",
+        "--dict-input", "facts", "--strategy", "native",
+    ]) == 0
+    got = spark.read.parquet(out).toPandas().set_index("entity").sort_index()
+    hand = (
+        run_plan(
+            facts,
+            Plan(list(FEATS_A), entity_col="entity", time_col="time",
+                 seq_col="seq"),
+            snapshot=SNAP, strategy="native",
+        ).toPandas().set_index("entity").sort_index()
+    )
+    pd.testing.assert_frame_equal(got[["s", "c"]], hand[["s", "c"]])
+    assert np.allclose(got["avg"], got["s"] / got["c"])
