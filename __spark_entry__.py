@@ -2068,6 +2068,56 @@ FROM c2 GROUP BY user_id ORDER BY user_id
 """.format(snap=SNAP)
 
 
+def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality proxy (CCNet-style): corpus word counts
+    (one explode+groupBy) broadcast into a per-document mean
+    add-1-smoothed log-probability. Low = gibberish/OOV-heavy."""
+    from icicle_spark.functions.text import doc_logprob, word_freq
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    freq = word_freq(docs)
+    out = doc_logprob(docs, freq, "text", "doc_id")
+    return (
+        docs.select("doc_id")
+        .join(out, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            _r("logprob").alias("logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DOC_LOGPROB_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')
+  ) AS word
+  FROM documents
+),
+freq AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+  FROM freq
+),
+scored AS (
+  SELECT w.doc_id,
+         count(*) AS n_words,
+         avg(ln((f.cnt + 1.0) / (t.n + t.v))) AS lp
+  FROM words w JOIN freq f USING (word) CROSS JOIN tot t
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_words, 0) AS n_words,
+       round(s.lp, 6)         AS logprob
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN scored s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 A1):
     duplicate n-gram position fraction + top n-gram share for n=2,3
@@ -2435,7 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_postcomp": q_source_postcomp,
         "repetition_stats": q_repetition_stats,
         "source_group_fold": q_source_group_fold,
-        "nub_by_key": q_nub_by_key,
+        "doc_logprob": q_doc_logprob,
         "decontaminate": q_decontaminate,
         "possibly_scalars": q_possibly_scalars,
         "days_in": q_days_in,
@@ -2464,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression": q_regression,
         "group_fold_map": q_group_fold_map,
         "array_fold": q_array_fold,
+        "nub_by_key": q_nub_by_key,
         "asof_snapshot_native": q_asof_snapshot_native,
         "asof_chord_native": q_asof_chord_native,
         "group_fold_native": q_group_fold_native,
@@ -2511,6 +2562,7 @@ def oracle_sql() -> dict[str, str]:
         "grepl_filter": _GREPL_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "doc_logprob": _DOC_LOGPROB_SQL,
         "repetition_stats": _REPETITION_SQL,
         "ngram_jaccard": _NGRAM_SQL,
         "dedup_survivors": _SURVIVORS_SQL,

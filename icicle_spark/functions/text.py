@@ -250,3 +250,58 @@ def repetition_stats(df, text_col: str = "text", ns: tuple = (2, 3)):
         "distinct_word_ratio", distinct_word_ratio(F.col(text_col))
     )
     return out.drop(*tmp)
+
+
+# ---- unigram language-model quality proxy (CCNet-style) --------------
+
+
+def word_freq(docs, text_col: str = "text"):
+    """Corpus word counts ``(word, cnt)`` — ONE explode + ONE groupBy
+    with map-side combine (same shape as tokens.corpus_token_freq).
+    Persist it once per corpus snapshot; vocabularies are
+    broadcast-sized (millions of rows, not corpus-sized)."""
+    from icicle_spark.operators.dedup import _norm_tokens
+
+    return (
+        docs.select(F.explode(_norm_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def doc_logprob(
+    docs,
+    freq,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+):
+    """Mean add-``alpha``-smoothed unigram log-probability per
+    document — the CCNet-style language-model quality proxy (Wenzek
+    et al. 2020 use a real LM; the unigram model is the deterministic,
+    dependency-free stand-in): low scores flag gibberish / OOV-heavy
+    documents, high scores flag stopword soup.
+
+    Returns ``(id_col, n_words, logprob)``. 100 TB shape: the corpus
+    is scanned once and exploded map-side; ``freq`` joins broadcast;
+    the only corpus-sized exchange is the per-document groupBy.
+    Documents with zero words are absent (score undefined)."""
+    from icicle_spark.operators.dedup import _norm_tokens
+
+    totals = freq.agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("v")
+    ).first()  # two bounded scalars (vocab aggregate), not corpus data
+    n, v = float(totals["n"] or 0), float(totals["v"] or 0)
+    denom = n + alpha * v
+    words = docs.select(
+        F.col(id_col),
+        F.explode(_norm_tokens(F.col(text_col))).alias("word"),
+    )
+    joined = words.join(F.broadcast(freq), on="word", how="left")
+    logp = F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha)) / F.lit(denom)
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.avg(logp).alias("logprob"),
+    )

@@ -17,6 +17,7 @@ MUST_BE_IN_WINDOW = {
     "source_group_fold",
     "decontaminate",
     "repetition_stats",
+    "doc_logprob",
     "filter_let_bind",
     "dictionary_native",
     "minhash_incremental",

@@ -69,3 +69,26 @@ def test_empty_text_is_safe(spark):
     # empty text: one empty whole-text gram; ratio is null
     assert row["dup2_frac"] == 0.0 and row["top2_share"] == 1.0
     assert row["distinct_word_ratio"] is None
+
+
+def test_doc_logprob_hand_golden(spark):
+    import math
+
+    from icicle_spark.functions.text import doc_logprob, word_freq
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a a b", "b c"]})
+    )
+    freq = word_freq(docs)
+    assert {
+        r.word: r.cnt for r in freq.collect()
+    } == {"a": 2, "b": 2, "c": 1}
+    out = (
+        doc_logprob(docs, freq).toPandas().set_index("doc_id").sort_index()
+    )
+    # N=5, V=3, denom=8: a,b -> (2+1)/8, c -> (1+1)/8
+    assert out.loc[1, "n_words"] == 3
+    assert out.loc[1, "logprob"] == pytest.approx(math.log(3 / 8))
+    assert out.loc[2, "logprob"] == pytest.approx(
+        (math.log(3 / 8) + math.log(2 / 8)) / 2
+    )
