@@ -2118,6 +2118,55 @@ ORDER BY doc_id
 """
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative quality policy over cheap signals: ordered rules,
+    FIRST failing rule recorded as the drop reason (null = kept) —
+    the decision layer of jobs/run_curation.py."""
+    from icicle_spark.functions.text import distinct_word_ratio, quality_filter
+    from icicle_spark.operators.dedup import _norm_tokens
+
+    sig = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .withColumn("n_words", F.size(_norm_tokens("text")))
+        .withColumn("dwr", distinct_word_ratio(F.col("text")))
+    )
+    out = quality_filter(sig, [
+        ("too_short", "n_words >= 30"),
+        ("too_long", "n_words <= 80"),
+        ("low_diversity", "dwr >= 0.40"),
+    ])
+    return out.select(
+        "doc_id", "n_words", _r("dwr").alias("dwr"), "fail_reason",
+        "passed",
+    ).orderBy("doc_id")
+
+
+_QUALITY_FILTER_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') ws
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         len(list_distinct(ws)) * 1.0 / len(ws) AS dwr
+  FROM t
+)
+SELECT doc_id, n_words, round(dwr, 6) AS dwr,
+       CASE WHEN NOT coalesce(n_words >= 30, FALSE) THEN 'too_short'
+            WHEN NOT coalesce(n_words <= 80, FALSE) THEN 'too_long'
+            WHEN NOT coalesce(dwr >= 0.40, FALSE) THEN 'low_diversity'
+       END AS fail_reason,
+       (coalesce(n_words >= 30, FALSE)
+        AND coalesce(n_words <= 80, FALSE)
+        AND coalesce(dwr >= 0.40, FALSE)) AS passed
+FROM sig ORDER BY doc_id
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 A1):
     duplicate n-gram position fraction + top n-gram share for n=2,3
@@ -2486,8 +2535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "source_group_fold": q_source_group_fold,
         "doc_logprob": q_doc_logprob,
+        "quality_filter": q_quality_filter,
         "decontaminate": q_decontaminate,
-        "possibly_scalars": q_possibly_scalars,
         "days_in": q_days_in,
         "math_builtins": q_math_builtins,
         "chord_labeled": q_chord_labeled,
@@ -2515,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_fold_map": q_group_fold_map,
         "array_fold": q_array_fold,
         "nub_by_key": q_nub_by_key,
+        "possibly_scalars": q_possibly_scalars,
         "asof_snapshot_native": q_asof_snapshot_native,
         "asof_chord_native": q_asof_chord_native,
         "group_fold_native": q_group_fold_native,
@@ -2563,6 +2613,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _EXACT_DEDUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "doc_logprob": _DOC_LOGPROB_SQL,
+        "quality_filter": _QUALITY_FILTER_SQL,
         "repetition_stats": _REPETITION_SQL,
         "ngram_jaccard": _NGRAM_SQL,
         "dedup_survivors": _SURVIVORS_SQL,

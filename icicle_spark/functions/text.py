@@ -305,3 +305,26 @@ def doc_logprob(
         F.count("*").alias("n_words"),
         F.avg(logp).alias("logprob"),
     )
+
+
+def quality_filter(docs, rules, keep_only: bool = False):
+    """Declarative quality policy: ``rules`` is an ORDERED list of
+    ``(name, sql_predicate)`` pairs over the frame's columns;
+    predicate TRUE = pass. Adds ``passed: boolean`` and
+    ``fail_reason: string`` (the FIRST failing rule, null when
+    passed). A null predicate (e.g. a null metric) FAILS its rule —
+    unknown quality is not quality. ``keep_only=True`` returns just
+    the surviving rows (columns unchanged).
+
+    Pure column expressions — composes into whatever scan/signal
+    stage precedes it with zero extra passes."""
+    reason = F.lit(None).cast("string")
+    for name, pred in reversed(list(rules)):
+        ok = F.coalesce(F.expr(pred), F.lit(False))
+        reason = F.when(~ok, F.lit(str(name))).otherwise(reason)
+    out = docs.withColumn("fail_reason", reason).withColumn(
+        "passed", F.col("fail_reason").isNull()
+    )
+    if keep_only:
+        return out.where("passed").drop("passed", "fail_reason")
+    return out

@@ -18,6 +18,7 @@ MUST_BE_IN_WINDOW = {
     "decontaminate",
     "repetition_stats",
     "doc_logprob",
+    "quality_filter",
     "filter_let_bind",
     "dictionary_native",
     "minhash_incremental",

@@ -1,0 +1,74 @@
+"""End-to-end curation pipeline smoke: exact dedup + decontamination
++ signals + policy through the spark-submit entry point."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from jobs.run_curation import main
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    base = ("the quick brown fox jumps over the lazy dog while birds "
+            "sing in tall green trees beside a cold clear mountain "
+            "river during early spring mornings full of soft light")
+    rows = [
+        # 1/2: exact duplicates (one survives)
+        (1, base),
+        (2, base),
+        # 3: too short
+        (3, "tiny text"),
+        # 4: repetitive
+        (4, "spam ham " * 40),
+        # 5: healthy
+        (5, "a genuinely varied document with many different interesting "
+            "words covering assorted topics like rivers mountains cities "
+            "music science history art cooking travel sports weather"),
+        # 6: contaminated vs benchmark (long shared 8-gram)
+        (6, "prefix words here what is the capital of france paris "
+            "answer suffix tail words padding making this long enough "
+            "to pass the minimum word count threshold easily for sure"),
+    ]
+    p = tmp_path_factory.mktemp("cur")
+    src = str(p / "docs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.mode("overwrite").parquet(src)
+    bench = str(p / "bench.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [900],
+             "text": ["what is the capital of france paris answer"]}
+        )
+    ).write.mode("overwrite").parquet(bench)
+    return src, bench
+
+
+def test_curation_pipeline(spark, corpus, tmp_path):
+    src, bench = corpus
+    out = str(tmp_path / "out")
+    assert main([
+        "--input", src, "--output", out, "--benchmark", bench,
+        "--ngram", "8", "--min-words", "12", "--max-dup2", "0.5",
+        "--min-distinct-ratio", "0.25", "--min-logprob", "-20",
+    ]) == 0
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["input_docs"] == 6
+    # one exact dup + one contaminated doc removed pre-policy
+    assert summary["after_dedup_decontamination"] == 4
+    kept = spark.read.parquet(os.path.join(out, "kept")).toPandas()
+    dropped = spark.read.parquet(os.path.join(out, "dropped")).toPandas()
+    assert set(kept.doc_id) == {1, 5}
+    got = dropped.set_index("doc_id")["fail_reason"].to_dict()
+    assert got[3] == "too_short"
+    assert got[4] in ("repetitive_2gram", "low_diversity")
+    assert summary["kept"] == 2
+    assert sum(summary["dropped_by_reason"].values()) == 2
+    # signal columns ride along on kept rows
+    for col in ("n_words", "dup2_frac", "distinct_word_ratio", "logprob"):
+        assert col in kept.columns
