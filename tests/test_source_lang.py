@@ -449,3 +449,50 @@ def test_parse_dictionary_source_file(spark):
         parse_dictionary_source(
             "feature x =\n  from ghost\n    in sum value"
         )
+
+
+def test_postcomp_folds_share_via_cse(salary):
+    """`mean value` and `sum value / count value` in one program:
+    CSE shares identical hidden folds across outputs and the
+    re-emission keeps every requested column."""
+    plan = parse_program(
+        {
+            "m": "from salary ~> mean value",
+            "avg": "from salary ~> sum value / count value",
+            "s": "from salary ~> sum value",
+        },
+        dialect="sql", entity_col="entity", time_col="time",
+        seq_col="seq",
+    )["salary"]
+    condensed, dups = plan.stripped().cse()
+    # the visible `s` fold and avg's hidden sum fold are one fold
+    assert dups.get("__avg_0") == "s" or dups.get("s") == "__avg_0"
+    out = (
+        run_plan(salary, plan, snapshot=SNAP, strategy="native")
+        .toPandas().set_index("entity").sort_index()
+    )
+    assert list(out.columns) == ["m", "s", "avg"]
+    assert out.loc["homer", "avg"] == out.loc["homer", "m"] == 300.0
+
+
+def test_postcomp_chordexec_path(salary, spark):
+    """Postcomps finalize identically through the vectorized chord
+    executor (strategy auto routes there)."""
+    chords = spark.createDataFrame(
+        pd.DataFrame({
+            "entity": ["homer", "homer", "marge"],
+            "query_time": pd.to_datetime(
+                ["1995-01-02", "2017-01-02", "2017-01-02"]
+            ),
+        })
+    )
+    plan = parse_program(
+        {"avg": "from salary ~> sum value / count value"},
+        dialect="pandas", entity_col="entity", time_col="time",
+        seq_col="seq",
+    )["salary"]
+    out = (
+        run_plan(salary, plan, chords=chords, strategy="auto")
+        .toPandas().sort_values(["entity", "query_time"])
+    )
+    assert list(out["avg"]) == [200.0, 300.0, 10.0]
