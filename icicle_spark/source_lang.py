@@ -627,6 +627,7 @@ def parse_query_multi(
             [f.name for f in b.feats],
         )
 
+    n0 = len(b.feats)  # feats that existed before the tail (agg lets)
     rewritten = _extract_aggs(b, tail)
     had_let_ref = any(
         re.search(rf"\b{re.escape(k)}\b", rewritten) for k in b.agg_lets
@@ -657,9 +658,39 @@ def parse_query_multi(
             [],
         )
     if b.group is not None or b.distinct is not None:
-        raise ValueError(
-            "aggregate arithmetic over group/distinct maps is unsupported"
-        )
+        # aggregate arithmetic over GROUP maps: per-key postcomp via
+        # transform_values / map_zip_with (repl t02 `group time ~>
+        # sum (value + 3) * 5`). All subterms share the group's key
+        # set (same visibility), so zipped keys align.
+        tail_feats = [f for f in b.feats[n0:]]
+        if (
+            b.distinct is not None
+            or had_let_ref
+            or b.fold_feats
+            or len(b.feats) != len(tail_feats)
+            or not (1 <= len(tail_feats) <= 2)
+            or "," in rewritten
+        ):
+            raise ValueError(
+                "aggregate arithmetic over group/distinct maps supports "
+                "1-2 plain aggregate subterms (no lets, folds or tuples)"
+            )
+        names = [f.name for f in tail_feats]
+        body = rewritten
+        for i, nm in enumerate(names):
+            body = re.sub(rf"\b{re.escape(nm)}\b", f"__v{i}", body)
+        body = _juxta(_safe_divisions(body), "sql")
+        if len(names) == 1:
+            post = (
+                f"transform_values({names[0]}, "
+                f"(__k, __v0) -> {body})"
+            )
+        else:
+            post = (
+                f"map_zip_with({names[0]}, {names[1]}, "
+                f"(__k, __v0, __v1) -> {body})"
+            )
+        return input_name, b.feats, [(name, post)], names
     if "," in rewritten:
         raise ValueError(
             "tuple outputs are unsupported; declare one output per "

@@ -174,8 +174,11 @@ def test_unsupported_forms_raise():
             parse_query(q)
     with pytest.raises(ValueError, match="tuple"):
         parse_program(["from salary ~> (sum value, count value)"])
-    with pytest.raises(ValueError, match="group/distinct"):
-        parse_program(["from salary ~> group value ~> sum value / count value"])
+    # >2 subterms over a group map stay out of scope
+    with pytest.raises(ValueError, match="1-2 plain aggregate"):
+        parse_program(
+            ["from salary ~> distinct value ~> sum value / count value"]
+        )
 
 
 # -- aggregate expressions / postcomputations (Core postcomps) ---------
@@ -496,3 +499,39 @@ def test_postcomp_chordexec_path(salary, spark):
         .toPandas().sort_values(["entity", "query_time"])
     )
     assert list(out["avg"]) == [200.0, 300.0, 10.0]
+
+
+@pytest.mark.parametrize("strategy,dialect", [
+    ("native", "sql"), ("cogroup", "pandas"),
+])
+def test_t02_group_map_arithmetic(salary, strategy, dialect):
+    """repl t02 'Throw some constants in for good measure':
+    `group time ~> sum (value + 3) * 5` — per-key postcomp via
+    transform_values; two-fold arithmetic zips maps."""
+    plan = parse_program(
+        {
+            "gconst": "from salary ~> group time ~> sum (value + 3) * 5",
+            "gmean": "from salary ~> group value ~> "
+                     "sum value / count value",
+        },
+        dialect=dialect, skip_nulls=True,
+        entity_col="entity", time_col="time", seq_col="seq",
+    )["salary"]
+    out = (
+        run_plan(salary, plan, snapshot=SNAP, strategy=strategy)
+        .toPandas().set_index("entity").sort_index()
+    )
+    # golden: homer [(1989-12-17, 515) ... (2010-01-01, 2515)],
+    # marge [(1989-12-17, 195)]
+    assert sorted(out.loc["homer", "gconst"].values()) == [
+        515.0, 1015.0, 1515.0, 2015.0, 2515.0,
+    ]
+    assert list(out.loc["marge", "gconst"].values()) == [195.0]
+    assert dict(out.loc["marge", "gmean"]) == {
+        "0": 0.0, "10": 10.0, "20": 20.0,
+    }
+    with pytest.raises(ValueError, match="1-2 plain aggregate"):
+        parse_program(
+            ["from salary ~> group value ~> "
+             "sum value / count value + mean value"]
+        )
