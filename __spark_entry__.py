@@ -2118,6 +2118,48 @@ ORDER BY doc_id
 """
 
 
+def q_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination: max cosine of each
+    corpus vector vs the held-out 'benchmark' split — one broadcast
+    matmul per Arrow batch, no join, no shuffle. Complements the
+    n-gram `decontaminate` (paraphrases share no 13-gram). The
+    threshold compares the identically-rounded value on both engines
+    so the boundary is deterministic."""
+    from icicle_spark.operators.similarity import semantic_contamination
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.where("vec_id % 10 != 0")
+    bench = emb.where("vec_id % 10 = 0")
+    sims = semantic_contamination(corpus, bench)
+    r = _r("max_sim", 5)
+    return sims.select(
+        "vec_id",
+        r.alias("max_sim"),
+        (r >= 0.30).alias("contaminated"),
+    ).orderBy("vec_id")
+
+
+_SEMANTIC_DECON_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+  FROM e
+),
+mx AS (
+  SELECT a.vec_id,
+         round(max(
+           list_sum(list_transform(generate_series(1, len(a.v)),
+                    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)
+         ), 5) AS max_sim
+  FROM n a JOIN n b ON a.vec_id % 10 != 0 AND b.vec_id % 10 = 0
+  GROUP BY a.vec_id
+)
+SELECT vec_id, max_sim, max_sim >= 0.30 AS contaminated
+FROM mx ORDER BY vec_id
+"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative quality policy over cheap signals: ordered rules,
     FIRST failing rule recorded as the drop reason (null = kept) —
@@ -2536,8 +2578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_group_fold": q_source_group_fold,
         "doc_logprob": q_doc_logprob,
         "quality_filter": q_quality_filter,
+        "semantic_decon": q_semantic_decon,
         "decontaminate": q_decontaminate,
-        "days_in": q_days_in,
         "math_builtins": q_math_builtins,
         "chord_labeled": q_chord_labeled,
         "resume_fold": q_resume_fold,
@@ -2565,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_fold": q_array_fold,
         "nub_by_key": q_nub_by_key,
         "possibly_scalars": q_possibly_scalars,
+        "days_in": q_days_in,
         "asof_snapshot_native": q_asof_snapshot_native,
         "asof_chord_native": q_asof_chord_native,
         "group_fold_native": q_group_fold_native,
@@ -2614,6 +2657,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_SQL,
         "doc_logprob": _DOC_LOGPROB_SQL,
         "quality_filter": _QUALITY_FILTER_SQL,
+        "semantic_decon": _SEMANTIC_DECON_SQL,
         "repetition_stats": _REPETITION_SQL,
         "ngram_jaccard": _NGRAM_SQL,
         "dedup_survivors": _SURVIVORS_SQL,

@@ -454,3 +454,62 @@ def lsh_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Max cosine similarity of every corpus embedding against a
+    BENCHMARK embedding set — semantic (embedding-space)
+    decontamination, the modern complement of n-gram decontamination
+    (near-paraphrases of eval items share no 13-gram).
+
+    Returns ``(id_col, max_sim)``. The benchmark set is eval-sized:
+    collected once to the driver and broadcast; scoring is one numpy
+    matmul + row-max per Arrow batch over ONE corpus scan — no join,
+    no shuffle."""
+    qp = bench.select(vec_col).toPandas()  # bounded: the eval set
+    qm = np.stack(qp[vec_col].to_numpy()).astype("float64")
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    spark = corpus.sparkSession
+    b_q = spark.sparkContext.broadcast(qm)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qm_ = b_q.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            cm /= np.maximum(
+                np.linalg.norm(cm, axis=1, keepdims=True), 1e-30
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "max_sim": (cm @ qm_.T).max(axis=1),
+                }
+            )
+
+    ct = dict(corpus.dtypes)[id_col]
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score, f"`{id_col}` {ct}, max_sim double"
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Drop corpus rows whose embedding is within ``threshold``
+    cosine of ANY benchmark embedding. The flagged id set is bounded
+    by the benchmark's semantic reach and broadcasts into a
+    left-anti join."""
+    sims = semantic_contamination(corpus, bench, vec_col, id_col)
+    bad = sims.where(F.col("max_sim") >= threshold).select(id_col)
+    return corpus.join(F.broadcast(bad), on=id_col, how="left_anti")

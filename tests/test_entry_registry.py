@@ -19,6 +19,7 @@ MUST_BE_IN_WINDOW = {
     "repetition_stats",
     "doc_logprob",
     "quality_filter",
+    "semantic_decon",
     "filter_let_bind",
     "dictionary_native",
     "minhash_incremental",

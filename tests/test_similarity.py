@@ -169,3 +169,41 @@ def test_ivf_index_reuse_roundtrip(spark, emb, tmp_path):
     r = reused.sort_values(key).reset_index(drop=True)
     assert (f[key].values == r[key].values).all()
     assert np.allclose(f["cosine_sim"], r["cosine_sim"])
+
+
+def test_semantic_decontamination(spark):
+    """Planted near-paraphrase of a benchmark vector is dropped;
+    orthogonal vectors survive; threshold boundary respected."""
+    import numpy as np
+    import pandas as pd
+
+    from icicle_spark.operators.similarity import (
+        semantic_contamination,
+        semantic_decontaminate,
+    )
+
+    rng = np.random.default_rng(11)
+    b0 = rng.normal(size=16)
+    b0 /= np.linalg.norm(b0)
+    near = b0 + rng.normal(scale=0.05, size=16)  # cos ~0.999
+    orth = np.zeros(16)
+    orth[int(np.argmin(np.abs(b0)))] = 1.0  # nearly orthogonal to b0
+    far = rng.normal(size=16)
+
+    bench = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [100], "embedding": [b0.tolist()]})
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame({
+            "vec_id": [1, 2, 3],
+            "embedding": [near.tolist(), orth.tolist(), far.tolist()],
+        })
+    )
+    sims = (
+        semantic_contamination(corpus, bench)
+        .toPandas().set_index("vec_id").sort_index()
+    )
+    assert sims.loc[1, "max_sim"] > 0.95
+    assert abs(sims.loc[2, "max_sim"]) < 0.2
+    kept = semantic_decontaminate(corpus, bench, threshold=0.9)
+    assert sorted(r.vec_id for r in kept.select("vec_id").collect()) == [2, 3]
