@@ -46,6 +46,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="eval-set parquet to decontaminate against")
     ap.add_argument("--ngram", type=int, default=13,
                     help="decontamination n-gram size")
+    ap.add_argument("--embeddings",
+                    help="corpus embeddings parquet (id_col + "
+                         "embedding) for SEMANTIC decontamination")
+    ap.add_argument("--benchmark-embeddings",
+                    help="eval-set embeddings parquet")
+    ap.add_argument("--semantic-threshold", type=float, default=0.9)
     ap.add_argument("--min-words", type=int, default=20)
     ap.add_argument("--max-words", type=int, default=100_000)
     ap.add_argument("--max-dup2", type=float, default=0.5)
@@ -77,12 +83,28 @@ def main(argv: list[str] | None = None) -> int:
     # 1. exact dedup (hash + groupBy, map-side combine)
     docs = exact_dedup(docs, args.text_col, args.id_col)
 
-    # 2. benchmark decontamination (broadcast gram index)
+    # 2. benchmark decontamination (broadcast gram index), optionally
+    # followed by embedding-space decontamination (paraphrases share
+    # no n-gram; the flagged id set anti-joins the docs)
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
         docs = decontaminate(
             docs, bench, args.text_col, args.id_col, n=args.ngram
         )
+    if args.embeddings and args.benchmark_embeddings:
+        from icicle_spark.operators.similarity import (
+            semantic_contamination,
+        )
+
+        emb = spark.read.parquet(args.embeddings)
+        bemb = spark.read.parquet(args.benchmark_embeddings)
+        flagged = (
+            semantic_contamination(emb, bemb, id_col=args.id_col)
+            .where(F.col("max_sim") >= args.semantic_threshold)
+            .select(args.id_col)
+        )
+        docs = docs.join(F.broadcast(flagged), on=args.id_col,
+                         how="left_anti")
     n_clean = docs.count()
 
     # 3. quality signals: one scan-side stage; log-prob adds the

@@ -72,3 +72,35 @@ def test_curation_pipeline(spark, corpus, tmp_path):
     # signal columns ride along on kept rows
     for col in ("n_words", "dup2_frac", "distinct_word_ratio", "logprob"):
         assert col in kept.columns
+
+
+def test_curation_semantic_decontamination(spark, corpus, tmp_path):
+    """--embeddings/--benchmark-embeddings: a doc whose embedding is
+    near a benchmark embedding is dropped pre-policy."""
+    import numpy as np
+
+    src, bench = corpus
+    rng = np.random.default_rng(5)
+    b0 = rng.normal(size=8); b0 /= np.linalg.norm(b0)
+    vecs = {i: rng.normal(size=8).tolist() for i in (1, 2, 3, 4, 6)}
+    vecs[5] = (b0 + rng.normal(scale=0.03, size=8)).tolist()  # near
+    emb = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(vecs), "embedding": list(vecs.values())})
+    ).write.mode("overwrite").parquet(emb)
+    bemb = str(tmp_path / "bemb.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [900], "embedding": [b0.tolist()]})
+    ).write.mode("overwrite").parquet(bemb)
+    out = str(tmp_path / "out_sem")
+    assert main([
+        "--input", src, "--output", out, "--benchmark", bench,
+        "--ngram", "8", "--min-words", "12",
+        "--embeddings", emb, "--benchmark-embeddings", bemb,
+        "--semantic-threshold", "0.9", "--no-logprob",
+    ]) == 0
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    # dedup(-1), ngram contamination(-1), semantic contamination(-1)
+    assert summary["after_dedup_decontamination"] == 3
+    kept = spark.read.parquet(os.path.join(out, "kept")).toPandas()
+    assert 5 not in set(kept.doc_id)
