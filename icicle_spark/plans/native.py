@@ -88,7 +88,6 @@ def _feature_native(f: Feature) -> bool:
             and f.agg in _GROUP_NATIVE_AGGS
             and f.distinct is None
             and f.latest is None
-            and f.skip_nulls
         )
     if f.agg is Agg.DECAYED_SUM and (
         f.half_life_days is None or f.latest is not None
@@ -652,17 +651,27 @@ def _compile_scoped(
         ex = F.expr(f.expr)
         # skip_nulls (enforced by the support gate) drops null values
         # AND null group keys, like the Arrow executors
-        cond = (
-            _visibility(f, qt, tcol)
-            & ex.isNotNull()
-            & F.expr(f.group).isNotNull()
-        )
-        rows = base.where(cond).select(
-            *[F.col(k) for k in keys],
-            F.expr(f.group).cast("string").alias("__gk"),
-            ex.alias("__gv"),
-            F.struct(*_order_cols(plan)).alias("__gord"),
-        )
+        ok = ex.isNotNull() & F.expr(f.group).isNotNull()
+        if f.skip_nulls:
+            # skip_nulls: null elements / null keys silently drop
+            rows = base.where(_visibility(f, qt, tcol) & ok).select(
+                *[F.col(k) for k in keys],
+                F.expr(f.group).cast("string").alias("__gk"),
+                ex.alias("__gv"),
+                F.lit(0).alias("__gp"),
+                F.struct(*_order_cols(plan)).alias("__gord"),
+            )
+        else:
+            # Possibly semantics: ANY visible null element or null
+            # key poisons the WHOLE map (executor parity, t03.1) —
+            # keep the row as a poison marker instead of dropping it
+            rows = base.where(_visibility(f, qt, tcol)).select(
+                *[F.col(k) for k in keys],
+                F.when(ok, F.expr(f.group).cast("string")).alias("__gk"),
+                F.when(ok, ex).alias("__gv"),
+                F.when(ok, 0).otherwise(1).alias("__gp"),
+                F.struct(*_order_cols(plan)).alias("__gord"),
+            )
         if f.agg in (Agg.NEWEST, Agg.OLDEST):
             # value at the stream-order extreme per key (fold1 pair
             # semantics, prelude.icicle newest/oldest): arg-extreme
@@ -674,22 +683,33 @@ def _compile_scoped(
         else:
             per_key_agg = _plain_agg(f.agg, F.col("__gv"))
         per_key = rows.groupBy(*keys, "__gk").agg(
-            per_key_agg.alias("__v")
+            per_key_agg.alias("__v"), F.max("__gp").alias("__gp")
         )
         m = per_key.groupBy(*keys).agg(
             F.map_from_entries(
-                F.collect_list(F.struct(F.col("__gk"), F.col("__v")))
-            ).alias(f.name)
+                F.collect_list(
+                    F.when(
+                        F.col("__gk").isNotNull(),
+                        F.struct(F.col("__gk"), F.col("__v")),
+                    )
+                )
+            ).alias(f.name),
+            F.max("__gp").alias(f"__poison_{f.name}"),
         )
         out = out.join(m, on=keys, how="left")
         val = F.coalesce(
             F.col(f.name), F.expr("map()").cast(feature_dtype(f))
         )
-        # maxMapSize analogue: overflow -> error value (null)
+        # maxMapSize analogue: overflow -> error value (null);
+        # Possibly poison -> null map
         out = out.withColumn(
             f.name,
-            F.when(F.size(val) <= F.lit(plan.max_group_size), val),
-        )
+            F.when(
+                (F.size(val) <= F.lit(plan.max_group_size))
+                & (F.coalesce(F.col(f"__poison_{f.name}"), F.lit(0)) == 0),
+                val,
+            ),
+        ).drop(f"__poison_{f.name}")
     for f in dist_feats:
         # `distinct k`: first fact per (entity, key) in stream order
         # (ToCore/Fold.hs:477-559), then a plain aggregate over those

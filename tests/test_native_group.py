@@ -55,12 +55,46 @@ PLAN = Plan(
 
 def test_support_gate():
     assert native_supported(PLAN)
-    # group needs skip_nulls (Possibly poisoning of a whole map is
-    # executor-only) and no latest frame
-    assert not native_supported(
+    # Possibly-mode groups compile natively now; latest frames do not
+    assert native_supported(
         Plan([Feature("g", Agg.SUM, "value", group="cat")],
              entity_col="entity", time_col="time")
     )
+    assert not native_supported(
+        Plan([Feature("g", Agg.SUM, "value", group="cat", latest=3,
+                      skip_nulls=True)],
+             entity_col="entity", time_col="time")
+    )
+
+
+def test_possibly_group_commutes(spark, facts):
+    """skip_nulls=False groups: ANY visible null element poisons the
+    whole map — native matches the executor (t03.1 semantics)."""
+    plan = Plan(
+        [Feature("g", Agg.SUM, "value", group="cat")],
+        entity_col="entity", time_col="time", seq_col="seq",
+    )
+    a = (
+        compile_native(facts, plan, snapshot=SNAP)
+        .toPandas().set_index("entity").sort_index()
+    )
+    b = (
+        run_plan(facts, plan, snapshot=SNAP, strategy="vectorized")
+        .toPandas().set_index("entity").sort_index()
+    )
+    assert list(a.index) == list(b.index)
+    n_null = 0
+    for e in a.index:
+        ma, mb = a.loc[e, "g"], b.loc[e, "g"]
+        if ma is None or mb is None:
+            n_null += 1
+            assert ma is None and mb is None, e
+        else:
+            assert set(ma) == set(mb) and all(
+                np.isclose(ma[k], mb[k]) for k in ma
+            ), e
+    # the fixture plants ~5% nulls, so poisoned entities exist
+    assert n_null > 0
     assert not native_supported(
         Plan([Feature("g", Agg.SUM, "value", group="cat", latest=3,
                       skip_nulls=True)],
