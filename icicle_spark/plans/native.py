@@ -98,7 +98,6 @@ def _feature_native(f: Feature) -> bool:
             isinstance(f.distinct, str)
             and f.agg in _DISTINCT_NATIVE_AGGS
             and f.latest is None
-            and f.skip_nulls
         )
     return f.agg in _NATIVE_AGGS
 
@@ -715,11 +714,12 @@ def _compile_scoped(
         # (ToCore/Fold.hs:477-559), then a plain aggregate over those
         # firsts — one rank exchange + one agg exchange.
         ex = F.expr(f.expr)
-        cond = (
-            _visibility(f, qt, tcol)
-            & ex.isNotNull()
-            & F.expr(f.distinct).isNotNull()
-        )
+        vis = _visibility(f, qt, tcol)
+        key_ok = F.expr(f.distinct).isNotNull()
+        # skip_nulls drops null elements before the firsts pass; in
+        # Possibly mode they stay — a null FIRST poisons via _agg_col
+        cond = vis & key_ok & (ex.isNotNull() if f.skip_nulls
+                               else F.lit(True))
         w = W.partitionBy(
             *[F.col(k) for k in keys], F.expr(f.distinct)
         ).orderBy(*_order_cols(plan))
@@ -739,6 +739,17 @@ def _compile_scoped(
             Plan([f], entity_col=ecol, time_col=tcol, seq_col=plan.seq_col),
             marker,
         )
+        if not f.skip_nulls:
+            # a null distinct KEY anywhere visible poisons the whole
+            # fold (Possibly key, t03.1 — executor parity)
+            kp = f"__kp_{f.name}"
+            pois = base.where(vis & ~key_ok).groupBy(*keys).agg(
+                F.lit(1).alias(kp)
+            )
+            out = out.join(pois, on=keys, how="left").withColumn(
+                f.name,
+                F.when(F.col(kp).isNull(), F.col(f.name)),
+            ).drop(kp)
     return out.select(*keys, *[f.name for f in plan.features])
 
 

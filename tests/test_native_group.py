@@ -95,11 +95,6 @@ def test_possibly_group_commutes(spark, facts):
             ), e
     # the fixture plants ~5% nulls, so poisoned entities exist
     assert n_null > 0
-    assert not native_supported(
-        Plan([Feature("g", Agg.SUM, "value", group="cat", latest=3,
-                      skip_nulls=True)],
-             entity_col="entity", time_col="time")
-    )
 
 
 def test_native_group_distinct_commute(spark, facts):
@@ -167,3 +162,32 @@ def test_native_chord_shuffle_join(spark, facts):
     for col in ("s", "l3"):
         av, bv = a[col].astype(float), b[col].astype(float)
         assert ((av.isna() & bv.isna()) | np.isclose(av, bv, equal_nan=True)).all()
+
+
+def test_possibly_distinct_commutes(spark, facts):
+    """skip_nulls=False distinct: null keys poison; null FIRST values
+    poison via the Possibly aggregate — native matches the executor."""
+    plan = Plan(
+        [
+            Feature("d", Agg.SUM, "value", distinct="cat"),
+            Feature("dm", Agg.MEAN, "value", distinct="cat"),
+        ],
+        entity_col="entity", time_col="time", seq_col="seq",
+    )
+    a = (
+        compile_native(facts, plan, snapshot=SNAP)
+        .toPandas().set_index("entity").sort_index()
+    )
+    b = (
+        run_plan(facts, plan, snapshot=SNAP, strategy="vectorized")
+        .toPandas().set_index("entity").sort_index()
+    )
+    for col in ("d", "dm"):
+        av = pd.to_numeric(a[col], errors="coerce")
+        bv = pd.to_numeric(b[col], errors="coerce")
+        assert (
+            (av.isna() & bv.isna())
+            | np.isclose(av, bv, atol=1e-9, equal_nan=True)
+        ).all(), col
+    # some poisoned entities exist (fixture plants ~5% null values)
+    assert a["d"].isna().any()
