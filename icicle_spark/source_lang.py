@@ -36,9 +36,13 @@ IR was shaped by these contexts, Context.hs:25-37):
   POSTCOMPUTATION on the result frame, exactly the reference Core
   split (Core/Program/Program.hs:33-36 ``postcomps``,
   ToCore/ToCore.hs aggregate lowering). Aggregate subterms: sum count
-  mean min max newest oldest variance sd any all / ``max_by k v``
-  ``min_by k v`` / ``count ()`` / fold bind names. A bare element
-  expression under ``latest N`` is an array result (collect).
+  mean min max newest oldest variance sd any all numflips /
+  ``max_by k v`` ``min_by k v`` / ``count ()`` / the two-argument
+  prelude statistics ``covariance a b`` ``correlation a b``
+  ``gradient a b`` ``intercept a b`` (lowered to pair-masked
+  SUM/COUNT folds + closed-form postcomps, prelude.icicle:219-255) /
+  fold bind names. A bare element expression under ``latest N`` is
+  an array result (collect).
 
 Element expressions pass through verbatim to the execution dialect:
 ``dialect="sql"`` for the native Catalyst compiler, ``"pandas"`` for
@@ -60,7 +64,7 @@ _AGGS = {
     "sum": Agg.SUM, "count": Agg.COUNT, "mean": Agg.MEAN,
     "min": Agg.MIN, "max": Agg.MAX, "newest": Agg.NEWEST,
     "oldest": Agg.OLDEST, "variance": Agg.VARIANCE, "sd": Agg.SD,
-    "any": Agg.ANY, "all": Agg.ALL,
+    "any": Agg.ANY, "all": Agg.ALL, "numflips": Agg.NUMFLIPS,
 }
 
 _UNITS = {"day": "days", "days": "days", "week": "weeks",
@@ -298,6 +302,53 @@ def _extract_aggs(b: _Builder, s: str) -> str:
             break
         parts.append(s[i : m.start()])
         kw, j = m.group(1), m.end()
+        if kw in _AGG2_KW:
+            a1, j = _scan_atom(s, j, kw)
+            a2, j = _scan_atom(s, j, kw)
+            A, Bx = f"({b.sub(a1)})", f"({b.sub(a2)})"
+
+            def hf(expr, agg=Agg.SUM):
+                h = b.fresh()
+                b.feats.append(b.mk_feature(h, agg, expr))
+                return h
+
+            n_ = hf(f"{A} + 0 * {Bx}", Agg.COUNT)
+            sa = hf(f"{A} + 0 * {Bx}")
+            sb = hf(f"{Bx} + 0 * {A}")
+            sab = hf(f"{A} * {Bx}")
+            num = f"(({n_}) * ({sab}) - ({sa}) * ({sb}))"
+            if kw == "covariance":
+                frag = (
+                    f"((({sab}) - ({sa}) * ({sb}) / nullif({n_}, 0))"
+                    f" / nullif({n_} - 1, 0))"
+                )
+            elif kw == "gradient":
+                sb2 = hf(f"{Bx} * {Bx} + 0 * {A}")
+                frag = (
+                    f"({num} / nullif(({n_}) * ({sb2}) - "
+                    f"({sb}) * ({sb}), 0))"
+                )
+            elif kw == "correlation":
+                sa2 = hf(f"{A} * {A} + 0 * {Bx}")
+                sb2 = hf(f"{Bx} * {Bx} + 0 * {A}")
+                frag = (
+                    f"({num} / nullif(sqrt("
+                    f"(({n_}) * ({sa2}) - ({sa}) * ({sa})) * "
+                    f"(({n_}) * ({sb2}) - ({sb}) * ({sb}))), 0))"
+                )
+            else:  # intercept = mean a - gradient * mean b
+                sb2 = hf(f"{Bx} * {Bx} + 0 * {A}")
+                grad = (
+                    f"({num} / nullif(({n_}) * ({sb2}) - "
+                    f"({sb}) * ({sb}), 0))"
+                )
+                frag = (
+                    f"(({sa}) / nullif({n_}, 0) - {grad} * "
+                    f"({sb}) / nullif({n_}, 0))"
+                )
+            parts.append(frag)
+            i = j
+            continue
         hname = b.fresh()
         if kw in ("max_by", "min_by"):
             a1, j = _scan_atom(s, j, kw)
@@ -455,8 +506,16 @@ def _apply_context(b: _Builder, c: str) -> None:
 
 _AGG_KW = re.compile(
     r"\b(sum|count|mean|min|max|newest|oldest|variance|sd|any|all"
-    r"|max_by|min_by)\b"
+    r"|max_by|min_by|covariance|correlation|gradient|intercept"
+    r"|numflips)\b"
 )
+
+# two-argument prelude aggregates (prelude.icicle:219-255): lowered to
+# pair-masked SUM/COUNT folds + a closed-form postcomp fragment —
+# exactly how the reference derives them from fold primitives. The
+# `+ 0 * other` masking makes every fold's element null iff EITHER
+# input is null, so skip_nulls drops (and Possibly poisons) PAIRS.
+_AGG2_KW = {"covariance", "correlation", "gradient", "intercept"}
 
 # Juxtaposed scalar functions (Icicle application syntax `double x`,
 # prelude.icicle / Builtin.hs): rewritten per dialect. `log` is
@@ -552,6 +611,25 @@ def _group_fold_tail(
             f"e -> e.value = {ext}({vals})), e -> e.key))"
         )
     raise ValueError(f"unsupported group fold aggregate: {tail!r}")
+
+
+def _has_tuple_comma(s: str) -> bool:
+    """A comma at top level or inside a NON-call parenthesized group
+    is Icicle tuple syntax; commas inside call syntax ``f(a, b)``
+    (e.g. generated nullif/sqrt fragments) are not."""
+    stack: list[bool] = []
+    prev = ""
+    for ch in s:
+        if ch == "(":
+            stack.append(bool(re.fullmatch(r"[\w)]", prev)))
+        elif ch == ")":
+            if stack:
+                stack.pop()
+        elif ch == "," and (not stack or not stack[-1]):
+            return True
+        if not ch.isspace():
+            prev = ch
+    return False
 
 
 def _safe_divisions(s: str) -> str:
@@ -669,7 +747,7 @@ def parse_query_multi(
             or b.fold_feats
             or len(b.feats) != len(tail_feats)
             or not (1 <= len(tail_feats) <= 2)
-            or "," in rewritten
+            or _has_tuple_comma(rewritten)
         ):
             raise ValueError(
                 "aggregate arithmetic over group/distinct maps supports "
@@ -691,7 +769,7 @@ def parse_query_multi(
                 f"(__k, __v0, __v1) -> {body})"
             )
         return input_name, b.feats, [(name, post)], names
-    if "," in rewritten:
+    if _has_tuple_comma(rewritten):
         raise ValueError(
             "tuple outputs are unsupported; declare one output per "
             "component (they fuse into one pass anyway)"

@@ -535,3 +535,58 @@ def test_t02_group_map_arithmetic(salary, strategy, dialect):
             ["from salary ~> group value ~> "
              "sum value / count value + mean value"]
         )
+
+
+def test_two_arg_prelude_aggregates(spark):
+    """covariance/correlation/gradient/intercept parsed from source
+    lower to pair-masked sum folds + closed-form postcomps and match
+    Spark's own covar_samp/corr on both backends; numflips parses as
+    a plain aggregate keyword."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    pdf = pd.DataFrame({
+        "entity": [f"e{i}" for i in rng.integers(0, 30, n)],
+        "time": np.datetime64("2024-01-01")
+        + rng.integers(0, 50 * 86_400, n).astype("timedelta64[s]"),
+        "x": rng.normal(10, 4, n).round(3),
+        "y": rng.normal(5, 2, n).round(3),
+        "seq": np.arange(n, dtype=np.int64),
+    })
+    pdf["y"] = (pdf["y"] + 0.6 * pdf["x"]).round(3)
+    facts = spark.createDataFrame(pdf)
+    snap = "2024-03-01"
+    qs = {
+        "cov": "from f ~> covariance y x",
+        "corr": "from f ~> correlation y x",
+        "grad": "from f ~> gradient y x",
+        "icpt": "from f ~> intercept y x",
+        "flips": "from f ~> numflips (x > 10)",
+    }
+    g = F.covar_samp("y", "x") / F.var_samp("x")
+    ref = (
+        facts.where(f"time < timestamp '{snap}'").groupBy("entity")
+        .agg(
+            F.covar_samp("y", "x").alias("cov"),
+            F.corr("y", "x").alias("corr"),
+            g.alias("grad"),
+            (F.avg("y") - g * F.avg("x")).alias("icpt"),
+        )
+        .toPandas().set_index("entity").sort_index()
+    )
+    for strat, dialect in (("native", "sql"), ("cogroup", "pandas")):
+        plan = parse_program(
+            qs, dialect=dialect, skip_nulls=True,
+            entity_col="entity", time_col="time", seq_col="seq",
+        )["f"]
+        out = (
+            run_plan(facts, plan, snapshot=snap, strategy=strat)
+            .toPandas().set_index("entity").sort_index()
+        )
+        for c in ("cov", "corr", "grad", "icpt"):
+            assert np.allclose(
+                out[c].astype(float), ref[c].astype(float),
+                rtol=1e-7, equal_nan=True,
+            ), (strat, c)
+        assert (out["flips"] >= 0).all()
