@@ -521,7 +521,10 @@ _AGG2_KW = {"covariance", "correlation", "gradient", "intercept"}
 # prelude.icicle / Builtin.hs): rewritten per dialect. `log` is
 # natural log in both (Spark SQL's ln).
 _JUXTA_SQL = {"double": "double({})", "trunc": "int({})", "log": "ln({})",
-              "exp": "exp({})", "sqrt": "sqrt({})", "abs": "abs({})"}
+              "exp": "exp({})", "sqrt": "sqrt({})", "abs": "abs({})",
+              # days since the Ivory epoch 1600-03-01
+              # (Time.hs:149-165 daysCountIvory)
+              "days": "datediff(CAST(({}) AS DATE), DATE '1600-03-01')"}
 _JUXTA_PD = {"double": "(({}) * 1.0)", "log": "log({})", "exp": "exp({})",
              "sqrt": "sqrt({})", "abs": "abs({})"}
 

@@ -590,3 +590,30 @@ def test_two_arg_prelude_aggregates(spark):
                 rtol=1e-7, equal_nan=True,
             ), (strat, c)
         assert (out["flips"] >= 0).all()
+
+
+def test_t16_regression_verbatim(salary):
+    """t16-prelude gradient/correlation lines VERBATIM (with `days`
+    as days-since-Ivory-epoch, Time.hs:149-165): goldens
+    17.53336340594424 / 0.9279829441311143 to fp-accumulation
+    tolerance (sum-of-products vs the reference's Welford fold)."""
+    plan = parse_program(
+        {
+            "grad": "from salary ~> gradient (double value) "
+                    "(double (days time) / 365)",
+            "corr": "from salary ~> correlation (double value) "
+                    "(double (days time) / 365)",
+        },
+        dialect="sql", skip_nulls=True,
+        entity_col="entity", time_col="time", seq_col="seq",
+    )["salary"]
+    out = (
+        run_plan(salary, plan, snapshot=SNAP, strategy="native")
+        .toPandas().set_index("entity")
+    )
+    assert out.loc["homer", "grad"] == pytest.approx(
+        17.53336340594424, rel=1e-9
+    )
+    assert out.loc["homer", "corr"] == pytest.approx(
+        0.9279829441311143, rel=1e-9
+    )
