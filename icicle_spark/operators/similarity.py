@@ -472,6 +472,12 @@ def semantic_contamination(
     matmul + row-max per Arrow batch over ONE corpus scan — no join,
     no shuffle."""
     qp = bench.select(vec_col).toPandas()  # bounded: the eval set
+    if len(qp) == 0:
+        # an empty benchmark contaminates nothing: null max_sim (no
+        # threshold matches) instead of an obscure np.stack crash
+        return corpus.select(
+            id_col, F.lit(None).cast("double").alias("max_sim")
+        )
     qm = np.stack(qp[vec_col].to_numpy()).astype("float64")
     qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
     spark = corpus.sparkSession

@@ -355,7 +355,25 @@ def run_plan(
             keys = [plan.entity_col, "query_time"] + (
                 ["label"] if "label" in chords.columns else []
             )
-        return res.join(errs, on=keys, how="left")
+        joined = res.join(errs, on=keys, how="left")
+        # a postcomp may null OUT OF ITS OWN ARITHMETIC (null-safe
+        # division on unit-init folds: 0/nullif(0,0)); the referenced
+        # folds all report OK then — upgrade to CannotCompute so
+        # codes still explain every null (Primitive.hs:212-233)
+        from pyspark.sql import functions as _F
+
+        from icicle_spark.plans.errors import ERR_CANNOT_COMPUTE
+
+        for name, _e in plan.postcomps:
+            joined = joined.withColumn(
+                f"{name}_err",
+                _F.when(
+                    _F.col(name).isNull()
+                    & (_F.col(f"{name}_err") == 0),
+                    _F.lit(ERR_CANNOT_COMPUTE),
+                ).otherwise(_F.col(f"{name}_err")),
+            )
+        return joined
     # CSE up front, re-aliasing duplicate outputs at the end: the
     # reference shares the fold but keeps every named return
     # (Condense.hs:25-66) — dropping a duplicate's COLUMN would be a

@@ -180,6 +180,34 @@ def _fold_expr(cols: list[str]):
     return const
 
 
+_STR_RE = re.compile(r'"[^"]*"')
+_STR_TOKEN = re.compile(r"__strlit(\d+)x")
+
+
+def _mask_strings(q: str) -> tuple[str, list[str]]:
+    """Replace every double-quoted literal with an opaque identifier
+    token. ALL regex passes (pipeline split, builtin rewrite,
+    aggregate extraction, the `in` separator) run on masked text so a
+    literal containing `log x`, `~>` or ` in ` can never be rewritten
+    (review finding: 'filter kind == \"log x\"' used to become
+    'kind == \"ln(x)\"' silently)."""
+    lits: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"__strlit{len(lits) - 1}x"
+
+    return _STR_RE.sub(repl, q), lits
+
+
+def _unmask(x, lits: list[str]):
+    """Restore literal tokens in a parsed artifact (no-op for
+    callables / None)."""
+    if not isinstance(x, str) or not lits:
+        return x
+    return _STR_TOKEN.sub(lambda m: lits[int(m.group(1))], x)
+
+
 def _split_pipeline(q: str) -> list[str]:
     """Split a query on ``~>`` at paren depth 0 only — parenthesized
     subqueries (`group fold (k,v) = (group t ~> count v)`) keep their
@@ -238,6 +266,7 @@ class _Builder:
         self.group_fold: tuple | None = None  # (k, v, hidden, int?)
         self.folds: dict[str, tuple] = {}  # bind -> (CustomFold, cols)
         self.fold_feats: dict[str, str] = {}  # bind -> hidden feature
+        self.strlits: list[str] = []  # masked string literals
         self.feats: list = []
         self._n = 0
 
@@ -276,7 +305,9 @@ class _Builder:
         repl t04-lets 'Aggregate let outside filter')."""
 
         def J(x):
-            return _juxta(x, self.dialect) if isinstance(x, str) else x
+            if not isinstance(x, str):
+                return x
+            return _unmask(_juxta(x, self.dialect), self.strlits)
 
         return Feature(
             fname, agg, J(expr),
@@ -287,6 +318,21 @@ class _Builder:
             if self.binds else None,
             skip_nulls=self.skip_nulls,
         )
+
+
+def _check_element(b: _Builder, e: str, what: str) -> str:
+    """Aggregate-stage bindings (agg lets, fold binds) inside an
+    ELEMENT expression are a temporality error in the reference
+    ("Cannot join temporalities", doc/user/ambling.md) — raise
+    instead of leaking an unresolved identifier to Spark."""
+    for nm in (*b.agg_lets, *b.folds):
+        if re.search(rf"\b{re.escape(nm)}\b", e):
+            raise ValueError(
+                f"aggregate-stage binding {nm!r} used inside an "
+                f"element expression ({what}); aggregates compose in "
+                "the final expression, not inside another aggregate"
+            )
+    return e
 
 
 def _extract_aggs(b: _Builder, s: str) -> str:
@@ -305,7 +351,8 @@ def _extract_aggs(b: _Builder, s: str) -> str:
         if kw in _AGG2_KW:
             a1, j = _scan_atom(s, j, kw)
             a2, j = _scan_atom(s, j, kw)
-            A, Bx = f"({b.sub(a1)})", f"({b.sub(a2)})"
+            A = f"({_check_element(b, b.sub(a1), kw)})"
+            Bx = f"({_check_element(b, b.sub(a2), kw)})"
 
             def hf(expr, agg=Agg.SUM):
                 h = b.fresh()
@@ -354,13 +401,19 @@ def _extract_aggs(b: _Builder, s: str) -> str:
             a1, j = _scan_atom(s, j, kw)
             a2, j = _scan_atom(s, j, kw)
             agg = Agg.MAX_BY if kw == "max_by" else Agg.MIN_BY
-            b.feats.append(b.mk_feature(hname, agg, b.sub(a2), by=b.sub(a1)))
+            b.feats.append(b.mk_feature(
+                hname, agg, _check_element(b, b.sub(a2), kw),
+                by=_check_element(b, b.sub(a1), kw),
+            ))
         elif kw == "count" and re.match(r"\s*\(\s*\)", s[j:]):
             j += re.match(r"\s*\(\s*\)", s[j:]).end()
             b.feats.append(b.mk_feature(hname, Agg.COUNT, "1"))
         else:
             a, j = _scan_atom(s, j, kw)
-            b.feats.append(b.mk_feature(hname, _AGGS[kw], b.sub(a)))
+            b.feats.append(
+                b.mk_feature(hname, _AGGS[kw],
+                             _check_element(b, b.sub(a), kw))
+            )
         parts.append(hname)
         i = j
     out = "".join(parts)
@@ -378,12 +431,21 @@ def _extract_aggs(b: _Builder, s: str) -> str:
 
 def _apply_context(b: _Builder, c: str) -> None:
     c = c.strip()
+    if b.group_fold is not None:
+        # the map fold FROZE the contexts when it was built; silently
+        # ignoring later filters/windows would change results
+        raise ValueError(
+            f"contexts after `group fold` are unsupported: {c!r}"
+        )
     m = re.fullmatch(r"filter\s+let\s+Some\s+(\w+)\s*=\s*(.+)", c, re.S)
     if m:
         b.binds.append((m.group(1), b.sub(_strip_some(m.group(2)))))
         b._filter_since_latest = True
         return
-    m = re.fullmatch(r"filter\s+let\s+(\"[^\"]*\"|[-\d.]+)\s*=\s*(.+)", c, re.S)
+    m = re.fullmatch(
+        r"filter\s+let\s+(__strlit\d+x|\"[^\"]*\"|[-\d.]+)\s*=\s*(.+)",
+        c, re.S,
+    )
     if m:
         # literal pattern: equality filter (repl t04.1)
         eq = "==" if b.dialect == "pandas" else "="
@@ -477,8 +539,8 @@ def _apply_context(b: _Builder, c: str) -> None:
         # python forms (log/exp/sqrt/abs are provided functions)
         b.folds[bind] = _compile_fold(
             bind,
-            _juxta(b.sub(init_src), "pandas"),
-            _juxta(b.sub(step_src), "pandas"),
+            _unmask(_juxta(b.sub(init_src), "pandas"), b.strlits),
+            _unmask(_juxta(b.sub(step_src), "pandas"), b.strlits),
             kw == "fold1",
         )
         return
@@ -685,6 +747,7 @@ def parse_query_multi(
     Core/Program/Program.hs:33-36)."""
     import dataclasses
 
+    q, _strlits = _mask_strings(q)
     segs = _split_pipeline(q.strip())
     m = re.fullmatch(r"from\s+([A-Za-z_]\w*)", segs[0])
     if not m:
@@ -693,6 +756,7 @@ def parse_query_multi(
     if len(segs) < 2:
         raise ValueError("query has no aggregate")
     b = _Builder(dialect, name, skip_nulls)
+    b.strlits = _strlits
     for c in segs[1:-1]:
         _apply_context(b, c)
     tail = segs[-1].strip()
@@ -700,7 +764,7 @@ def parse_query_multi(
         raise ValueError("`now` is not an aggregate; use the snapshot time")
 
     if b.group_fold is not None:
-        post = _group_fold_tail(tail, *b.group_fold)
+        post = _unmask(_group_fold_tail(tail, *b.group_fold), b.strlits)
         return (
             input_name,
             b.feats,
@@ -771,7 +835,7 @@ def parse_query_multi(
                 f"map_zip_with({names[0]}, {names[1]}, "
                 f"(__k, __v0, __v1) -> {body})"
             )
-        return input_name, b.feats, [(name, post)], names
+        return input_name, b.feats, [(name, _unmask(post, b.strlits))], names
     if _has_tuple_comma(rewritten):
         raise ValueError(
             "tuple outputs are unsupported; declare one output per "
@@ -779,7 +843,9 @@ def parse_query_multi(
         )
     # postcomps are always Spark SQL; divisions are null-on-zero (the
     # engine's Possibly error channel), then juxtaposed builtins
-    rewritten = _juxta(_safe_divisions(rewritten), "sql")
+    rewritten = _unmask(
+        _juxta(_safe_divisions(rewritten), "sql"), b.strlits
+    )
     return (
         input_name,
         b.feats,
@@ -982,15 +1048,18 @@ def parse_dictionary_source(
         m = re.match(r"feature\s+(\w+)\s*=\s*(.+)", block, re.S)
         if m:
             name, q = m.group(1), m.group(2)
-            q = re.sub(r"\bin\b", "~>", q)
+            # mask string literals so an `in` INSIDE a literal never
+            # becomes a pipeline separator (review finding)
+            q, _lits = _mask_strings(q)
+            q = _unmask(re.sub(r"\bin\b", "~>", q), _lits)
             try:
-                qinput, _f, _p, _h = (
+                qinput, feats, posts, hidden = (
                     parse_query_multi(q, name, dialect, skip_nulls)
                 )
                 outputs.append(
                     DictionaryOutput(
-                        name, qinput, query=q, dialect=dialect,
-                        skip_nulls=skip_nulls,
+                        name, qinput, features=tuple(feats),
+                        postcomps=tuple(posts), hidden=tuple(hidden),
                     )
                 )
                 feature_inputs.add(qinput)

@@ -105,6 +105,11 @@ def main(argv: list[str] | None = None) -> int:
         )
         docs = docs.join(F.broadcast(flagged), on=args.id_col,
                          how="left_anti")
+    # persist the cleaned corpus: the signal stage, the (optional)
+    # word-freq build, both writes and the reason summary all read it
+    # — without this the dedup+decontamination DAG re-executes up to
+    # five times
+    docs = docs.persist()
     n_clean = docs.count()
 
     # 3. quality signals: one scan-side stage; log-prob adds the
@@ -119,8 +124,10 @@ def main(argv: list[str] | None = None) -> int:
             lp.select(args.id_col, "logprob"), on=args.id_col, how="left"
         )
 
-    # 4. declarative policy (first failing rule recorded)
-    out = quality_filter(sig, build_rules(args))
+    # 4. declarative policy (first failing rule recorded); persisted
+    # because kept/dropped writes and the reason summary each consume
+    # it
+    out = quality_filter(sig, build_rules(args)).persist()
 
     kept_path = os.path.join(args.output, "kept")
     dropped_path = os.path.join(args.output, "dropped")
@@ -147,6 +154,8 @@ def main(argv: list[str] | None = None) -> int:
     with open(os.path.join(args.output, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2, sort_keys=True)
     print(json.dumps(summary, sort_keys=True))
+    out.unpersist()
+    docs.unpersist()
     return 0
 
 

@@ -207,3 +207,21 @@ def test_semantic_decontamination(spark):
     assert abs(sims.loc[2, "max_sim"]) < 0.2
     kept = semantic_decontaminate(corpus, bench, threshold=0.9)
     assert sorted(r.vec_id for r in kept.select("vec_id").collect()) == [2, 3]
+
+
+def test_semantic_contamination_empty_benchmark(spark):
+    import pandas as pd
+
+    from icicle_spark.operators.similarity import (
+        semantic_contamination,
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1], "embedding": [[1.0, 0.0]]})
+    )
+    bench = corpus.where("vec_id < 0")  # empty
+    sims = semantic_contamination(corpus, bench).toPandas()
+    assert len(sims) == 1 and pd.isna(sims.loc[0, "max_sim"])
+    kept = semantic_decontaminate(corpus, bench, threshold=0.5)
+    assert kept.count() == 1

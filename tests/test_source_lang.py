@@ -617,3 +617,75 @@ def test_t16_regression_verbatim(salary):
     assert out.loc["homer", "corr"] == pytest.approx(
         0.9279829441311143, rel=1e-9
     )
+
+
+def test_review_fixes_string_literals_and_temporality(spark, salary):
+    """Code-review regressions: string literals survive every rewrite
+    pass; aggregate-stage bindings in element position and contexts
+    after `group fold` raise instead of silently misparsing."""
+    from icicle_spark.source_lang import (
+        parse_dictionary_source,
+        parse_query_multi,
+    )
+
+    # literal containing a builtin name is never rewritten
+    _, feats, _, _ = parse_query_multi(
+        'from events ~> filter kind = "log x" ~> count value', "q"
+    )
+    assert feats[0].where == 'kind = "log x"'
+    # literal containing the pipeline arrow / `in` separator
+    _, feats, _, _ = parse_query_multi(
+        'from events ~> filter note = "a ~> b" ~> count value', "q"
+    )
+    assert feats[0].where == 'note = "a ~> b"'
+    d, skipped = parse_dictionary_source(
+        "input clicks : Int\n\nfeature f1 =\n  from clicks\n"
+        '    in filter note = "opt in"\n    in sum value\n'
+    )
+    assert "f1" in d.outputs and not skipped
+    # temporality errors are loud
+    with pytest.raises(ValueError, match="aggregate-stage binding"):
+        parse_query_multi(
+            "from s ~> let n = count value ~> sum (value / n)", "q"
+        )
+    with pytest.raises(ValueError, match="aggregate-stage binding"):
+        parse_query_multi(
+            "from s ~> fold c = 0 then c + 1 ~> sum (value * c)", "q"
+        )
+    with pytest.raises(ValueError, match="after `group fold`"):
+        parse_query_multi(
+            "from s ~> group fold (k, v) = (group t ~> count value) "
+            "~> filter value > 100 ~> sum v", "q"
+        )
+    # the literal-pattern filter still evaluates (masked token path)
+    r = _run(
+        salary, 'from salary ~> filter let 100 = value ~> count value',
+        "sql", "native",
+    )
+    assert r.loc["homer", "q0"] == 1
+
+
+def test_postcomp_err_covers_own_arithmetic(spark):
+    """An entity whose postcomp nulls out of its OWN division (unit
+    inits: 0/nullif(0,0)) reports CannotCompute, not OK."""
+    pdf = pd.DataFrame({
+        "entity": ["a", "b"],
+        "time": pd.to_datetime(["2024-01-01", "2024-06-01"]),
+        "seq": [0, 1],
+        "value": [1.0, 5.0],
+    })
+    df = spark.createDataFrame(pdf)
+    plan = parse_program(
+        {"avg": "from f ~> sum value / count value"},
+        dialect="sql", entity_col="entity", time_col="time",
+        seq_col="seq",
+    )["f"]
+    # snapshot before b's only fact: b has zero visible facts ->
+    # sum=0, count=0, avg=null with no poisoned fold
+    out = (
+        run_plan(df, plan, snapshot="2024-03-01", strategy="native",
+                 error_codes=True)
+        .toPandas().set_index("entity").sort_index()
+    )
+    assert out.loc["a", "avg"] == 1.0 and out.loc["a", "avg_err"] == 0
+    assert pd.isna(out.loc["b", "avg"]) and out.loc["b", "avg_err"] == 3
