@@ -689,3 +689,36 @@ def test_postcomp_err_covers_own_arithmetic(spark):
     )
     assert out.loc["a", "avg"] == 1.0 and out.loc["a", "avg_err"] == 0
     assert pd.isna(out.loc["b", "avg"]) and out.loc["b", "avg_err"] == 3
+
+
+@pytest.mark.parametrize("strategy,dialect", [
+    ("native", "sql"), ("cogroup", "pandas"),
+])
+def test_t03_distinct_verbatim(salary, injury, strategy, dialect):
+    """t03-distinct script lines VERBATIM through the parser."""
+    plan = parse_program(
+        {
+            "dv": "from salary ~> distinct value ~> count value",
+            "dt": "from salary ~> distinct time ~> count value",
+            "dtm": "from salary ~> distinct time ~> mean value",
+        },
+        dialect=dialect, skip_nulls=True,
+        entity_col="entity", time_col="time", seq_col="seq",
+    )["salary"]
+    r = (
+        run_plan(salary, plan, snapshot=SNAP, strategy=strategy)
+        .toPandas().set_index("entity").sort_index()
+    )
+    assert r.loc["homer", "dv"] == 5 and r.loc["marge", "dv"] == 3
+    assert r.loc["homer", "dt"] == 5 and r.loc["marge", "dt"] == 1
+    assert r.loc["homer", "dtm"] == 300.0 and r.loc["marge", "dtm"] == 0.0
+    plan_i = parse_program(
+        {"dl": "from injury ~> distinct location ~> count location"},
+        dialect=dialect, skip_nulls=True,
+        entity_col="entity", time_col="time", seq_col="seq",
+    )["injury"]
+    ri = (
+        run_plan(injury, plan_i, snapshot=SNAP, strategy=strategy)
+        .toPandas().set_index("entity")
+    )
+    assert ri.loc["homer", "dl"] == 3
