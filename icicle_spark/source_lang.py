@@ -84,42 +84,41 @@ class _Uninit:
     element; an empty stream yields no value)."""
 
 
-_FOLD_FUNCS = {
-    "log": math.log, "exp": math.exp, "sqrt": math.sqrt, "abs": abs,
-    "floor": math.floor, "ceil": math.ceil, "pow": pow,
-    "minimum": min, "maximum": max,
-}
-_FOLD_KEYWORDS = {"and", "or", "not", "True", "False", "None", "if",
-                  "else"}
-_ID_RE = re.compile(r"[A-Za-z_]\w*")
-
-
-def _fold_cols(srcs: list[str], bind: str) -> list[str]:
-    """Fact columns a fold body references: every identifier that is
-    not the bind, a provided function, or a python keyword."""
-    cols: set[str] = set()
-    for s in srcs:
-        for m in _ID_RE.finditer(s or ""):
-            w = m.group(0)
-            if w != bind and w not in _FOLD_FUNCS and w not in _FOLD_KEYWORDS:
-                cols.add(w)
-    return sorted(cols)
-
-
 def _compile_fold(bind: str, init_src: str, step_src: str, fold1: bool):
     """``fold x = INIT then STEP`` -> CustomFold (Context.hs:32-33).
 
-    Bodies are python-eval expressions over the bind + fact columns
-    (with log/exp/sqrt/abs/floor/ceil/pow/minimum/maximum). Sequential
-    by construction — the faithful reading of an Icicle fold; for
-    vectorizable folds build CustomFold(step=...) directly at the API
-    layer. Multi-column bodies receive raw values (handle nulls in the
-    body); single-column bodies go through the engine's usual element
-    null channel."""
-    cols = _fold_cols([step_src] + ([init_src] if fold1 else []), bind)
-    step_code = compile(step_src, "<fold-step>", "eval")
-    init_code = compile(init_src, "<fold-init>", "eval")
-    funcs = dict(_FOLD_FUNCS)
+    Bodies are Icicle expressions parsed by :mod:`icicle_spark.
+    exprlang` (constructors, case patterns, tuples, map_insert/
+    map_create, the scalar builtins). Sequential by construction —
+    the faithful reading of an Icicle fold; for vectorizable folds
+    build CustomFold(step=...) directly at the API layer. Constructor
+    states unwrap to their payload at output (the repl prints
+    `Right 5.0` as 5.0 — t13 goldens); map states come back with
+    Data.Map sorted-key order."""
+    from icicle_spark import exprlang as X
+
+    step_ast = X.parse(step_src)
+    init_ast = X.parse(init_src)
+    cols = sorted(
+        (X.free_vars(step_ast) | (X.free_vars(init_ast) if fold1 else set()))
+        - {bind}
+    )
+    # a fold body that rebuilds its own state under a constructor
+    # (`fold g = Left 0 then Right g`) is an infinite type in the
+    # reference checker (t08-randomly rejects it) — detect the direct
+    # self-wrap form and refuse likewise
+    def _self_wrap(node) -> bool:
+        return (
+            node[0] == "ctor"
+            and node[2] is not None
+            and node[2] == ("var", bind)
+        )
+
+    if _self_wrap(step_ast):
+        raise ValueError(
+            f"fold {bind!r} wraps its own state in a constructor — "
+            "infinite type (the reference checker rejects this)"
+        )
 
     if fold1:
         seed: object = _Uninit()
@@ -129,17 +128,17 @@ def _compile_fold(bind: str, init_src: str, step_src: str, fold1: bool):
                 {cols[0]: x} if cols else {}
             )
             if isinstance(acc, _Uninit):
-                return eval(init_code, {"__builtins__": {}}, {**funcs, **env})
+                return X.evaluate(init_ast, env)
             env[bind] = acc
-            return eval(step_code, {"__builtins__": {}}, {**funcs, **env})
+            return X.evaluate(step_ast, env)
 
         def output(acc):
-            return None if isinstance(acc, _Uninit) else acc
+            return None if isinstance(acc, _Uninit) else X.unwrap_output(acc)
 
         return CustomFold(seed, step_seq=step_seq, output=output), cols
 
     try:
-        init_val = eval(init_code, {"__builtins__": {}}, dict(funcs))
+        init_val = X.evaluate(init_ast, {})
     except NameError as e:
         raise ValueError(
             f"fold init {init_src!r} must be a constant (use fold1 to "
@@ -151,9 +150,16 @@ def _compile_fold(bind: str, init_src: str, step_src: str, fold1: bool):
             {cols[0]: x} if cols else {}
         )
         env[bind] = acc
-        return eval(step_code, {"__builtins__": {}}, {**funcs, **env})
+        return X.evaluate(step_ast, env)
 
-    return CustomFold(init_val, step_seq=step_seq), cols
+    dtype = X.infer_dtype_of_value(init_val)
+    return (
+        CustomFold(
+            init_val, step_seq=step_seq, output=X.unwrap_output,
+            dtype=dtype,
+        ),
+        cols,
+    )
 
 
 def _fold_expr(cols: list[str]):
@@ -535,12 +541,12 @@ def _apply_context(b: _Builder, c: str) -> None:
         kw, bind, init_src, step_src = m.groups()
         if bind in b.folds or bind in b.lets or bind in b.agg_lets:
             raise ValueError(f"fold bind {bind!r} already bound")
-        # fold bodies are python-eval; juxtaposed builtins get the
-        # python forms (log/exp/sqrt/abs are provided functions)
+        # fold bodies are Icicle expressions (exprlang): constructors,
+        # case patterns, maps and the scalar builtins all parse natively
         b.folds[bind] = _compile_fold(
             bind,
-            _unmask(_juxta(b.sub(init_src), "pandas"), b.strlits),
-            _unmask(_juxta(b.sub(step_src), "pandas"), b.strlits),
+            _unmask(b.sub(init_src), b.strlits),
+            _unmask(b.sub(step_src), b.strlits),
             kw == "fold1",
         )
         return
