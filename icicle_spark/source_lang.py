@@ -186,7 +186,8 @@ def _fold_expr(cols: list[str]):
     return const
 
 
-_STR_RE = re.compile(r'"[^"]*"')
+_STR_RE = re.compile(r'"(?:\\.|[^"\\])*"')  # backslash escapes accepted
+                                            # (Lexer.hs lexStringChar)
 _STR_TOKEN = re.compile(r"__strlit(\d+)x")
 
 
@@ -270,6 +271,7 @@ class _Builder:
         self.group: str | None = None
         self.distinct: str | None = None
         self.group_fold: tuple | None = None  # (k, v, hidden, int?)
+        self.elem_markers: dict[str, str] = {}  # array-fold group binds
         self.folds: dict[str, tuple] = {}  # bind -> (CustomFold, cols)
         self.fold_feats: dict[str, str] = {}  # bind -> hidden feature
         self.strlits: list[str] = []  # masked string literals
@@ -301,11 +303,12 @@ class _Builder:
         return j.join(f"({f})" for f in self.filters)
 
     def fresh(self) -> str:
-        n = f"__{self.qname}_{self._n}"
-        self._n += 1
+        root = getattr(self, "_fresh_root", None) or self
+        n = f"__{root.qname}_{root._n}"
+        root._n += 1
         return n
 
-    def mk_feature(self, fname: str, agg, expr, by=None):
+    def mk_feature(self, fname: str, agg, expr, by=None, dtype=None):
         """A Feature frozen over the CURRENT context state (aggregate
         lets bind before later contexts narrow the stream —
         repl t04-lets 'Aggregate let outside filter')."""
@@ -323,7 +326,208 @@ class _Builder:
             filter_let=tuple((n, J(e)) for n, e in self.binds)
             if self.binds else None,
             skip_nulls=self.skip_nulls,
+            dtype=dtype,
         )
+
+
+def _child_builder(b: _Builder) -> _Builder:
+    """A builder for a nested subquery: inherits the parent's context
+    state (a subquery refines the outer stream), SHARES the parent's
+    feature list and fresh-name counter (hidden folds land in the one
+    fused plan — Fusion.hs semantics)."""
+    c = _Builder(b.dialect, b.qname, b.skip_nulls)
+    c.filters = list(b.filters)
+    c.binds = list(b.binds)
+    c.lets = dict(b.lets)
+    c.agg_lets = dict(b.agg_lets)
+    c.elem_markers = dict(b.elem_markers)
+    c.window = b.window
+    c.latest = b.latest
+    c.latest_outer = b.latest_outer
+    c._filter_since_latest = b._filter_since_latest
+    c.group = b.group
+    c.distinct = b.distinct
+    c.folds = dict(b.folds)
+    c.fold_feats = b.fold_feats  # shared: fold folds dedupe across scopes
+    c.strlits = b.strlits
+    c.feats = b.feats  # SHARED
+    c._fresh_root = getattr(b, "_fresh_root", None) or b
+    return c
+
+
+def _strip_outer_parens(s: str) -> str | None:
+    """Inner text when ``s`` is exactly one balanced ``(...)`` group."""
+    s = s.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        return None
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0 and i != len(s) - 1:
+                return None
+    return s[1:-1].strip() if depth == 0 else None
+
+
+def _top_arrow(s: str) -> bool:
+    depth = 0
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and s.startswith("~>", i):
+            return True
+        i += 1
+    return False
+
+
+def _split_top_tuple(s: str) -> list[str] | None:
+    """Components of a tuple tail ``(a, b, ...)`` — depth-0 commas of
+    the outer-paren inner; None when not a syntactic tuple."""
+    inner = _strip_outer_parens(s)
+    if inner is None:
+        return None
+    comps, depth, cur = [], 0, []
+    for ch in inner:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            comps.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    comps.append("".join(cur).strip())
+    return comps if len(comps) > 1 else None
+
+
+def _lower_subqueries(b: _Builder, text: str) -> str:
+    """Replace every parenthesized SUB-PIPELINE (a ``(...)`` group
+    whose inner has a depth-0 ``~>``) with a hidden-fold fragment
+    (t80 `let arr = (latest 3 ~> value)`, t05 tuple components).
+    Recurses into non-pipeline groups (`get (Some (latest 3 ~> v))`)."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch != "(":
+            out.append(ch)
+            i += 1
+            continue
+        depth = 0
+        j = i
+        while j < n:
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            raise ValueError(f"unbalanced parens in {text!r}")
+        inner = text[i + 1 : j]
+        if _top_arrow(inner):
+            out.append(_compile_subquery(b, inner))
+        else:
+            out.append("(" + _lower_subqueries(b, inner) + ")")
+        i = j + 1
+    return "".join(out)
+
+
+def _compile_subquery(b: _Builder, inner: str) -> str:
+    """Compile a nested pipeline to hidden folds in the parent's
+    feature list; returns the postcomp fragment that stands for it."""
+    segs = _split_pipeline(inner)
+    c = _child_builder(b)
+    for cc in segs[:-1]:
+        _apply_context(c, cc)
+    tail = segs[-1].strip()
+    if c.group_fold is not None:
+        raise ValueError("group fold inside a subquery is unsupported")
+    n0 = len(b.feats)
+    rew = _extract_aggs(c, tail)
+    had_let = any(
+        re.search(rf"\b{re.escape(k)}\b", rew) for k in c.agg_lets
+    )
+    rew = c.sub(c.sub_agg(rew)).strip()
+    if len(b.feats) == n0 and not had_let:
+        if c.latest is not None:
+            # bare element under latest -> hidden COLLECT array
+            h = b.fresh()
+            expr = c.sub(tail)
+            dtype = (
+                "array<timestamp>" if expr.strip() == "time" else None
+            )
+            b.feats.append(
+                c.mk_feature(h, Agg.COLLECT, expr, dtype=dtype)
+            )
+            return h
+        if c.group is not None:
+            # `group K ~> const` (t31 `keys (group location ~> 1)`):
+            # the key-set map — NEWEST of the constant per key
+            h = b.fresh()
+            b.feats.append(c.mk_feature(h, Agg.NEWEST, c.sub(tail)))
+            return h
+        raise ValueError(f"subquery has no aggregate: {inner!r}")
+    m = re.fullmatch(r"\(?\s*(__\w+)\s*\)?", rew)
+    return m.group(1) if m else f"({rew})"
+
+
+_NOW_TOKEN = "__icicle_now"
+
+
+def _now_sub(s: str) -> str:
+    """`now` is the query time — the EXCLUSIVE snapshot instant or the
+    chord row's query_time (Time.hs:235-237). Postcomps carry a
+    placeholder; run_plan / compile_native substitute the actual
+    instant (ir.resolve_now)."""
+    return re.sub(r"\bnow\b", _NOW_TOKEN, s)
+
+
+_EXPRLANG_MARKER = re.compile(
+    r"\bcase\b|\bif\b|[{]|\bSome\b|\bNone\b|\bLeft\b|\bRight\b"
+    r"|\bExceptTombstone\b"
+)
+
+
+def _render_post(b: _Builder, frag: str) -> str:
+    """Render one postcomp fragment to Spark SQL: exprlang for
+    case/constructor syntax (constant-folding closed expressions),
+    the juxta/safe-division pipeline otherwise."""
+    frag = frag.strip()
+    if _EXPRLANG_MARKER.search(frag):
+        from icicle_spark import exprlang as X
+
+        ast = X.parse(_unmask(frag, b.strlits))
+        if X.is_constant(ast):
+            return _sql_value(X.unwrap_output(X.evaluate(ast, {})))
+        return _now_sub(X.to_sql(ast))
+    return _now_sub(_unmask(_juxta(_safe_divisions(frag), "sql"), b.strlits))
+
+
+def _sql_value(v) -> str:
+    """A python CONSTANT as a SQL literal (constant-folded case/record
+    tails — t13.1, t07 `(map_insert 0 0 map_create, 0)`)."""
+    from icicle_spark.exprlang import sql_lit
+
+    if isinstance(v, dict):
+        parts = ", ".join(
+            f"{_sql_value(str(k))}, {_sql_value(x)}" for k, x in v.items()
+        )
+        return f"map({parts})"
+    if isinstance(v, tuple):
+        parts = ", ".join(
+            f"'f{i+1}', {_sql_value(x)}" for i, x in enumerate(v)
+        )
+        return f"named_struct({parts})"
+    return sql_lit(v)
 
 
 def _check_element(b: _Builder, e: str, what: str) -> str:
@@ -403,7 +607,25 @@ def _extract_aggs(b: _Builder, s: str) -> str:
             i = j
             continue
         hname = b.fresh()
-        if kw in ("max_by", "min_by"):
+        if kw == "numflips'":
+            # numflips' v tomb (prelude.icicle:278-291): tombstones
+            # lift to a distinct None state, so ⊥-runs collapse and
+            # v→⊥ / ⊥→v transitions count as flips
+            if b.dialect != "sql":
+                raise ValueError("numflips' requires the sql dialect")
+            a1, j = _scan_atom(s, j, kw)
+            a2, j = _scan_atom(s, j, kw)  # tombstone flag: the engine
+            # encodes tombstones as null VALUES (prepare_facts nulls
+            # them before any fold sees them), so the Option lift is a
+            # coalesce onto a marker state — ⊥-runs collapse, v→⊥ and
+            # ⊥→v count as flips, and no null survives to poison
+            _check_element(b, b.sub(a2), kw)
+            lift = (
+                f"coalesce(cast(({_check_element(b, b.sub(a1), kw)}) "
+                f"as string), '__icicle_tomb')"
+            )
+            b.feats.append(b.mk_feature(hname, Agg.NUMFLIPS, lift))
+        elif kw in ("max_by", "min_by"):
             a1, j = _scan_atom(s, j, kw)
             a2, j = _scan_atom(s, j, kw)
             agg = Agg.MAX_BY if kw == "max_by" else Agg.MIN_BY
@@ -550,32 +772,128 @@ def _apply_context(b: _Builder, c: str) -> None:
             kw == "fold1",
         )
         return
-    m = re.fullmatch(r"let\s+(\w+)\s*=\s*(.+)", c, re.S)
+    m = re.fullmatch(r"let\s+(.+)", c, re.S)
     if m:
-        nm, rhs = m.group(1), m.group(2)
-        if nm in b.lets or nm in b.agg_lets or nm in b.folds:
-            raise ValueError(f"let {nm!r} already bound")
-        if _AGG_KW.search(rhs) or any(
-            re.search(rf"\b{re.escape(x)}\b", rhs)
-            for x in (*b.folds, *b.agg_lets)
-        ):
-            # aggregate `let` (repl t04-lets): its folds FREEZE the
-            # contexts seen so far; the value is a postcomp fragment
-            # element lets are constants at aggregate level — b.sub
-            # covers uses OUTSIDE aggregate arguments too
-            b.agg_lets[nm] = (
-                "(" + b.sub(b.sub_agg(_extract_aggs(b, rhs))) + ")"
-            )
-        else:
-            b.lets[nm] = b.sub(rhs)
+        # multiple bindings separate with `;` (t09.1:
+        # `let a = (...); b = (...)`)
+        for binding in _split_top_semis(m.group(1)):
+            _apply_one_let(b, binding.strip())
         return
     raise ValueError(f"unsupported context: {c!r}")
 
 
+def _split_top_semis(s: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == ";" and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _apply_one_let(b: _Builder, binding: str) -> None:
+    # tuple pattern: `let (x, _) = (a, b)` binds component-wise
+    # (Exp.hs tuple binds, repl t04-lets:27-31)
+    m = re.fullmatch(r"\(\s*([\w'\s,_]+?)\s*\)\s*=\s*(.+)", binding, re.S)
+    if m and "," in m.group(1):
+        names = [p.strip() for p in m.group(1).split(",")]
+        rhs = m.group(2).strip()
+        comps = _split_top_tuple(rhs)
+        if comps is None or len(comps) != len(names):
+            raise ValueError(
+                f"tuple let pattern arity mismatch: {binding!r}"
+            )
+        for nm, comp in zip(names, comps):
+            if nm == "_":
+                continue
+            _apply_one_let(b, f"{nm} = {comp.strip()}")
+        return
+    m = re.fullmatch(r"(\w[\w']*)\s*=\s*(.+)", binding, re.S)
+    if not m:
+        raise ValueError(f"unsupported let binding: {binding!r}")
+    nm, rhs = m.group(1), m.group(2).strip()
+    if (
+        nm in b.lets or nm in b.agg_lets or nm in b.folds
+        or nm in b.elem_markers
+    ):
+        raise ValueError(f"let {nm!r} already bound")
+    # `array fold v = COL ~> agg v` — a PER-FACT reduction over an
+    # array-typed column (repl t09.1, Context.hs ArrayFold): lowers to
+    # JVM array HOFs, an element-level bind
+    inner = _strip_outer_parens(rhs)
+    mm = re.fullmatch(
+        r"array\s+fold\s+(\w+)\s*=\s*(\w+)\s*~>\s*(.+)",
+        inner if inner is not None else rhs, re.S,
+    )
+    if mm:
+        v, col, atail = mm.group(1), mm.group(2), mm.group(3).strip()
+        if b.dialect != "sql":
+            raise ValueError("array fold requires the sql dialect")
+        if re.fullmatch(rf"count\s+(?:{re.escape(v)}|\(\s*\))", atail):
+            b.lets[nm] = f"size({col})"
+        elif re.fullmatch(rf"sum\s+{re.escape(v)}", atail):
+            b.lets[nm] = (
+                f"aggregate({col}, cast(0 as bigint), (a, x) -> a + x)"
+            )
+        elif re.match(rf"group\s+{re.escape(v)}\b", atail):
+            # `array fold v = COL ~> group v ~> E` — per-fact map of
+            # distinct elements; only consumable by the paired
+            # `group fold (k,v) = NAME ~> sum k` (sum of distinct)
+            b.elem_markers[nm] = col
+        else:
+            raise ValueError(f"unsupported array fold tail: {atail!r}")
+        return
+    # `group fold (k,v) = NAME ~> sum k` over an array-fold group
+    # marker: sum of the map's KEYS = sum of distinct array elements
+    mm = re.fullmatch(
+        r"group\s+fold\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*=\s*(\w+)"
+        r"\s*~>\s*sum\s+(\w+)",
+        inner if inner is not None else rhs, re.S,
+    )
+    if mm and mm.group(3) in b.elem_markers:
+        if mm.group(4) != mm.group(1):
+            raise ValueError(
+                "group fold over an element map supports `sum k` only"
+            )
+        col = b.elem_markers[mm.group(3)]
+        b.lets[nm] = (
+            f"aggregate(array_distinct({col}), cast(0 as bigint), "
+            f"(a, x) -> a + x)"
+        )
+        return
+    # aggregate-valued SUBQUERY binds: `let arr = (latest 3 ~> value)`
+    # (repl t80, t31) — compile the parenthesized pipeline to hidden
+    # folds; the bind becomes a postcomp fragment
+    lowered = _lower_subqueries(b, rhs)
+    if lowered != rhs:
+        b.agg_lets[nm] = f"({b.sub_agg(lowered)})"
+        return
+    if _AGG_KW.search(rhs) or any(
+        re.search(rf"\b{re.escape(x)}\b", rhs)
+        for x in (*b.folds, *b.agg_lets)
+    ):
+        # aggregate `let` (repl t04-lets): its folds FREEZE the
+        # contexts seen so far; the value is a postcomp fragment
+        # element lets are constants at aggregate level — b.sub
+        # covers uses OUTSIDE aggregate arguments too
+        b.agg_lets[nm] = (
+            "(" + b.sub(b.sub_agg(_extract_aggs(b, rhs))) + ")"
+        )
+    else:
+        b.lets[nm] = b.sub(rhs)
+
+
 _AGG_KW = re.compile(
-    r"\b(sum|count|mean|min|max|newest|oldest|variance|sd|any|all"
-    r"|max_by|min_by|covariance|correlation|gradient|intercept"
-    r"|numflips)\b"
+    r"\b(numflips'|sum|count|mean|min|max|newest|oldest|variance|sd|any"
+    r"|all|max_by|min_by|covariance|correlation|gradient|intercept"
+    r"|numflips)(?![\w'])"
 )
 
 # two-argument prelude aggregates (prelude.icicle:219-255): lowered to
@@ -588,21 +906,44 @@ _AGG2_KW = {"covariance", "correlation", "gradient", "intercept"}
 # Juxtaposed scalar functions (Icicle application syntax `double x`,
 # prelude.icicle / Builtin.hs): rewritten per dialect. `log` is
 # natural log in both (Spark SQL's ln).
-_JUXTA_SQL = {"double": "double({})", "trunc": "int({})", "log": "ln({})",
-              "exp": "exp({})", "sqrt": "sqrt({})", "abs": "abs({})",
-              # days since the Ivory epoch 1600-03-01
-              # (Time.hs:149-165 daysCountIvory)
-              "days": "datediff(CAST(({}) AS DATE), DATE '1600-03-01')"}
+_JUXTA_SQL = {
+    "double": "double({})", "trunc": "int({})", "log": "ln({})",
+    "exp": "exp({})", "sqrt": "sqrt({})", "abs": "abs({})",
+    "floor": "floor({})", "ceil": "ceiling({})",
+    "sin": "sin({})", "cos": "cos({})", "tan": "tan({})",
+    "asin": "asin({})", "acos": "acos({})", "atan": "atan({})",
+    "sinh": "sinh({})", "cosh": "cosh({})", "tanh": "tanh({})",
+    "atan2": "atan2({0}, {1})",
+    # days since the Ivory epoch 1600-03-01
+    # (Time.hs:149-165 daysCountIvory)
+    "days": "datediff(CAST(({}) AS DATE), DATE '1600-03-01')",
+    "days_between": "datediff(CAST(({1}) AS DATE), CAST(({0}) AS DATE))",
+    "year_of": "year({})", "month_of": "month({})", "day_of": "day({})",
+    # arrays / options / pairs (Prim.hs, prelude.icicle)
+    "sort": "array_sort({})", "length": "size({})",
+    "index": "get(({0}), ({1}))",  # 0-based, null OOB (Prim.hs:147-152)
+    "keys": "map_keys({})", "vals": "map_values({})",
+    "get": "({})", "get_or_else": "coalesce(({1}), ({0}))",
+    "is_some": "(({}) IS NOT NULL)", "is_none": "(({}) IS NULL)",
+    "box": "({})", "fst": "({}).f1", "snd": "({}).f2",
+    "seq": "({1})", "not": "(NOT ({}))",
+}
+_JUXTA_ARGN = {"atan2": 2, "days_between": 2, "index": 2,
+               "get_or_else": 2, "seq": 2}
 _JUXTA_PD = {"double": "(({}) * 1.0)", "log": "log({})", "exp": "exp({})",
-             "sqrt": "sqrt({})", "abs": "abs({})"}
+             "sqrt": "sqrt({})", "abs": "abs({})",
+             "sin": "sin({})", "cos": "cos({})", "tan": "tan({})",
+             "floor": "floor({})"}
 
 
 def _juxta(s: str, dialect: str) -> str:
     """`double x` / `log (x + 1)` -> dialect call syntax, recursively
-    (also normalizes call syntax `log(x)` — same rewrite)."""
+    (also normalizes call syntax `log(x)` — same rewrite). Multi-arg
+    builtins (`atan2 a b`, `index arr i`) consume one atom per
+    argument — application binds tightest."""
     table = _JUXTA_SQL if dialect == "sql" else _JUXTA_PD
     pat = re.compile(
-        r"\b(" + "|".join(_JUXTA_SQL) + r")\b"
+        r"\b(" + "|".join(_JUXTA_SQL) + r")(?![\w'])"
     )
     out: list[str] = []
     i = 0
@@ -617,9 +958,13 @@ def _juxta(s: str, dialect: str) -> str:
             raise ValueError(
                 f"builtin {kw!r} has no {dialect!r}-dialect form"
             )
-        atom, j = _scan_atom(s, m.end(), kw)
-        inner = atom[1:-1] if atom.startswith("(") else atom
-        out.append(table[kw].format(_juxta(inner, dialect)))
+        args: list[str] = []
+        j = m.end()
+        for _ in range(_JUXTA_ARGN.get(kw, 1)):
+            atom, j = _scan_atom(s, j, kw)
+            inner = atom[1:-1] if atom.startswith("(") else atom
+            args.append(_juxta(inner, dialect))
+        out.append(table[kw].format(*args))
         i = j
 
 
@@ -633,6 +978,9 @@ def _scan_atom(s: str, i: int, what: str) -> tuple[str, int]:
         i += 1
     if i >= n:
         raise ValueError(f"missing argument after {what!r}")
+    if s[i] == "-":  # prefix negation is in the reference grammar
+        atom, j = _scan_atom(s, i + 1, what)
+        return f"-{atom}", j
     if s[i] == "(":
         depth = 0
         for j in range(i, n):
@@ -643,7 +991,11 @@ def _scan_atom(s: str, i: int, what: str) -> tuple[str, int]:
                 if depth == 0:
                     return s[i : j + 1], j + 1
         raise ValueError(f"unbalanced parens in {what!r} argument")
-    m = re.match(r"[A-Za-z_]\w*|\d+(?:\.\d+)?|\"[^\"]*\"", s[i:])
+    m = re.match(
+        r"[A-Za-z_][\w']*|\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+        r"|\"(?:\\.|[^\"\\])*\"",
+        s[i:],
+    )
     if not m:
         raise ValueError(f"cannot parse {what!r} argument at: {s[i:]!r}")
     return m.group(0), i + m.end()
@@ -724,8 +1076,9 @@ def _safe_divisions(s: str) -> str:
         start = i
         atom, j = _scan_atom(s, i, "/")
         if atom in _JUXTA_SQL:
-            # juxtaposed builtin: its argument belongs to the operand
-            _arg, j = _scan_atom(s, j, atom)
+            # juxtaposed builtin: its argument(s) belong to the operand
+            for _k in range(_JUXTA_ARGN.get(atom, 1)):
+                _arg, j = _scan_atom(s, j, atom)
         elif re.fullmatch(r"[A-Za-z_]\w*", atom) and re.match(
             r"\s*\(", s[j:]
         ):
