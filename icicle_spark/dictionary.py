@@ -278,8 +278,14 @@ class Dictionary:
         else:
             # struct encoding: the PSV value is JSON (reference
             # Encoding.hs:204-210 valueOfJSON)
+            # loud DecodeError parity with the primitive path's ANSI
+            # cast: PERMISSIVE from_json turns malformed JSON into an
+            # all-null struct silently — FAILFAST raises instead
+            # (tombstoned rows parse null input, which never fails)
             js = F.from_json(
-                F.when(~tomb, F.col("value")), T.StructType(vfields)
+                F.when(~tomb, F.col("value")),
+                T.StructType(vfields),
+                {"mode": "FAILFAST"},
             )
             vals = [js[f.name].alias(f.name) for f in vfields]
         tcol = F.col("time").cast(

@@ -363,9 +363,16 @@ def run_snapshot_vectorized(
     ``sources.io.write_fact_store`` / ``read_fact_store`` maintain
     exactly that layout (the reference's store holds the same
     invariant: entity-major, ingestion-ordered — README.md:132-141).
-    The batch function still VERIFIES contiguity per chunk (an entity
-    reappearing after another raises), so a violated contract fails
-    loudly instead of returning partial folds."""
+    The batch function still VERIFIES contiguity within each
+    partition (an entity reappearing after another — in the same
+    Arrow chunk or a later one — raises), so a violated contract
+    fails loudly instead of returning partial folds. The one
+    violation it CANNOT see is an entity split across two
+    *partitions*: each partition folds its slice independently and
+    the output carries duplicate entity rows. Stores written by
+    ``write_fact_store`` never do that; guard hand-supplied input
+    yourself (e.g. assert ``groupBy(entity).count()`` parity) before
+    passing ``assume_arranged=True``."""
     plan = plan.condensed()
     ecol, tcol = plan.entity_col, plan.time_col
     qt = pd.Timestamp(snapshot)
@@ -399,13 +406,14 @@ def run_snapshot_vectorized(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
+        finished: set = set()  # entities already folded + emitted
         for pdf in batches:
             if carry is not None and len(carry):
                 pdf = pd.concat([carry, pdf], ignore_index=True)
             if len(pdf) == 0:
                 continue
             ent = pdf[ecol].to_numpy()
-            codes, _u = pd.factorize(ent, sort=False)
+            codes, uniq = pd.factorize(ent, sort=False)
             # contiguity guard: factorize assigns codes by first
             # occurrence, so contiguous entities <=> nondecreasing
             # codes. Cheap (O(n)), and the only thing standing between
@@ -417,6 +425,16 @@ def run_snapshot_vectorized(
                     "partition; re-run without assume_arranged or "
                     "rebuild the fact store with write_fact_store"
                 )
+            # cross-chunk guard: an entity whose fold was already
+            # emitted from an earlier Arrow batch must not recur
+            # (the carried trailing entity is never in `finished`)
+            if finished and not finished.isdisjoint(uniq.tolist()):
+                raise ValueError(
+                    "entity recurs in a later Arrow batch of the "
+                    "partition; facts are not entity-contiguous — "
+                    "re-run without assume_arranged or rebuild the "
+                    "fact store with write_fact_store"
+                )
             # hold back the (possibly incomplete) trailing entity
             last = ent[-1]
             if ent[0] == last:
@@ -425,6 +443,8 @@ def run_snapshot_vectorized(
             nz = np.flatnonzero(ent != last)
             cut = int(nz[-1] + 1)
             carry = pdf.iloc[cut:]
+            # nondecreasing codes => uniq[-1] is the carried entity
+            finished.update(uniq[:-1].tolist())
             yield _process_chunk(plan, pdf.iloc[:cut], qt)
         if carry is not None and len(carry):
             yield _process_chunk(plan, carry, qt)

@@ -352,3 +352,28 @@ def test_run_features_job_icicle_source(spark, facts, tmp_path):
     )
     pd.testing.assert_frame_equal(got[["s", "c"]], hand[["s", "c"]])
     assert np.allclose(got["avg"], got["s"] / got["c"])
+
+
+def test_load_psv_malformed_struct_raises(spark, tmp_path):
+    """A live (non-tombstone) struct value that is not valid JSON must
+    raise — parseFact's DecodeError (Encoding.hs:204-210), matching
+    the primitive path's loud ANSI cast, not an all-null row
+    (FAILFAST json mode)."""
+    p = tmp_path / "bad.psv"
+    p.write_text(
+        'homer|injury|{"location":"head","severity":2}|1989-12-17\n'
+        "homer|injury|not-json-at-all|1994-01-01\n"
+    )
+    d = Dictionary(
+        inputs=[
+            DictionaryInput(
+                "injury",
+                "entity string, time timestamp, location string, "
+                "severity bigint",
+                tombstones=frozenset({"NA"}),
+            )
+        ],
+        outputs=[],
+    )
+    with pytest.raises(Exception, match="(?i)malformed"):
+        d.load_psv(spark, "injury", str(p)).collect()

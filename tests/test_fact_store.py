@@ -150,3 +150,36 @@ def test_oversize_file_guard(spark, store, tmp_path, monkeypatch):
         spark.conf.set(
             "spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024)
         )
+
+
+def test_contiguity_guard_fires_across_batches(spark):
+    """An entity recurring in a LATER Arrow batch of the same
+    partition (not just within one concatenated chunk) must raise —
+    otherwise assume_arranged would emit duplicate rows with partial
+    folds for it."""
+    rows = [1] * 4 + [2] * 4 + [1] * 2  # entity 1 recurs after 2
+    pdf = pd.DataFrame(
+        {
+            "doc_id": rows,
+            "event_time": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(np.arange(len(rows)), unit="D"),
+            "seq": np.arange(len(rows)),
+            "n_tok": np.arange(len(rows), dtype="float64"),
+            "source": ["web"] * len(rows),
+        }
+    )
+    bad = spark.createDataFrame(pdf).coalesce(1)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "4")  # force the recurrence into batch 3
+    try:
+        with pytest.raises(Exception, match="not entity-contiguous"):
+            run_plan(
+                bad, PLAN, snapshot=SNAP, strategy="vectorized",
+                assume_arranged=True,
+            ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
