@@ -89,6 +89,25 @@ class _P:
     def __init__(self, toks: list[tuple[str, str]]):
         self.toks = toks
         self.i = 0
+        # inside a case-alternative BODY, an application chain must
+        # not swallow the next alternative's pattern: the reference
+        # separates alternatives by layout, so a repl one-liner reads
+        # `... of None then A Some _ then B` with no `;` (t60-map-
+        # delete). The flag arms a pattern-then lookahead in app().
+        self._case_body = False
+
+    def _pattern_then_ahead(self) -> bool:
+        """True when the upcoming tokens read as `PATTERN then` — the
+        start of another case alternative."""
+        save = self.i
+        try:
+            self.pattern()
+            t = self.peek()
+            return bool(t and t[1] == "then")
+        except ValueError:
+            return False
+        finally:
+            self.i = save
 
     def peek(self) -> tuple[str, str] | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -151,10 +170,17 @@ class _P:
         while True:
             pat = self.pattern()
             self.expect("then")
-            body = self.expr()
+            outer = self._case_body
+            self._case_body = True
+            try:
+                body = self.expr()
+            finally:
+                self._case_body = outer
             alts.append((pat, body))
             if self.accept(";"):
                 continue
+            if self._pattern_then_ahead():
+                continue  # layout-separated alternative (no `;`)
             break
         if braced:
             self.expect("}")
@@ -162,7 +188,12 @@ class _P:
 
     def if_expr(self):
         self.expect("if")
-        c = self.expr()
+        outer = self._case_body
+        self._case_body = False  # this `then` belongs to the if
+        try:
+            c = self.expr()
+        finally:
+            self._case_body = outer
         self.expect("then")
         a = self.expr()
         self.expect("else")
@@ -173,6 +204,8 @@ class _P:
         head = self.atom()
         args = []
         while self._starts_atom():
+            if self._case_body and self._pattern_then_ahead():
+                break  # next alternative's pattern, not an argument
             args.append(self.atom())
         if not args:
             return head
@@ -331,7 +364,130 @@ def parse(s: str):
     if p.peek() is not None:
         raise ValueError(f"trailing tokens after expression: "
                          f"{[t[1] for t in p.toks[p.i:]]!r}")
+    _check_cases_exhaustive(ast)
     return ast
+
+
+# ------------------------------------------- case exhaustiveness check
+# The reference checker rejects inexhaustive case alternatives
+# statically (t13.1-cases-record goldens: `case {a=None, b=Some 4} of
+# { ({a = Some _}) then 2; ({b = None}) then 3 }` is a Check error,
+# not a runtime tombstone). Coverage is decided by abstract
+# enumeration: each constrained path (record field / tuple slot)
+# ranges over the constructor tags mentioned plus their complements
+# (None/Some, Left/Right) or literal values plus OTHER; the case is
+# exhaustive iff every world matches some alternative.
+
+_PAT_COMPLEMENT = {"None": ("Some",), "Some": ("None",),
+                   "Left": ("Right",), "Right": ("Left",)}
+
+
+def _pat_irrefutable(pat) -> bool:
+    k = pat[0]
+    if k in ("pwild", "pvar"):
+        return True
+    if k == "ptuple":
+        return all(_pat_irrefutable(p) for p in pat[1])
+    if k == "precord":
+        return all(_pat_irrefutable(p) for _, p in pat[1])
+    return False
+
+
+def _pat_constraints(pat, path=()):
+    """{path: requirement} for a pattern, or None when not analyzable
+    (a refutable pattern nested under a constructor argument)."""
+    k = pat[0]
+    if k in ("pwild", "pvar"):
+        return {}
+    if k == "plit":
+        return {path: ("lit", pat[1])}
+    if k == "pctor":
+        if pat[2] is not None and not _pat_irrefutable(pat[2]):
+            return None
+        return {path: pat[1]}
+    if k == "ptuple":
+        out = {}
+        for i, s in enumerate(pat[1]):
+            c = _pat_constraints(s, path + (f"f{i + 1}",))
+            if c is None:
+                return None
+            out.update(c)
+        return out
+    if k == "precord":
+        out = {}
+        for name, s in pat[1]:
+            c = _pat_constraints(s, path + (name,))
+            if c is None:
+                return None
+            out.update(c)
+        return out
+    return None
+
+
+def _case_exhaustive(alts) -> bool:
+    pats = [p for p, _ in alts]
+    if any(_pat_irrefutable(p) for p in pats):
+        return True
+    cons = [_pat_constraints(p) for p in pats]
+    if any(c is None for c in cons):
+        return False  # unanalyzable without an irrefutable fallback
+    paths = sorted({pth for c in cons for pth in c})
+    domains = []
+    for pth in paths:
+        vals: set = set()
+        saw_lit = False
+        for c in cons:
+            r = c.get(pth)
+            if r is None:
+                continue
+            vals.add(r)
+            if isinstance(r, tuple):
+                saw_lit = True
+            else:
+                vals.update(_PAT_COMPLEMENT.get(r, ()))
+        if saw_lit:
+            vals.add(("__other__",))  # any unmentioned literal
+        domains.append(sorted(vals, key=repr))
+    total = 1
+    for d in domains:
+        total *= max(1, len(d))
+    if total > 4096:
+        return False
+    import itertools
+
+    for world in itertools.product(*domains):
+        w = dict(zip(paths, world))
+        if not any(
+            all(w.get(p) == r for p, r in c.items()) for c in cons
+        ):
+            return False
+    return True
+
+
+def _check_cases_exhaustive(ast) -> None:
+    if not isinstance(ast, tuple):
+        return
+    if ast[0] == "case":
+        if not _case_exhaustive(ast[2]):
+            raise ValueError(
+                "inexhaustive case alternatives (the reference checker "
+                "rejects cases whose patterns do not cover the "
+                "scrutinee)"
+            )
+        _check_cases_exhaustive(ast[1])
+        for _pat, body in ast[2]:
+            _check_cases_exhaustive(body)
+        return
+    if ast[0] == "record":
+        for _n, e in ast[1]:
+            _check_cases_exhaustive(e)
+        return
+    for sub in ast[1:]:
+        if isinstance(sub, tuple):
+            _check_cases_exhaustive(sub)
+        elif isinstance(sub, list):
+            for x in sub:
+                _check_cases_exhaustive(x)
 
 
 # ------------------------------------------------------------- evaluate
@@ -365,6 +521,10 @@ _EVAL_FUNCS: dict[str, Any] = {
     "asin": math.asin, "acos": math.acos, "atan": math.atan,
     "atan2": math.atan2, "sinh": math.sinh, "cosh": math.cosh,
     "tanh": math.tanh,
+    # `box` lifts Sum Error a -> Possibly a (Prim.hs): the engine's
+    # Possibly encoding IS null-or-value, so box is identity (a Left
+    # payload is already the null/tombstone channel)
+    "box": lambda x: x,
 }
 
 
@@ -602,7 +762,7 @@ _SQL_FUNCS = {
     "atan2": "atan2({}, {})",
     "is_some": "(({}) IS NOT NULL)", "is_none": "(({}) IS NULL)",
     "get": "({})", "get_or_else": "coalesce(({1}), ({0}))",
-    "not": "(NOT ({}))",
+    "not": "(NOT ({}))", "box": "({})",
     "fst": "({}).f1", "snd": "({}).f2",
     "length": "size({})", "sort": "array_sort({})",
     "index": "get(({}), ({}))",

@@ -393,8 +393,14 @@ def run_plan(
             out = out.withColumn(dup, _F.col(kept))
         if full.postcomps or full.hidden:
             # postcomputation stage (Core/Program/Program.hs:33-36):
-            # evaluate over the fold outputs, drop hidden folds
-            return apply_postcomps(out, full)
+            # evaluate over the fold outputs, drop hidden folds.
+            # `now` = the exclusive snapshot instant / chord query_time
+            now_sql = (
+                f"TIMESTAMP '{snapshot}'"
+                if snapshot is not None
+                else "query_time"
+            )
+            return apply_postcomps(out, full, now_sql=now_sql)
         lead = [c for c in out.columns if c not in requested]
         return out.select(*lead, *requested)
 

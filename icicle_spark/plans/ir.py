@@ -395,17 +395,35 @@ def feature_dtype(f: Feature) -> str:
     return base
 
 
-def apply_postcomps(df, plan: Plan):
+NOW_TOKEN = "__icicle_now"
+
+
+def apply_postcomps(df, plan: Plan, now_sql: str | None = None):
     """Evaluate a plan's postcomputations over the aggregated result
     frame and drop hidden folds (reference Core evaluator runs
     postcomps after the fold loop: Core/Eval/Program.hs postcomps
     stage).  `df` must contain every fold output column; key/lead
-    columns pass through in front."""
+    columns pass through in front.
+
+    ``now_sql`` resolves the source language's ``now`` — the query
+    time (the EXCLUSIVE snapshot instant, or the chord row's
+    query_time; Time.hs:235-237 + repl t31 golden ``box (Right now)``
+    prints the day after the snapshot date). A SQL fragment: a
+    timestamp literal for snapshots, the ``query_time`` column name
+    for chords. Postcomps that reference ``now`` with no resolution
+    available fail loudly rather than leaking the placeholder."""
     if not plan.postcomps and not plan.hidden:
         return df
     from pyspark.sql import functions as F
 
     for name, e in plan.postcomps:
+        if NOW_TOKEN in e:
+            if now_sql is None:
+                raise ValueError(
+                    f"postcomp {name!r} references `now` but this "
+                    "evaluation path has no query time to substitute"
+                )
+            e = e.replace(NOW_TOKEN, f"({now_sql})")
         df = df.withColumn(name, F.expr(e))
     names = set(n for f in plan.features for n in (f.name,)) | {
         n for n, _ in plan.postcomps
@@ -420,7 +438,12 @@ def eval_expr(expr: ExprLike, pdf: pd.DataFrame) -> pd.Series:
         return expr(pdf)
     if expr in pdf.columns:
         return pdf[expr]
-    return pdf.eval(expr)
+    out = pdf.eval(expr)
+    if not isinstance(out, pd.Series):
+        # constant expression (e.g. the presence fold's "1"):
+        # broadcast to the block's index
+        out = pd.Series(out, index=pdf.index)
+    return out
 
 
 def apply_filter_let(

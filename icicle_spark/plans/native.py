@@ -783,7 +783,12 @@ def compile_native(
         # (Core/Program/Program.hs:33-36) on the aggregated frame
         for dup, kept in _dups.items():
             out = out.withColumn(dup, F.col(kept))
-        return apply_postcomps(out, full)
+        now_sql = (
+            f"TIMESTAMP '{snapshot}'"
+            if snapshot is not None
+            else "query_time"
+        )
+        return apply_postcomps(out, full, now_sql=now_sql)
 
     if snapshot is not None:
         qt = F.lit(snapshot).cast("timestamp")

@@ -478,4 +478,4 @@ def resume_plan(
 
     for dup, kept in _dups.items():
         out = out.withColumn(dup, F.col(kept))
-    return apply_postcomps(out, full)
+    return apply_postcomps(out, full, now_sql=f"TIMESTAMP '{snapshot}'")

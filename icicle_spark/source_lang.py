@@ -58,7 +58,14 @@ from __future__ import annotations
 import math
 import re
 
-from icicle_spark.plans.ir import Agg, CustomFold, Feature, Plan, Window
+from icicle_spark.plans.ir import (
+    NOW_TOKEN as _NOW_TOKEN,
+    Agg,
+    CustomFold,
+    Feature,
+    Plan,
+    Window,
+)
 
 _AGGS = {
     "sum": Agg.SUM, "count": Agg.COUNT, "mean": Agg.MEAN,
@@ -480,9 +487,6 @@ def _compile_subquery(b: _Builder, inner: str) -> str:
     return m.group(1) if m else f"({rew})"
 
 
-_NOW_TOKEN = "__icicle_now"
-
-
 def _now_sub(s: str) -> str:
     """`now` is the query time — the EXCLUSIVE snapshot instant or the
     chord row's query_time (Time.hs:235-237). Postcomps carry a
@@ -495,6 +499,34 @@ _EXPRLANG_MARKER = re.compile(
     r"\bcase\b|\bif\b|[{]|\bSome\b|\bNone\b|\bLeft\b|\bRight\b"
     r"|\bExceptTombstone\b"
 )
+
+
+def _is_constant_tail(b: _Builder, expr: str) -> bool:
+    """True when ``expr`` references no fact columns — only literals,
+    builtins, constructors and ``now`` (the reference evaluates such
+    aggregates to the same constant for every entity, ignoring
+    filter/window contexts — t01.2-trig, t31-builtin goldens)."""
+    try:
+        from icicle_spark import exprlang as X
+
+        ast = X.parse(_unmask(expr, b.strlits))
+        if X.free_vars(ast) <= {"now"}:
+            return True
+    except Exception:
+        pass
+    # fallback for juxtaposed builtins exprlang doesn't model (trig,
+    # date parts): constant iff every identifier is a known builtin,
+    # constructor or `now`
+    idents = {
+        i
+        for i in re.findall(r"[A-Za-z_][\w']*", expr)
+        if not _STR_TOKEN.fullmatch(i)
+    }
+    return idents <= (
+        set(_JUXTA_SQL)
+        | {"now", "nullif", "Some", "None", "Left", "Right", "True",
+           "False", "ExceptTombstone", "map_create"}
+    )
 
 
 def _render_post(b: _Builder, frag: str) -> str:
@@ -1107,6 +1139,11 @@ def parse_query_multi(
     import dataclasses
 
     q, _strlits = _mask_strings(q)
+    # `in` is Icicle's let-body / pipeline separator (Query.hs: `from
+    # x in ...` and `let a = e in body` — the repl corpus t09.1, t31,
+    # t60 write whole pipelines with it). `~>` is the same separator;
+    # normalizing on masked text keeps literals containing " in " safe.
+    q = re.sub(r"\bin\b", "~>", q)
     segs = _split_pipeline(q.strip())
     m = re.fullmatch(r"from\s+([A-Za-z_]\w*)", segs[0])
     if not m:
@@ -1119,8 +1156,6 @@ def parse_query_multi(
     for c in segs[1:-1]:
         _apply_context(b, c)
     tail = segs[-1].strip()
-    if tail == "now":
-        raise ValueError("`now` is not an aggregate; use the snapshot time")
 
     if b.group_fold is not None:
         post = _unmask(_group_fold_tail(tail, *b.group_fold), b.strlits)
@@ -1131,8 +1166,36 @@ def parse_query_multi(
             [f.name for f in b.feats],
         )
 
+    comps = _split_top_tuple(tail)
+    if comps is not None and b.group is None and b.distinct is None:
+        # tuple output (Exp.hs tuple ctors, repl t01/t05/t10/t20):
+        # each component compiles to hidden folds + a postcomp
+        # fragment; the visible output is one struct column f1..fN.
+        # (The reference prints N-tuples as left-nested pairs; the
+        # flat struct is the same value up to association.)
+        frags = []
+        for comp in comps:
+            low = _lower_subqueries(b, comp)
+            rew = _extract_aggs(b, low)
+            rew = b.sub(b.sub_agg(rew)).strip()
+            frags.append(_render_post(b, rew))
+        if not b.feats:
+            # all-constant tuple (t07 `(map_insert 0 0 map_create, 0)`)
+            # still emits one row per entity: a context-free presence
+            # fold establishes the entity set
+            b.feats.append(Feature(b.fresh(), Agg.COUNT, "1"))
+        post = "named_struct(" + ", ".join(
+            f"'f{i + 1}', {f}" for i, f in enumerate(frags)
+        ) + ")"
+        return (
+            input_name,
+            b.feats,
+            [(name, post)],
+            [f.name for f in b.feats],
+        )
+
     n0 = len(b.feats)  # feats that existed before the tail (agg lets)
-    rewritten = _extract_aggs(b, tail)
+    rewritten = _extract_aggs(b, _lower_subqueries(b, tail))
     had_let_ref = any(
         re.search(rf"\b{re.escape(k)}\b", rewritten) for k in b.agg_lets
     )
@@ -1149,6 +1212,20 @@ def parse_query_multi(
                 [],
                 [],
             )
+        if _is_constant_tail(b, rewritten):
+            # constant aggregate (repl t01.2 `acos 1`, t31 `year_of
+            # now`, t13 constant cases): contexts do not narrow a
+            # constant — every entity in the visible stream appears
+            # (hence the context-FREE presence fold), and the value is
+            # a pure postcomp (`now` = the exclusive query instant)
+            h = b.fresh()
+            b.feats.append(Feature(h, Agg.COUNT, "1"))
+            return (
+                input_name,
+                b.feats,
+                [(name, _render_post(b, rewritten))],
+                [f.name for f in b.feats],
+            )
         raise ValueError(f"unsupported aggregate form: {tail!r}")
     # a tail that is exactly one fold (possibly parenthesized) needs
     # no postcomputation: emit the fold under the output name
@@ -1161,15 +1238,16 @@ def parse_query_multi(
             [],
             [],
         )
-    if b.group is not None or b.distinct is not None:
+    if b.group is not None:
         # aggregate arithmetic over GROUP maps: per-key postcomp via
         # transform_values / map_zip_with (repl t02 `group time ~>
         # sum (value + 3) * 5`). All subterms share the group's key
-        # set (same visibility), so zipped keys align.
+        # set (same visibility), so zipped keys align. (`distinct`
+        # aggregates are SCALARS — one first-fact-per-key stream fold,
+        # t03 goldens — so they take the plain postcomp path below.)
         tail_feats = [f for f in b.feats[n0:]]
         if (
-            b.distinct is not None
-            or had_let_ref
+            had_let_ref
             or b.fold_feats
             or len(b.feats) != len(tail_feats)
             or not (1 <= len(tail_feats) <= 2)

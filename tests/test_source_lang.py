@@ -172,13 +172,15 @@ def test_unsupported_forms_raise():
     ]:
         with pytest.raises(ValueError):
             parse_query(q)
-    with pytest.raises(ValueError, match="tuple"):
-        parse_program(["from salary ~> (sum value, count value)"])
-    # >2 subterms over a group map stay out of scope
-    with pytest.raises(ValueError, match="1-2 plain aggregate"):
-        parse_program(
-            ["from salary ~> distinct value ~> sum value / count value"]
-        )
+    # tuple outputs compile to a struct postcomp (t01-sanity)
+    plan = parse_program(["from salary ~> (sum value, count value)"])
+    assert plan["salary"].postcomps[0][1].startswith("named_struct")
+    # distinct aggregates are scalars: arithmetic over them is a
+    # plain postcomp, not a map postcomp (t03/t07 goldens)
+    plan = parse_program(
+        ["from salary ~> distinct value ~> sum value / count value"]
+    )
+    assert len(plan["salary"].hidden) == 2
 
 
 # -- aggregate expressions / postcomputations (Core postcomps) ---------
