@@ -435,17 +435,23 @@ def _case_exhaustive(alts) -> bool:
     domains = []
     for pth in paths:
         vals: set = set()
-        saw_lit = False
+        saw_open_lit = False  # a literal over an OPEN domain (int/str)
         for c in cons:
             r = c.get(pth)
             if r is None:
                 continue
             vals.add(r)
             if isinstance(r, tuple):
-                saw_lit = True
+                # Bool is a CLOSED two-value domain: True's complement
+                # is False (t13 `case b of True then ..; False then ..`
+                # is exhaustive in the reference checker)
+                if type(r[1]) is bool:
+                    vals.add(("lit", not r[1]))
+                else:
+                    saw_open_lit = True
             else:
                 vals.update(_PAT_COMPLEMENT.get(r, ()))
-        if saw_lit:
+        if saw_open_lit:
             vals.add(("__other__",))  # any unmentioned literal
         domains.append(sorted(vals, key=repr))
     total = 1

@@ -258,12 +258,19 @@ def _strip_some(e: str) -> str:
 
 
 class _Builder:
-    def __init__(self, dialect: str, qname: str, skip_nulls: bool) -> None:
+    def __init__(
+        self,
+        dialect: str,
+        qname: str,
+        skip_nulls: bool,
+        big_data: bool = False,
+    ) -> None:
         if dialect not in ("sql", "pandas"):
             raise ValueError("dialect must be 'sql' or 'pandas'")
         self.dialect = dialect
         self.qname = qname
         self.skip_nulls = skip_nulls
+        self.big_data = big_data
         self.filters: list[str] = []
         self.binds: list[tuple[str, str]] = []
         self.lets: dict[str, str] = {}
@@ -319,6 +326,20 @@ class _Builder:
         """A Feature frozen over the CURRENT context state (aggregate
         lets bind before later contexts narrow the stream —
         repl t04-lets 'Aggregate let outside filter')."""
+        if (
+            self.big_data
+            and self.window is None
+            and self.latest is None
+            and self.latest_outer is None
+        ):
+            # big-data mode (repl `:set +big-data`, t40-bigdata
+            # goldens; Source/Checker CheckOptions): resumable
+            # queries must bound their state — every fold, group and
+            # distinct needs an enclosing windowed/latest context
+            raise ValueError(
+                "big-data mode: folds, groups and distincts must be "
+                "inside windowed or latest"
+            )
 
         def J(x):
             if not isinstance(x, str):
@@ -342,7 +363,7 @@ def _child_builder(b: _Builder) -> _Builder:
     state (a subquery refines the outer stream), SHARES the parent's
     feature list and fresh-name counter (hidden folds land in the one
     fused plan — Fusion.hs semantics)."""
-    c = _Builder(b.dialect, b.qname, b.skip_nulls)
+    c = _Builder(b.dialect, b.qname, b.skip_nulls, b.big_data)
     c.filters = list(b.filters)
     c.binds = list(b.binds)
     c.lets = dict(b.lets)
@@ -1129,13 +1150,16 @@ def parse_query_multi(
     name: str = "q0",
     dialect: str = "sql",
     skip_nulls: bool = False,
+    big_data: bool = False,
 ) -> tuple[str, list[Feature], list[tuple[str, str]], list[str]]:
     """Parse one query; returns ``(input_name, features, postcomps,
     hidden)``.  A simple-aggregate tail yields one visible feature and
     empty postcomps; an aggregate EXPRESSION yields one hidden fold
     per aggregate subterm plus one postcomputation named ``name``
     (the reference Core split — folds then postcomps,
-    Core/Program/Program.hs:33-36)."""
+    Core/Program/Program.hs:33-36).  ``big_data=True`` mirrors the
+    reference's resumable-query check (`:set +big-data`, t40-bigdata):
+    every fold/group/distinct must sit inside windowed or latest."""
     import dataclasses
 
     q, _strlits = _mask_strings(q)
@@ -1151,7 +1175,7 @@ def parse_query_multi(
     input_name = m.group(1)
     if len(segs) < 2:
         raise ValueError("query has no aggregate")
-    b = _Builder(dialect, name, skip_nulls)
+    b = _Builder(dialect, name, skip_nulls, big_data)
     b.strlits = _strlits
     for c in segs[1:-1]:
         _apply_context(b, c)
@@ -1202,6 +1226,20 @@ def parse_query_multi(
     # element lets are constants at aggregate level (t04-lets:5 uses
     # `sx` both inside `sum (value + sx)` and outside as `sx * count`)
     rewritten = b.sub(b.sub_agg(rewritten)).strip()
+
+    if (
+        len(b.feats) == n0
+        and n0 > 0
+        and not had_let_ref
+        and not _is_constant_tail(b, rewritten)
+    ):
+        # aggregate `let` bindings with an ELEMENT-stage body: the
+        # definition could never be used (reference Check error,
+        # "Conflicting let temporalities" — t08-randomly golden)
+        raise ValueError(
+            "conflicting let temporalities: aggregate `let` "
+            "definitions cannot precede an element body"
+        )
 
     if not b.feats and not had_let_ref:
         if b.latest is not None:

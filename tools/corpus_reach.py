@@ -75,18 +75,20 @@ def golden_kinds(expected: str, n_queries: int) -> list[str] | None:
 
 
 def corpus_lines(only_dir: str | None = None):
-    """Yield (dir_name, query, golden_kind) triples."""
+    """Yield (dir_name, query, golden_kind, big_data) triples."""
     for script in sorted(glob.glob(f"{REPL}/*/script")):
         d = os.path.basename(os.path.dirname(script))
         if only_dir and d != only_dir:
             continue
+        with open(script) as f:
+            big_data = ":set +big-data" in f.read()
         queries = script_queries(script)
         with open(os.path.join(os.path.dirname(script), "expected")) as f:
             kinds = golden_kinds(f.read(), len(queries))
         if kinds is None:  # misaligned: assume all evaluate (loud note)
             print(f"WARNING: {d} golden markers misaligned", file=sys.stderr)
             kinds = ["eval"] * len(queries)
-        yield from ((d, q, k) for q, k in zip(queries, kinds))
+        yield from ((d, q, k, big_data) for q, k in zip(queries, kinds))
 
 
 def main() -> int:
@@ -98,12 +100,12 @@ def main() -> int:
     total = ok = 0
     by_dir: dict[str, list[int]] = {}
     fails: list[tuple[str, str, str]] = []
-    for d, line, kind in corpus_lines(args.dir):
+    for d, line, kind, big_data in corpus_lines(args.dir):
         total += 1
         by_dir.setdefault(d, [0, 0])[1] += 1
         err: str | None = None
         try:
-            parse_query_multi(line, name="q", dialect="sql")
+            parse_query_multi(line, name="q", dialect="sql", big_data=big_data)
             if kind == "error":
                 err = "ACCEPTED a query the reference REJECTS"
         except ValueError as e:
