@@ -83,6 +83,10 @@ def supports_chords(plan: Plan) -> bool:
             # but an OUTER latest frame must see pre-filter facts —
             # route to the cogroup executor
             return False
+        if f.scans:
+            # scan binds need per-row running values over the raw
+            # frame — route to the cogroup executor
+            return False
         if isinstance(f.agg, CustomFold):
             # evaluated per frame over the compacted value slice —
             # O(frame), same cost argument as the sliced aggregates

@@ -41,6 +41,7 @@ from icicle_spark.plans.ir import (
     Feature,
     Plan,
     apply_filter_let,
+    apply_scans,
     eval_expr,
     feature_dtype,
 )
@@ -217,6 +218,39 @@ def _feature_value(
     return _reduce_slice(f, v, b)
 
 
+def _prep_feature(
+    f: Feature, pdf: pd.DataFrame, tombstone_col: str | None
+) -> dict[str, np.ndarray | None]:
+    """Per-feature arrays over one entity's ordered fact frame."""
+    # `filter let Some b = e`: bind columns for this feature's
+    # exprs; facts with a null bind fail the pattern and drop.
+    fpdf, bmask = apply_filter_let(f, pdf)
+    vals = eval_expr(f.expr, fpdf).to_numpy()
+    mask = bmask
+    if f.where is not None:
+        w = eval_expr(f.where, fpdf).fillna(False).to_numpy().astype(bool)
+        mask = w if mask is None else (mask & w)
+    if tombstone_col is not None and tombstone_col in pdf.columns:
+        # a tombstone fact's value is an error element
+        # (doc/design/tombstones.md:56-73): poison it to null so
+        # Possibly propagation (or skip_nulls) applies.
+        ts_mask = pdf[tombstone_col].fillna(False).to_numpy().astype(bool)
+        if ts_mask.any():
+            vals = vals.astype(object)
+            vals[ts_mask] = None
+            if bmask is not None:
+                # a tombstone carries no value: the Some pattern
+                # fails even when the raw bind expr is non-null
+                mask = mask & ~ts_mask
+    return {
+        "vals": vals,
+        "mask": mask,
+        "by": eval_expr(f.by, fpdf).to_numpy() if f.by is not None else None,
+        "gkey": eval_expr(f.group, fpdf).to_numpy() if f.group is not None else None,
+        "dkey": eval_expr(f.distinct, fpdf).to_numpy() if f.distinct is not None else None,
+    }
+
+
 def _run_entity(
     plan: Plan,
     pdf: pd.DataFrame,
@@ -234,33 +268,9 @@ def _run_entity(
     times = pdf[plan.time_col].to_numpy()
     cols: dict[str, dict[str, np.ndarray | None]] = {}
     for f in plan.features:
-        # `filter let Some b = e`: bind columns for this feature's
-        # exprs; facts with a null bind fail the pattern and drop.
-        fpdf, bmask = apply_filter_let(f, pdf)
-        vals = eval_expr(f.expr, fpdf).to_numpy()
-        mask = bmask
-        if f.where is not None:
-            w = eval_expr(f.where, fpdf).fillna(False).to_numpy().astype(bool)
-            mask = w if mask is None else (mask & w)
-        if plan.tombstone_col is not None and plan.tombstone_col in pdf.columns:
-            # a tombstone fact's value is an error element
-            # (doc/design/tombstones.md:56-73): poison it to null so
-            # Possibly propagation (or skip_nulls) applies.
-            ts_mask = pdf[plan.tombstone_col].fillna(False).to_numpy().astype(bool)
-            if ts_mask.any():
-                vals = vals.astype(object)
-                vals[ts_mask] = None
-                if bmask is not None:
-                    # a tombstone carries no value: the Some pattern
-                    # fails even when the raw bind expr is non-null
-                    mask = mask & ~ts_mask
-        cols[f.name] = {
-            "vals": vals,
-            "mask": mask,
-            "by": eval_expr(f.by, fpdf).to_numpy() if f.by is not None else None,
-            "gkey": eval_expr(f.group, fpdf).to_numpy() if f.group is not None else None,
-            "dkey": eval_expr(f.distinct, fpdf).to_numpy() if f.distinct is not None else None,
-        }
+        if f.scans:
+            continue  # prepared per query time (frame-dependent binds)
+        cols[f.name] = _prep_feature(f, pdf, plan.tombstone_col)
     rows = []
     for qt in qtimes:
         hi_asof = int(np.searchsorted(times, qt, side="left"))  # strict <
@@ -276,6 +286,27 @@ def _run_entity(
                         f.window.edge(qt_ts, f.window.older_than_days)
                     )
                     hi = min(hi, int(np.searchsorted(times, w_hi, side="right")))
+            if f.scans:
+                # scan binds are running folds over THIS query time's
+                # frame: frame first (latest_outer applied here),
+                # compute the cumulative columns, then the normal
+                # filter/agg machinery over the framed slice.
+                import dataclasses as _dc
+
+                idx = np.arange(lo, hi)
+                if f.latest_outer is not None:
+                    idx = idx[-f.latest_outer:]
+                fr = apply_scans(f, pdf.iloc[idx].reset_index(drop=True))
+                f2 = _dc.replace(f, latest_outer=None, scans=None)
+                c2 = _prep_feature(f2, fr, plan.tombstone_col)
+                row.append(
+                    _feature_value(
+                        f2, 0, len(fr), c2["vals"], c2["mask"], c2["by"],
+                        c2["gkey"], c2["dkey"], plan.max_group_size,
+                        times=times[idx], qt=qt,
+                    )
+                )
+                continue
             c = cols[f.name]
             row.append(
                 _feature_value(

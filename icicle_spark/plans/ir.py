@@ -173,6 +173,25 @@ class Feature:
                                       # where/window/latest, matching the
                                       # context pipeline order. Bind names
                                       # must not shadow fact columns.
+    scans: tuple[tuple[str, Agg, str], ...] | None = None
+                                      # `scan b = agg e` element binds
+                                      # (Query/Context.hs:33, repl
+                                      # t06.01/t17): b is the INCLUSIVE
+                                      # running value of the fold over the
+                                      # stream at the scan's context
+                                      # position — after window /
+                                      # latest_outer framing, BEFORE
+                                      # where/filter_let narrowing — in
+                                      # (time, seq) order. Each entry is
+                                      # (bind_name, Agg, element_expr);
+                                      # supported: SUM COUNT MIN MAX MEAN.
+                                      # Nulls follow pandas skipna (a null
+                                      # element leaves a null running value
+                                      # at that row and the Possibly rules
+                                      # at the aggregate stage poison from
+                                      # there). Evaluated by the vectorized
+                                      # executor; native/chord/resume
+                                      # decline loudly.
 
 
 @dataclass
@@ -341,6 +360,7 @@ class Plan:
                 )
                 if f.filter_let
                 else None,
+                f.scans,
             )
             if key not in seen:
                 seen[key] = f.name
@@ -388,6 +408,8 @@ def feature_dtype(f: Feature) -> str:
     if f.dtype:
         return f.dtype
     if isinstance(f.agg, CustomFold):
+        if f.group is not None:
+            return f"map<string,{f.agg.dtype}>"
         return f.agg.dtype
     base = _AGG_DTYPE[f.agg]
     if f.group is not None:
@@ -444,6 +466,35 @@ def eval_expr(expr: ExprLike, pdf: pd.DataFrame) -> pd.Series:
         # broadcast to the block's index
         out = pd.Series(out, index=pdf.index)
     return out
+
+
+def apply_scans(f: "Feature", fr: pd.DataFrame) -> pd.DataFrame:
+    """Add the feature's `scan` bind columns to a SINGLE-ENTITY,
+    time-ordered frame: each bind is the inclusive running fold of its
+    element expression (Query/Context.hs:33 LetScan). Values are
+    float64 to match the vectorized executor's cumulative kernels."""
+    if not f.scans:
+        return fr
+    fr = fr.copy()
+    n = len(fr)
+    for sname, sagg, sexpr in f.scans:
+        sv = eval_expr(sexpr, fr)
+        if sagg is Agg.SUM:
+            run = sv.cumsum()
+        elif sagg is Agg.COUNT:
+            run = pd.Series(np.arange(1, n + 1), index=fr.index)
+        elif sagg is Agg.MIN:
+            run = sv.cummin()
+        elif sagg is Agg.MAX:
+            run = sv.cummax()
+        elif sagg is Agg.MEAN:
+            run = sv.cumsum() / np.arange(1, n + 1)
+        elif sagg == "second_last":
+            run = sv.shift(1)  # previous element (t06.01 :let)
+        else:
+            raise ValueError(f"scan does not support aggregate {sagg!r}")
+        fr[sname] = run.astype("float64") if n else run
+    return fr
 
 
 def apply_filter_let(

@@ -74,6 +74,10 @@ def _feature_native(f: Feature) -> bool:
         # pre-filter latest frames would need a second rank stage;
         # the fold executors evaluate them instead
         return False
+    if f.scans:
+        # running-fold element binds need per-row cumulative state;
+        # the vectorized executor evaluates them
+        return False
     if f.where is not None and not isinstance(f.where, str):
         return False
     if f.filter_let is not None and not all(

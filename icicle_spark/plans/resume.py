@@ -65,6 +65,7 @@ def resumable(plan: Plan) -> bool:
             or all(isinstance(e, str) for _, e in f.filter_let)
         )
         and f.latest_outer is None
+        and not f.scans
         and not (
             f.agg is Agg.DECAYED_SUM
             and (f.half_life_days is None or f.latest is not None)

@@ -96,6 +96,36 @@ def _feature_series(
             m2 = np.zeros(len(mask), dtype=bool)
             m2[keep] = True
             mask = m2
+    if f.scans:
+        # `scan b = agg e` (Context.hs:33, repl t17/t06.01): inclusive
+        # running fold over the stream AT THE SCAN'S POSITION — the
+        # currently-framed visible rows, before filter_let/where
+        # narrowing. Rows outside the frame get null bind values.
+        base = base.copy()
+        vidx = np.flatnonzero(mask)
+        segv = pd.Series(seg[vidx])
+        for sname, sagg, sexpr in f.scans:
+            sv = eval_expr(sexpr, base).iloc[vidx].reset_index(drop=True)
+            g = sv.groupby(segv, sort=False)
+            if sagg is Agg.SUM:
+                run = g.cumsum()
+            elif sagg is Agg.COUNT:
+                run = g.cumcount() + 1
+            elif sagg is Agg.MIN:
+                run = g.cummin()
+            elif sagg is Agg.MAX:
+                run = g.cummax()
+            elif sagg is Agg.MEAN:
+                run = g.cumsum() / (g.cumcount() + 1)
+            elif sagg == "second_last":
+                run = g.shift(1)  # previous element (t06.01 :let)
+            else:
+                raise ValueError(
+                    f"scan does not support aggregate {sagg!r}"
+                )
+            col = np.full(len(base), np.nan)
+            col[vidx] = run.to_numpy().astype("float64")
+            base[sname] = col
     # `filter let Some b = e`: bind columns visible to this feature's
     # exprs; null binds fail the pattern. Tombstone columns were
     # nulled on the whole block up-front, so tombstoned facts drop too.
@@ -314,6 +344,10 @@ def _expr_blob(plan: Plan) -> str | None:
                 return None
             exprs.append(e)
         for _, e in (f.filter_let or ()):
+            if not isinstance(e, str):
+                return None
+            exprs.append(e)
+        for _, _, e in (f.scans or ()):
             if not isinstance(e, str):
                 return None
             exprs.append(e)

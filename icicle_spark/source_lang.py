@@ -288,6 +288,7 @@ class _Builder:
         self.elem_markers: dict[str, str] = {}  # array-fold group binds
         self.folds: dict[str, tuple] = {}  # bind -> (CustomFold, cols)
         self.fold_feats: dict[str, str] = {}  # bind -> hidden feature
+        self.scan_binds: list[tuple] = []  # `scan b = agg e` running binds
         self.strlits: list[str] = []  # masked string literals
         self.feats: list = []
         self._n = 0
@@ -353,6 +354,8 @@ class _Builder:
             distinct=J(self.distinct),
             filter_let=tuple((n, J(e)) for n, e in self.binds)
             if self.binds else None,
+            scans=tuple((n, a, J(e)) for n, a, e in self.scan_binds)
+            if self.scan_binds else None,
             skip_nulls=self.skip_nulls,
             dtype=dtype,
         )
@@ -376,6 +379,7 @@ def _child_builder(b: _Builder) -> _Builder:
     c.group = b.group
     c.distinct = b.distinct
     c.folds = dict(b.folds)
+    c.scan_binds = list(b.scan_binds)
     c.fold_feats = b.fold_feats  # shared: fold folds dedupe across scopes
     c.strlits = b.strlits
     c.feats = b.feats  # SHARED
@@ -765,6 +769,48 @@ def _apply_context(b: _Builder, c: str) -> None:
             b.latest = min(b.latest, n)  # latest A ~> latest B == min
         b._filter_since_latest = False
         return
+    m = re.fullmatch(r"scan\s+([A-Za-z_]\w*)\s*=\s*(.+)", c, re.S)
+    if m:
+        # `scan b = agg e` (Query/Context.hs:33 LetScan, repl
+        # t06.01/t17): bind b as the INCLUSIVE running value of the
+        # fold over the stream at this position.
+        sname, body = m.group(1), m.group(2).strip()
+        if b.filters or b.binds:
+            # the Feature IR computes scans BEFORE filter narrowing;
+            # a scan over an already-filtered stream would need a
+            # second stage — not in the reference corpus
+            raise ValueError("scan after filter is unsupported")
+        while True:
+            inner = _strip_outer_parens(body)
+            if inner is None:
+                break
+            body = inner
+        mm = re.fullmatch(r"([a-z_][\w]*)\s+(.+)", body, re.S)
+        if not mm:
+            raise ValueError(f"unsupported scan body: {body!r}")
+        kw, arg = mm.group(1), b.sub(mm.group(2).strip())
+        scan_aggs = {
+            "sum": Agg.SUM, "count": Agg.COUNT, "min": Agg.MIN,
+            "max": Agg.MAX, "mean": Agg.MEAN,
+            # prelude-style `second_last x = fold (a,b) = (None,None)
+            # then (b, Some x) in a` (t06.01 :let): the running value
+            # is the PREVIOUS element — a shift, not an accumulation
+            "second_last": "second_last",
+        }
+        if kw not in scan_aggs:
+            raise ValueError(
+                f"scan supports sum/count/min/max/mean/second_last, "
+                f"not {kw!r}"
+            )
+        if b.latest is not None:
+            # `latest A ~> scan ...`: the scan runs over the latest-A
+            # frame, so A becomes the OUTER frame (same promotion as
+            # latest-then-filter, t17-latest:21-23)
+            if b.latest_outer is not None:
+                raise ValueError("more than two framed latest contexts")
+            b.latest_outer, b.latest = b.latest, None
+        b.scan_binds.append((sname, scan_aggs[kw], arg))
+        return
     m = re.fullmatch(
         r"group\s+fold\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*=\s*\((.+)\)",
         c, re.S,
@@ -808,6 +854,40 @@ def _apply_context(b: _Builder, c: str) -> None:
     m = re.fullmatch(r"distinct\s+(.+)", c, re.S)
     if m:
         b.distinct = b.sub(m.group(1))
+        return
+    m = re.fullmatch(
+        r"(fold1?)\s*\(\s*([\w\s,]+?)\s*\)\s*=\s*(.+?)\s+then\s+(.+)",
+        c, re.S,
+    )
+    if m:
+        # tuple-accumulator fold (t06 `fold (xcount, xsum) = (0, 0)
+        # then (xcount + 1, xsum + value)`): when each step component
+        # references only its OWN bind, the tuple splits into
+        # independent scalar folds (the reference fuses them back —
+        # same Core program either way). Cross-component state (e.g.
+        # second_last's (b, Some x)) cannot split: reject loudly.
+        kw, binds_src, init_src, step_src = m.groups()
+        binds = [x.strip() for x in binds_src.split(",")]
+        inits = _split_top_tuple(init_src.strip())
+        steps = _split_top_tuple(step_src.strip())
+        if inits is None or steps is None or not (
+            len(binds) == len(inits) == len(steps)
+        ):
+            raise ValueError(
+                f"tuple fold arity mismatch in {c!r}"
+            )
+        for i, st in enumerate(steps):
+            for j, other in enumerate(binds):
+                if j != i and re.search(rf"\b{re.escape(other)}\b", st):
+                    raise ValueError(
+                        "tuple folds with cross-component state are "
+                        "unsupported (each component may reference "
+                        "only its own accumulator)"
+                    )
+        for bind, ini, st in zip(binds, inits, steps):
+            if bind == "_":
+                continue
+            _apply_context(b, f"{kw} {bind} = {ini} then {st}")
         return
     m = re.fullmatch(
         r"(fold1?)\s+(\w+)\s*=\s*(.+?)\s+then\s+(.+)", c, re.S
@@ -1283,34 +1363,54 @@ def parse_query_multi(
         # set (same visibility), so zipped keys align. (`distinct`
         # aggregates are SCALARS — one first-fact-per-key stream fold,
         # t03 goldens — so they take the plain postcomp path below.)
-        tail_feats = [f for f in b.feats[n0:]]
-        if (
-            had_let_ref
-            or b.fold_feats
-            or len(b.feats) != len(tail_feats)
-            or not (1 <= len(tail_feats) <= 2)
-            or _has_tuple_comma(rewritten)
-        ):
+        # Referenced fold columns split into MAP-valued (their group
+        # context froze at b.group — tail aggs, post-group agg lets,
+        # post-group fold binds) and SCALAR (agg lets frozen BEFORE
+        # the group context — t04 'Agg let before and after group':
+        # the scalar broadcasts into every key's value).
+        map_names: list[str] = []
+        for f in b.feats:
+            if f.group is None:
+                continue
+            if re.search(rf"\b{re.escape(f.name)}\b", rewritten) and (
+                f.name not in map_names
+            ):
+                map_names.append(f.name)
+        if not (1 <= len(map_names) <= 2):
             raise ValueError(
-                "aggregate arithmetic over group/distinct maps supports "
-                "1-2 plain aggregate subterms (no lets, folds or tuples)"
+                "aggregate arithmetic over group maps supports 1-2 "
+                "map-valued subterms (scalars broadcast freely)"
             )
-        names = [f.name for f in tail_feats]
-        body = rewritten
-        for i, nm in enumerate(names):
-            body = re.sub(rf"\b{re.escape(nm)}\b", f"__v{i}", body)
-        body = _juxta(_safe_divisions(body), "sql")
-        if len(names) == 1:
+
+        def _lam(body: str) -> str:
+            for i, nm in enumerate(map_names):
+                body = re.sub(rf"\b{re.escape(nm)}\b", f"__v{i}", body)
+            return _juxta(_safe_divisions(body), "sql")
+
+        comps = _split_top_tuple(rewritten)
+        if comps is not None:
+            # tuple over a group map (t04/t06/t17): one struct per key
+            body = "named_struct(" + ", ".join(
+                f"'f{i + 1}', {_lam(c)}" for i, c in enumerate(comps)
+            ) + ")"
+        else:
+            body = _lam(rewritten)
+        if len(map_names) == 1:
             post = (
-                f"transform_values({names[0]}, "
+                f"transform_values({map_names[0]}, "
                 f"(__k, __v0) -> {body})"
             )
         else:
             post = (
-                f"map_zip_with({names[0]}, {names[1]}, "
+                f"map_zip_with({map_names[0]}, {map_names[1]}, "
                 f"(__k, __v0, __v1) -> {body})"
             )
-        return input_name, b.feats, [(name, _unmask(post, b.strlits))], names
+        return (
+            input_name,
+            b.feats,
+            [(name, _unmask(post, b.strlits))],
+            [f.name for f in b.feats],
+        )
     if _has_tuple_comma(rewritten):
         raise ValueError(
             "tuple outputs are unsupported; declare one output per "

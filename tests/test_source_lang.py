@@ -532,7 +532,7 @@ def test_t02_group_map_arithmetic(salary, strategy, dialect):
     assert dict(out.loc["marge", "gmean"]) == {
         "0": 0.0, "10": 10.0, "20": 20.0,
     }
-    with pytest.raises(ValueError, match="1-2 plain aggregate"):
+    with pytest.raises(ValueError, match="1-2 map-valued"):
         parse_program(
             ["from salary ~> group value ~> "
              "sum value / count value + mean value"]
@@ -724,3 +724,141 @@ def test_t03_distinct_verbatim(salary, injury, strategy, dialect):
         .toPandas().set_index("entity")
     )
     assert ri.loc["homer", "dl"] == 3
+
+
+# -- scan binds (Query/Context.hs:33 LetScan; repl t17 + t06.01) -------
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t17_scan_verbatim(salary, strategy):
+    """t17-latest lines 20-23 VERBATIM: every latest/scan arrangement
+    of `scan zod = sum value` gives homer [600,1000,1500] and
+    marge [0,10,30] (running sums, latest-3 frame)."""
+    qs = {
+        f"z{i}": q
+        for i, q in enumerate([
+            "from salary ~> scan zod = sum value ~> latest 3 ~> zod",
+            "from salary ~> scan zod = sum value ~> latest 4 ~> "
+            "latest 3 ~> zod",
+            "from salary ~> latest 10 ~> scan zod = sum value ~> "
+            "latest 3 ~> zod",
+            "from salary ~> latest 10 ~> scan zod = sum value ~> "
+            "latest 4 ~> latest 3 ~> zod",
+        ])
+    }
+    plan = parse_program(
+        qs, skip_nulls=True,
+        entity_col="entity", time_col="time", seq_col="seq",
+    )["salary"]
+    r = (
+        run_plan(salary, plan, snapshot=SNAP, strategy=strategy)
+        .toPandas().set_index("entity").sort_index()
+    )
+    for c in qs:
+        assert list(r.loc["homer", c]) == [600.0, 1000.0, 1500.0]
+        assert list(r.loc["marge", c]) == [0.0, 10.0, 30.0]
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t0601_scan_second_last_verbatim(salary, strategy):
+    """t06.01-scan VERBATIM: `scan v = (second_last value)` binds the
+    previous element; the first fact's None fails the filter-let
+    pattern; grouping `value > comp` counts ascending steps —
+    homer {True: 4}, marge {True: 2} (goldens)."""
+    qs = {
+        "c1": "from salary ~> scan v = (second_last value) ~> filter "
+              "let Some comp = v in group value > comp in count ()",
+        "c2": "from salary ~> latest 10 ~> scan v = (second_last "
+              "value) ~> filter let Some comp = v in group value > "
+              "comp in count ()",
+    }
+    plan = parse_program(
+        qs, skip_nulls=True,
+        entity_col="entity", time_col="time", seq_col="seq",
+    )["salary"]
+    r = (
+        run_plan(salary, plan, snapshot=SNAP, strategy=strategy)
+        .toPandas().set_index("entity").sort_index()
+    )
+    for c in qs:
+        assert dict(r.loc["homer", c]) == {"True": 4}
+        assert dict(r.loc["marge", c]) == {"True": 2}
+
+
+def test_scan_rejects():
+    """scan guards: unsupported fold kinds and scan-after-filter
+    raise loudly instead of mis-evaluating."""
+    with pytest.raises(ValueError, match="scan supports"):
+        parse_query("from salary ~> scan z = newest value ~> latest 3 ~> z")
+    with pytest.raises(ValueError, match="scan after filter"):
+        parse_query(
+            "from salary ~> filter value > 0 ~> scan z = sum value "
+            "~> latest 3 ~> z"
+        )
+
+
+# -- tuples over group maps + tuple-accumulator folds (t04/t06) --------
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t04_agg_let_before_and_after_group(salary, strategy):
+    """t04-lets line 20 VERBATIM: scalar agg-let broadcasts into every
+    group key's struct — marge {0:(30,0), 10:(30,10), 20:(30,20)}."""
+    p = parse_program(
+        {"g": "from salary ~> let x = sum value ~> group value ~> "
+              "let y = sum value ~> (x, y)"},
+        skip_nulls=True, entity_col="entity", time_col="time",
+        seq_col="seq",
+    )["salary"]
+    r = (
+        run_plan(salary, p, snapshot=SNAP, strategy=strategy)
+        .toPandas().set_index("entity")
+    )
+    m = {k: (v["f1"], v["f2"]) for k, v in r.loc["marge", "g"].items()}
+    assert m == {"0": (30.0, 0.0), "10": (30.0, 10.0), "20": (30.0, 20.0)}
+
+
+def test_t06_group_fold1_tuple(salary):
+    """t06-custom-folds line 11 VERBATIM: per-key (newest, oldest) —
+    marge's three same-day facts give {1989-12-17: (20, 0)}."""
+    p = parse_program(
+        {"g": "from salary ~> group time ~> fold1 xnew = value then "
+              "value ~> fold1 xold = value then xold ~> (xnew, xold)"},
+        skip_nulls=True, entity_col="entity", time_col="time",
+        seq_col="seq",
+    )["salary"]
+    r = (
+        run_plan(salary, p, snapshot=SNAP, strategy="cogroup")
+        .toPandas().set_index("entity")
+    )
+    m = {k: (v["f1"], v["f2"]) for k, v in r.loc["marge", "g"].items()}
+    assert list(m.values()) == [(20.0, 0.0)]
+    hm = {k: (v["f1"], v["f2"]) for k, v in r.loc["homer", "g"].items()}
+    assert sorted(v for v in hm.values()) == [
+        (100.0, 100.0), (200.0, 200.0), (300.0, 300.0),
+        (400.0, 400.0), (500.0, 500.0),
+    ]
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t06_tuple_accumulator_fold(salary, strategy):
+    """t06-custom-folds line 14 VERBATIM: `fold (xcount, xsum) = (0,0)
+    then (xcount+1, xsum+value)` splits into independent scalar folds
+    -> mean 300.0 / 10.0."""
+    p = parse_program(
+        {"g": "from salary ~> fold (xcount, xsum) = (0, 0) then "
+              "(xcount + 1, xsum + value) ~> double xsum / xcount"},
+        skip_nulls=True, entity_col="entity", time_col="time",
+        seq_col="seq",
+    )["salary"]
+    r = (
+        run_plan(salary, p, snapshot=SNAP, strategy=strategy)
+        .toPandas().set_index("entity")
+    )
+    assert r.loc["homer", "g"] == 300.0 and r.loc["marge", "g"] == 10.0
+
+
+def test_tuple_fold_cross_component_rejects():
+    with pytest.raises(ValueError, match="cross-component"):
+        parse_query(
+            "from salary ~> fold (a, b) = (0, 0) then (b, a + value) "
+            "~> a"
+        )
