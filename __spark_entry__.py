@@ -2068,6 +2068,98 @@ FROM c2 GROUP BY user_id ORDER BY user_id
 """.format(snap=SNAP)
 
 
+def q_post_group_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter AFTER `group k` parsed from source (repl t02-groups:13
+    "counts of zero"; ToCore/Fold.hs:275-285): keys establish from the
+    UNFILTERED visible stream, the predicate guards only the fold
+    step — fully-filtered (user, event_type) slots emit count 0."""
+    from icicle_spark.source_lang import parse_program
+
+    plan = parse_program(
+        {"g": "from events ~> group event_type ~> "
+              "filter value > 180 ~> count value"},
+        skip_nulls=True,
+        entity_col="user_id", time_col="ts", seq_col="event_id",
+    )["events"]
+    res = run_plan(_events(spark, sf_dir), plan, snapshot=SNAP)
+    return res.select(
+        "user_id", F.explode("g").alias("event_type", "cnt")
+    )
+
+
+_POST_GROUP_FILTER_SQL = """
+SELECT user_id, event_type,
+       CAST(count(*) FILTER (WHERE value > 180) AS BIGINT) AS cnt
+FROM events WHERE ts < TIMESTAMP '{snap}'
+GROUP BY user_id, event_type
+""".format(snap=SNAP)
+
+
+def q_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`scan r = sum value ~> latest 5 ~> r` parsed from source
+    (Query/Context.hs:33 LetScan, repl t17): the last five INCLUSIVE
+    running sums per entity, in stream order."""
+    from icicle_spark.source_lang import parse_program
+
+    plan = parse_program(
+        {"runs": "from events ~> scan r = sum value ~> latest 5 ~> r"},
+        skip_nulls=True,
+        entity_col="user_id", time_col="ts", seq_col="event_id",
+    )["events"]
+    res = run_plan(_events(spark, sf_dir), plan, snapshot=SNAP)
+    return res.select(
+        "user_id",
+        F.expr("transform(runs, x -> round(x + 1.37e-8, 6))").alias("runs"),
+    )
+
+
+_SOURCE_SCAN_SQL = """
+WITH r AS (
+  SELECT user_id, ts, event_id,
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts < TIMESTAMP '{snap}'
+)
+SELECT user_id,
+       list(round(run + 1.37e-8, 6) ORDER BY ts, event_id) AS runs
+FROM r WHERE rn <= 5
+GROUP BY user_id
+""".format(snap=SNAP)
+
+
+def q_source_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuple output `(sum v, count v, mean (v * 2))` parsed from
+    source (Exp.hs tuple ctors, repl t01/t04/t05): hidden folds + one
+    named_struct postcomp, fields re-projected for the oracle."""
+    from icicle_spark.source_lang import parse_program
+
+    plan = parse_program(
+        {"t": "from events ~> (sum value, count value, "
+              "mean (value * 2))"},
+        skip_nulls=True,
+        entity_col="user_id", time_col="ts", seq_col="event_id",
+    )["events"]
+    res = run_plan(_events(spark, sf_dir), plan, snapshot=SNAP)
+    return res.select(
+        "user_id",
+        _r(F.col("t.f1")).alias("sum_val"),
+        F.col("t.f2").cast("bigint").alias("cnt"),
+        _r(F.col("t.f3")).alias("mean2"),
+    )
+
+
+_SOURCE_TUPLE_SQL = """
+SELECT user_id,
+       round(sum(value) + 1.37e-8, 6) AS sum_val,
+       count(value) AS cnt,
+       round(avg(value * 2) + 1.37e-8, 6) AS mean2
+FROM events WHERE ts < TIMESTAMP '{snap}'
+GROUP BY user_id
+""".format(snap=SNAP)
+
+
 def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram LM quality proxy (CCNet-style): corpus word counts
     (one explode+groupBy) broadcast into a per-document mean
@@ -2543,12 +2635,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DICT ORDER MATTERS: the driver certifies exactly the FIRST 50
-    # entries each round. Positions 1-50 hold every query that still
-    # needs (or refreshes) an oracle row — the r1/r2-never-checked five
-    # (group_pair..source_mix) and this round's four new operators sit
-    # inside the window; the entries past 50 are all driver-certified
-    # in CORRECTNESS_r01/r02 (native/arrow twins of in-window queries
-    # and rows-only sketches) and carry those certifications.
+    # entries each round. Round-4 rotation: the four r3-certified-but-
+    # r3-TOUCHED queries (group_fold_native, media_features,
+    # embed_dedup, json_map_ops — Possibly-native groups, RAW codecs,
+    # gram-set verify, map arithmetic all changed in r3 after their
+    # last oracle row) rotate IN, plus the three new round-4 operators
+    # (post_group_filter, source_scan, source_tuple); seven r3-green
+    # queries whose code is untouched this round rotate OUT
+    # (text_token_count, lang_id, grepl_filter, exact_dedup,
+    # minhash_pairs, simhash_pairs, dedup_survivors) and carry their
+    # CORRECTNESS_r03 certifications.
     return {
         "asof_snapshot_folds": q_asof_snapshot_folds,
         "asof_window_folds": q_asof_window_folds,
@@ -2565,13 +2661,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
         "sessionize": q_sessionize,
-        "text_token_count": q_text_token_count,
-        "lang_id": q_lang_id,
-        "grepl_filter": q_grepl_filter,
-        "exact_dedup": q_exact_dedup,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "dedup_survivors": q_dedup_survivors,
+        "post_group_filter": q_post_group_filter,
+        "source_scan": q_source_scan,
+        "source_tuple": q_source_tuple,
+        "group_fold_native": q_group_fold_native,
+        "media_features": q_media_features,
+        "embed_dedup": q_embed_dedup,
+        "json_map_ops": q_json_map_ops,
         "embed_topk": q_embed_topk,
         "source_postcomp": q_source_postcomp,
         "repetition_stats": q_repetition_stats,
@@ -2600,7 +2696,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary_native": q_dictionary_native,
         "minhash_incremental": q_minhash_incremental,
         "simhash_incremental": q_simhash_incremental,
-        # ---- position 51+: driver-certified in r01/r02 ----
+        # ---- position 51+: driver-certified in r01/r02/r03 ----
+        "text_token_count": q_text_token_count,
+        "lang_id": q_lang_id,
+        "grepl_filter": q_grepl_filter,
+        "exact_dedup": q_exact_dedup,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_survivors": q_dedup_survivors,
         "tpch_q1": q_tpch_q1,
         "regression": q_regression,
         "group_fold_map": q_group_fold_map,
@@ -2610,10 +2713,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "days_in": q_days_in,
         "asof_snapshot_native": q_asof_snapshot_native,
         "asof_chord_native": q_asof_chord_native,
-        "group_fold_native": q_group_fold_native,
-        "media_features": q_media_features,
-        "embed_dedup": q_embed_dedup,
-        "json_map_ops": q_json_map_ops,
         "circular_stats": q_circular_stats,
         "session_stats": q_session_stats,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2638,6 +2737,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_chord_native": _CHORD_SQL,
         "latest_n": _LATEST_SQL,
         "group_fold": _GROUP_SQL,
+        "post_group_filter": _POST_GROUP_FILTER_SQL,
+        "source_scan": _SOURCE_SCAN_SQL,
+        "source_tuple": _SOURCE_TUPLE_SQL,
         "group_fold_native": _GROUP_SQL,
         "group_fold_chord": _GROUP_CHORD_SQL,
         "error_codes": _ERROR_CODES_SQL,

@@ -149,6 +149,7 @@ def _feature_value(
     max_group: int,
     times: np.ndarray | None = None,
     qt: Any | None = None,
+    pg: np.ndarray | None = None,
 ) -> Any:
     """Evaluate one feature over the visible index range [lo, hi)."""
     idx = np.arange(lo, hi)
@@ -161,7 +162,13 @@ def _feature_value(
     if f.skip_nulls and len(idx):
         # skip_nulls acts like an element filter: nulls are dropped
         # BEFORE the latest-N buffer / distinct pass sees them.
-        idx = idx[~pd.isna(vals[idx])]
+        if pg is None:
+            idx = idx[~pd.isna(vals[idx])]
+        else:
+            # post-group filter: a null element never reaches the
+            # guarded fold step, but its key still establishes
+            pg = pg.copy()
+            pg[idx[pd.isna(vals[idx]).astype(bool)]] = False
     for karr in (gkey, dkey):
         # null group/distinct KEY (Possibly key, e.g. tombstoned
         # struct — t03.1-distinct-tomb): poison, or drop under
@@ -205,13 +212,26 @@ def _feature_value(
         # Possibly semantics poison the WHOLE map when any visible
         # element value is null (t03.1: homer|tombstone), matching
         # vexec's row-level poison.
-        if not f.skip_nulls and pd.isna(v).any():
+        vis_null = pd.isna(v)
+        if pg is not None:
+            # a guarded-out null never reaches the fold: no poison
+            vis_null = vis_null & pg[idx]
+        if not f.skip_nulls and vis_null.any():
             return None
         keys = gkey[idx]
         out: dict[str, Any] = {}
         for k in pd.unique(keys):
-            sel = keys == k
-            out[str(k)] = _reduce_slice(f, v[sel], b[sel] if b is not None else None)
+            sel = np.flatnonzero(keys == k)
+            if f.group_latest is not None:
+                # `group k ~> latest N`: frame per key (t17-latest:4-8)
+                sel = sel[-f.group_latest:]
+            if pg is not None:
+                # key established by every visible fact; the fold
+                # step is guarded (t02 'counts of zero')
+                sel = sel[pg[idx[sel]]]
+            out[str(k)] = _reduce_slice(
+                f, v[sel], b[sel] if b is not None else None
+            )
             if len(out) > max_group:
                 return None  # maxMapSize overflow -> error value
         return out
@@ -248,6 +268,12 @@ def _prep_feature(
         "by": eval_expr(f.by, fpdf).to_numpy() if f.by is not None else None,
         "gkey": eval_expr(f.group, fpdf).to_numpy() if f.group is not None else None,
         "dkey": eval_expr(f.distinct, fpdf).to_numpy() if f.distinct is not None else None,
+        "pg": (
+            eval_expr(f.post_group_filter, fpdf)
+            .fillna(False).to_numpy().astype(bool)
+            if f.post_group_filter is not None
+            else None
+        ),
     }
 
 
@@ -303,7 +329,7 @@ def _run_entity(
                     _feature_value(
                         f2, 0, len(fr), c2["vals"], c2["mask"], c2["by"],
                         c2["gkey"], c2["dkey"], plan.max_group_size,
-                        times=times[idx], qt=qt,
+                        times=times[idx], qt=qt, pg=c2["pg"],
                     )
                 )
                 continue
@@ -312,7 +338,7 @@ def _run_entity(
                 _feature_value(
                     f, lo, hi, c["vals"], c["mask"], c["by"],
                     c["gkey"], c["dkey"], plan.max_group_size,
-                    times=times, qt=qt,
+                    times=times, qt=qt, pg=c["pg"],
                 )
             )
         rows.append(row)

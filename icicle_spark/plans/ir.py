@@ -173,6 +173,24 @@ class Feature:
                                       # where/window/latest, matching the
                                       # context pipeline order. Bind names
                                       # must not shadow fact columns.
+    post_group_filter: ExprLike | None = None
+                                      # filter AFTER `group k` (repl
+                                      # t02-groups:11-13 "counts of
+                                      # zero"; ToCore/Fold.hs:275-285):
+                                      # keys are established by the
+                                      # UNFILTERED visible stream; the
+                                      # predicate guards only the fold
+                                      # step, so fully-filtered keys
+                                      # emit the fold's init (count 0,
+                                      # sum 0, ...; None for value
+                                      # folds). Evaluated by the fold
+                                      # executors; native declines.
+    group_latest: int | None = None   # `group k ~> latest N`: last N
+                                      # facts PER KEY (contexts after
+                                      # group run inside each group —
+                                      # t17-latest:4-8), unlike
+                                      # Feature.latest's per-entity
+                                      # frame.
     scans: tuple[tuple[str, Agg, str], ...] | None = None
                                       # `scan b = agg e` element binds
                                       # (Query/Context.hs:33, repl
@@ -361,6 +379,12 @@ class Plan:
                 if f.filter_let
                 else None,
                 f.scans,
+                f.post_group_filter
+                if isinstance(f.post_group_filter, str)
+                else id(f.post_group_filter)
+                if f.post_group_filter is not None
+                else None,
+                f.group_latest,
             )
             if key not in seen:
                 seen[key] = f.name

@@ -137,14 +137,30 @@ def _feature_series(
         w = eval_expr(f.where, base)
         mask = mask & w.fillna(False).to_numpy().astype(bool)
 
+    pg = None
+    if f.post_group_filter is not None:
+        # post-group filter (t02-groups:11-13): keys establish from
+        # the UNFILTERED stream; pg guards only the fold step
+        pg = (
+            eval_expr(f.post_group_filter, base)
+            .fillna(False).to_numpy().astype(bool)
+        )
+
     poison = None
     if f.skip_nulls:
-        mask = mask & ~vals.isna().to_numpy()
+        if pg is None:
+            mask = mask & ~vals.isna().to_numpy()
+        else:
+            # a null element never reaches the guarded fold step, but
+            # its key still establishes
+            pg = pg & ~vals.isna().to_numpy()
 
     idx = np.flatnonzero(mask)
     sub = pd.DataFrame(
         {"seg": seg[idx], "v": vals.to_numpy()[idx]}
     )
+    if pg is not None:
+        sub["pg"] = pg[idx]
     if f.agg is Agg.DECAYED_SUM:
         sub["t"] = tns[idx]
     if f.by is not None:
@@ -172,6 +188,10 @@ def _feature_series(
             )
     if f.distinct is not None:
         sub = sub.drop_duplicates(["seg", "dk"], keep="first")
+    if f.group_latest is not None and f.group is not None:
+        # `group k ~> latest N`: the frame is PER KEY (contexts after
+        # group run inside each group — t17-latest:4-8)
+        sub = sub.groupby(["seg", "gk"], sort=False).tail(f.group_latest)
     if f.latest is not None:
         sub = sub.groupby("seg", sort=False).tail(f.latest)
     if not f.skip_nulls:
@@ -179,6 +199,9 @@ def _feature_series(
         # slice (after window/filter/distinct/latest) poisons this
         # entity's aggregate — same order as plans.executor.
         nn = pd.isna(sub["v"]).to_numpy()
+        if pg is not None:
+            # a guarded-out null never reaches the fold: no poison
+            nn = nn & sub["pg"].to_numpy()
         poison = np.bincount(sub["seg"].to_numpy()[nn], minlength=n_seg) > 0
         if key_poison is not None:
             poison = poison | key_poison
@@ -263,6 +286,15 @@ def _grouped_map(f: Feature, sub: pd.DataFrame, n_seg: int, max_group: int):
     agg = f.agg
     if isinstance(agg, CustomFold):
         raise ValueError("custom folds inside `group` use the cogroup executor")
+    keys_index = None
+    if "pg" in sub.columns:
+        # post-group filter: every (seg, key) in sub establishes a
+        # slot; only pg rows feed the fold — empty slots get the
+        # fold's init (t02 'counts of zero')
+        keys_index = (
+            sub.groupby(["seg", "gk"], sort=False).size().index
+        )
+        sub = sub[sub["pg"]]
     g = sub.groupby(["seg", "gk"], sort=False)["v"]
     if agg in _PANDAS_AGG:
         per_key = getattr(g, _PANDAS_AGG[agg])()
@@ -272,6 +304,13 @@ def _grouped_map(f: Feature, sub: pd.DataFrame, n_seg: int, max_group: int):
         per_key = g.all()
     else:
         raise ValueError(f"group does not support {agg}")
+    if keys_index is not None:
+        per_key = per_key.reindex(keys_index)
+        fill = _FILL.get(agg)
+        if fill is not None:
+            per_key = per_key.fillna(fill)
+        else:
+            per_key = per_key.astype(object).where(per_key.notna(), None)
     if agg is Agg.COUNT:
         per_key = per_key.astype("int64")
     maps: dict[int, dict] = {}

@@ -283,6 +283,8 @@ class _Builder:
         self.latest_outer: int | None = None
         self._filter_since_latest = False
         self.group: str | None = None
+        self.post_filters: list[str] = []  # filters AFTER `group k`
+        self.group_latest: int | None = None  # `group k ~> latest N`
         self.distinct: str | None = None
         self.group_fold: tuple | None = None  # (k, v, hidden, int?)
         self.elem_markers: dict[str, str] = {}  # array-fold group binds
@@ -356,6 +358,13 @@ class _Builder:
             if self.binds else None,
             scans=tuple((n, a, J(e)) for n, a, e in self.scan_binds)
             if self.scan_binds else None,
+            post_group_filter=J(
+                " and ".join(f"({p})" for p in self.post_filters)
+                if self.dialect == "pandas"
+                else " AND ".join(f"({p})" for p in self.post_filters)
+            )
+            if self.post_filters else None,
+            group_latest=self.group_latest,
             skip_nulls=self.skip_nulls,
             dtype=dtype,
         )
@@ -377,6 +386,8 @@ def _child_builder(b: _Builder) -> _Builder:
     c.latest_outer = b.latest_outer
     c._filter_since_latest = b._filter_since_latest
     c.group = b.group
+    c.post_filters = list(b.post_filters)
+    c.group_latest = b.group_latest
     c.distinct = b.distinct
     c.folds = dict(b.folds)
     c.scan_binds = list(b.scan_binds)
@@ -739,6 +750,12 @@ def _apply_context(b: _Builder, c: str) -> None:
         return
     m = re.fullmatch(r"filter\s+(.+)", c, re.S)
     if m:
+        if b.group is not None:
+            # filter AFTER `group k` (t02-groups:11-13 "counts of
+            # zero"): keys establish from the unfiltered stream; the
+            # predicate guards only the fold step
+            b.post_filters.append(b.sub(m.group(1)))
+            return
         b.filters.append(b.sub(m.group(1)))
         b._filter_since_latest = True
         return
@@ -758,6 +775,18 @@ def _apply_context(b: _Builder, c: str) -> None:
     m = re.fullmatch(r"latest\s+(\d+)", c)
     if m:
         n = int(m.group(1))
+        if b.group is not None:
+            # contexts after `group k` run INSIDE each group
+            # (t17-latest:4-8): the frame is per key
+            if b.post_filters:
+                raise ValueError(
+                    "latest after a post-group filter is unsupported "
+                    "(frame-then-filter is the corpus order)"
+                )
+            b.group_latest = (
+                n if b.group_latest is None else min(b.group_latest, n)
+            )
+            return
         if b.latest is None:
             b.latest = n
         elif b._filter_since_latest:

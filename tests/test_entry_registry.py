@@ -12,27 +12,29 @@ import __spark_entry__ as entry
 
 # queries that must be inside the driver's 50-entry window this round
 MUST_BE_IN_WINDOW = {
-    # round-3 additions needing their first oracle row
-    "source_postcomp",
-    "source_group_fold",
-    "decontaminate",
-    "repetition_stats",
-    "doc_logprob",
-    "quality_filter",
-    "semantic_decon",
-    "filter_let_bind",
-    "dictionary_native",
-    "minhash_incremental",
-    "simhash_incremental",
-    "math_builtins",
+    # round-4 additions needing their first oracle row
+    "post_group_filter",
+    "source_scan",
+    "source_tuple",
+    # r3-certified but r3-TOUCHED (Possibly-native groups, RAW codecs,
+    # gram-set verify, per-key map arithmetic changed after their last
+    # oracle row) — rotated back in for re-certification
+    "group_fold_native",
+    "media_features",
+    "embed_dedup",
+    "json_map_ops",
+    # core fold paths rewritten again in round 4 (scan binds,
+    # post-group filters, prep refactor): keep the executor-heavy
+    # queries in-window for refresh
+    "asof_snapshot_folds",
+    "asof_window_folds",
+    "asof_chord",
+    "latest_n",
+    "group_fold",
+    "group_fold_chord",
     "resume_fold",
-    "redact_pii",
-    "chunk_docs",
-    # never certified in r01/r02
-    "group_pair",
-    "token_arrays",
-    "token_seq_stats",
-    "token_freq",
+    "filter_let_bind",
+    # never oracle-certified (rows-only by design, stays observable)
     "source_mix",
 }
 

@@ -862,3 +862,58 @@ def test_tuple_fold_cross_component_rejects():
             "from salary ~> fold (a, b) = (0, 0) then (b, a + value) "
             "~> a"
         )
+
+
+# -- filter after group: zero-count keys (t02:13, t17:8) ---------------
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t02_post_group_filter_verbatim(salary, strategy):
+    """t02-groups line 13 VERBATIM ("Note that this gives us counts of
+    zero"): keys establish from the unfiltered stream; the filter
+    guards only the fold step."""
+    p = parse_program(
+        {"g": "from salary ~> group time ~> filter value > 100 ~> "
+              "count value"},
+        skip_nulls=True, entity_col="entity", time_col="time",
+        seq_col="seq",
+    )["salary"]
+    r = (
+        run_plan(salary, p, snapshot=SNAP, strategy=strategy)
+        .toPandas().set_index("entity")
+    )
+    h = {k[:10]: int(v) for k, v in r.loc["homer", "g"].items()}
+    assert h == {
+        "1989-12-17": 0, "1990-01-01": 1, "1994-01-01": 1,
+        "1999-01-01": 1, "2010-01-01": 1,
+    }
+    assert {k[:10]: int(v) for k, v in r.loc["marge", "g"].items()} == {
+        "1989-12-17": 0
+    }
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t17_group_latest_filter_tuple_verbatim(salary, strategy):
+    """t17-latest line 8 VERBATIM: scalar agg-let + per-key latest-2
+    frame + guarded sum, tupled — homer keys all present with
+    (1500, 0|200|...|500), marge (30, 0)."""
+    p = parse_program(
+        {"g": "from salary ~> let sx = sum value ~> group time ~> "
+              "latest 2 ~> filter value > 100 ~> (sx, sum value)"},
+        skip_nulls=True, entity_col="entity", time_col="time",
+        seq_col="seq",
+    )["salary"]
+    r = (
+        run_plan(salary, p, snapshot=SNAP, strategy=strategy)
+        .toPandas().set_index("entity")
+    )
+    h = {k[:10]: (v["f1"], v["f2"])
+         for k, v in sorted(r.loc["homer", "g"].items())}
+    assert h == {
+        "1989-12-17": (1500.0, 0.0), "1990-01-01": (1500.0, 200.0),
+        "1994-01-01": (1500.0, 300.0), "1999-01-01": (1500.0, 400.0),
+        "2010-01-01": (1500.0, 500.0),
+    }
+    assert {k[:10]: (v["f1"], v["f2"])
+            for k, v in r.loc["marge", "g"].items()} == {
+        "1989-12-17": (30.0, 0.0)
+    }

@@ -24,6 +24,17 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(9)
         elif pd.api.types.is_integer_dtype(df[c]) or df[c].dtype == "object":
+            if df[c].dtype == "object" and df[c].map(
+                lambda x: isinstance(x, (list, np.ndarray))
+            ).any():
+                # array cells (Spark ndarray / DuckDB list) are
+                # unhashable for the sort: canonicalize to a string
+                df[c] = df[c].map(
+                    lambda x: str([*x])
+                    if isinstance(x, (list, np.ndarray))
+                    else x
+                )
+                continue
             try:
                 df[c] = df[c].astype("float64").round(9)
             except (ValueError, TypeError):
