@@ -1418,21 +1418,41 @@ FROM w
 
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic source mixing (training-data mixture weights):
-    per-source survivor counts after hash-gated downsampling. Rows-only
-    (membership is a pure function of xxhash64, which the oracle engine
-    lacks); determinism + proportions are pinned in
+    per-source survivor counts after hash-gated downsampling. The
+    contract gate uses the PORTABLE md5 hash (identical hex in every
+    engine) so DuckDB replays the exact membership decision — a full
+    oracle, not rows-only. Production keeps the faster xxhash64 gate;
+    determinism + proportions for it are pinned in
     tests/test_sampling.py."""
     from icicle_spark.operators.sampling import mix_sources
 
     d = _docs(spark, sf_dir)
     mixed = mix_sources(
-        d, {"src0": 1.0, "src1": 0.5, "src2": 0.1}, default=0.25
+        d, {"src0": 1.0, "src1": 0.5, "src2": 0.1}, default=0.25,
+        hash_fn="md5",
     )
     return (
         mixed.groupBy("source")
         .agg(F.count(F.lit(1)).alias("kept"))
         .orderBy("source")
     )
+
+
+_SOURCE_MIX_SQL = """
+SELECT source, count(*) AS kept FROM (
+  SELECT source,
+         CAST(('0x' || substr(md5(doc_id || ':0'), 1, 15)) AS UBIGINT)
+           % 1000000 AS b
+  FROM documents
+)
+WHERE b < CASE source
+            WHEN 'src0' THEN 1000000
+            WHEN 'src1' THEN 500000
+            WHEN 'src2' THEN 100000
+            ELSE 250000
+          END
+GROUP BY source
+"""
 
 
 def q_token_seq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2737,6 +2757,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_chord_native": _CHORD_SQL,
         "latest_n": _LATEST_SQL,
         "group_fold": _GROUP_SQL,
+        "source_mix": _SOURCE_MIX_SQL,
         "post_group_filter": _POST_GROUP_FILTER_SQL,
         "source_scan": _SOURCE_SCAN_SQL,
         "source_tuple": _SOURCE_TUPLE_SQL,

@@ -25,19 +25,32 @@ from pyspark.sql import Column, DataFrame, functions as F
 _BUCKETS = 1_000_000
 
 
-def _bucket(key_col, seed: int) -> Column:
+def _bucket(key_col, seed: int, hash_fn: str = "xx64") -> Column:
     c = F.col(key_col) if isinstance(key_col, str) else key_col
+    if hash_fn == "md5":
+        # portable gate: md5 hex is identical in every engine (DuckDB,
+        # Trino, BigQuery...), so membership is oracle-checkable
+        # cross-engine. 15 hex digits = 60 bits, fits a signed int64.
+        h = F.md5(F.concat(c.cast("string"), F.lit(f":{seed}")))
+        return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % F.lit(
+            _BUCKETS
+        )
+    if hash_fn != "xx64":
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (xx64 | md5)")
     return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(_BUCKETS))
 
 
 def deterministic_sample(
-    df: DataFrame, fraction: float, key_col: str, seed: int = 0
+    df: DataFrame, fraction: float, key_col: str, seed: int = 0,
+    hash_fn: str = "xx64",
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by key hash — reproducible
     at any parallelism (membership is a pure function of the key)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    return df.where(_bucket(key_col, seed) < int(fraction * _BUCKETS))
+    return df.where(
+        _bucket(key_col, seed, hash_fn) < int(fraction * _BUCKETS)
+    )
 
 
 def mix_sources(
@@ -47,6 +60,7 @@ def mix_sources(
     key_col: str = "doc_id",
     seed: int = 0,
     default: float = 0.0,
+    hash_fn: str = "xx64",
 ) -> DataFrame:
     """Per-source deterministic downsampling: a row from source s
     survives iff hash(key) lands under weights[s]. Sources absent from
@@ -59,7 +73,7 @@ def mix_sources(
         thr = F.when(F.col(source_col) == s, F.lit(int(w * _BUCKETS))).otherwise(
             thr
         )
-    return df.where(_bucket(key_col, seed) < thr)
+    return df.where(_bucket(key_col, seed, hash_fn) < thr)
 
 
 def split_train_holdout(
