@@ -87,6 +87,10 @@ def supports_chords(plan: Plan) -> bool:
             # scan binds need per-row running values over the raw
             # frame — route to the cogroup executor
             return False
+        if isinstance(f.agg, CustomFold) and f.agg.output_qt is not None:
+            # qt-referencing outputs need the per-chord query time
+            # wired into the prefix finalizer — cogroup handles it
+            return False
         if isinstance(f.agg, CustomFold):
             # evaluated per frame over the compacted value slice —
             # O(frame), same cost argument as the sliced aggregates

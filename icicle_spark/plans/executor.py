@@ -58,7 +58,9 @@ _EMPTY: dict[Agg, Any] = {
 }
 
 
-def _reduce_slice(f: Feature, vals: np.ndarray, by: np.ndarray | None) -> Any:
+def _reduce_slice(
+    f: Feature, vals: np.ndarray, by: np.ndarray | None, qt: Any = None
+) -> Any:
     """Reduce the visible, filtered element slice to the fold result.
 
     ``vals`` is already filtered; Possibly semantics (a null element
@@ -83,6 +85,8 @@ def _reduce_slice(f: Feature, vals: np.ndarray, by: np.ndarray | None) -> Any:
             state = agg.init
             for x in vals:
                 state = agg.step_seq(state, x)
+        if agg.output_qt is not None:
+            return agg.output_qt(state, qt)
         return agg.output(state) if agg.output else state
     n = len(vals)
     if n == 0:
@@ -230,12 +234,12 @@ def _feature_value(
                 # step is guarded (t02 'counts of zero')
                 sel = sel[pg[idx[sel]]]
             out[str(k)] = _reduce_slice(
-                f, v[sel], b[sel] if b is not None else None
+                f, v[sel], b[sel] if b is not None else None, qt=qt
             )
             if len(out) > max_group:
                 return None  # maxMapSize overflow -> error value
         return out
-    return _reduce_slice(f, v, b)
+    return _reduce_slice(f, v, b, qt=qt)
 
 
 def _prep_feature(

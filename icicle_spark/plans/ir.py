@@ -77,6 +77,12 @@ class CustomFold:
     step: Callable[[np.ndarray], Any] | None = None          # vectorized slice -> value
     step_seq: Callable[[Any, Any], Any] | None = None        # (acc, x) -> acc
     output: Callable[[Any], Any] | None = None               # final extract
+    output_qt: Callable[[Any, Any], Any] | None = None       # (state, query_time)
+                                                             # -> value; for folds
+                                                             # whose OUTPUT stage
+                                                             # references `now`
+                                                             # (prelude days_in).
+                                                             # Wins over `output`.
     dtype: str = "double"
 
 
@@ -485,6 +491,13 @@ def eval_expr(expr: ExprLike, pdf: pd.DataFrame) -> pd.Series:
     if expr in pdf.columns:
         return pdf[expr]
     out = pdf.eval(expr)
+    if isinstance(out, pd.DataFrame):
+        # pandas.eval parsed an ASSIGNMENT (a single '=' — an
+        # sql-dialect string leaked onto the vectorized path)
+        raise ValueError(
+            f"element expression {expr!r} is not pandas-eval syntax "
+            "(use '==' — executor dialect is pandas, native is SQL)"
+        )
     if not isinstance(out, pd.Series):
         # constant expression (e.g. the presence fold's "1"):
         # broadcast to the block's index

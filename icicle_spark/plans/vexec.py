@@ -210,7 +210,7 @@ def _feature_series(
     if f.group is not None:
         res = _grouped_map(f, sub, n_seg, max_group)
     elif isinstance(agg, CustomFold):
-        res = _custom(f, sub, n_seg)
+        res = _custom(f, sub, n_seg, qt=pd.Timestamp(qt_ns))
     elif agg in _PANDAS_AGG:
         g = sub.groupby("seg", sort=False)["v"]
         res = getattr(g, _PANDAS_AGG[agg])()
@@ -302,6 +302,10 @@ def _grouped_map(f: Feature, sub: pd.DataFrame, n_seg: int, max_group: int):
         per_key = g.any()
     elif agg is Agg.ALL:
         per_key = g.all()
+    elif agg is Agg.COLLECT:
+        # map key -> value list in stream order (`group k ~> latest N
+        # ~> elem`, t17-latest:4)
+        per_key = g.agg(list)
     else:
         raise ValueError(f"group does not support {agg}")
     if keys_index is not None:
@@ -321,8 +325,16 @@ def _grouped_map(f: Feature, sub: pd.DataFrame, n_seg: int, max_group: int):
     return res
 
 
-def _custom(f: Feature, sub: pd.DataFrame, n_seg: int) -> pd.Series:
+def _custom(
+    f: Feature, sub: pd.DataFrame, n_seg: int, qt: Any = None
+) -> pd.Series:
     cf: CustomFold = f.agg  # type: ignore[assignment]
+
+    def _fin(state):
+        if cf.output_qt is not None:
+            return cf.output_qt(state, qt)
+        return cf.output(state) if cf.output else state
+
     segs = sub["seg"].to_numpy()
     vals = sub["v"].to_numpy()
     bounds = np.flatnonzero(np.diff(segs)) + 1
@@ -336,8 +348,8 @@ def _custom(f: Feature, sub: pd.DataFrame, n_seg: int) -> pd.Series:
             state = cf.init
             for x in part_vals:
                 state = cf.step_seq(state, x)
-        out[int(part_seg[0])] = cf.output(state) if cf.output else state
-    empty = cf.output(cf.init) if cf.output else (
+        out[int(part_seg[0])] = _fin(state)
+    empty = _fin(cf.init) if (cf.output or cf.output_qt) else (
         cf.step(np.array([])) if cf.step is not None else cf.init
     )
     res = pd.Series(out, dtype=object)

@@ -1254,6 +1254,52 @@ def _safe_divisions(s: str) -> str:
     return "".join(out)
 
 
+
+def _days_between_ts(a, b) -> int:
+    """Whole calendar days between two instants (reference
+    Time.hs daysDifference: date-granular)."""
+    import pandas as pd
+
+    return int(
+        (pd.Timestamp(b).normalize() - pd.Timestamp(a).normalize()).days
+    )
+
+
+def _days_in_fold() -> CustomFold:
+    """The prelude's days_in fold (prelude.icicle:344-356): track runs
+    of consecutive equal states; on change credit the accumulated days
+    to the OLD state; the OUTPUT stage closes the final run against
+    `now` (the query time) — hence output_qt."""
+
+    def step(acc, xt):
+        x, t = xt
+        if acc is None:  # fold1 seeding from the first fact
+            return (x, t, 0, {})
+        y, y_time, n, m = acc
+        n = n + _days_between_ts(y_time, t)
+        if y == x:
+            return (x, t, n, m)
+        m = dict(m)
+        k = str(y)
+        m[k] = m.get(k, 0) + n
+        return (x, t, 0, m)
+
+    def out(acc, qt):
+        if acc is None:
+            return None  # fold1 over an empty stream has no value
+        y, y_time, n, m = acc
+        n = n + _days_between_ts(y_time, qt)
+        m = dict(m)
+        k = str(y)
+        m[k] = m.get(k, 0) + n
+        return {kk: int(vv) for kk, vv in m.items()}
+
+    return CustomFold(
+        init=None, step_seq=step, output_qt=out,
+        dtype="map<string,bigint>",
+    )
+
+
 def parse_query_multi(
     q: str,
     name: str = "q0",
@@ -1298,6 +1344,18 @@ def parse_query_multi(
             [(name, post)],
             [f.name for f in b.feats],
         )
+
+    m_di = re.fullmatch(r"days_in\s+([\w']+)\s+([\w']+)\s+now", tail)
+    if m_di and b.group is None and b.distinct is None:
+        # prelude days_in x x_time now (prelude.icicle:344-356, repl
+        # t31 golden: NY 365 / CA 1461 / OR 365): a run-length fold
+        # whose output closes the final run against the query time
+        vcol, tcol = b.sub(m_di.group(1)), b.sub(m_di.group(2))
+        feat = b.mk_feature(
+            name, _days_in_fold(), _fold_expr([vcol, tcol]),
+            dtype="map<string,bigint>",
+        )
+        return input_name, [feat], [], []
 
     comps = _split_top_tuple(tail)
     if comps is not None and b.group is None and b.distinct is None:
@@ -1351,8 +1409,12 @@ def parse_query_multi(
         )
 
     if not b.feats and not had_let_ref:
-        if b.latest is not None:
-            # bare element expr under latest N -> array result
+        if b.latest is not None or (
+            b.group is not None and b.group_latest is not None
+        ):
+            # bare element expr under latest N -> array result;
+            # under `group k ~> latest N` -> map key -> array
+            # (t17-latest:4, t70-zebra)
             return (
                 input_name,
                 [b.mk_feature(name, Agg.COLLECT, b.sub(tail))],

@@ -371,7 +371,7 @@ feature sum_severity =
 
 feature head_damage =
   from injury
-    in filter location = "head"
+    in filter location == "head"
     in sum severity
 
 feature actioned_damage =
@@ -403,14 +403,14 @@ def test_parse_dictionary_source_file(spark):
     from icicle_spark.source_lang import parse_dictionary_source
 
     d, skipped = parse_dictionary_source(
-        DICT_SRC, dialect="sql", skip_nulls=True, seq_col="seq"
+        DICT_SRC, dialect="pandas", skip_nulls=True, seq_col="seq"
     )
     assert sorted(d.inputs) == ["injury", "salary"]
     assert sorted(d.outputs) == [
-        "actioned_damage", "head_damage", "mean_salary",
+        "actioned_damage", "days_loc", "head_damage", "mean_salary",
         "sum_severity", "worst",
     ]
-    assert set(skipped) == {"is_head", "days_loc"}
+    assert set(skipped) == {"is_head"}
     assert "toplevel" in skipped["is_head"]
 
     inj = pd.DataFrame({
@@ -437,10 +437,18 @@ def test_parse_dictionary_source_file(spark):
             "salary": spark.createDataFrame(sal),
         },
         snapshot="2021-01-01",
-        strategy="native",
+        # auto: the plan now carries days_in's qt-aware CustomFold,
+        # which the native compiler declines
+        strategy="auto",
     )
     got = out["injury"].toPandas().set_index("entity").sort_index()
     assert got.loc["homer", "sum_severity"] == 10.0
+    # days_in location time now: run-length days per location, the
+    # final run closed against the query time (2020 is a leap year:
+    # 60 + 31 + 275 = 366)
+    assert dict(got.loc["homer", "days_loc"]) == {
+        "head": 60, "arm": 31, "torso": 275,
+    }
     assert got.loc["homer", "head_damage"] == 3.0
     assert dict(got.loc["homer", "actioned_damage"]) == {
         "fall": 1.0, "hit": 4.0,
@@ -916,4 +924,61 @@ def test_t17_group_latest_filter_tuple_verbatim(salary, strategy):
     assert {k[:10]: (v["f1"], v["f2"])
             for k, v in r.loc["marge", "g"].items()} == {
         "1989-12-17": (30.0, 0.0)
+    }
+
+
+# -- days_in now + group-latest frames (t31, t17:4-5, t70) -------------
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t31_days_in_now_verbatim(spark, strategy):
+    """t31-builtin VERBATIM `from state ~> days_in value time now`:
+    run-length days per state, final run closed against the exclusive
+    query instant — NY 365 / CA 1461 / OR 365 (golden)."""
+    rows = [
+        ("homer", "2010-01-01", "NY"), ("homer", "2010-06-01", "OR"),
+        ("homer", "2010-09-01", "OR"), ("homer", "2011-01-01", "CA"),
+        ("homer", "2012-01-01", "CA"), ("homer", "2013-01-01", "CA"),
+        ("homer", "2014-01-01", "CA"), ("homer", "2015-01-01", "OR"),
+        ("homer", "2015-06-01", "NY"), ("homer", "2015-09-01", "NY"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["entity", "time", "value"])
+    pdf["time"] = pd.to_datetime(pdf["time"])
+    pdf["seq"] = np.arange(len(pdf))
+    state = spark.createDataFrame(pdf)
+    p = parse_program(
+        {"d": "from state ~> days_in value time now"},
+        skip_nulls=True, entity_col="entity", time_col="time",
+        seq_col="seq",
+    )["state"]
+    r = (
+        run_plan(state, p, snapshot=icicle_snapshot("2015-12-31"),
+                 strategy=strategy)
+        .toPandas().set_index("entity")
+    )
+    assert dict(sorted(r.loc["homer", "d"].items())) == {
+        "CA": 1461, "NY": 365, "OR": 365,
+    }
+
+
+@pytest.mark.parametrize("strategy", ["vectorized", "cogroup"])
+def test_t17_group_latest_frames(salary, strategy):
+    """t17-latest lines 4-5: contexts after `group k` frame PER KEY —
+    marge's one key collects [10, 20] and sums 30."""
+    qs = {
+        "a": "from salary ~> group time ~> latest 2 ~> value",
+        "s": "from salary ~> group time ~> latest 2 ~> sum value",
+    }
+    p = parse_program(
+        qs, skip_nulls=True, entity_col="entity", time_col="time",
+        seq_col="seq",
+    )["salary"]
+    r = (
+        run_plan(salary, p, snapshot=SNAP, strategy=strategy)
+        .toPandas().set_index("entity")
+    )
+    assert {k[:10]: list(v) for k, v in r.loc["marge", "a"].items()} == {
+        "1989-12-17": [10.0, 20.0]
+    }
+    assert {k[:10]: v for k, v in r.loc["marge", "s"].items()} == {
+        "1989-12-17": 30.0
     }
