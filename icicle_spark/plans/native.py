@@ -87,6 +87,14 @@ def _feature_native(f: Feature) -> bool:
     if f.by is not None and not isinstance(f.by, str):
         return False
     if f.group is not None:
+        if f.post_group_filter is not None and not (
+            isinstance(f.post_group_filter, str) and f.skip_nulls
+        ):
+            # Possibly-mode post-group filters need row-level poison
+            # interplay with the guard — the fold executors handle it
+            return False
+        if f.group_latest is not None and not f.skip_nulls:
+            return False
         return (
             isinstance(f.group, str)
             and f.agg in _GROUP_NATIVE_AGGS
@@ -130,6 +138,32 @@ def _plain_agg(agg: Agg, x: Column) -> Column:
     if agg is Agg.SD:
         return F.stddev_samp(x.cast("double"))
     raise ValueError(f"not a group-native agg: {agg}")  # pragma: no cover
+
+
+# per-key value for a key whose every fact was guarded out by a
+# post-group filter: the fold's init (executor._EMPTY parity).
+# Aggregates absent here are legitimately null over an empty slice
+# (mean/min/max/variance/sd/newest/oldest); count is never null.
+_GROUP_EMPTY = {
+    Agg.SUM: lambda: F.lit(0.0),
+    Agg.ANY: lambda: F.lit(False),
+    Agg.ALL: lambda: F.lit(True),
+}
+
+
+def _key_str(base: DataFrame, kexpr: str) -> Column:
+    """Group-key expression as a STRING map key, matching the Python
+    executors' str() casing: Spark casts booleans to 'true'/'false'
+    while str(numpy.bool_) is 'True'/'False' — a silent cross-backend
+    map-key divergence for `group (value > 0)`-style keys."""
+    k = F.expr(kexpr)
+    from pyspark.sql.types import BooleanType
+
+    if isinstance(
+        base.select(k.alias("__k")).schema[0].dataType, BooleanType
+    ):
+        return F.when(k, F.lit("True")).when(~k, F.lit("False"))
+    return k.cast("string")
 
 
 def _order_cols(plan: Plan) -> list[Column]:
@@ -652,15 +686,37 @@ def _compile_scoped(
         # by this feature's full visibility so absent keys never
         # surface with init values (executor parity).
         ex = F.expr(f.expr)
+        gk = _key_str(base, f.group)
+        pgf = f.post_group_filter
         # skip_nulls (enforced by the support gate) drops null values
         # AND null group keys, like the Arrow executors
         ok = ex.isNotNull() & F.expr(f.group).isNotNull()
-        if f.skip_nulls:
+        if f.skip_nulls and pgf is not None:
+            # post-group filter (t02-groups:11-13, ToCore/Fold.hs:
+            # 275-285): every visible fact ESTABLISHES its key — only
+            # the fold step is guarded, so fully-filtered keys emit
+            # the fold's init. A null element still establishes but
+            # never reaches the guarded step (skip_nulls).
+            rows = base.where(
+                _visibility(f, qt, tcol) & F.expr(f.group).isNotNull()
+            ).select(
+                *[F.col(k) for k in keys],
+                gk.alias("__gk"),
+                ex.alias("__gv"),
+                (
+                    F.coalesce(F.expr(pgf).cast("boolean"), F.lit(False))
+                    & ex.isNotNull()
+                ).alias("__pgok"),
+                F.lit(0).alias("__gp"),
+                F.struct(*_order_cols(plan)).alias("__gord"),
+            )
+        elif f.skip_nulls:
             # skip_nulls: null elements / null keys silently drop
             rows = base.where(_visibility(f, qt, tcol) & ok).select(
                 *[F.col(k) for k in keys],
-                F.expr(f.group).cast("string").alias("__gk"),
+                gk.alias("__gk"),
                 ex.alias("__gv"),
+                F.lit(True).alias("__pgok"),
                 F.lit(0).alias("__gp"),
                 F.struct(*_order_cols(plan)).alias("__gord"),
             )
@@ -670,24 +726,53 @@ def _compile_scoped(
             # keep the row as a poison marker instead of dropping it
             rows = base.where(_visibility(f, qt, tcol)).select(
                 *[F.col(k) for k in keys],
-                F.when(ok, F.expr(f.group).cast("string")).alias("__gk"),
+                F.when(ok, gk).alias("__gk"),
                 F.when(ok, ex).alias("__gv"),
+                F.lit(True).alias("__pgok"),
                 F.when(ok, 0).otherwise(1).alias("__gp"),
                 F.struct(*_order_cols(plan)).alias("__gord"),
             )
+        if f.group_latest is not None:
+            # `group k ~> latest N`: frame the last N facts PER KEY
+            # (t17-latest:4-8) before the guarded fold. The rank
+            # window partitions on the same (keys, __gk) the per-key
+            # aggregate groups on, so Catalyst reuses one exchange.
+            wgl = W.partitionBy(
+                *[F.col(k) for k in keys], F.col("__gk")
+            ).orderBy(F.col("__gord").desc())
+            rows = (
+                rows.withColumn("__rn", F.row_number().over(wgl))
+                .where(F.col("__rn") <= F.lit(f.group_latest))
+                .drop("__rn")
+            )
+        gv = (
+            F.when(F.col("__pgok"), F.col("__gv"))
+            if pgf is not None
+            else F.col("__gv")
+        )
         if f.agg in (Agg.NEWEST, Agg.OLDEST):
             # value at the stream-order extreme per key (fold1 pair
             # semantics, prelude.icicle newest/oldest): arg-extreme
-            # on the (time, seq) order struct
+            # on the (time, seq) order struct; guarded-out rows get a
+            # null order and are ignored by max_by/min_by
             pick = F.max_by if f.agg is Agg.NEWEST else F.min_by
             per_key_agg = pick(
-                F.col("__gv").cast("double"), F.col("__gord")
+                F.col("__gv").cast("double"),
+                F.when(F.col("__pgok"), F.col("__gord"))
+                if pgf is not None
+                else F.col("__gord"),
             )
         else:
-            per_key_agg = _plain_agg(f.agg, F.col("__gv"))
+            per_key_agg = _plain_agg(f.agg, gv)
         per_key = rows.groupBy(*keys, "__gk").agg(
             per_key_agg.alias("__v"), F.max("__gp").alias("__gp")
         )
+        if pgf is not None and f.agg in _GROUP_EMPTY:
+            # a fully-guarded key's slot holds the fold's init
+            # (executor _EMPTY parity: the t02 'counts of zero')
+            per_key = per_key.withColumn(
+                "__v", F.coalesce(F.col("__v"), _GROUP_EMPTY[f.agg]())
+            )
         m = per_key.groupBy(*keys).agg(
             F.map_from_entries(
                 F.collect_list(

@@ -191,3 +191,66 @@ def test_possibly_distinct_commutes(spark, facts):
         ).all(), col
     # some poisoned entities exist (fixture plants ~5% null values)
     assert a["d"].isna().any()
+
+
+def test_native_post_group_filter_and_group_latest_commute(spark, facts):
+    """Post-group filters (t02 zero-count keys), per-key latest frames
+    (t17-latest:4-8), and their composition compile natively and match
+    both fold executors — including boolean group keys, whose map-key
+    casing must be the Python executors' str() form ('True'/'False',
+    not Spark's cast 'true')."""
+    plan = Plan(
+        [
+            Feature("pgf", Agg.COUNT, "value", group="cat",
+                    post_group_filter="value > 80", skip_nulls=True),
+            Feature("psum", Agg.SUM, "value", group="cat",
+                    post_group_filter="value > 80", skip_nulls=True),
+            Feature("pnew", Agg.NEWEST, "value", group="cat",
+                    post_group_filter="value < 30", skip_nulls=True),
+            Feature("pmean", Agg.MEAN, "value", group="cat",
+                    post_group_filter="value > 200", skip_nulls=True),
+            Feature("gl", Agg.SUM, "value", group="cat",
+                    group_latest=2, skip_nulls=True),
+            Feature("glf", Agg.SUM, "value", group="cat",
+                    group_latest=5, post_group_filter="value > 60",
+                    skip_nulls=True),
+            Feature("bkey", Agg.COUNT, "value", group="value > 50",
+                    post_group_filter="value > 80", skip_nulls=True),
+        ],
+        entity_col="entity", time_col="time", seq_col="seq",
+    )
+    assert native_supported(plan)
+    outs = {}
+    for strat in ("native", "vectorized", "cogroup"):
+        outs[strat] = (
+            run_plan(facts, plan, snapshot=SNAP, strategy=strat)
+            .toPandas().set_index("entity").sort_index()
+        )
+    a = outs["native"]
+    zero_slots = 0
+    for other in ("vectorized", "cogroup"):
+        b = outs[other]
+        assert list(a.index) == list(b.index)
+        for col in ["pgf", "psum", "pnew", "pmean", "gl", "glf", "bkey"]:
+            for e in a.index:
+                ma = dict(a.loc[e, col] or {})
+                mb = dict(b.loc[e, col] or {})
+                assert set(ma) == set(mb), (col, e, ma, mb)
+                for k in ma:
+                    va, vb = ma[k], mb[k]
+                    if va is None or vb is None:
+                        assert va is None and vb is None, (col, e, k)
+                    else:
+                        assert np.isclose(float(va), float(vb)), (
+                            col, e, k, va, vb,
+                        )
+                    if col in ("pgf", "psum") and (va in (0, 0.0)):
+                        zero_slots += 1
+    # the t02 semantics are exercised: fully-filtered keys DID emit
+    # init-valued slots (not absent keys)
+    assert zero_slots > 0
+    # boolean keys use Python str() casing on every backend
+    all_bkeys = set().union(
+        *(dict(m or {}).keys() for m in a["bkey"])
+    )
+    assert all_bkeys <= {"True", "False"} and all_bkeys
