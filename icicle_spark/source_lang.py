@@ -347,6 +347,17 @@ class _Builder:
         def J(x):
             if not isinstance(x, str):
                 return x
+            if re.search(r"\bcase\b|\bif\b", x):
+                # element-position conditionals (Exp.hs Case / If,
+                # repl t13): exprlang renders them — CASE WHEN for
+                # the Catalyst dialect, a vectorized pandas callable
+                # for the Arrow executors (eval_expr takes either)
+                from icicle_spark import exprlang as X
+
+                ast = X.parse(_unmask(x, self.strlits))
+                if self.dialect == "sql":
+                    return X.to_sql(ast)
+                return X.to_callable(ast)
             return _unmask(_juxta(x, self.dialect), self.strlits)
 
         return Feature(
@@ -1508,14 +1519,12 @@ def parse_query_multi(
             "component (they fuse into one pass anyway)"
         )
     # postcomps are always Spark SQL; divisions are null-on-zero (the
-    # engine's Possibly error channel), then juxtaposed builtins
-    rewritten = _unmask(
-        _juxta(_safe_divisions(rewritten), "sql"), b.strlits
-    )
+    # engine's Possibly error channel), then juxtaposed builtins;
+    # case/if over fold outputs render through exprlang (_render_post)
     return (
         input_name,
         b.feats,
-        [(name, rewritten)],
+        [(name, _render_post(b, rewritten))],
         [f.name for f in b.feats],
     )
 

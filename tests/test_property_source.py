@@ -85,3 +85,124 @@ def test_random_source_programs_commute(spark, facts):
         # up identically on both engines)
         ok |= (av == bv)
         assert ok.all(), (name, q)
+
+
+# -- round-4 grammar classes: tuples, scans, conditionals, post-group
+#    filters / per-key latest frames ----------------------------------
+
+def _rand_elem(rng: np.random.Generator) -> str:
+    n = int(rng.integers(-10, 40))
+    return rng.choice([
+        "value",
+        f"(value + {int(rng.integers(1, 9))})",
+        f"(if value > {n} then value else {int(rng.integers(0, 5))})",
+        f"(case value > {n} of True then (value * 2) ; False then 0)",
+    ])
+
+
+def _rand_new_query(rng: np.random.Generator, cls: str) -> str:
+    parts = ["from facts"]
+    # scan binds run at the scan's stream position — the engine
+    # (documented) rejects a scan bound after a filter context
+    if cls != "scan" and rng.random() < 0.4:
+        parts.append(f"filter value > {int(rng.integers(-20, 30))}")
+    if cls == "tuple":
+        a1 = AGGS[int(rng.integers(0, len(AGGS)))]
+        a2 = AGGS[int(rng.integers(0, len(AGGS)))]
+        parts.append(f"({a1} {_rand_elem(rng)}, {a2} value)")
+    elif cls == "cond":
+        a1 = AGGS[int(rng.integers(0, 4))]
+        thr = int(rng.integers(-50, 400))
+        form = rng.choice(["if", "case"])
+        if form == "if":
+            parts.append(
+                f"if {a1} value > {thr} then {a1} value else count value"
+            )
+        else:
+            parts.append(
+                f"case {a1} value > {thr} of True then {a1} value ; "
+                "False then count value"
+            )
+    elif cls == "pgf":
+        agg = rng.choice(["count", "sum"])
+        key = rng.choice(["(value > 0)", "(value > 20)"])
+        parts.append(f"group {key}")
+        if rng.random() < 0.5:
+            parts.append(f"latest {int(rng.integers(1, 6))}")
+        parts.append(f"filter value > {int(rng.integers(0, 60))}")
+        parts.append(f"{agg} value")
+    elif cls == "scan":
+        sagg = rng.choice(["sum", "count", "min", "max", "mean"])
+        oagg = rng.choice(["sum", "mean", "max", "newest"])
+        parts.append(f"scan z = {sagg} value")
+        if rng.random() < 0.4:
+            parts.append(f"filter value > {int(rng.integers(-20, 30))}")
+        if rng.random() < 0.6:
+            parts.append(f"latest {int(rng.integers(2, 8))}")
+        parts.append(f"{oagg} (z + {int(rng.integers(0, 5))})")
+    return " ~> ".join(parts)
+
+
+def _values_close(va, vb) -> bool:
+    if va is None or vb is None:
+        return va is None and vb is None
+    fa, fb = float(va), float(vb)
+    if np.isnan(fa) or np.isnan(fb):
+        return np.isnan(fa) and np.isnan(fb)
+    return bool(np.isclose(fa, fb, rtol=1e-9, atol=1e-9)) or fa == fb
+
+
+def _assert_cell(name, q, e, a, b):
+    ctx = (name, q, e)
+    if a is None or b is None:
+        assert a is None and b is None, ctx
+    elif isinstance(a, dict):
+        assert isinstance(b, dict) and set(a) == set(b), (ctx, a, b)
+        for k in a:
+            assert _values_close(a[k], b[k]), (ctx, k, a[k], b[k])
+    elif hasattr(a, "asDict"):  # struct (tuple output)
+        da, db = a.asDict(), b.asDict()
+        assert set(da) == set(db), (ctx, da, db)
+        for k in da:
+            assert _values_close(da[k], db[k]), (ctx, k, da, db)
+    else:
+        assert _values_close(a, b), (ctx, a, b)
+
+
+def test_random_new_grammar_commutes(spark, facts):
+    """Round-4 grammar classes (tuple outputs, element/aggregate
+    conditionals, post-group filters + per-key latest, scan binds)
+    generated at random must evaluate identically on every backend
+    that accepts them (native declines scan binds by design)."""
+    rng = np.random.default_rng(41)
+    native_ok = {}
+    for i in range(6):
+        native_ok[f"t{i}"] = _rand_new_query(rng, "tuple")
+        native_ok[f"c{i}"] = _rand_new_query(rng, "cond")
+        native_ok[f"g{i}"] = _rand_new_query(rng, "pgf")
+    scans = {f"s{i}": _rand_new_query(rng, "scan") for i in range(8)}
+
+    def _runs(queries, strats):
+        outs = {}
+        for strat, dialect in strats:
+            plan = parse_program(
+                queries, dialect=dialect, skip_nulls=True,
+                entity_col="entity", time_col="time", seq_col="seq",
+            )["facts"]
+            outs[strat] = (
+                run_plan(facts, plan, snapshot=SNAP, strategy=strat)
+                .toPandas().set_index("entity").sort_index()
+            )
+        base = outs.pop(next(iter(outs.keys())) if False else strats[0][0])
+        for strat, other in outs.items():
+            assert list(base.index) == list(other.index), strat
+            for name, q in queries.items():
+                for e in base.index:
+                    _assert_cell(
+                        f"{name}/{strat}", q, e,
+                        base.loc[e, name], other.loc[e, name],
+                    )
+
+    _runs(native_ok, [("native", "sql"), ("vectorized", "pandas"),
+                      ("cogroup", "pandas")])
+    _runs(scans, [("vectorized", "pandas"), ("cogroup", "pandas")])
