@@ -1100,9 +1100,16 @@ _JUXTA_SQL = {
     "is_some": "(({}) IS NOT NULL)", "is_none": "(({}) IS NULL)",
     "box": "({})", "fst": "({}).f1", "snd": "({}).f2",
     "seq": "({1})", "not": "(NOT ({}))",
+    # text scalars (SURVEY §2.7; functions/text.py Column parity) —
+    # Catalyst-dialect only: regex/length have no pandas-eval form
+    "strlen": "length({})", "tolower": "lower({})",
+    "toupper": "upper({})",
+    "grepl": "(({1}) RLIKE ({0}))",
+    "grepl_count": "size(regexp_extract_all(({1}), ({0}), 0))",
 }
 _JUXTA_ARGN = {"atan2": 2, "days_between": 2, "index": 2,
-               "get_or_else": 2, "seq": 2}
+               "get_or_else": 2, "seq": 2, "grepl": 2,
+               "grepl_count": 2}
 _JUXTA_PD = {"double": "(({}) * 1.0)", "log": "log({})", "exp": "exp({})",
              "sqrt": "sqrt({})", "abs": "abs({})",
              "sin": "sin({})", "cos": "cos({})", "tan": "tan({})",

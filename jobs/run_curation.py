@@ -33,7 +33,107 @@ def build_rules(args) -> list[tuple[str, str]]:
     ]
     if not args.no_logprob:
         rules.append(("gibberish", f"logprob >= {args.min_logprob}"))
+    for spec in args.rule:
+        reason, _, expr = spec.partition(":")
+        if not reason or not expr:
+            raise SystemExit(f"--rule wants REASON:PASS_EXPR, got {spec!r}")
+        rules.append((reason, expr))
     return rules
+
+
+def load_signal_dictionary(spec: str, id_col: str):
+    """Quality-signal Dictionaries for the curation pipeline:
+    ``(sql_dictionary, pandas_dictionary_or_None)``.
+
+    ``path/to/dict.icicle[:entity,time,seq]`` parses dictionary
+    SOURCE twice — once per element-expression dialect, so each
+    input's fused plan can run on whichever backend supports it
+    (Catalyst when native-compilable, the Arrow executors otherwise).
+    The entity column defaults to the job's --id-col and the time
+    column to a synthetic instant (a curation corpus is point-in-time
+    — each doc is one fact). ``module.py:ATTR`` loads a prebuilt
+    Dictionary exactly like jobs/run_features.py (one dialect — its
+    features already target a backend)."""
+    import sys as _sys
+
+    path, _, attr = spec.partition(":")
+    if path.endswith(".icicle"):
+        from icicle_spark.source_lang import parse_dictionary_source
+
+        kw = {"entity_col": id_col, "time_col": "__sig_time"}
+        if attr:
+            parts = attr.split(",")
+            kw.update(
+                dict(zip(("entity_col", "time_col", "seq_col"), parts))
+            )
+        d_sql, skipped = parse_dictionary_source(
+            open(path).read(), dialect="sql", skip_nulls=True, **kw
+        )
+        for name, why in skipped.items():
+            print(f"dictionary: skipped {name}: {why}", file=_sys.stderr)
+        try:
+            d_pd, _ = parse_dictionary_source(
+                open(path).read(), dialect="pandas", skip_nulls=True,
+                **kw,
+            )
+        except ValueError:
+            # some builtins are Catalyst-only (regex/length) — fine
+            # as long as every such plan compiles natively
+            d_pd = None
+        return d_sql, d_pd
+    from jobs.run_features import load_dictionary
+
+    return load_dictionary(spec), None
+
+
+def dictionary_signals(spark, docs, d_sql, d_pd, id_col, snapshot):
+    """Evaluate every declared output over the cleaned corpus and
+    return ``[(input_name, signal_frame)]`` keyed by --id-col.
+
+    The declared entity encoding is String (PSV parity), so the id
+    column is cast for the run and cast back for the join; inputs
+    whose declared time column is absent from the corpus get one
+    synthetic instant per doc (point-in-time semantics — aggregates
+    reduce each doc's single fact). Per input, the Catalyst compiler
+    runs when the plan is native-compilable, else the Arrow executor
+    runs the pandas-dialect parse."""
+    from pyspark.sql import functions as F
+
+    from icicle_spark.plans import run_plan
+    from icicle_spark.plans.native import native_supported
+
+    id_type = dict(docs.dtypes)[id_col]
+    out = []
+    for name, inp in d_sql.inputs.items():
+        if d_sql._plans[name] is None:
+            continue
+        fr = docs.withColumn(
+            inp.entity_col, F.col(id_col).cast("string")
+        )
+        if inp.time_col not in fr.columns:
+            fr = fr.withColumn(
+                inp.time_col,
+                F.lit("2000-01-01 00:00:00").cast("timestamp"),
+            )
+        plan = d_sql.plan_for(name)
+        if native_supported(plan):
+            strategy = "native"
+        elif d_pd is not None:
+            plan, strategy = d_pd.plan_for(name), "auto"
+        else:
+            raise SystemExit(
+                f"dictionary input {name!r}: plan uses Catalyst-only "
+                "builtins but is not native-compilable"
+            )
+        facts = d_sql.load(spark, name, df=fr)
+        res = run_plan(facts, plan, snapshot=snapshot,
+                       strategy=strategy)
+        ent = inp.entity_col
+        res = res.withColumn(ent, F.col(ent).cast(id_type))
+        if ent != id_col:
+            res = res.withColumnRenamed(ent, id_col)
+        out.append((name, res))
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -59,6 +159,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-logprob", type=float, default=-12.0)
     ap.add_argument("--no-logprob", action="store_true",
                     help="skip the word-freq build + LM proxy")
+    ap.add_argument("--dictionary",
+                    help="quality-signal dictionary: path/to/dict"
+                         ".icicle[:entity,time,seq] or module.py:ATTR"
+                         " — declared outputs join the signal frame "
+                         "and are referencable from --rule")
+    ap.add_argument("--dict-snapshot", default="9999-01-01 00:00:00",
+                    help="snapshot instant for the dictionary run "
+                         "(default: everything visible)")
+    ap.add_argument("--rule", action="append", default=[],
+                    metavar="REASON:PASS_EXPR",
+                    help="extra policy rule: boolean Spark-SQL PASS "
+                         "condition over base + dictionary signals "
+                         "(first failing rule is the reason; "
+                         "repeatable)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -123,6 +237,21 @@ def main(argv: list[str] | None = None) -> int:
         sig = sig.join(
             lp.select(args.id_col, "logprob"), on=args.id_col, how="left"
         )
+    if args.dictionary:
+        # declared quality signals (.icicle feature outputs) join the
+        # signal frame — one fused pass per declared input
+        d_sql, d_pd = load_signal_dictionary(args.dictionary, args.id_col)
+        for name, res in dictionary_signals(
+            spark, docs, d_sql, d_pd, args.id_col, args.dict_snapshot
+        ):
+            dup = (set(res.columns) & set(sig.columns)) - {args.id_col}
+            if dup:
+                raise SystemExit(
+                    f"dictionary input {name!r} declares signal "
+                    f"columns colliding with the base signals: "
+                    f"{sorted(dup)}"
+                )
+            sig = sig.join(res, on=args.id_col, how="left")
 
     # 4. declarative policy (first failing rule recorded); persisted
     # because kept/dropped writes and the reason summary each consume

@@ -104,3 +104,52 @@ def test_curation_semantic_decontamination(spark, corpus, tmp_path):
     assert summary["after_dedup_decontamination"] == 3
     kept = spark.read.parquet(os.path.join(out, "kept")).toPandas()
     assert 5 not in set(kept.doc_id)
+
+
+def test_curation_dictionary_policy(spark, corpus, tmp_path):
+    """--dictionary file.icicle: declared quality features join the
+    signal frame and gate the policy via --rule — the .icicle-declared
+    curation shape (VERDICT r3 #8, unifying the two job entry
+    points)."""
+    src, bench = corpus
+    dict_path = str(tmp_path / "quality.icicle")
+    with open(dict_path, "w") as f:
+        f.write("""
+module Quality where
+
+input document : {
+    text : String
+  }
+
+feature has_fox =
+  from document
+    in any (grepl "fox" text)
+
+feature text_len =
+  from document
+    in sum (strlen text)
+""")
+    out = str(tmp_path / "out_dict")
+    assert main([
+        "--input", src, "--output", out,
+        "--min-words", "2", "--max-dup2", "0.99",
+        "--min-distinct-ratio", "0.01", "--no-logprob",
+        "--dictionary", dict_path,
+        "--rule", "mentions_fox:NOT coalesce(has_fox, false)",
+        "--rule", "short_text:text_len >= 40",
+    ]) == 0
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    kept = spark.read.parquet(os.path.join(out, "kept")).toPandas()
+    dropped = spark.read.parquet(os.path.join(out, "dropped")).toPandas()
+    # declared signals ride along
+    assert "has_fox" in kept.columns and "text_len" in kept.columns
+    got = dropped.set_index("doc_id")["fail_reason"].to_dict()
+    # doc 1 (or its dup survivor) mentions the fox -> custom rule
+    assert got[1] == "mentions_fox"
+    # doc 3 ("tiny text", 9 chars) fails the declared-length rule
+    assert got[3] == "short_text"
+    # doc 4 ("spam ham "*40) still trips the BASE dup2 rule — base and
+    # declared rules compose
+    assert got[4] == "repetitive_2gram"
+    assert set(kept.doc_id) == {5, 6}
+    assert summary["kept"] == 2
