@@ -2425,6 +2425,52 @@ FROM vis GROUP BY user_id
 """.format(snap=SNAP)
 
 
+def q_source_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element- and aggregate-stage conditionals parsed from source
+    (Source/Query/Exp.hs Case / If-sugar; repl t13): exprlang renders
+    them to CASE WHEN for the Catalyst compiler (and to vectorized
+    pandas callables on the Arrow executors — three-backend parity is
+    property-pinned in tests/test_property_source.py). Aggregate-stage
+    conditionals become postcomputations over hidden folds; the
+    element-stage one folds in place."""
+    from icicle_spark.source_lang import parse_program
+
+    qs = {
+        "cond_agg": (
+            "from events ~> if mean value > 100 then max value "
+            "else min value"
+        ),
+        "sum_big": (
+            "from events ~> sum (if value > 150 then value else 0)"
+        ),
+        "case_pick": (
+            "from events ~> case (count value > 40) of "
+            "True then max value ; False then min value"
+        ),
+    }
+    plan = parse_program(
+        qs, dialect="sql", skip_nulls=True,
+        entity_col="user_id", time_col="ts", seq_col="event_id",
+    )["events"]
+    return _round_doubles(
+        run_plan(_events(spark, sf_dir), plan, snapshot=SNAP,
+                 strategy="native")
+    )
+
+
+_SOURCE_CASE_SQL = """
+WITH vis AS (SELECT * FROM events WHERE ts < TIMESTAMP '{snap}')
+SELECT user_id,
+       round(CASE WHEN avg(value) > 100 THEN max(value)
+                  ELSE min(value) END, 6)                  AS cond_agg,
+       round(sum(CASE WHEN value > 150 THEN value ELSE 0 END), 6)
+                                                           AS sum_big,
+       round(CASE WHEN count(value) > 40 THEN max(value)
+                  ELSE min(value) END, 6)                  AS case_pick
+FROM vis GROUP BY user_id
+""".format(snap=SNAP)
+
+
 def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash dedup — the production ingest flow: band
     ONLY the increment (doc_id % 10 == 0) against the persisted band
@@ -2684,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "post_group_filter": q_post_group_filter,
         "source_scan": q_source_scan,
         "source_tuple": q_source_tuple,
+        "source_case": q_source_case,
         "group_fold_native": q_group_fold_native,
         "media_features": q_media_features,
         "embed_dedup": q_embed_dedup,
@@ -2786,6 +2833,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": _SURVIVORS_SQL,
         "embed_topk": _EMBED_SQL,
         "source_postcomp": _SOURCE_POSTCOMP_SQL,
+        "source_case": _SOURCE_CASE_SQL,
         "source_group_fold": _SOURCE_GROUP_FOLD_SQL,
         "tpch_q1": _TPCH_Q1_SQL,
         "join_revenue": _JOIN_REVENUE_SQL,

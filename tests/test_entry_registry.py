@@ -16,6 +16,7 @@ MUST_BE_IN_WINDOW = {
     "post_group_filter",
     "source_scan",
     "source_tuple",
+    "source_case",
     # r3-certified but r3-TOUCHED (Possibly-native groups, RAW codecs,
     # gram-set verify, per-key map arithmetic changed after their last
     # oracle row) — rotated back in for re-certification
