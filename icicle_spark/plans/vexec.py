@@ -358,11 +358,23 @@ def _custom(
     return full.where(full.notna() | pd.isna(empty), empty)
 
 
-def _process_chunk(plan: Plan, pdf: pd.DataFrame, qt: pd.Timestamp) -> pd.DataFrame:
+def _process_chunk(
+    plan: Plan, pdf: pd.DataFrame, qt: pd.Timestamp,
+    time_is_us: bool = False,
+) -> pd.DataFrame:
     ecol = plan.entity_col
     ent, uniques = pd.factorize(pdf[ecol], sort=False)
     n_seg = len(uniques)
-    tns = pdf[plan.time_col].to_numpy().astype("datetime64[ns]").view("int64")
+    if time_is_us:
+        # the exchange shipped unix_micros int64 (see
+        # run_snapshot_vectorized) — no Arrow-timestamp -> pandas
+        # datetime64 materialization to undo
+        tns = pdf[plan.time_col].to_numpy() * 1000
+    else:
+        tns = (
+            pdf[plan.time_col].to_numpy()
+            .astype("datetime64[ns]").view("int64")
+        )
     qt_ns = int(np.datetime64(qt, "ns").view("int64"))
     vis = tns < qt_ns
     base = pdf
@@ -466,72 +478,112 @@ def run_snapshot_vectorized(
         [f"`{ecol}` {entity_type}"]
         + [f"`{f.name}` {feature_dtype(f)}" for f in plan.features]
     )
-    sort_cols = [ecol, tcol] + ([plan.seq_col] if plan.seq_col else [])
     n_part = partitions or facts.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    # NOTE: no JVM-side `time < qt` pre-filter here — the output spine
+    # is EVERY entity in the fact stream (native compiles the same
+    # spine), so an entity whose facts are all at/after the snapshot
+    # still emits its fold-init row; a scan filter would drop it.
     needed = referenced_columns(plan, facts.columns)
     if needed is not None:
         facts = facts.select(*needed)  # prune BEFORE the shuffle
+    blob = _expr_blob(plan)
+    time_is_us = blob is not None and not _blob_references(blob, tcol)
+    if time_is_us:
+        # no expression reads the time COLUMN (only the fold kernels
+        # read time VALUES): ship it as unix_micros int64. Same 8
+        # bytes on the wire, but the executor skips the Arrow
+        # timestamp -> pandas datetime64[ns] materialization on every
+        # batch (session tz is pinned UTC, so micros*1000 IS the
+        # naive ns basis the kernels compare against).
+        facts = facts.withColumn(
+            tcol, F.unix_micros(F.col(tcol).cast("timestamp"))
+        )
     if assume_arranged:
         arranged = facts
-    else:
-        arranged = facts.repartition(int(n_part), ecol).sortWithinPartitions(
-            *sort_cols
-        )
-    blob = _expr_blob(plan)
-    if (
-        plan.seq_col
-        and plan.seq_col in arranged.columns
-        and blob is not None
-        and not _blob_references(blob, plan.seq_col)
-    ):
-        # the JVM sort already encoded the tiebreaker into row order;
-        # the Python side never reads it — drop it from the Arrow
-        # transfer (one int64 column is ~60 MB at 8M rows)
-        arranged = arranged.drop(plan.seq_col)
+        if (
+            plan.seq_col
+            and plan.seq_col in arranged.columns
+            and blob is not None
+            and not _blob_references(blob, plan.seq_col)
+        ):
+            # the store's sort already encoded the tiebreaker into row
+            # order; the Python side never reads it — drop it from the
+            # Arrow transfer (one int64 column is ~60 MB at 8M rows)
+            arranged = arranged.drop(plan.seq_col)
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            carry: pd.DataFrame | None = None
+            finished: set = set()  # entities already folded + emitted
+            for pdf in batches:
+                if carry is not None and len(carry):
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                if len(pdf) == 0:
+                    continue
+                ent = pdf[ecol].to_numpy()
+                codes, uniq = pd.factorize(ent, sort=False)
+                # contiguity guard: factorize assigns codes by first
+                # occurrence, so contiguous entities <=> nondecreasing
+                # codes. Cheap (O(n)), and the only thing standing
+                # between a violated assume_arranged contract and
+                # silently split folds.
+                if len(codes) > 1 and bool(np.any(np.diff(codes) < 0)):
+                    raise ValueError(
+                        "facts are not entity-contiguous within the "
+                        "partition; re-run without assume_arranged or "
+                        "rebuild the fact store with write_fact_store"
+                    )
+                # cross-chunk guard: an entity whose fold was already
+                # emitted from an earlier Arrow batch must not recur
+                # (the carried trailing entity is never in `finished`)
+                if finished and not finished.isdisjoint(uniq.tolist()):
+                    raise ValueError(
+                        "entity recurs in a later Arrow batch of the "
+                        "partition; facts are not entity-contiguous — "
+                        "re-run without assume_arranged or rebuild "
+                        "the fact store with write_fact_store"
+                    )
+                # hold back the (possibly incomplete) trailing entity
+                last = ent[-1]
+                if ent[0] == last:
+                    carry = pdf
+                    continue
+                nz = np.flatnonzero(ent != last)
+                cut = int(nz[-1] + 1)
+                carry = pdf.iloc[cut:]
+                # nondecreasing codes => uniq[-1] is the carried entity
+                finished.update(uniq[:-1].tolist())
+                yield _process_chunk(plan, pdf.iloc[:cut], qt, time_is_us)
+            if carry is not None and len(carry):
+                yield _process_chunk(plan, carry, qt, time_is_us)
+
+        return arranged.mapInPandas(fn, schema)
+
+    # shuffled path: hash-exchange WITHOUT the JVM sort — the executor
+    # buffers its partition and orders it with one stable numpy
+    # lexsort instead. The JVM partition sort was the single most
+    # expensive stage of this plan (measured 6.14 s -> 5.18 s no-op
+    # floor at 8M rows x 32 cores, seq shipped); a 250k-row lexsort
+    # costs ~20 ms. Peak memory is one partition in pandas — the same
+    # envelope applyInPandas already imposes, governed by
+    # spark.sql.shuffle.partitions / maxPartitionBytes at scale.
+    arranged = facts.repartition(int(n_part), ecol)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
-        finished: set = set()  # entities already folded + emitted
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if len(pdf) == 0:
-                continue
-            ent = pdf[ecol].to_numpy()
-            codes, uniq = pd.factorize(ent, sort=False)
-            # contiguity guard: factorize assigns codes by first
-            # occurrence, so contiguous entities <=> nondecreasing
-            # codes. Cheap (O(n)), and the only thing standing between
-            # a violated assume_arranged contract and silently split
-            # folds.
-            if len(codes) > 1 and bool(np.any(np.diff(codes) < 0)):
-                raise ValueError(
-                    "facts are not entity-contiguous within the "
-                    "partition; re-run without assume_arranged or "
-                    "rebuild the fact store with write_fact_store"
-                )
-            # cross-chunk guard: an entity whose fold was already
-            # emitted from an earlier Arrow batch must not recur
-            # (the carried trailing entity is never in `finished`)
-            if finished and not finished.isdisjoint(uniq.tolist()):
-                raise ValueError(
-                    "entity recurs in a later Arrow batch of the "
-                    "partition; facts are not entity-contiguous — "
-                    "re-run without assume_arranged or rebuild the "
-                    "fact store with write_fact_store"
-                )
-            # hold back the (possibly incomplete) trailing entity
-            last = ent[-1]
-            if ent[0] == last:
-                carry = pdf
-                continue
-            nz = np.flatnonzero(ent != last)
-            cut = int(nz[-1] + 1)
-            carry = pdf.iloc[cut:]
-            # nondecreasing codes => uniq[-1] is the carried entity
-            finished.update(uniq[:-1].tolist())
-            yield _process_chunk(plan, pdf.iloc[:cut], qt)
-        if carry is not None and len(carry):
-            yield _process_chunk(plan, carry, qt)
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        codes, _ = pd.factorize(pdf[ecol], sort=False)
+        t = pdf[tcol].to_numpy()
+        if not time_is_us:
+            t = t.astype("datetime64[ns]").view("int64")
+        keys = (
+            (pdf[plan.seq_col].to_numpy(), t, codes)
+            if plan.seq_col and plan.seq_col in pdf.columns
+            else (t, codes)
+        )
+        order = np.lexsort(keys)  # stable; last key (entity) primary
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        yield _process_chunk(plan, pdf, qt, time_is_us)
 
     return arranged.mapInPandas(fn, schema)
