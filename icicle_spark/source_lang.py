@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import math
 import re
+from typing import Mapping
 
 from icicle_spark.plans.ir import (
     NOW_TOKEN as _NOW_TOKEN,
@@ -198,14 +199,19 @@ _STR_RE = re.compile(r'"(?:\\.|[^"\\])*"')  # backslash escapes accepted
 _STR_TOKEN = re.compile(r"__strlit(\d+)x")
 
 
-def _mask_strings(q: str) -> tuple[str, list[str]]:
+def _mask_strings(
+    q: str, lits: list[str] | None = None
+) -> tuple[str, list[str]]:
     """Replace every double-quoted literal with an opaque identifier
     token. ALL regex passes (pipeline split, builtin rewrite,
     aggregate extraction, the `in` separator) run on masked text so a
     literal containing `log x`, `~>` or ` in ` can never be rewritten
     (review finding: 'filter kind == \"log x\"' used to become
-    'kind == \"ln(x)\"' silently)."""
-    lits: list[str] = []
+    'kind == \"ln(x)\"' silently). Pass ``lits`` to keep appending to
+    an existing literal space (the function inliner masks bodies and
+    call sites into one)."""
+    if lits is None:
+        lits = []
 
     def repl(m: re.Match) -> str:
         lits.append(m.group(0))
@@ -1567,19 +1573,32 @@ def parse_program(
     time_col: str = "time",
     seq_col: str | None = None,
     tombstone_col: str | None = None,
+    functions: str | Mapping[str, tuple[list[str], str]] | None = None,
 ) -> dict[str, Plan]:
     """Parse many queries and FUSE them per input (the reference fuses
     all queries over one attribute into a single pass —
-    Core/Program/Fusion.hs:37-81). Returns {input_name: Plan}."""
+    Core/Program/Fusion.hs:37-81). Returns {input_name: Plan}.
+
+    ``functions`` supplies custom function definitions to inline at
+    call sites (the repl ``:let f x = ...`` surface): either module
+    SOURCE text (``f x = body`` declarations, signatures ignored) or
+    a prebuilt ``{name: (params, body)}`` mapping."""
     items = (
         queries.items()
         if isinstance(queries, dict)
         else ((f"q{i}", q) for i, q in enumerate(queries))
     )
+    funcs: Mapping[str, tuple[list[str], str]] = {}
+    if isinstance(functions, str):
+        funcs = _collect_functions(_top_level_blocks(functions))
+    elif functions:
+        funcs = functions
     feats: dict[str, list[Feature]] = {}
     posts: dict[str, list[tuple[str, str]]] = {}
     hidden: dict[str, list[str]] = {}
     for name, q in items:
+        if funcs:
+            q = inline_functions(q, funcs)
         inp, fs, ps, hs = parse_query_multi(q, name, dialect, skip_nulls)
         feats.setdefault(inp, []).extend(fs)
         posts.setdefault(inp, []).extend(ps)
@@ -1653,6 +1672,138 @@ def _parse_icicle_type(t: str):
     raise ValueError(f"unsupported input type: {t!r}")
 
 
+# ------------------------------------------------- custom functions
+
+def _top_level_in_pos(s: str) -> int:
+    """Offset of the first paren-depth-0 `in` keyword in ``s`` (the
+    let/in separator), or -1."""
+    depth = 0
+    for m in re.finditer(r"[()]|\bin\b", s):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return m.start()
+    return -1
+
+
+def _reduce_let_in(body: str) -> str:
+    """Beta-reduce leading ``let x = e in rest`` chains in a function
+    body by substitution (the reference inliner substitutes on the
+    AST — Source/Transform/Inline.hs; prelude bodies like is_weekend
+    are `let day = ... in ...`). Runs on MASKED text."""
+    for _ in range(20):
+        m = re.match(r"\s*let\s+([\w']+)\s*=\s*", body)
+        if not m:
+            return body.strip()
+        pos = _top_level_in_pos(body[m.end():])
+        if pos < 0:
+            raise ValueError("`let` without `in` in function body")
+        e = body[m.end(): m.end() + pos].strip()
+        rest = body[m.end() + pos + 2:]
+        body = re.sub(
+            rf"(?<![\w']){re.escape(m.group(1))}(?![\w'])",
+            lambda _m: f"({e})",
+            rest,
+        )
+    raise ValueError("too many let bindings in function body")
+
+
+def inline_functions(
+    q: str,
+    funcs: Mapping[str, tuple[list[str], str]],
+    max_rounds: int = 12,
+) -> str:
+    """Textually inline custom function applications (the reference's
+    UDF surface — Source/Transform/Inline.hs; the prelude IS a file of
+    these): ``f a b`` with ``f p1 p2 = body`` declared becomes
+    ``(body[p1:=(a), p2:=(b)])``. Application binds tightest — one
+    ATOM per parameter (identifier / literal / parenthesized group).
+    Runs to fixpoint so functions may call functions; the round cap
+    turns recursion into a loud error (the reference checker rejects
+    recursive bindings too). String literals are masked through every
+    rewrite, body and call site sharing one literal space."""
+    if not funcs:
+        return q
+    names = sorted(funcs, key=len, reverse=True)
+    pat = re.compile(
+        r"(?<![\w'])(" + "|".join(map(re.escape, names)) + r")(?![\w'])"
+    )
+    for _ in range(max_rounds):
+        masked, lits = _mask_strings(q)
+        out: list[str] = []
+        i = 0
+        changed = False
+        while True:
+            m = pat.search(masked, i)
+            if not m:
+                out.append(masked[i:])
+                break
+            out.append(masked[i : m.start()])
+            params, body = funcs[m.group(1)]
+            j = m.end()
+            args: list[str] = []
+            for _p in params:
+                atom, j = _scan_atom(masked, j, m.group(1))
+                args.append(atom)
+            repl, lits = _mask_strings(body, lits)
+            for p, a in zip(params, args):
+                repl = re.sub(
+                    rf"(?<![\w']){re.escape(p)}(?![\w'])",
+                    lambda _m, _a=a: f"({_a})",
+                    repl,
+                )
+            out.append(f"({repl})")
+            changed = True
+            i = j
+        q = _unmask("".join(out), lits)
+        if not changed:
+            return q
+    raise ValueError(
+        "function inlining did not converge (recursive definition?)"
+    )
+
+
+def _grammar_bound_names() -> set[str]:
+    """Names the query grammar already binds natively — when a module
+    (e.g. the reference prelude, whose definitions ARE these
+    aggregates) re-declares one, the engine's built-in keeps winning:
+    it has the same semantics and the fast fold/Catalyst paths."""
+    return (
+        set(_AGGS)
+        | set(_JUXTA_SQL)
+        | {
+            "count", "count_distinct", "distinct_values", "max_by",
+            "min_by", "days_in", "circular_stats", "covariance",
+            "correlation", "gradient", "intercept",
+        }
+    )
+
+
+def _collect_functions(blocks: list[str]) -> dict[str, tuple[list[str], str]]:
+    """Custom function definitions among the top-level declarations:
+    ``name p1 .. pn = body`` (its ``name : type`` signature line is
+    consumed silently — the engine infers nothing from it). Bodies
+    have their let/in chains beta-reduced at registration; names the
+    grammar binds natively are not overridden."""
+    bound = _grammar_bound_names()
+    funcs: dict[str, tuple[list[str], str]] = {}
+    for block in blocks:
+        if block.startswith(("module ", "import ", "input ", "feature ")):
+            continue
+        m = re.match(
+            r"([a-z_][\w']*)((?:\s+[a-z_][\w']*)+)\s*=\s*(.+)", block, re.S
+        )
+        if not m or m.group(1) in bound:
+            continue
+        name, params, body = m.group(1), m.group(2).split(), m.group(3)
+        masked, lits = _mask_strings(body)
+        funcs[name] = (params, _unmask(_reduce_let_in(masked), lits))
+    return funcs
+
+
 def _top_level_blocks(text: str) -> list[str]:
     """Group source lines into top-level declarations (a declaration
     starts in column 0; its continuation lines are indented)."""
@@ -1696,7 +1847,11 @@ def parse_dictionary_source(
     outputs: list = []
     skipped: dict[str, str] = {}
     feature_inputs: set[str] = set()
-    for block in _top_level_blocks(text):
+    blocks = _top_level_blocks(text)
+    # pass 1: custom function definitions (declaration order is not
+    # significant in the reference module system)
+    funcs = _collect_functions(blocks)
+    for block in blocks:
         if block.startswith(("module ", "import ")):
             continue
         m = re.match(r"input\s+(\w+)\s*:\s*(.+)", block, re.S)
@@ -1730,6 +1885,15 @@ def parse_dictionary_source(
         m = re.match(r"feature\s+(\w+)\s*=\s*(.+)", block, re.S)
         if m:
             name, q = m.group(1), m.group(2)
+            try:
+                # custom functions inline BEFORE the pipeline split
+                # (reference ordering: Transform/Inline.hs runs ahead
+                # of the checker) — a body may carry its own `in`-free
+                # expression text into any pipeline stage
+                q = inline_functions(q, funcs)
+            except ValueError as e:
+                skipped[name] = str(e)
+                continue
             # mask string literals so an `in` INSIDE a literal never
             # becomes a pipeline separator (review finding)
             q, _lits = _mask_strings(q)
@@ -1748,8 +1912,11 @@ def parse_dictionary_source(
             except ValueError as e:
                 skipped[name] = str(e)
             continue
-        # custom function definition or other toplevel form
         word = block.split()[0].rstrip(":")
+        if word in funcs or re.match(r"[a-z_][\w']*\s*:", block):
+            # a registered function definition, or its type signature
+            # (consumed silently — the engine infers nothing from it)
+            continue
         skipped.setdefault(
             word, f"unsupported toplevel declaration: {block[:60]!r}"
         )

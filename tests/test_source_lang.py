@@ -365,14 +365,33 @@ is_head : String -> Bool
 is_head l =
   l == "head"
 
+severity_score : Double -> Double -> Possibly Double
+severity_score s w =
+  let boosted = s * w
+   in boosted + 1.0
+
+newest2 : Element a -> Aggregate (Possibly a)
+newest2 v =
+  latest 1 in fold1 x = v then v in x
+
+phi = 1.618
+
 feature sum_severity =
   from injury
     in sum severity
 
 feature head_damage =
   from injury
-    in filter location == "head"
+    in filter is_head location
     in sum severity
+
+feature scored_damage =
+  from injury
+    in sum (severity_score severity 2.0)
+
+feature latest_sev =
+  from injury
+    in newest2 severity
 
 feature actioned_damage =
   from injury
@@ -407,11 +426,16 @@ def test_parse_dictionary_source_file(spark):
     )
     assert sorted(d.inputs) == ["injury", "salary"]
     assert sorted(d.outputs) == [
-        "actioned_damage", "days_loc", "head_damage", "mean_salary",
-        "sum_severity", "worst",
+        "actioned_damage", "days_loc", "head_damage", "latest_sev",
+        "mean_salary", "scored_damage", "sum_severity", "worst",
     ]
-    assert set(skipped) == {"is_head"}
-    assert "toplevel" in skipped["is_head"]
+    # custom functions inline at their call sites (Transform/Inline.hs
+    # class): expression bodies (is_head), let/in chains
+    # (severity_score), and even CONTEXT-carrying bodies (newest2's
+    # latest/fold pipeline becomes a parenthesized subquery tail).
+    # Unsupported toplevels still skip loudly (the 0-arg constant).
+    assert set(skipped) == {"phi"}
+    assert "toplevel" in skipped["phi"]
 
     inj = pd.DataFrame({
         "entity": ["homer"] * 4 + ["marge"],
@@ -450,6 +474,11 @@ def test_parse_dictionary_source_file(spark):
         "head": 60, "arm": 31, "torso": 275,
     }
     assert got.loc["homer", "head_damage"] == 3.0
+    # severity_score severity 2.0 = severity * 2 + 1, summed over 4
+    assert got.loc["homer", "scored_damage"] == 24.0
+    # newest2 = latest 1 ~> fold1 (the prelude's newest shape)
+    assert got.loc["homer", "latest_sev"] == 3.0
+    assert got.loc["marge", "latest_sev"] == 5.0
     assert dict(got.loc["homer", "actioned_damage"]) == {
         "fall": 1.0, "hit": 4.0,
     }
@@ -982,3 +1011,55 @@ def test_t17_group_latest_frames(salary, strategy):
     assert {k[:10]: v for k, v in r.loc["marge", "s"].items()} == {
         "1989-12-17": 30.0
     }
+
+
+# -- custom function inlining (Transform/Inline.hs) --------------------
+
+def test_inline_functions_module_text(spark, salary):
+    """parse_program(functions=...) registers `f p = body` module
+    declarations and inlines them at call sites — expression bodies,
+    let/in chains, nested calls, and grammar-bound names NOT
+    overridden (a module re-declaring `sum` keeps the builtin)."""
+    from icicle_spark.source_lang import parse_program
+
+    mod = """
+module M where
+
+-- the reference prelude's mod shape (prelude.icicle:9-12)
+mod2 : Int -> Int -> Possibly Int
+mod2 x y =
+  x - (trunc (double x / double y) * y)
+
+boost : Double -> Double
+boost v =
+  let b = v * 2.0
+   in b + 1.0
+
+sum v =
+  fold broken = 999999 then broken in broken
+"""
+    p = parse_program(
+        {"m": "from salary ~> sum (mod2 (trunc value) 7)",
+         "b": "from salary ~> max (boost value)"},
+        dialect="sql", skip_nulls=True,
+        entity_col="entity", time_col="time", seq_col="seq",
+        functions=mod,
+    )["salary"]
+    r = (
+        run_plan(salary, p, snapshot=SNAP, strategy="native")
+        .toPandas().set_index("entity")
+    )
+    # homer values 100..500 -> mod 7: 2+4+6+1+3 = 16 (sum is STILL
+    # the builtin, not the module's sabotaged redefinition)
+    assert r.loc["homer", "m"] == 16.0
+    assert r.loc["homer", "b"] == 500 * 2.0 + 1.0
+
+
+def test_inline_functions_recursion_raises():
+    from icicle_spark.source_lang import inline_functions
+
+    with pytest.raises(ValueError, match="converge"):
+        inline_functions(
+            "from s ~> sum (loop value)",
+            {"loop": (["x"], "loop (x + 1)")},
+        )
