@@ -2626,6 +2626,96 @@ FROM c
 """
 
 
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped quality-classifier inference (the CCNet scoring
+    pass): hashed bag-of-words → weight lookup → sigmoid of the mean,
+    all as one Column expression — zero shuffles, zero Python. The
+    contract uses the portable md5 feature hash and the deterministic
+    formula weights so DuckDB replays the full score; the learned-
+    weights broadcast-join path is parity-pinned in
+    tests/test_quality_ml.py."""
+    from icicle_spark.operators.quality_ml import classifier_score
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        _r(
+            classifier_score(
+                F.col("text"), dim=4096, bias=-0.1, hash_fn="md5"
+            ),
+            6,
+        ).alias("clf_score"),
+    )
+
+
+# W[b] = ((b*2654435761 + 12345) % 1000003)/1000003 - 0.5 over
+# b = md5-60bit(word) % 4096 — all UBIGINT-safe (4096*2.65e9 < 2^64)
+_CLASSIFIER_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-zà-ɏ0-9'']+'),
+                     x -> x <> '') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(words) AS n,
+         list_sum(list_transform(words, w ->
+           (((('0x' || substr(md5(w), 1, 15))::UBIGINT % 4096)
+              * 2654435761 + 12345) % 1000003) / 1000003.0 - 0.5)) AS sw
+  FROM t
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(-0.1 +
+             CASE WHEN n > 0 THEN sw / n ELSE 0.0 END))), 6) AS clf_score
+FROM s
+"""
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source token-budget selection ("take docs until this
+    source holds B tokens") — deterministic canonical order
+    (hash-bucket, doc_id); only the one boundary bucket per source is
+    ever window-sorted (~1/buckets of the data), FULL buckets pass
+    from a broadcast bucket classification with no sort. The oracle
+    replays the spec as a flat per-source running sum."""
+    from icicle_spark.functions.text import token_count
+    from icicle_spark.operators.sampling import token_budget_sample
+
+    d = _docs(spark, sf_dir).withColumn(
+        "n_tok", token_count(F.col("text"), "whitespace").cast("bigint")
+    )
+    kept = token_budget_sample(
+        d.select("doc_id", "source", "n_tok"),
+        800,
+        "n_tok",
+        buckets=16,
+        hash_fn="md5",
+    )
+    return kept.select("doc_id", "source", "n_tok")
+
+
+_TOKEN_BUDGET_SQL = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS n_tok,
+         (('0x' || substr(md5(doc_id || ':0'), 1, 15))::UBIGINT % 16)::BIGINT
+           AS b
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY b, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM d WHERE n_tok > 0
+)
+SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok
+FROM c WHERE cum <= 800
+"""
+
+
 def q_math_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BuiltinMath scalar surface (Builtin.hs:47-67) with Possibly
     semantics: acos/asin outside [-1,1] are null (not NaN), rounding
@@ -2746,8 +2836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_builtins": q_math_builtins,
         "chord_labeled": q_chord_labeled,
         "resume_fold": q_resume_fold,
-        "redact_pii": q_redact_pii,
-        "chunk_docs": q_chunk_docs,
+        "classifier_score": q_classifier_score,
+        "token_budget_mix": q_token_budget_mix,
         "ewma_fold": q_ewma_fold,
         "decayed_sum": q_decayed_sum,
         "max_by_min_by": q_max_by_min_by,
@@ -2764,6 +2854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "simhash_incremental": q_simhash_incremental,
         # ---- position 51+: driver-certified in r01/r02/r03 ----
+        "redact_pii": q_redact_pii,
+        "chunk_docs": q_chunk_docs,
         "text_token_count": q_text_token_count,
         "lang_id": q_lang_id,
         "grepl_filter": q_grepl_filter,
@@ -2867,6 +2959,8 @@ def oracle_sql() -> dict[str, str]:
         "resume_fold": _RESUME_SQL,
         "redact_pii": _REDACT_SQL,
         "chunk_docs": _CHUNK_SQL,
+        "classifier_score": _CLASSIFIER_SQL,
+        "token_budget_mix": _TOKEN_BUDGET_SQL,
         "math_builtins": _MATH_SQL,
         # minhash_incremental / simhash_incremental: LSH banding not
         # SQL-expressible — rows-only; full-vs-incremental parity is

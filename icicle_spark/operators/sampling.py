@@ -20,24 +20,26 @@ every decision; keys hash identically forever.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _BUCKETS = 1_000_000
 
 
-def _bucket(key_col, seed: int, hash_fn: str = "xx64") -> Column:
+def _bucket_n(key_col, seed: int, n: int, hash_fn: str = "xx64") -> Column:
     c = F.col(key_col) if isinstance(key_col, str) else key_col
     if hash_fn == "md5":
         # portable gate: md5 hex is identical in every engine (DuckDB,
         # Trino, BigQuery...), so membership is oracle-checkable
         # cross-engine. 15 hex digits = 60 bits, fits a signed int64.
         h = F.md5(F.concat(c.cast("string"), F.lit(f":{seed}")))
-        return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % F.lit(
-            _BUCKETS
-        )
+        return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % F.lit(n)
     if hash_fn != "xx64":
         raise ValueError(f"unknown hash_fn {hash_fn!r} (xx64 | md5)")
-    return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(_BUCKETS))
+    return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(n))
+
+
+def _bucket(key_col, seed: int, hash_fn: str = "xx64") -> Column:
+    return _bucket_n(key_col, seed, _BUCKETS, hash_fn)
 
 
 def deterministic_sample(
@@ -74,6 +76,87 @@ def mix_sources(
             thr
         )
     return df.where(_bucket(key_col, seed, hash_fn) < thr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int | dict[str, int],
+    tok_col: str,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+    seed: int = 0,
+    hash_fn: str = "xx64",
+) -> DataFrame:
+    """Exact per-source TOKEN-BUDGET selection — "take web docs until
+    the web slice holds 1.2 T tokens" — deterministic at any
+    parallelism, with the expensive sort confined to ~1/``buckets`` of
+    each source.
+
+    Spec: order each source's documents by the canonical key
+    ``(hash(id) mod buckets, id)`` and keep the prefix whose running
+    ``tok_col`` sum stays ≤ the source's budget (a doc that would
+    cross the budget is dropped, as is everything after it).
+    ``tok_col = 0`` rows are dropped up front (they contribute
+    nothing to training). Membership is a pure function of the keys —
+    same kept set on any cluster, any rerun, any partitioning.
+
+    Scale shape (the reason this is not one big window): a global
+    per-source window would sort a whole source through ONE reducer.
+    Instead:
+
+    1. one narrow scan + small aggregate: token sums per
+       (source, hash-bucket) — ≤ sources × buckets rows;
+    2. bucket-level running sums on that tiny frame classify each
+       bucket FULL (entirely within budget), BOUNDARY (straddles it),
+       or DROPPED;
+    3. broadcast the classification back; FULL buckets pass with no
+       sort at all, and only the single boundary bucket per source —
+       ~1/``buckets`` of its rows — goes through a per-source window
+       to find the exact cut.
+
+    ``budget``: one int for every source, or {source: budget} (absent
+    sources get 0 — dropped)."""
+    if isinstance(budget, dict):
+        bud = F.lit(0).cast("bigint")
+        for s, v in budget.items():
+            bud = F.when(F.col(source_col) == s, F.lit(int(v))).otherwise(bud)
+    else:
+        bud = F.lit(int(budget)).cast("bigint")
+
+    b = "__tb_bucket"
+    d = df.where(F.col(tok_col) > 0).withColumn(
+        b, _bucket_n(id_col, seed, buckets, hash_fn)
+    )
+    per = d.groupBy(source_col, b).agg(
+        F.sum(F.col(tok_col).cast("bigint")).alias("__tb_sum")
+    )
+    wcum = (
+        Window.partitionBy(source_col)
+        .orderBy(b)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    status = (
+        per.withColumn("__tb_cum", F.sum("__tb_sum").over(wcum))
+        .withColumn("__tb_prev", F.col("__tb_cum") - F.col("__tb_sum"))
+        .select(source_col, b, "__tb_prev", "__tb_cum")
+    )
+    joined = d.join(F.broadcast(status), [source_col, b])
+    full = joined.where(F.col("__tb_cum") <= bud)
+    boundary = joined.where((F.col("__tb_prev") < bud) & (F.col("__tb_cum") > bud))
+    # the boundary subset holds exactly one bucket per source, so this
+    # window sorts only that slice
+    wrun = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary_kept = boundary.withColumn(
+        "__tb_run", F.sum(F.col(tok_col).cast("bigint")).over(wrun)
+    ).where(F.col("__tb_prev") + F.col("__tb_run") <= bud)
+    out_cols = list(df.columns)
+    return full.select(*out_cols).unionByName(boundary_kept.select(*out_cols))
 
 
 def split_train_holdout(

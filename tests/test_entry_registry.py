@@ -17,6 +17,8 @@ MUST_BE_IN_WINDOW = {
     "source_scan",
     "source_tuple",
     "source_case",
+    "classifier_score",
+    "token_budget_mix",
     # r3-certified but r3-TOUCHED (Possibly-native groups, RAW codecs,
     # gram-set verify, per-key map arithmetic changed after their last
     # oracle row) — rotated back in for re-certification

@@ -76,3 +76,103 @@ def test_split_disjoint_exhaustive_stable(spark, docs):
     sub = docs.where("doc_id < 200")
     t2, h2 = split_train_holdout(sub, 0.25, "doc_id")
     assert set(r.doc_id for r in h2.collect()) == {i for i in h if i < 200}
+
+
+# --------------------------------------------------- token_budget_sample
+
+
+def _flat_reference(spark, d, budget, buckets=16):
+    """The spec as one flat per-source window: canonical order
+    (hash-bucket, doc_id), keep while the running sum stays <= budget."""
+    from pyspark.sql import Window, functions as F
+
+    from icicle_spark.operators.sampling import _bucket_n
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy(_bucket_n("doc_id", 0, buckets, "xx64"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = (
+        d.where(F.col("n_tok") > 0)
+        .withColumn("cum", F.sum(F.col("n_tok").cast("bigint")).over(w))
+        .where(F.col("cum") <= budget)
+    )
+    return set(r.doc_id for r in ref.select("doc_id").collect())
+
+
+@pytest.fixture(scope="module")
+def tok_docs(spark, docs):
+    from pyspark.sql import functions as F
+
+    from icicle_spark.functions.text import token_count
+
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            token_count(F.col("text"), "whitespace").cast("bigint").alias("n_tok"),
+        )
+        .cache()
+    )
+
+
+def test_token_budget_matches_flat_window(spark, tok_docs):
+    from icicle_spark.operators.sampling import token_budget_sample
+
+    for budget in (0, 150, 800, 10**9):
+        kept = token_budget_sample(tok_docs, budget, "n_tok", buckets=16)
+        got = set(r.doc_id for r in kept.select("doc_id").collect())
+        assert got == _flat_reference(spark, tok_docs, budget), budget
+
+
+def test_token_budget_never_exceeds_budget(spark, tok_docs):
+    from pyspark.sql import functions as F
+
+    from icicle_spark.operators.sampling import token_budget_sample
+
+    kept = token_budget_sample(tok_docs, 500, "n_tok", buckets=16)
+    per = kept.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    assert per and all(r.t <= 500 for r in per)
+
+
+def test_token_budget_dict_and_absent_source_dropped(spark, tok_docs):
+    from icicle_spark.operators.sampling import token_budget_sample
+
+    kept = token_budget_sample(
+        tok_docs, {"src0": 10**9, "src1": 300}, "n_tok", buckets=16
+    )
+    rows = kept.collect()
+    srcs = set(r.source for r in rows)
+    assert srcs == {"src0", "src1"}
+    # src0 unbounded: every tok>0 doc survives
+    n_src0_all = tok_docs.where("source = 'src0' and n_tok > 0").count()
+    assert sum(1 for r in rows if r.source == "src0") == n_src0_all
+    assert sum(r.n_tok for r in rows if r.source == "src1") <= 300
+
+
+def test_token_budget_partitioning_invariant(spark, tok_docs):
+    from icicle_spark.operators.sampling import token_budget_sample
+
+    a = set(
+        r.doc_id
+        for r in token_budget_sample(tok_docs, 800, "n_tok").select("doc_id").collect()
+    )
+    b = set(
+        r.doc_id
+        for r in token_budget_sample(
+            tok_docs.repartition(23), 800, "n_tok"
+        ).select("doc_id").collect()
+    )
+    assert a == b
+
+
+def test_token_budget_drops_zero_token_rows(spark):
+    from icicle_spark.operators.sampling import token_budget_sample
+
+    d = spark.createDataFrame(
+        [("a", "s", 0), ("b", "s", 5), ("c", "s", 0)],
+        "doc_id string, source string, n_tok long",
+    )
+    kept = token_budget_sample(d, 100, "n_tok", buckets=4)
+    assert set(r.doc_id for r in kept.collect()) == {"b"}
