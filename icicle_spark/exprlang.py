@@ -698,7 +698,15 @@ def unwrap_output(v):
             return None
         v = v.arg
     if isinstance(v, dict):
-        return {k: unwrap_output(x) for k, x in sorted(v.items(), key=lambda kv: kv[0])}
+        from icicle_spark.plans.maporder import _ord_key
+
+        # keys unwrap too (`map_insert (Some location) …` folds key by
+        # Option values — t60-map-delete), then stringify for the
+        # engine's map<string,…> convention, in Data.Map order of the
+        # UNWRAPPED key (Nothing < Just, maporder._ord_key)
+        items = [(unwrap_output(k), unwrap_output(x)) for k, x in v.items()]
+        items.sort(key=lambda kv: _ord_key(kv[0]))
+        return {str(k): x for k, x in items}
     if isinstance(v, tuple):
         return tuple(unwrap_output(x) for x in v)
     return v

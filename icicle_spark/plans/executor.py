@@ -190,6 +190,11 @@ def _feature_value(
         # `distinct k` — keep FIRST fact per key in stream order
         # (reference ToCore/Fold.hs:477-559: Map k Unit + lookup guard).
         _, first_pos = np.unique(dkey[idx], return_index=True)
+        if len(first_pos) > max_group:
+            # the reference's distinct state is a bounded Data.Map
+            # (maxMapSize): overflow -> error value (t03-distinct
+            # ':set max-map-size 2' golden: homer|tombstone)
+            return None
         idx = idx[np.sort(first_pos)]
     if f.latest is not None:
         idx = idx[-f.latest:]  # circular buffer: last N facts
@@ -224,7 +229,12 @@ def _feature_value(
             return None
         keys = gkey[idx]
         out: dict[str, Any] = {}
-        for k in pd.unique(keys):
+        from icicle_spark.plans.maporder import hask_sorted
+
+        # Data.Map iteration order (maporder.hask_sorted): the
+        # reference's group accumulator is a Data.Map, so rendered
+        # maps and (k, v) folds see ascending TYPED keys
+        for k in hask_sorted(pd.unique(keys)):
             sel = np.flatnonzero(keys == k)
             if f.group_latest is not None:
                 # `group k ~> latest N`: frame per key (t17-latest:4-8)
@@ -233,13 +243,20 @@ def _feature_value(
                 # key established by every visible fact; the fold
                 # step is guarded (t02 'counts of zero')
                 sel = sel[pg[idx[sel]]]
-            out[str(k)] = _reduce_slice(
-                f, v[sel], b[sel] if b is not None else None, qt=qt
+            from icicle_spark.plans.maporder import bound_map
+
+            out[str(k)] = bound_map(
+                _reduce_slice(
+                    f, v[sel], b[sel] if b is not None else None, qt=qt
+                ),
+                max_group,
             )
             if len(out) > max_group:
                 return None  # maxMapSize overflow -> error value
         return out
-    return _reduce_slice(f, v, b, qt=qt)
+    from icicle_spark.plans.maporder import bound_map
+
+    return bound_map(_reduce_slice(f, v, b, qt=qt), max_group)
 
 
 def _prep_feature(

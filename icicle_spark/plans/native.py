@@ -702,6 +702,7 @@ def _compile_scoped(
             ).select(
                 *[F.col(k) for k in keys],
                 gk.alias("__gk"),
+                F.expr(f.group).alias("__gkr"),
                 ex.alias("__gv"),
                 (
                     F.coalesce(F.expr(pgf).cast("boolean"), F.lit(False))
@@ -715,6 +716,7 @@ def _compile_scoped(
             rows = base.where(_visibility(f, qt, tcol) & ok).select(
                 *[F.col(k) for k in keys],
                 gk.alias("__gk"),
+                F.expr(f.group).alias("__gkr"),
                 ex.alias("__gv"),
                 F.lit(True).alias("__pgok"),
                 F.lit(0).alias("__gp"),
@@ -727,6 +729,7 @@ def _compile_scoped(
             rows = base.where(_visibility(f, qt, tcol)).select(
                 *[F.col(k) for k in keys],
                 F.when(ok, gk).alias("__gk"),
+                F.when(ok, F.expr(f.group)).alias("__gkr"),
                 F.when(ok, ex).alias("__gv"),
                 F.lit(True).alias("__pgok"),
                 F.when(ok, 0).otherwise(1).alias("__gp"),
@@ -765,7 +768,8 @@ def _compile_scoped(
         else:
             per_key_agg = _plain_agg(f.agg, gv)
         per_key = rows.groupBy(*keys, "__gk").agg(
-            per_key_agg.alias("__v"), F.max("__gp").alias("__gp")
+            per_key_agg.alias("__v"), F.max("__gp").alias("__gp"),
+            F.min("__gkr").alias("__gkr"),
         )
         if pgf is not None and f.agg in _GROUP_EMPTY:
             # a fully-guarded key's slot holds the fold's init
@@ -773,13 +777,26 @@ def _compile_scoped(
             per_key = per_key.withColumn(
                 "__v", F.coalesce(F.col("__v"), _GROUP_EMPTY[f.agg]())
             )
+        # Data.Map iteration order (plans/maporder.py): sort entries
+        # by the TYPED key before assembling the map — `group fold
+        # (k, v)` postcomps and rendered maps then iterate exactly as
+        # the reference's Data.Map accumulator does
         m = per_key.groupBy(*keys).agg(
             F.map_from_entries(
-                F.collect_list(
-                    F.when(
-                        F.col("__gk").isNotNull(),
-                        F.struct(F.col("__gk"), F.col("__v")),
-                    )
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__gk").isNotNull(),
+                                F.struct(
+                                    F.col("__gkr").alias("r"),
+                                    F.col("__gk").alias("k"),
+                                    F.col("__v").alias("v"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda e: F.struct(e["k"].alias("key"), e["v"].alias("value")),
                 )
             ).alias(f.name),
             F.max("__gp").alias(f"__poison_{f.name}"),
@@ -821,6 +838,15 @@ def _compile_scoped(
         agged = firsts.groupBy(*keys).agg(
             F.count(F.lit(1)).alias(marker),
             _agg_col(f, F.lit(True), tcol, None, qt),
+        )
+        # bounded distinct state (maxMapSize, t03 ':set max-map-size'):
+        # more distinct keys than the bound -> error value (null);
+        # marker stays non-null so _fill_inits won't resurrect an init
+        agged = agged.withColumn(
+            f.name,
+            F.when(
+                F.col(marker) <= F.lit(plan.max_group_size), F.col(f.name)
+            ),
         )
         out = out.join(agged, on=keys, how="left")
         out = _fill_inits(

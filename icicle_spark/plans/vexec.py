@@ -171,6 +171,7 @@ def _feature_series(
         gk_raw = eval_expr(f.group, base)
         key_null |= gk_raw.isna().to_numpy()[idx]
         sub["gk"] = gk_raw.astype(str).to_numpy()[idx]
+        sub["gkr"] = gk_raw.to_numpy()[idx]  # typed key: map sort order
     if f.distinct is not None:
         dk_raw = eval_expr(f.distinct, base)
         key_null |= dk_raw.isna().to_numpy()[idx]
@@ -186,8 +187,14 @@ def _feature_series(
             key_poison = (
                 np.bincount(sub["seg"].to_numpy()[key_null], minlength=n_seg) > 0
             )
+    dist_over = None
     if f.distinct is not None:
         sub = sub.drop_duplicates(["seg", "dk"], keep="first")
+        # bounded distinct state (maxMapSize, t03 ':set max-map-size'):
+        # more distinct keys than the bound -> error value (null)
+        sz = np.bincount(sub["seg"].to_numpy(), minlength=n_seg)
+        if (sz > max_group).any():
+            dist_over = sz > max_group
     if f.group_latest is not None and f.group is not None:
         # `group k ~> latest N`: the frame is PER KEY (contexts after
         # group run inside each group — t17-latest:4-8)
@@ -210,7 +217,9 @@ def _feature_series(
     if f.group is not None:
         res = _grouped_map(f, sub, n_seg, max_group)
     elif isinstance(agg, CustomFold):
-        res = _custom(f, sub, n_seg, qt=pd.Timestamp(qt_ns))
+        res = _custom(
+            f, sub, n_seg, qt=pd.Timestamp(qt_ns), max_group=max_group
+        )
     elif agg in _PANDAS_AGG:
         g = sub.groupby("seg", sort=False)["v"]
         res = getattr(g, _PANDAS_AGG[agg])()
@@ -270,6 +279,8 @@ def _feature_series(
         # a NaN float would break Arrow's map conversion. Explicit
         # None (maxMapSize overflow) stays None.
         out = out.apply(lambda x: x if isinstance(x, dict) or x is None else {})
+    if dist_over is not None:
+        poison = dist_over if poison is None else (poison | dist_over)
     if poison is not None and poison.any():
         out = out.astype(object).where(~pd.Series(poison, index=out.index), None)
     dt = feature_dtype(f)
@@ -286,6 +297,12 @@ def _grouped_map(f: Feature, sub: pd.DataFrame, n_seg: int, max_group: int):
     agg = f.agg
     if isinstance(agg, CustomFold):
         raise ValueError("custom folds inside `group` use the cogroup executor")
+    # typed key per (seg, stringified key) — BEFORE the post-group
+    # filter drops rows (guarded-out keys still hold map slots)
+    raw_of = {
+        (s, k): r
+        for s, k, r in zip(sub["seg"], sub["gk"], sub["gkr"])
+    }
     keys_index = None
     if "pg" in sub.columns:
         # post-group filter: every (seg, key) in sub establishes a
@@ -317,23 +334,49 @@ def _grouped_map(f: Feature, sub: pd.DataFrame, n_seg: int, max_group: int):
             per_key = per_key.astype(object).where(per_key.notna(), None)
     if agg is Agg.COUNT:
         per_key = per_key.astype("int64")
-    maps: dict[int, dict] = {}
+    from icicle_spark.plans.maporder import _ord_key
+
+    entries: dict[int, dict] = {}
     for (s, k), v in per_key.items():
-        maps.setdefault(s, {})[k] = v
-    res = pd.Series({s: (m if len(m) <= max_group else None) for s, m in maps.items()})
+        entries.setdefault(s, {})[k] = v
+    maps: dict[int, dict | None] = {}
+    for s, m in entries.items():
+        if len(m) > max_group:
+            maps[s] = None  # maxMapSize overflow -> error value
+            continue
+        # Data.Map iteration order by the TYPED key (maporder)
+        try:
+            order = sorted(m, key=lambda k: _ord_key(raw_of[(s, k)]))
+        except TypeError:
+            order = sorted(m)  # incomparable raws: stringified order
+        maps[s] = {k: m[k] for k in order}
+    res = pd.Series(maps)
     res.index.name = "seg"
     return res
 
 
+_OVERFLOW = object()  # maxMapSize overflow marker (distinct from
+                      # "no facts", which the empty-state fill covers)
+
+
 def _custom(
-    f: Feature, sub: pd.DataFrame, n_seg: int, qt: Any = None
+    f: Feature, sub: pd.DataFrame, n_seg: int, qt: Any = None,
+    max_group: int | None = None,
 ) -> pd.Series:
     cf: CustomFold = f.agg  # type: ignore[assignment]
 
     def _fin(state):
         if cf.output_qt is not None:
-            return cf.output_qt(state, qt)
-        return cf.output(state) if cf.output else state
+            r = cf.output_qt(state, qt)
+        else:
+            r = cf.output(state) if cf.output else state
+        if (
+            max_group is not None
+            and isinstance(r, dict)
+            and len(r) > max_group
+        ):
+            return _OVERFLOW  # bounded map state -> error value
+        return r
 
     segs = sub["seg"].to_numpy()
     vals = sub["v"].to_numpy()
@@ -355,7 +398,10 @@ def _custom(
     res = pd.Series(out, dtype=object)
     res.index.name = "seg"
     full = res.reindex(range(n_seg))
-    return full.where(full.notna() | pd.isna(empty), empty)
+    full = full.where(full.notna() | pd.isna(empty), empty)
+    if any(v is _OVERFLOW for v in out.values()):
+        full = full.map(lambda v: None if v is _OVERFLOW else v)
+    return full
 
 
 def _process_chunk(

@@ -364,6 +364,23 @@ class _Builder:
                 if self.dialect == "sql":
                     return X.to_sql(ast)
                 return X.to_callable(ast)
+            if re.search(r"/(?![=/])", x):
+                # element-position DIVISION is a Possibly op: divide
+                # by zero -> null (t30-sea `newest (1/0)` golden:
+                # tombstone; raw pandas eval would give inf, raw ANSI
+                # SQL would throw). exprlang renders `/` null-on-zero
+                # in both dialects; anything its grammar can't parse
+                # falls back to the plain path (no division-free expr
+                # is affected).
+                from icicle_spark import exprlang as X
+
+                try:
+                    ast = X.parse(_unmask(x, self.strlits))
+                    if self.dialect == "sql":
+                        return X.to_sql(ast)
+                    return X.to_callable(ast)
+                except Exception:
+                    pass
             return _unmask(_juxta(x, self.dialect), self.strlits)
 
         return Feature(
@@ -1316,7 +1333,9 @@ def _days_in_fold() -> CustomFold:
         m = dict(m)
         k = str(y)
         m[k] = m.get(k, 0) + n
-        return {kk: int(vv) for kk, vv in m.items()}
+        # Data.Map key order (plans/maporder.py): the prelude builds
+        # this as a Data.Map, so it renders in ascending-key order
+        return {kk: int(m[kk]) for kk in sorted(m)}
 
     return CustomFold(
         init=None, step_seq=step, output_qt=out,
@@ -1464,7 +1483,15 @@ def parse_query_multi(
     # no postcomputation: emit the fold under the output name
     core = re.fullmatch(r"\(\s*(__\w+)\s*\)", rewritten)
     core = core.group(1) if core else rewritten
-    if len(b.feats) == 1 and core == b.feats[0].name:
+    if (
+        len(b.feats) == 1
+        and core == b.feats[0].name
+        # a fold frozen BEFORE an active group context is a scalar,
+        # but the query's result is a per-key map (t04 'let x = sum
+        # value ~> group value ~> x') — fall through to the group
+        # branch, which broadcasts it over the key set
+        and not (b.group is not None and b.feats[0].group is None)
+    ):
         return (
             input_name,
             [dataclasses.replace(b.feats[0], name=name)],
@@ -1491,7 +1518,17 @@ def parse_query_multi(
                 f.name not in map_names
             ):
                 map_names.append(f.name)
-        if not (1 <= len(map_names) <= 2):
+        if not map_names:
+            # PURE-scalar tail under a group context (t04 'let x =
+            # sum value ~> group value ~> x'): the reference's result
+            # is still a MAP — the group establishes the key set and
+            # the frozen scalar broadcasts into every key's value
+            # (ToCore/Fold.hs keeps the group stream; the let is a
+            # pre-group accumulator). Synthesize the key-set map.
+            h = b.fresh()
+            b.feats.append(b.mk_feature(h, Agg.COUNT, "1"))
+            map_names.append(h)
+        if len(map_names) > 2:
             raise ValueError(
                 "aggregate arithmetic over group maps supports 1-2 "
                 "map-valued subterms (scalars broadcast freely)"
