@@ -553,37 +553,47 @@ def run_script(spark, script: str, verbose: bool = False,
             if golden_rows is None:
                 skips.append((q, "golden block not entity|value rows"))
                 continue
-            try:
-                plans = parse_program(
-                    [q], dialect=dialect, seq_col="seq",
-                    tombstone_col="tombstone", functions=funcs or None,
-                )
-                run_dialect, run_strategy = dialect, strategy
-            except ValueError as e1:
-                if dialect == "sql":
-                    raise
-                # some builtins / contexts only exist in the sql
-                # dialect -> retry on the native Catalyst path
-                plans = parse_program(
-                    [q], dialect="sql", seq_col="seq",
-                    tombstone_col="tombstone", functions=funcs or None,
-                )
-                run_dialect, run_strategy = "sql", "native"
-            (inp, plan), = plans.items()
-            if state.max_map_size is not None:
-                plan = dataclasses.replace(
-                    plan, max_group_size=state.max_map_size
-                )
-            key = (state.dict_path, state.psv_path, inp)
-            if key not in facts_cache:
-                facts_cache[key] = build_facts(
-                    spark, dic, inp, state.psv_path
-                ).cache()
-            facts = facts_cache[key]
-            out = run_plan(
-                facts, plan, snapshot=icicle_snapshot(state.snapshot),
-                strategy=run_strategy,
-            ).toPandas()
+            # fallback ladder: the pandas-dialect Arrow executors
+            # cover the widest grammar; sql-only builtins route to
+            # the native Catalyst path; per-entity cogroup catches
+            # shapes the partition-vectorized executor declines.
+            configs = (
+                [(dialect, strategy), ("sql", "native"),
+                 ("pandas", "cogroup")]
+                if dialect != "sql"
+                else [(dialect, strategy)]
+            )
+            out = None
+            first_err: Exception | None = None
+            for run_dialect, run_strategy in configs:
+                try:
+                    plans = parse_program(
+                        [q], dialect=run_dialect, seq_col="seq",
+                        tombstone_col="tombstone",
+                        functions=funcs or None,
+                    )
+                    (inp, plan), = plans.items()
+                    if state.max_map_size is not None:
+                        plan = dataclasses.replace(
+                            plan, max_group_size=state.max_map_size
+                        )
+                    key = (state.dict_path, state.psv_path, inp)
+                    if key not in facts_cache:
+                        facts_cache[key] = build_facts(
+                            spark, dic, inp, state.psv_path
+                        ).cache()
+                    facts = facts_cache[key]
+                    out = run_plan(
+                        facts, plan,
+                        snapshot=icicle_snapshot(state.snapshot),
+                        strategy=run_strategy,
+                    ).toPandas()
+                    break
+                except Exception as exc:  # noqa: BLE001
+                    if first_err is None:
+                        first_err = exc
+            if out is None:
+                raise first_err
             got = {
                 str(r["entity"]): norm_engine(r["q0"])
                 for _, r in out.iterrows()
