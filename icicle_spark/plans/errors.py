@@ -73,8 +73,15 @@ def _err_col(f: Feature, tomb: Column, frame: Column) -> Column:
     ex = _expr(f)
     if f.group is not None or f.distinct is not None:
         # whole-map Possibly semantics: a null KEY poisons too
-        key = F.expr(f.group if f.group is not None else f.distinct)
-        null_elem = ex.isNull() | key.isNull()
+        # (chained distincts carry a LIST of keys — any null poisons)
+        kexprs = (
+            [f.group] if f.group is not None
+            else f.distinct if isinstance(f.distinct, list)
+            else [f.distinct]
+        )
+        null_elem = ex.isNull()
+        for ke in kexprs:
+            null_elem = null_elem | F.expr(ke).isNull()
     else:
         null_elem = ex.isNull()
     if f.skip_nulls:

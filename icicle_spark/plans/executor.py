@@ -141,6 +141,16 @@ def _reduce_slice(
     raise ValueError(f"unknown agg {agg}")
 
 
+def _hashable_key(k):
+    """A dedup-dict form of a distinct/group key value (array-valued
+    keys are unhashable as-is)."""
+    if isinstance(k, np.ndarray):
+        return tuple(k.tolist())
+    if isinstance(k, list):
+        return tuple(k)
+    return k
+
+
 def _feature_value(
     f: Feature,
     lo: int,
@@ -173,29 +183,69 @@ def _feature_value(
             # guarded fold step, but its key still establishes
             pg = pg.copy()
             pg[idx[pd.isna(vals[idx]).astype(bool)]] = False
-    for karr in (gkey, dkey):
-        # null group/distinct KEY (Possibly key, e.g. tombstoned
-        # struct — t03.1-distinct-tomb): poison, or drop under
-        # skip_nulls — matching plans.vexec.
-        if karr is None or len(idx) == 0:
-            continue
-        kn = pd.isna(karr[idx])
-        if not kn.any():
-            continue
-        if f.skip_nulls:
+    dkeys = dkey if isinstance(dkey, list) else (
+        [dkey] if dkey is not None else []
+    )
+    if gkey is not None and len(idx):
+        # null group KEY (Possibly key, e.g. tombstoned struct —
+        # t03.1-distinct-tomb): poison, or drop under skip_nulls —
+        # matching plans.vexec.
+        kn = pd.isna(gkey[idx])
+        if kn.any():
+            if not f.skip_nulls:
+                return None
             idx = idx[~kn]
-        else:
-            return None
-    if dkey is not None:
+    for dk in dkeys:
         # `distinct k` — keep FIRST fact per key in stream order
-        # (reference ToCore/Fold.hs:477-559: Map k Unit + lookup guard).
-        _, first_pos = np.unique(dkey[idx], return_index=True)
-        if len(first_pos) > max_group:
-            # the reference's distinct state is a bounded Data.Map
-            # (maxMapSize): overflow -> error value (t03-distinct
-            # ':set max-map-size 2' golden: homer|tombstone)
-            return None
-        idx = idx[np.sort(first_pos)]
+        # (reference ToCore/Fold.hs:477-559: Map k Unit + lookup
+        # guard). Chained distincts (t02.1) run sequentially, each
+        # over the previous stage's survivors, each with its OWN
+        # bounded Data.Map — so a stage's key nulls are judged only
+        # on the substream that reaches it.
+        if len(idx) == 0:
+            break
+        kn = pd.isna(dk[idx])
+        if kn.any():
+            if not f.skip_nulls:
+                return None
+            idx = idx[~kn]
+        sel = dk[idx]
+        scoped = f.distinct_in_group and gkey is not None
+        if scoped or sel.dtype == object:
+            # slow path: per-group scoping (`group k ~> distinct d`,
+            # t02.1 — the distinct map is PER GROUP KEY) and/or
+            # array-valued keys (t30.2 `distinct value` over
+            # array<string>, unhashable for np.unique): dedup via
+            # tuple-coerced dict keys, order preserved. The bounded
+            # Data.Map (maxMapSize) is per distinct state — per
+            # group key when scoped.
+            gsel = gkey[idx] if scoped else None
+            seen: set = set()
+            keep: list[int] = []
+            per_group: dict = {}
+            for i, k in enumerate(sel):
+                kk = _hashable_key(k)
+                full = (_hashable_key(gsel[i]), kk) if scoped else kk
+                if full not in seen:
+                    seen.add(full)
+                    keep.append(i)
+                    if scoped:
+                        g = full[0]
+                        per_group[g] = per_group.get(g, 0) + 1
+                        if per_group[g] > max_group:
+                            return None
+            first_pos = np.asarray(keep, dtype=np.intp)
+            if not scoped and len(first_pos) > max_group:
+                return None
+        else:
+            _, first_pos = np.unique(sel, return_index=True)
+            first_pos = np.sort(first_pos)
+            if len(first_pos) > max_group:
+                # the reference's distinct state is a bounded Data.Map
+                # (maxMapSize): overflow -> error value (t03-distinct
+                # ':set max-map-size 2' golden: homer|tombstone)
+                return None
+        idx = idx[first_pos]
     if f.latest is not None:
         idx = idx[-f.latest:]  # circular buffer: last N facts
     if f.agg is Agg.DECAYED_SUM:
@@ -243,9 +293,9 @@ def _feature_value(
                 # key established by every visible fact; the fold
                 # step is guarded (t02 'counts of zero')
                 sel = sel[pg[idx[sel]]]
-            from icicle_spark.plans.maporder import bound_map
+            from icicle_spark.plans.maporder import bound_map, key_str
 
-            out[str(k)] = bound_map(
+            out[key_str(k)] = bound_map(
                 _reduce_slice(
                     f, v[sel], b[sel] if b is not None else None, qt=qt
                 ),
@@ -288,7 +338,11 @@ def _prep_feature(
         "mask": mask,
         "by": eval_expr(f.by, fpdf).to_numpy() if f.by is not None else None,
         "gkey": eval_expr(f.group, fpdf).to_numpy() if f.group is not None else None,
-        "dkey": eval_expr(f.distinct, fpdf).to_numpy() if f.distinct is not None else None,
+        "dkey": (
+            [eval_expr(d, fpdf).to_numpy() for d in f.distinct]
+            if isinstance(f.distinct, list)
+            else eval_expr(f.distinct, fpdf).to_numpy()
+        ) if f.distinct is not None else None,
         "pg": (
             eval_expr(f.post_group_filter, fpdf)
             .fillna(False).to_numpy().astype(bool)

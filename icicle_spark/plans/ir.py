@@ -159,7 +159,18 @@ class Feature:
                                       # route to the cogroup fallback).
     by: ExprLike | None = None        # key expr for MAX_BY/MIN_BY
     group: ExprLike | None = None     # `group k ~>` — output map k->agg (Context.hs:28)
-    distinct: ExprLike | None = None  # `distinct k ~>` — first fact per key (Context.hs:29)
+    distinct: ExprLike | list | None = None
+                                      # `distinct k ~>` — first fact per
+                                      # key (Context.hs:29). A LIST means
+                                      # chained distincts (t02.1
+                                      # `distinct a ~> distinct b`):
+                                      # sequential nubs, each over the
+                                      # previous stage's survivors.
+    distinct_in_group: bool = False   # `group k ~> distinct d` (t02.1):
+                                      # contexts after group run INSIDE
+                                      # each group, so the distinct map
+                                      # is per group key — dedup on the
+                                      # (group, distinct) pair.
     skip_nulls: bool = False          # False = Icicle Possibly semantics:
                                       # a null (error/tombstone) in the visible
                                       # slice poisons the aggregate

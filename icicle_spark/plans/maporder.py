@@ -42,6 +42,36 @@ def hask_sorted(keys: Iterable[Any]) -> list:
         return sorted(ks, key=lambda x: (x is not None, str(x)))
 
 
+def key_str(k: Any) -> str:
+    """A group key's STRING map-key form, identical across backends
+    (native._key_str mirrors this in Catalyst, vexec vectorizes it):
+    time-valued keys at midnight render as plain dates — the
+    reference prints Time map keys date-first (t06-custom-folds
+    `group time` goldens) — and intra-day times as
+    'YYYY-MM-DD HH:MM:SS'."""
+    import datetime as dt
+
+    if isinstance(k, np.datetime64):
+        k = pd.Timestamp(k)
+    if isinstance(k, pd.Timestamp):
+        k = k.to_pydatetime()
+    if isinstance(k, dt.datetime):
+        if (k.hour, k.minute, k.second, k.microsecond) == (0, 0, 0, 0):
+            return k.date().isoformat()
+        return k.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(k, dt.date):
+        return k.isoformat()
+    return str(k)
+
+
+def key_str_series(s: pd.Series) -> pd.Series:
+    """Vectorized `key_str` over a pandas Series."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        full = s.dt.strftime("%Y-%m-%d %H:%M:%S")
+        return full.where(s.dt.normalize() != s, s.dt.strftime("%Y-%m-%d"))
+    return s.astype(str)
+
+
 def bound_map(v: Any, max_group: int):
     """maxMapSize analogue for MAP-VALUED custom folds (t60.1: a
     map_insert fold whose final map exceeds the bound is an error

@@ -157,12 +157,18 @@ def _key_str(base: DataFrame, kexpr: str) -> Column:
     while str(numpy.bool_) is 'True'/'False' — a silent cross-backend
     map-key divergence for `group (value > 0)`-style keys."""
     k = F.expr(kexpr)
-    from pyspark.sql.types import BooleanType
+    from pyspark.sql.types import BooleanType, DateType, TimestampNTZType, TimestampType
 
-    if isinstance(
-        base.select(k.alias("__k")).schema[0].dataType, BooleanType
-    ):
+    dtype = base.select(k.alias("__k")).schema[0].dataType
+    if isinstance(dtype, BooleanType):
         return F.when(k, F.lit("True")).when(~k, F.lit("False"))
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        # maporder.key_str parity: midnight times render as dates
+        return F.when(
+            F.date_trunc("DAY", k) == k, F.date_format(k, "yyyy-MM-dd")
+        ).otherwise(F.date_format(k, "yyyy-MM-dd HH:mm:ss"))
+    if isinstance(dtype, DateType):
+        return F.date_format(k, "yyyy-MM-dd")
     return k.cast("string")
 
 

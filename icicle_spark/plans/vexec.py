@@ -170,12 +170,31 @@ def _feature_series(
     if f.group is not None:
         gk_raw = eval_expr(f.group, base)
         key_null |= gk_raw.isna().to_numpy()[idx]
-        sub["gk"] = gk_raw.astype(str).to_numpy()[idx]
+        from icicle_spark.plans.maporder import key_str_series
+
+        sub["gk"] = key_str_series(gk_raw).to_numpy()[idx]
         sub["gkr"] = gk_raw.to_numpy()[idx]  # typed key: map sort order
-    if f.distinct is not None:
-        dk_raw = eval_expr(f.distinct, base)
+    dks = (
+        f.distinct if isinstance(f.distinct, list) else [f.distinct]
+    ) if f.distinct is not None else []
+    for di, dexpr in enumerate(dks):
+        dk_raw = eval_expr(dexpr, base)
         key_null |= dk_raw.isna().to_numpy()[idx]
-        sub["dk"] = dk_raw.to_numpy()[idx]
+        arr = dk_raw.to_numpy()[idx]
+        if arr.dtype == object:
+            # array-valued keys (t30.2 `distinct value` over
+            # array<string>) are unhashable for drop_duplicates:
+            # coerce to tuples
+            sub[f"dk{di}"] = pd.Series(
+                [
+                    tuple(x.tolist()) if isinstance(x, np.ndarray)
+                    else tuple(x) if isinstance(x, list) else x
+                    for x in arr
+                ],
+                index=sub.index, dtype=object,
+            )
+        else:
+            sub[f"dk{di}"] = arr
     if key_null.any():
         # null group/distinct KEY (a Possibly key, e.g. a tombstoned
         # struct — reference t03.1-distinct-tomb): poisons under
@@ -188,13 +207,27 @@ def _feature_series(
                 np.bincount(sub["seg"].to_numpy()[key_null], minlength=n_seg) > 0
             )
     dist_over = None
-    if f.distinct is not None:
-        sub = sub.drop_duplicates(["seg", "dk"], keep="first")
-        # bounded distinct state (maxMapSize, t03 ':set max-map-size'):
-        # more distinct keys than the bound -> error value (null)
-        sz = np.bincount(sub["seg"].to_numpy(), minlength=n_seg)
-        if (sz > max_group).any():
-            dist_over = sz > max_group
+    scoped = f.distinct_in_group and f.group is not None
+    for di in range(len(dks)):
+        # chained distincts (t02.1) run SEQUENTIALLY — each stage
+        # nubs the previous stage's survivors with its own bounded
+        # Data.Map (maxMapSize, t03 ':set max-map-size': more
+        # distinct keys than the bound -> error value). `group k ~>
+        # distinct d` scopes the distinct map PER GROUP KEY.
+        keys_d = ["seg", "gk", f"dk{di}"] if scoped else ["seg", f"dk{di}"]
+        sub = sub.drop_duplicates(keys_d, keep="first")
+        if scoped:
+            cnt = sub.groupby(["seg", "gk"], sort=False).size()
+            bad = cnt[cnt > max_group].index.get_level_values(0)
+            if len(bad):
+                over = np.zeros(n_seg, dtype=bool)
+                over[np.asarray(bad, dtype=int)] = True
+                dist_over = over if dist_over is None else (dist_over | over)
+        else:
+            sz = np.bincount(sub["seg"].to_numpy(), minlength=n_seg)
+            if (sz > max_group).any():
+                over = sz > max_group
+                dist_over = over if dist_over is None else (dist_over | over)
     if f.group_latest is not None and f.group is not None:
         # `group k ~> latest N`: the frame is PER KEY (contexts after
         # group run inside each group — t17-latest:4-8)

@@ -289,9 +289,11 @@ class _Builder:
         self.latest_outer: int | None = None
         self._filter_since_latest = False
         self.group: str | None = None
+        self.nested_group = False  # `group a ~> group b` composite
         self.post_filters: list[str] = []  # filters AFTER `group k`
         self.group_latest: int | None = None  # `group k ~> latest N`
-        self.distinct: str | None = None
+        self.distinct: str | list | None = None
+        self.distinct_scoped = False  # distinct arrived AFTER `group k`
         self.group_fold: tuple | None = None  # (k, v, hidden, int?)
         self.elem_markers: dict[str, str] = {}  # array-fold group binds
         self.folds: dict[str, tuple] = {}  # bind -> (CustomFold, cols)
@@ -387,7 +389,12 @@ class _Builder:
             fname, agg, J(expr),
             where=J(self.where()), window=self.window, latest=self.latest,
             latest_outer=self.latest_outer, by=J(by), group=J(self.group),
-            distinct=J(self.distinct),
+            distinct=(
+                [J(d) for d in self.distinct]
+                if isinstance(self.distinct, list)
+                else J(self.distinct)
+            ),
+            distinct_in_group=self.distinct_scoped,
             filter_let=tuple((n, J(e)) for n, e in self.binds)
             if self.binds else None,
             scans=tuple((n, a, J(e)) for n, a, e in self.scan_binds)
@@ -420,9 +427,11 @@ def _child_builder(b: _Builder) -> _Builder:
     c.latest_outer = b.latest_outer
     c._filter_since_latest = b._filter_since_latest
     c.group = b.group
+    c.nested_group = b.nested_group
     c.post_filters = list(b.post_filters)
     c.group_latest = b.group_latest
     c.distinct = b.distinct
+    c.distinct_scoped = b.distinct_scoped
     c.folds = dict(b.folds)
     c.scan_binds = list(b.scan_binds)
     c.fold_feats = b.fold_feats  # shared: fold folds dedupe across scopes
@@ -599,6 +608,42 @@ def _is_constant_tail(b: _Builder, expr: str) -> bool:
     )
 
 
+def _nest_cmp(a: str, bx: str) -> str:
+    """SQL comparator for nested-group key order: Data.Map ascending
+    TYPED order — composite keys are strings, so numeric keys must
+    compare as numbers ('10' > '2'), falling back to string order."""
+    return (
+        f"case when cast({a} as double) is not null "
+        f"and cast({bx} as double) is not null then "
+        f"case when cast({a} as double) < cast({bx} as double) then -1 "
+        f"when cast({a} as double) > cast({bx} as double) then 1 "
+        f"else 0 end "
+        f"else case when {a} < {bx} then -1 "
+        f"when {a} > {bx} then 1 else 0 end end"
+    )
+
+
+def _nest_map_sql(col: str) -> str:
+    """Reshape a flat composite-key map ``{'a|b': v}`` into the
+    reference's nested ``{a: {b: v}}`` presentation (repl t02.1
+    `group a ~> group b ~> agg`) — pure JVM HOFs over the output
+    column, Data.Map order restored at both levels."""
+    entries = f"map_entries({col})"
+    outer = (
+        f"array_sort(array_distinct(transform({entries}, "
+        f"e -> split_part(e.key, '|', 1))), "
+        f"(a, b) -> {_nest_cmp('a', 'b')})"
+    )
+    inner = (
+        f"map_from_entries(array_sort(transform("
+        f"filter({entries}, e -> split_part(e.key, '|', 1) = ok), "
+        f"e -> named_struct('key', split_part(e.key, '|', 2), "
+        f"'value', e.value)), "
+        f"(x, y) -> {_nest_cmp('x.key', 'y.key')}))"
+    )
+    return f"map_from_arrays({outer}, transform({outer}, ok -> {inner}))"
+
+
 def _render_post(b: _Builder, frag: str) -> str:
     """Render one postcomp fragment to Spark SQL: exprlang for
     case/constructor syntax (constant-folding closed expressions),
@@ -675,31 +720,55 @@ def _extract_aggs(b: _Builder, s: str) -> str:
             sa = hf(f"{A} + 0 * {Bx}")
             sb = hf(f"{Bx} + 0 * {A}")
             sab = hf(f"{A} * {Bx}")
-            num = f"(({n_}) * ({sab}) - ({sa}) * ({sb}))"
+            # Constant-argument detection: the reference's prelude
+            # computes these with Welford co-moment folds
+            # (prelude.icicle:194-255), which yield an EXACTLY zero
+            # m2/m12 when an argument never varies — and Possibly
+            # division then turns 0-variance denominators into None.
+            # Sum-of-products folds leave a cancellation residue
+            # instead (n·Σx² − (Σx)² ≈ ±n²x²·ε), so a min==max probe
+            # (exact, order-free) restores the reference's semantics:
+            # numerators ×0 when either argument is constant, variance
+            # denominators forced to 0 (→ nullif → null). `cast` not
+            # `if`: _render_post routes if/case through exprlang.
+            ia = (
+                f"cast(({hf(f'{A} + 0 * {Bx}', Agg.MIN)}) < "
+                f"({hf(f'{A} + 0 * {Bx}', Agg.MAX)}) as int)"
+            )
+            ib = (
+                f"cast(({hf(f'{Bx} + 0 * {A}', Agg.MIN)}) < "
+                f"({hf(f'{Bx} + 0 * {A}', Agg.MAX)}) as int)"
+            )
+            num = (
+                f"((({n_}) * ({sab}) - ({sa}) * ({sb}))"
+                f" * {ia} * {ib})"
+            )
             if kw == "covariance":
                 frag = (
                     f"((({sab}) - ({sa}) * ({sb}) / nullif({n_}, 0))"
+                    f" * {ia} * {ib}"
                     f" / nullif({n_} - 1, 0))"
                 )
             elif kw == "gradient":
                 sb2 = hf(f"{Bx} * {Bx} + 0 * {A}")
                 frag = (
-                    f"({num} / nullif(({n_}) * ({sb2}) - "
-                    f"({sb}) * ({sb}), 0))"
+                    f"({num} / nullif((({n_}) * ({sb2}) - "
+                    f"({sb}) * ({sb})) * {ib}, 0))"
                 )
             elif kw == "correlation":
                 sa2 = hf(f"{A} * {A} + 0 * {Bx}")
                 sb2 = hf(f"{Bx} * {Bx} + 0 * {A}")
                 frag = (
                     f"({num} / nullif(sqrt("
-                    f"(({n_}) * ({sa2}) - ({sa}) * ({sa})) * "
-                    f"(({n_}) * ({sb2}) - ({sb}) * ({sb}))), 0))"
+                    f"((({n_}) * ({sa2}) - ({sa}) * ({sa})) * {ia}) * "
+                    f"((({n_}) * ({sb2}) - ({sb}) * ({sb})) * {ib})"
+                    f"), 0))"
                 )
             else:  # intercept = mean a - gradient * mean b
                 sb2 = hf(f"{Bx} * {Bx} + 0 * {A}")
                 grad = (
-                    f"({num} / nullif(({n_}) * ({sb2}) - "
-                    f"({sb}) * ({sb}), 0))"
+                    f"({num} / nullif((({n_}) * ({sb2}) - "
+                    f"({sb}) * ({sb})) * {ib}, 0))"
                 )
                 frag = (
                     f"(({sa}) / nullif({n_}, 0) - {grad} * "
@@ -891,6 +960,8 @@ def _apply_context(b: _Builder, c: str) -> None:
             _apply_context(b, cc)
         if b.group is None:
             raise ValueError("group fold requires an inner `group k`")
+        if b.nested_group:
+            raise ValueError("group fold over nested groups unsupported")
         tail_i = segs_i[-1]
         mm = re.fullmatch(r"([a-z_]+)\s*\(\s*\)", tail_i)
         if mm and mm.group(1) == "count":
@@ -912,11 +983,45 @@ def _apply_context(b: _Builder, c: str) -> None:
         return
     m = re.fullmatch(r"group\s+(.+)", c, re.S)
     if m:
-        b.group = b.sub(m.group(1))
+        key = b.sub(m.group(1))
+        if b.group is None:
+            b.group = key
+        else:
+            # nested group (repl t02.1 `group a ~> group b ~> agg`):
+            # a fact's OUTER key fixes its bucket, so the nest is one
+            # composite-key group; the output postcomp rebuilds the
+            # map-of-maps shape (folds_ext.nest_map rationale).
+            if b.dialect != "sql":
+                raise ValueError("nested `group` requires the sql dialect")
+            if b.nested_group:
+                raise ValueError("more than two group levels unsupported")
+            b.nested_group = True
+            b.group = (
+                f"concat(cast(({b.group}) as string), '|', "
+                f"cast(({key}) as string))"
+            )
         return
     m = re.fullmatch(r"distinct\s+(.+)", c, re.S)
     if m:
-        b.distinct = b.sub(m.group(1))
+        key = b.sub(m.group(1))
+        scoped = b.group is not None
+        if scoped and b.nested_group:
+            raise ValueError("distinct under nested groups unsupported")
+        if b.distinct is None:
+            b.distinct = key
+            b.distinct_scoped = scoped
+        else:
+            if scoped != b.distinct_scoped:
+                raise ValueError(
+                    "mixed global/grouped distinct chain unsupported"
+                )
+            # chained distinct (t02.1 `distinct a ~> distinct b`):
+            # SEQUENTIAL nubs — the inner distinct sees only the
+            # first-per-outer-key substream, NOT a composite key.
+            if isinstance(b.distinct, str):
+                b.distinct = [b.distinct, key]
+            else:
+                b.distinct = [*b.distinct, key]
         return
     m = re.fullmatch(
         r"(fold1?)\s*\(\s*([\w\s,]+?)\s*\)\s*=\s*(.+?)\s+then\s+(.+)",
@@ -1136,7 +1241,9 @@ _JUXTA_ARGN = {"atan2": 2, "days_between": 2, "index": 2,
 _JUXTA_PD = {"double": "(({}) * 1.0)", "log": "log({})", "exp": "exp({})",
              "sqrt": "sqrt({})", "abs": "abs({})",
              "sin": "sin({})", "cos": "cos({})", "tan": "tan({})",
-             "floor": "floor({})"}
+             "floor": "floor({})",
+             "year_of": "(({}).dt.year)", "month_of": "(({}).dt.month)",
+             "day_of": "(({}).dt.day)"}
 
 
 def _juxta(s: str, dialect: str) -> str:
@@ -1194,6 +1301,12 @@ def _scan_atom(s: str, i: int, what: str) -> tuple[str, int]:
                 if depth == 0:
                     return s[i : j + 1], j + 1
         raise ValueError(f"unbalanced parens in {what!r} argument")
+    # unquoted date literal (reference Lexer.hs lexes YYYY-MM-DD as a
+    # Time — repl t14 `days_between (newest time) 2014-01-01`): takes
+    # precedence over reading `2014` as a number
+    m = re.match(r"\d{4}-\d{2}-\d{2}(?!\d)", s[i:])
+    if m:
+        return f"DATE '{m.group(0)}'", i + m.end()
     m = re.match(
         r"[A-Za-z_][\w']*|\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
         r"|\"(?:\\.|[^\"\\])*\"",
@@ -1492,6 +1605,15 @@ def parse_query_multi(
         # branch, which broadcasts it over the key set
         and not (b.group is not None and b.feats[0].group is None)
     ):
+        if b.nested_group:
+            h = b.fresh()
+            b.feats[0] = dataclasses.replace(b.feats[0], name=h)
+            return (
+                input_name,
+                b.feats,
+                [(name, _nest_map_sql(h))],
+                [f.name for f in b.feats],
+            )
         return (
             input_name,
             [dataclasses.replace(b.feats[0], name=name)],
@@ -1557,6 +1679,8 @@ def parse_query_multi(
                 f"map_zip_with({map_names[0]}, {map_names[1]}, "
                 f"(__k, __v0, __v1) -> {body})"
             )
+        if b.nested_group:
+            post = _nest_map_sql(f"({post})")
         return (
             input_name,
             b.feats,
