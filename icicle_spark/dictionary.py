@@ -299,6 +299,19 @@ class Dictionary:
             *vals,
             tomb.alias(inp.tombstone_col or "tombstone"),
         )
+        if len(vfields) > 1:
+            # record inputs implicitly bind `fields` = the whole value
+            # record (reference Query/Environment.hs:109 mkFeatureContext
+            # — repl t16 `newest fields`); fields sort by name, the
+            # record's Data.Map order. Tombstones null the record.
+            out = out.withColumn(
+                "fields",
+                F.when(~F.col(inp.tombstone_col or "tombstone"),
+                       F.struct(*[
+                           F.col(f.name)
+                           for f in sorted(vfields, key=lambda x: x.name)
+                       ])),
+            )
         if inp.key is not None:
             from icicle_spark.operators.folds_ext import nub_by_key
 

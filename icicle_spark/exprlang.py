@@ -1058,6 +1058,11 @@ def infer_sql_type(ast) -> str | None:
         return None
     if kind == "ctor" and ast[1] in ("Some", "Right") and ast[2] is not None:
         return infer_sql_type(ast[2])
+    if kind == "app":
+        if ast[1] in ("is_some", "is_none"):
+            return "boolean"
+        if ast[1] in ("get", "get_or_else") and ast[2]:
+            return infer_sql_type(ast[2][-1])
     if kind == "tuple":
         parts = []
         for i, e in enumerate(ast[1]):

@@ -73,6 +73,13 @@ def _reduce_slice(
         vals = vals[~isna]
         if by is not None:
             by = by[~isna]
+    elif f.agg is Agg.COLLECT:
+        # inside `latest N` every element boxes its OWN error
+        # (ReifyPossibility.hs lowers latest of Possibly a to
+        # Array (Sum Error a) — repl t15 `latest 5 ~> (value,
+        # tombstone)` golden renders per-element `tombstone` rows):
+        # keep nulls in place, no whole-array poison
+        return [None if isna[i] else v for i, v in enumerate(vals)]
     elif isna.any():
         return None
     agg = f.agg
@@ -511,6 +518,9 @@ def run_plan(
     # (Condense.hs:25-66) — dropping a duplicate's COLUMN would be a
     # silent output change.
     requested = [f.name for f in plan.features]
+    from icicle_spark.plans.ir import resolve_dtypes
+
+    plan = resolve_dtypes(plan, facts)
     full = plan
     plan, _dups = plan.stripped().cse()
 

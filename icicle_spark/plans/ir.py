@@ -458,6 +458,46 @@ def feature_dtype(f: Feature) -> str:
     return base
 
 
+_SHAPE_PRESERVING = {
+    Agg.NEWEST, Agg.OLDEST, Agg.MIN, Agg.MAX,
+    Agg.MAX_BY, Agg.MIN_BY, Agg.COLLECT,
+}
+
+_NUMERICISH = ("tinyint", "smallint", "int", "bigint",
+               "float", "double", "decimal")
+
+
+def resolve_dtypes(plan: Plan, facts) -> Plan:
+    """Fill unset output dtypes from the facts schema for
+    shape-preserving aggregates (newest/oldest/min/max/max_by/min_by/
+    collect) over a bare input column: the fold returns the element
+    unchanged, so a struct/string/array/timestamp input column must
+    type the executor's Arrow output schema — the numeric 'double'
+    default only covers int widening (repl t16 `newest fields` over a
+    struct input)."""
+    import dataclasses as _dc
+
+    types = {fld.name: fld.dataType.simpleString()
+             for fld in facts.schema.fields}
+    feats, changed = [], False
+    for f in plan.features:
+        if (
+            f.dtype is None
+            and not isinstance(f.agg, CustomFold)
+            and f.agg in _SHAPE_PRESERVING
+            and isinstance(f.expr, str)
+            and f.expr.strip() in types
+        ):
+            t = types[f.expr.strip()]
+            if not t.startswith(_NUMERICISH):
+                if f.agg is Agg.COLLECT:
+                    t = f"array<{t}>"
+                f = _dc.replace(f, dtype=t)
+                changed = True
+        feats.append(f)
+    return _dc.replace(plan, features=feats) if changed else plan
+
+
 NOW_TOKEN = "__icicle_now"
 
 

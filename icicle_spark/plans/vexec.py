@@ -237,14 +237,22 @@ def _feature_series(
     if not f.skip_nulls:
         # Possibly semantics: any null element in the FINAL visible
         # slice (after window/filter/distinct/latest) poisons this
-        # entity's aggregate — same order as plans.executor.
-        nn = pd.isna(sub["v"]).to_numpy()
-        if pg is not None:
-            # a guarded-out null never reaches the fold: no poison
-            nn = nn & sub["pg"].to_numpy()
-        poison = np.bincount(sub["seg"].to_numpy()[nn], minlength=n_seg) > 0
-        if key_poison is not None:
-            poison = poison | key_poison
+        # entity's aggregate — same order as plans.executor. COLLECT
+        # is exempt: inside `latest N` each element boxes its OWN
+        # error (ReifyPossibility.hs — t15 per-element `tombstone`
+        # golden), so nulls stay in place.
+        if f.agg is Agg.COLLECT and f.group is None:
+            poison = key_poison
+        else:
+            nn = pd.isna(sub["v"]).to_numpy()
+            if pg is not None:
+                # a guarded-out null never reaches the fold: no poison
+                nn = nn & sub["pg"].to_numpy()
+            poison = np.bincount(
+                sub["seg"].to_numpy()[nn], minlength=n_seg
+            ) > 0
+            if key_poison is not None:
+                poison = poison | key_poison
 
     agg = f.agg
     if f.group is not None:

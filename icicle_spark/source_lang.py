@@ -366,6 +366,22 @@ class _Builder:
                 if self.dialect == "sql":
                     return X.to_sql(ast)
                 return X.to_callable(ast)
+            if re.search(
+                r"\b(?:Some|None|Left|Right|ExceptTombstone)\b", x
+            ):
+                # constructor syntax in element position (t16
+                # `is_some (Some "hi")`): the juxta tables have no
+                # ctor forms — exprlang renders, juxta is the
+                # fallback for anything its grammar can't parse
+                from icicle_spark import exprlang as X
+
+                try:
+                    ast = X.parse(_unmask(x, self.strlits))
+                    if self.dialect == "sql":
+                        return X.to_sql(ast)
+                    return X.to_callable(ast)
+                except Exception:
+                    pass
             if re.search(r"/(?![=/])", x):
                 # element-position DIVISION is a Possibly op: divide
                 # by zero -> null (t30-sea `newest (1/0)` golden:
@@ -548,11 +564,10 @@ def _compile_subquery(b: _Builder, inner: str) -> str:
             # bare element under latest -> hidden COLLECT array
             h = b.fresh()
             expr = c.sub(tail)
-            dtype = (
-                "array<timestamp>" if expr.strip() == "time" else None
-            )
             b.feats.append(
-                c.mk_feature(h, Agg.COLLECT, expr, dtype=dtype)
+                c.mk_feature(
+                    h, Agg.COLLECT, expr, dtype=_collect_dtype(c, tail)
+                )
             )
             return h
         if c.group is not None:
@@ -642,6 +657,26 @@ def _nest_map_sql(col: str) -> str:
         f"(x, y) -> {_nest_cmp('x.key', 'y.key')}))"
     )
     return f"map_from_arrays({outer}, transform({outer}, ok -> {inner}))"
+
+
+def _collect_dtype(b: _Builder, tail: str) -> str | None:
+    """COLLECT output dtype for a bare element tail under `latest N`.
+    The default fold dtype is array<double>; STRING/BOOLEAN-valued
+    tails (case branches with string literals — repl t13) must
+    declare themselves or the Arrow batch write fails. Numeric
+    conditionals keep the double default (Icicle arithmetic mixes
+    int/double freely and goldens compare by isclose)."""
+    t = tail.strip()
+    if t == "time":
+        return "array<timestamp>"
+    from icicle_spark import exprlang as X
+
+    try:
+        ast = X.parse(_unmask(t, b.strlits))
+    except Exception:
+        return None
+    ty = X.infer_sql_type(ast)
+    return f"array<{ty}>" if ty in ("string", "boolean") else None
 
 
 def _render_post(b: _Builder, frag: str) -> str:
@@ -1514,6 +1549,47 @@ def parse_query_multi(
         return input_name, [feat], [], []
 
     comps = _split_top_tuple(tail)
+    if (
+        comps is not None
+        and b.group is None
+        and b.distinct is None
+        and b.latest is not None
+        and not any(_AGG_KW.search(c) for c in comps)
+        and not any(
+            re.search(rf"\b{re.escape(k)}\b", c)
+            for k in [*b.agg_lets, *b.fold_feats]
+            for c in comps
+        )
+    ):
+        # ELEMENT tuple under `latest N` (repl t15 `latest 5 ~>
+        # (value, tombstone)`): one hidden COLLECT per component,
+        # zipped into an array of structs. Inside latest each element
+        # boxes its OWN error (ReifyPossibility.hs) — a null
+        # component nulls that element's struct, not the array.
+        hs = []
+        for comp in comps:
+            h = b.fresh()
+            b.feats.append(
+                b.mk_feature(
+                    h, Agg.COLLECT, b.sub(comp),
+                    dtype=_collect_dtype(b, comp),
+                )
+            )
+            hs.append(h)
+        body = "named_struct(" + ", ".join(
+            f"'f{i + 1}', s.{h}" for i, h in enumerate(hs)
+        ) + ")"
+        null_any = " or ".join(f"s.{h} is null" for h in hs)
+        post = (
+            f"transform(arrays_zip({', '.join(hs)}), "
+            f"s -> case when {null_any} then null else {body} end)"
+        )
+        return (
+            input_name,
+            b.feats,
+            [(name, post)],
+            [f.name for f in b.feats],
+        )
     if comps is not None and b.group is None and b.distinct is None:
         # tuple output (Exp.hs tuple ctors, repl t01/t05/t10/t20):
         # each component compiles to hidden folds + a postcomp
@@ -1573,7 +1649,10 @@ def parse_query_multi(
             # (t17-latest:4, t70-zebra)
             return (
                 input_name,
-                [b.mk_feature(name, Agg.COLLECT, b.sub(tail))],
+                [b.mk_feature(
+                    name, Agg.COLLECT, b.sub(tail),
+                    dtype=_collect_dtype(b, tail),
+                )],
                 [],
                 [],
             )

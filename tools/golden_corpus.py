@@ -441,7 +441,22 @@ def build_facts(spark, dictionary, input_name: str, psv_path: str):
             T.StructField("seq", T.LongType()),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    df = spark.createDataFrame(rows, schema)
+    if len(vfields) > 1:
+        # record inputs implicitly bind `fields` = the whole value
+        # record (Query/Environment.hs:109 — t16 `newest fields`);
+        # field order is the record's Data.Map (name) order
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "fields",
+            F.when(~F.col("tombstone"),
+                   F.struct(*[
+                       F.col(f.name)
+                       for f in sorted(vfields, key=lambda x: x.name)
+                   ])),
+        )
+    return df
 
 
 # --------------------------------------------------------------------- runner
