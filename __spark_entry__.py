@@ -2115,6 +2115,80 @@ GROUP BY user_id, event_type
 """.format(snap=SNAP)
 
 
+def q_nested_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested `group a ~> group b` parsed from source (repl
+    t02.1-group-groups; the engine evaluates ONE composite-key group
+    and a map-of-maps reshape postcomp — `source_lang._nest_map_sql`).
+    Exploded to rows so DuckDB can oracle the counts exactly."""
+    from icicle_spark.source_lang import parse_program
+
+    plan = parse_program(
+        {"g": "from events ~> group (year_of ts) ~> "
+              "group (month_of ts) ~> count value"},
+        dialect="sql", skip_nulls=True,
+        entity_col="user_id", time_col="ts", seq_col="event_id",
+    )["events"]
+    res = run_plan(
+        _events(spark, sf_dir), plan, snapshot=SNAP, strategy="native"
+    )
+    return (
+        res.select("user_id", F.explode("g").alias("yr", "m"))
+        .select("user_id", "yr", F.explode("m").alias("mon", "cnt"))
+    )
+
+
+_NESTED_GROUP_SQL = """
+SELECT user_id, CAST(year(ts) AS VARCHAR) AS yr,
+       CAST(month(ts) AS VARCHAR) AS mon,
+       CAST(count(value) AS BIGINT) AS cnt
+FROM events WHERE ts < TIMESTAMP '{snap}'
+GROUP BY user_id, year(ts), month(ts)
+""".format(snap=SNAP)
+
+
+def q_chained_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained `distinct a ~> distinct b` parsed from source (repl
+    t02.1): SEQUENTIAL nubs — the second distinct sees only the
+    first-per-event_type substream (`Feature.distinct` list, each
+    stage its own bounded Data.Map). A composite-key reading would
+    count differently whenever two event types share a day-of-month.
+    Runs on the vectorized Arrow executor via the SQL-dialect
+    expression materializer (executor._materialize_sql_exprs)."""
+    from icicle_spark.source_lang import parse_program
+
+    plan = parse_program(
+        {"cnt": "from events ~> distinct event_type ~> "
+                "distinct (day_of ts) ~> count value"},
+        dialect="sql", skip_nulls=True,
+        entity_col="user_id", time_col="ts", seq_col="event_id",
+    )["events"]
+    return run_plan(
+        _events(spark, sf_dir), plan, snapshot=SNAP, strategy="vectorized"
+    ).select("user_id", F.col("cnt").cast("bigint").alias("cnt"))
+
+
+_CHAINED_DISTINCT_SQL = """
+WITH vis AS (
+  SELECT * FROM events
+  WHERE ts < TIMESTAMP '{snap}' AND value IS NOT NULL
+), f1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id
+    ) AS rn FROM vis
+  ) WHERE rn = 1
+), f2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, day(ts) ORDER BY ts, event_id
+    ) AS rn2 FROM f1
+  ) WHERE rn2 = 1
+)
+SELECT user_id, CAST(count(value) AS BIGINT) AS cnt
+FROM f2 GROUP BY user_id
+""".format(snap=SNAP)
+
+
 def q_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`scan r = sum value ~> latest 5 ~> r` parsed from source
     (Query/Context.hs:33 LetScan, repl t17): the last five INCLUSIVE
@@ -2795,12 +2869,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r3-TOUCHED queries (group_fold_native, media_features,
     # embed_dedup, json_map_ops — Possibly-native groups, RAW codecs,
     # gram-set verify, map arithmetic all changed in r3 after their
-    # last oracle row) rotate IN, plus the three new round-4 operators
-    # (post_group_filter, source_scan, source_tuple); seven r3-green
-    # queries whose code is untouched this round rotate OUT
-    # (text_token_count, lang_id, grepl_filter, exact_dedup,
-    # minhash_pairs, simhash_pairs, dedup_survivors) and carry their
-    # CORRECTNESS_r03 certifications.
+    # last oracle row) rotate IN, plus the new round-4 operators
+    # (post_group_filter, source_scan, source_tuple, source_case,
+    # nested_group, chained_distinct) and `regression` (its
+    # gradient/correlation lowering gained constant-argument
+    # Welford-zero guards late in r4). Rotated OUT and carrying
+    # their r3 certifications: text_token_count, lang_id,
+    # grepl_filter, exact_dedup, minhash_pairs, simhash_pairs,
+    # dedup_survivors, quantiles, lag_lead, backfill (code untouched
+    # this round).
     return {
         "asof_snapshot_folds": q_asof_snapshot_folds,
         "asof_window_folds": q_asof_window_folds,
@@ -2809,15 +2886,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_fold": q_group_fold,
         "group_fold_chord": q_group_fold_chord,
         "error_codes": q_error_codes,
-        "quantiles": q_quantiles,
         "distinct_first": q_distinct_first,
         "numflips": q_numflips,
         "stats_moments": q_stats_moments,
         "scan_running_sum": q_scan_running_sum,
-        "lag_lead": q_lag_lead,
-        "backfill": q_backfill,
         "sessionize": q_sessionize,
         "post_group_filter": q_post_group_filter,
+        "nested_group": q_nested_group,
+        "chained_distinct": q_chained_distinct,
+        "regression": q_regression,
         "source_scan": q_source_scan,
         "source_tuple": q_source_tuple,
         "source_case": q_source_case,
@@ -2864,7 +2941,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_survivors": q_dedup_survivors,
         "tpch_q1": q_tpch_q1,
-        "regression": q_regression,
+        "quantiles": q_quantiles,
+        "lag_lead": q_lag_lead,
+        "backfill": q_backfill,
         "group_fold_map": q_group_fold_map,
         "array_fold": q_array_fold,
         "nub_by_key": q_nub_by_key,
@@ -2898,6 +2977,8 @@ def oracle_sql() -> dict[str, str]:
         "group_fold": _GROUP_SQL,
         "source_mix": _SOURCE_MIX_SQL,
         "post_group_filter": _POST_GROUP_FILTER_SQL,
+        "nested_group": _NESTED_GROUP_SQL,
+        "chained_distinct": _CHAINED_DISTINCT_SQL,
         "source_scan": _SOURCE_SCAN_SQL,
         "source_tuple": _SOURCE_TUPLE_SQL,
         "group_fold_native": _GROUP_SQL,

@@ -913,6 +913,19 @@ def _pat_sql(pat, scrut: str) -> tuple[str, dict[str, str]]:
     raise ValueError(f"unknown pattern {pat!r}")
 
 
+def _days_since_ivory(s):
+    """Vectorized `days`: whole days since the Ivory epoch 1600-03-01
+    (Time.hs:149-165 daysCountIvory). datetime64[D] arithmetic — the
+    epoch predates pandas' ns-Timestamp range."""
+    import numpy as np
+    import pandas as pd
+
+    d = pd.Series(s).to_numpy().astype("datetime64[D]")
+    out = (d - np.datetime64("1600-03-01")).astype("float64")
+    out[np.isnat(d)] = np.nan
+    return pd.Series(out, index=pd.Series(s).index)
+
+
 def to_callable(ast, env: dict | None = None):
     """Lower an AST to a vectorized pandas callable (pdf -> Series)
     for the Arrow executors. Supports the element-level subset:
@@ -994,6 +1007,11 @@ def to_callable(ast, env: dict | None = None):
                 "is_none": lambda s: s.isna(),
                 "get": lambda s: s,
                 "not": lambda s: ~s.astype(bool),
+                # days since the Ivory epoch 1600-03-01
+                # (Time.hs:149-165 daysCountIvory) — day-resolution
+                # numpy arithmetic (the epoch is outside pandas' ns
+                # Timestamp range)
+                "days": _days_since_ivory,
             }
             fn = fns.get(node[1])
             if fn is None:

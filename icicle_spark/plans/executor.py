@@ -448,6 +448,81 @@ def _normalize_time(t: Any) -> np.datetime64:
     return np.datetime64(t)
 
 
+def _materialize_sql_exprs(facts: DataFrame, plan: Plan):
+    """Run an SQL-dialect plan on the Arrow executors: evaluate every
+    element-level expression JVM-side as a physical column — nulled on
+    tombstoned facts, the prepare_facts contract — and rewrite the
+    plan to reference the columns by bare name (valid in both expr
+    dialects). The whole Spark-SQL scalar surface (HOFs over arrays,
+    regex, date functions) thereby reaches the Python executors, and
+    the entity exchange ships computed columns instead of re-deriving
+    them per batch. Expressions that do not resolve against the facts
+    schema (e.g. references to filter_let / scan binds, which only
+    exist per-entity) are left untouched."""
+    import dataclasses as _dc
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    cols: dict[str, str] = {}
+    tomb = None
+    if plan.tombstone_col and plan.tombstone_col in facts.columns:
+        tomb = F.coalesce(
+            F.col(plan.tombstone_col).cast("boolean"), F.lit(False)
+        )
+
+    def mat(e):
+        if not isinstance(e, str):
+            return e
+        s = e.strip()
+        if _re.fullmatch(r"[A-Za-z_]\w*", s) or _re.fullmatch(
+            r"-?\d+(?:\.\d+)?", s
+        ):
+            return e  # bare column / literal: both dialects read it
+        if s in cols:
+            return cols[s]
+        try:
+            facts.select(F.expr(s))  # analysis probe (driver-side)
+        except Exception:
+            return e
+        name = f"__sx{len(cols)}"
+        cols[s] = name
+        return name
+
+    feats = []
+    for f in plan.features:
+        rep: dict = {}
+        for fld in ("expr", "where", "by", "group", "post_group_filter"):
+            v = getattr(f, fld)
+            nv = mat(v)
+            if nv is not v:
+                rep[fld] = nv
+        if isinstance(f.distinct, list):
+            nd = [mat(x) for x in f.distinct]
+            if nd != f.distinct:
+                rep["distinct"] = nd
+        elif f.distinct is not None:
+            nv = mat(f.distinct)
+            if nv is not f.distinct:
+                rep["distinct"] = nv
+        if f.filter_let:
+            nfl = tuple((n, mat(e)) for n, e in f.filter_let)
+            if nfl != tuple(f.filter_let):
+                rep["filter_let"] = nfl
+        if f.scans:
+            ns = tuple((n, a, mat(e)) for n, a, e in f.scans)
+            if ns != tuple(f.scans):
+                rep["scans"] = ns
+        feats.append(_dc.replace(f, **rep) if rep else f)
+    if not cols:
+        return facts, plan
+    sel = [
+        (F.when(~tomb, F.expr(s)) if tomb is not None else F.expr(s)).alias(n)
+        for s, n in cols.items()
+    ]
+    return facts.select("*", *sel), _dc.replace(plan, features=feats)
+
+
 def run_plan(
     facts: DataFrame,
     plan: Plan,
@@ -520,6 +595,8 @@ def run_plan(
     requested = [f.name for f in plan.features]
     from icicle_spark.plans.ir import resolve_dtypes
 
+    if plan.expr_dialect == "sql" and strategy != "native":
+        facts, plan = _materialize_sql_exprs(facts, plan)
     plan = resolve_dtypes(plan, facts)
     full = plan
     plan, _dups = plan.stripped().cse()

@@ -259,6 +259,13 @@ class Plan:
                                       # Always Spark-SQL dialect — they
                                       # run on the small output frame,
                                       # never inside an executor.
+    expr_dialect: str = "pandas"      # dialect of the features' element
+                                      # exprs: 'pandas' (pandas-eval /
+                                      # callables — the executors' own
+                                      # tongue) or 'sql' (Spark SQL —
+                                      # run_plan materializes the exprs
+                                      # as JVM columns before an
+                                      # executor strategy sees them)
     hidden: tuple = ()                # fold names NOT emitted: internal
                                       # inputs of postcomps (the
                                       # reference's fresh names for agg
@@ -337,6 +344,7 @@ class Plan:
             tombstone_col=self.tombstone_col or other.tombstone_col,
             max_group_size=min(self.max_group_size, other.max_group_size),
             postcomps=self.postcomps + other.postcomps,
+            expr_dialect=self.expr_dialect,
             hidden=self.hidden + other.hidden,
         )
 
@@ -353,6 +361,7 @@ class Plan:
             seq_col=self.seq_col,
             tombstone_col=self.tombstone_col,
             max_group_size=self.max_group_size,
+            expr_dialect=self.expr_dialect,
         )
 
     def output_names(self) -> list[str]:
@@ -417,6 +426,7 @@ class Plan:
                 tombstone_col=self.tombstone_col,
                 max_group_size=self.max_group_size,
                 postcomps=self.postcomps,
+                expr_dialect=self.expr_dialect,
                 hidden=tuple(h for h in self.hidden if h not in dups),
             ),
             dups,

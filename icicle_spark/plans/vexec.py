@@ -487,7 +487,8 @@ def _expr_blob(plan: Plan) -> str | None:
     expression is a callable (opaque — no pruning possible)."""
     exprs: list[str] = []
     for f in plan.features:
-        for e in (f.expr, f.where, f.by, f.group, f.distinct):
+        dl = f.distinct if isinstance(f.distinct, list) else [f.distinct]
+        for e in (f.expr, f.where, f.by, f.group, f.post_group_filter, *dl):
             if e is None:
                 continue
             if not isinstance(e, str):

@@ -591,7 +591,7 @@ def _now_sub(s: str) -> str:
 
 _EXPRLANG_MARKER = re.compile(
     r"\bcase\b|\bif\b|[{]|\bSome\b|\bNone\b|\bLeft\b|\bRight\b"
-    r"|\bExceptTombstone\b"
+    r"|\bExceptTombstone\b|\bmap_create\b|\bmap_insert\b|\bmap_delete\b"
 )
 
 
@@ -979,6 +979,52 @@ def _apply_context(b: _Builder, c: str) -> None:
         b.scan_binds.append((sname, scan_aggs[kw], arg))
         return
     m = re.fullmatch(
+        r"group\s+fold\s*\(\s*(\w+)\s*,\s*\(([\w\s,]+)\)\s*\)\s*=\s*\((.+)\)",
+        c, re.S,
+    )
+    if m:
+        # tuple VALUE binding (t09 `group fold (_, (severity, counts))
+        # = (group location ~> (mean severity, count severity))`):
+        # one hidden map fold per tuple component — same group key, so
+        # the maps share a key set and component binds address the
+        # aligned maps directly, no struct-valued map needed.
+        kname, vbind_src, inner = m.groups()
+        if b.group_fold is not None:
+            raise ValueError("nested group folds are unsupported")
+        vbinds = [x.strip() for x in vbind_src.split(",")]
+        segs_i = _split_pipeline(inner)
+        for cc in segs_i[:-1]:
+            _apply_context(b, cc)
+        if b.group is None:
+            raise ValueError("group fold requires an inner `group k`")
+        if b.nested_group:
+            raise ValueError("group fold over nested groups unsupported")
+        comps_i = _split_top_tuple(segs_i[-1])
+        if comps_i is None or len(comps_i) != len(vbinds):
+            raise ValueError(
+                "tuple group fold needs an inner tuple matching the "
+                f"value pattern: {segs_i[-1]!r}"
+            )
+        hs, ints = [], []
+        for ci, comp in enumerate(comps_i):
+            mm = re.fullmatch(r"([a-z_]+)\s*\(\s*\)", comp.strip())
+            if mm and mm.group(1) == "count":
+                agg, expr = Agg.COUNT, "1"
+            else:
+                mm = re.fullmatch(r"([a-z_]+)\s+(.+)", comp.strip(), re.S)
+                if not (mm and mm.group(1) in _AGGS):
+                    raise ValueError(
+                        f"group fold inner aggregate unsupported: {comp!r}"
+                    )
+                agg, expr = _AGGS[mm.group(1)], b.sub(mm.group(2))
+            h = f"__{b.qname}_g{ci}"
+            b.feats.append(b.mk_feature(h, agg, expr))
+            hs.append(h)
+            ints.append(agg in (Agg.COUNT, Agg.COUNT_DISTINCT, Agg.NUMFLIPS))
+        b.group = None  # consumed by the map folds
+        b.group_fold = (kname, tuple(vbinds), tuple(hs), tuple(ints))
+        return
+    m = re.fullmatch(
         r"group\s+fold\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*=\s*\((.+)\)",
         c, re.S,
     )
@@ -1352,6 +1398,36 @@ def _scan_atom(s: str, i: int, what: str) -> tuple[str, int]:
     return m.group(0), i + m.end()
 
 
+def _group_fold_tail_tuple(
+    tail: str, k: str, vbinds: tuple, hs: tuple, ints: tuple
+) -> str:
+    """Outer aggregate of a TUPLE-valued `group fold (k, (a, b)) =
+    (...)` (repl t09:14): the tuple components live in ALIGNED hidden
+    maps (same group key), so `min_by counts severity` reads the
+    severity map at the key whose counts-map value is minimal —
+    smallest key on ties, Data.Map iteration order."""
+    t = tail.strip()
+    m = re.fullmatch(r"(max_by|min_by)\s+([\w']+)\s+([\w']+)", t)
+    if m and m.group(2) in vbinds and m.group(3) in vbinds:
+        kind, rank, ret = m.groups()
+        hr = hs[vbinds.index(rank)]
+        ho = hs[vbinds.index(ret)]
+        ext = "array_max" if kind == "max_by" else "array_min"
+        key = (
+            f"array_min(transform(filter(map_entries({hr}), "
+            f"e -> e.value = {ext}(map_values({hr}))), e -> e.key))"
+        )
+        return f"element_at({ho}, {key})"
+    # single-component tails delegate to the scalar form
+    for i, vb in enumerate(vbinds):
+        others = [x for x in vbinds if x != vb]
+        if re.search(rf"\b{re.escape(vb)}\b", t) and not any(
+            re.search(rf"\b{re.escape(o)}\b", t) for o in others
+        ):
+            return _group_fold_tail(t, k, vb, hs[i], ints[i])
+    raise ValueError(f"unsupported tuple group fold aggregate: {tail!r}")
+
+
 def _group_fold_tail(
     tail: str, k: str, v: str, h: str, int_valued: bool
 ) -> str:
@@ -1528,7 +1604,14 @@ def parse_query_multi(
     tail = segs[-1].strip()
 
     if b.group_fold is not None:
-        post = _unmask(_group_fold_tail(tail, *b.group_fold), b.strlits)
+        if isinstance(b.group_fold[1], tuple):
+            post = _unmask(
+                _group_fold_tail_tuple(tail, *b.group_fold), b.strlits
+            )
+        else:
+            post = _unmask(
+                _group_fold_tail(tail, *b.group_fold), b.strlits
+            )
         return (
             input_name,
             b.feats,
@@ -1851,6 +1934,7 @@ def parse_program(
             seq_col=seq_col,
             tombstone_col=tombstone_col,
             postcomps=tuple(posts[inp]),
+            expr_dialect=dialect,
             hidden=tuple(hidden[inp]),
         )
         for inp, fs in feats.items()
@@ -2018,6 +2102,9 @@ def _grammar_bound_names() -> set[str]:
             "count", "count_distinct", "distinct_values", "max_by",
             "min_by", "days_in", "circular_stats", "covariance",
             "correlation", "gradient", "intercept",
+            # scan-position running fold (t06.01 declares it via :let
+            # with the same fold body the builtin implements)
+            "second_last",
         }
     )
 

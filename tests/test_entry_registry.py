@@ -14,6 +14,9 @@ import __spark_entry__ as entry
 MUST_BE_IN_WINDOW = {
     # round-4 additions needing their first oracle row
     "post_group_filter",
+    "nested_group",
+    "chained_distinct",
+    "regression",
     "source_scan",
     "source_tuple",
     "source_case",

@@ -574,7 +574,8 @@ def run_script(spark, script: str, verbose: bool = False,
             # shapes the partition-vectorized executor declines.
             configs = (
                 [(dialect, strategy), ("sql", "native"),
-                 ("pandas", "cogroup")]
+                 ("sql", "auto"), ("pandas", "cogroup"),
+                 ("sql", "cogroup")]
                 if dialect != "sql"
                 else [(dialect, strategy)]
             )
