@@ -2532,6 +2532,45 @@ def q_source_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`circular_stats` parsed from SOURCE with struct-field
+    projection (prelude.icicle:303-324; data/example mean_day_of_week
+    uses `(circular_stats dow).mean`): lowers to three hidden folds
+    (count, sum cos, sum sin) + a named_struct postcomputation —
+    running Welford means ≡ sum/n, so the closed form is exact."""
+    from icicle_spark.source_lang import parse_program
+
+    qs = {
+        "cmean": "from events ~> (circular_stats (value / 40)).mean",
+        "csd": "from events ~> (circular_stats (value / 40)).sd",
+    }
+    plan = parse_program(
+        qs, dialect="sql", skip_nulls=True,
+        entity_col="user_id", time_col="ts", seq_col="event_id",
+    )["events"]
+    return _round_doubles(
+        run_plan(_events(spark, sf_dir), plan, snapshot=SNAP,
+                 strategy="native"),
+        digits=5,
+    )
+
+
+_SOURCE_CIRCULAR_SQL = """
+WITH vis AS (SELECT * FROM events
+             WHERE ts < TIMESTAMP '{snap}' AND value IS NOT NULL),
+agg AS (SELECT user_id,
+               coalesce(sum(cos(value / nullif(40, 0)))
+                        / nullif(count(value), 0), 0)  AS x,
+               coalesce(sum(sin(value / nullif(40, 0)))
+                        / nullif(count(value), 0), 0)  AS y
+        FROM vis GROUP BY user_id)
+SELECT user_id,
+       round(atan2(y, x), 5)               AS cmean,
+       round(1.0 - sqrt(x * x + y * y), 5) AS csd
+FROM agg
+""".format(snap=SNAP)
+
+
 _SOURCE_CASE_SQL = """
 WITH vis AS (SELECT * FROM events WHERE ts < TIMESTAMP '{snap}')
 SELECT user_id,
@@ -2898,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_scan": q_source_scan,
         "source_tuple": q_source_tuple,
         "source_case": q_source_case,
+        "source_circular": q_source_circular,
         "group_fold_native": q_group_fold_native,
         "media_features": q_media_features,
         "embed_dedup": q_embed_dedup,
@@ -2929,8 +2969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_let_bind": q_filter_let_bind,
         "dictionary_native": q_dictionary_native,
         "minhash_incremental": q_minhash_incremental,
-        "simhash_incremental": q_simhash_incremental,
         # ---- position 51+: driver-certified in r01/r02/r03 ----
+        "simhash_incremental": q_simhash_incremental,
         "redact_pii": q_redact_pii,
         "chunk_docs": q_chunk_docs,
         "text_token_count": q_text_token_count,
@@ -3007,6 +3047,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_topk": _EMBED_SQL,
         "source_postcomp": _SOURCE_POSTCOMP_SQL,
         "source_case": _SOURCE_CASE_SQL,
+        "source_circular": _SOURCE_CIRCULAR_SQL,
         "source_group_fold": _SOURCE_GROUP_FOLD_SQL,
         "tpch_q1": _TPCH_Q1_SQL,
         "join_revenue": _JOIN_REVENUE_SQL,

@@ -93,6 +93,7 @@ class DictionaryOutput:
     features: tuple[Feature, ...]
     postcomps: tuple = ()   # ((name, sql_expr), ...) over the folds
     hidden: tuple = ()      # fold names not emitted (postcomp inputs)
+    dialect: str = "sql"    # element-expression dialect of `features`
 
     def __init__(
         self,
@@ -124,6 +125,7 @@ class DictionaryOutput:
         object.__setattr__(self, "features", tuple(features))
         object.__setattr__(self, "postcomps", tuple(postcomps))
         object.__setattr__(self, "hidden", tuple(hidden))
+        object.__setattr__(self, "dialect", dialect)
 
 
 class Dictionary:
@@ -177,13 +179,20 @@ class Dictionary:
         feats: list[Feature] = []
         posts: list[tuple] = []
         hidden: list[str] = []
+        dialects: set[str] = set()
         for o in self.outputs.values():
             if o.input == input_name:
                 feats.extend(o.features)
                 posts.extend(o.postcomps)
                 hidden.extend(o.hidden)
+                dialects.add(getattr(o, "dialect", "pandas"))
         if not feats:
             return None
+        if len(dialects) > 1:
+            raise ValueError(
+                f"outputs over {input_name!r} mix element-expression "
+                f"dialects {sorted(dialects)} — one fused plan needs one"
+            )
         return Plan(
             feats,
             entity_col=inp.entity_col,
@@ -192,6 +201,7 @@ class Dictionary:
             tombstone_col=inp.tombstone_col,
             postcomps=tuple(posts),
             hidden=tuple(hidden),
+            expr_dialect=next(iter(dialects)),
         )
 
     def plan_for(self, input_name: str) -> Plan:

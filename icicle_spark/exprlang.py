@@ -35,7 +35,8 @@ from typing import Any, NamedTuple
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-      (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      (?P<date>\d{4}-\d{2}-\d{2})
+    | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<str>"(?:\\.|[^"\\])*")
     | (?P<id>[A-Za-z_][A-Za-z0-9_']*)
     | (?P<op>~>|==|/=|!=|<=|>=|&&|\|\||->|[-+*/<>=(){},;!_])
@@ -219,7 +220,7 @@ class _P:
         t = self.peek()
         if t is None:
             return False
-        if t[0] in ("num", "str"):
+        if t[0] in ("num", "str", "date"):
             return True
         if t[0] == "id":
             return t[1] not in _KEYWORDS
@@ -231,6 +232,11 @@ class _P:
         if kind == "num":
             return ("lit", float(v) if ("." in v or "e" in v or "E" in v)
                     else int(v))
+        if kind == "date":
+            import datetime as _dt
+
+            # date literal (Time lits — t31/t60.1 `1600-03-01`)
+            return ("lit", _dt.date.fromisoformat(v))
         if kind == "str":
             return ("lit", _unescape(v))
         if kind == "id":
@@ -787,12 +793,21 @@ _SQL_FUNCS = {
     "days": "datediff(CAST(({}) AS DATE), DATE '1600-03-01')",
     "seq": "({1})",
     "box": "({})",  # box (Right x) = x; box (Left e) = tombstone/null
+    # map ops over finished agg maps (engine convention: string keys,
+    # key_str casing — a midnight time key prints as its date)
+    "map_delete":
+        "map_filter(({1}), (__mk, __mv) -> "
+        "NOT (__mk <=> cast(({0}) as string)))",
 }
 
 
 def sql_lit(v) -> str:
+    import datetime as _dt
+
     if v is None:
         return "NULL"
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return f"DATE '{v.isoformat()}'"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, str):

@@ -293,10 +293,14 @@ def _feature_value(
         # maps and (k, v) folds see ascending TYPED keys
         for k in hask_sorted(pd.unique(keys)):
             sel = np.flatnonzero(keys == k)
+            if pg is not None and f.pg_before_latest:
+                # filter-then-frame (zebra test_map): the guard
+                # narrows the key's stream BEFORE the frame
+                sel = sel[pg[idx[sel]]]
             if f.group_latest is not None:
                 # `group k ~> latest N`: frame per key (t17-latest:4-8)
                 sel = sel[-f.group_latest:]
-            if pg is not None:
+            if pg is not None and not f.pg_before_latest:
                 # key established by every visible fact; the fold
                 # step is guarded (t02 'counts of zero')
                 sel = sel[pg[idx[sel]]]
@@ -602,9 +606,22 @@ def run_plan(
     plan, _dups = plan.stripped().cse()
 
     def _realias(out: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as _F
+
+        # declared-dtype cast FIRST (before dup re-emit and the
+        # postcomp stage): resolve_dtypes types int folds integral —
+        # the Arrow executors already emit the declared schema, and
+        # casting here brings the Catalyst paths (native sums build as
+        # `coalesce(sum(x), 0.0)` = double; native chord prefixes cast
+        # double at source) to the same reference typing, so postcomps
+        # like `sum x * 2` stay integral on every strategy.
+        cur = dict(out.dtypes)
+        for _f in full.features:
+            want = _f.dtype
+            if want and cur.get(_f.name) not in (None, want):
+                out = out.withColumn(_f.name, _F.col(_f.name).cast(want))
         if not _dups and not full.postcomps and not full.hidden:
             return out
-        from pyspark.sql import functions as _F
 
         from icicle_spark.plans.ir import apply_postcomps
 

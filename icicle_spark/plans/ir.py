@@ -208,6 +208,14 @@ class Feature:
                                       # t17-latest:4-8), unlike
                                       # Feature.latest's per-entity
                                       # frame.
+    pg_before_latest: bool = False    # `group k ~> filter p ~> latest
+                                      # N` (zebra test_map): the
+                                      # post-group filter narrows each
+                                      # key's stream BEFORE the
+                                      # per-key frame (default order
+                                      # is frame-then-filter, t17).
+                                      # Keys still establish from
+                                      # every visible fact.
     scans: tuple[tuple[str, Agg, str], ...] | None = None
                                       # `scan b = agg e` element binds
                                       # (Query/Context.hs:33, repl
@@ -411,6 +419,7 @@ class Plan:
                 if f.post_group_filter is not None
                 else None,
                 f.group_latest,
+                f.pg_before_latest,
             )
             if key not in seen:
                 seen[key] = f.name
@@ -477,33 +486,70 @@ _NUMERICISH = ("tinyint", "smallint", "int", "bigint",
                "float", "double", "decimal")
 
 
+_INT_FAMILY = ("tinyint", "smallint", "int", "bigint", "long")
+
+
 def resolve_dtypes(plan: Plan, facts) -> Plan:
-    """Fill unset output dtypes from the facts schema for
-    shape-preserving aggregates (newest/oldest/min/max/max_by/min_by/
-    collect) over a bare input column: the fold returns the element
-    unchanged, so a struct/string/array/timestamp input column must
-    type the executor's Arrow output schema — the numeric 'double'
-    default only covers int widening (repl t16 `newest fields` over a
-    struct input)."""
+    """Fill unset output dtypes from the facts schema:
+
+    * shape-preserving aggregates (newest/oldest/min/max/max_by/
+      min_by/collect) over a bare input column return the element
+      unchanged, so a struct/string/array/timestamp input column must
+      type the executor's Arrow output schema (repl t16 `newest
+      fields` over a struct input) — and an INT column stays int,
+      the reference's typing (Int folds are Int, not Double; the
+      repl prints `1500`, not `1500.0`);
+    * SUM over an int-typed expression is bigint for the same
+      reason (postcomps over the fold then inherit integer typing —
+      `sum x * 2` stays integral, `sum x / count x` divides to
+      double, both as the reference's checker types them).
+
+    Expressions that aren't bare columns resolve through a
+    driver-side analysis probe (`facts.select(expr)`) — pandas-
+    dialect expressions that don't parse as Spark SQL keep the
+    double default."""
     import dataclasses as _dc
 
     types = {fld.name: fld.dataType.simpleString()
              for fld in facts.schema.fields}
+
+    def expr_type(e) -> str | None:
+        if not isinstance(e, str):
+            return None
+        s = e.strip()
+        if s in types:
+            return types[s]
+        from pyspark.sql import functions as F
+
+        try:
+            return (
+                facts.select(F.expr(s)).schema[0].dataType.simpleString()
+            )
+        except Exception:  # noqa: BLE001 — pandas-dialect expr
+            return None
+
     feats, changed = [], False
     for f in plan.features:
-        if (
-            f.dtype is None
-            and not isinstance(f.agg, CustomFold)
-            and f.agg in _SHAPE_PRESERVING
-            and isinstance(f.expr, str)
-            and f.expr.strip() in types
-        ):
-            t = types[f.expr.strip()]
-            if not t.startswith(_NUMERICISH):
-                if f.agg is Agg.COLLECT:
-                    t = f"array<{t}>"
-                f = _dc.replace(f, dtype=t)
-                changed = True
+        if f.dtype is not None or isinstance(f.agg, CustomFold):
+            feats.append(f)
+            continue
+        t = None
+        if f.agg in _SHAPE_PRESERVING:
+            t = expr_type(f.expr)
+            if t is not None and t.startswith(_NUMERICISH) and not (
+                t.startswith(_INT_FAMILY)
+            ):
+                t = None  # float input: the double default is right
+            elif t is not None and f.agg is Agg.COLLECT:
+                t = f"array<{t}>"
+        elif f.agg is Agg.SUM:
+            t = expr_type(f.expr)
+            t = "bigint" if t is not None and t.startswith(_INT_FAMILY) else None
+        if t is not None:
+            if f.group is not None:
+                t = f"map<string,{t}>"
+            f = _dc.replace(f, dtype=t)
+            changed = True
         feats.append(f)
     return _dc.replace(plan, features=feats) if changed else plan
 

@@ -95,6 +95,10 @@ def _feature_native(f: Feature) -> bool:
             return False
         if f.group_latest is not None and not f.skip_nulls:
             return False
+        if f.pg_before_latest:
+            # filter-then-frame per key: the fold executors compose
+            # the guard and the frame in stream order
+            return False
         return (
             isinstance(f.group, str)
             and f.agg in _GROUP_NATIVE_AGGS
@@ -893,6 +897,12 @@ def compile_native(
         raise ValueError("exactly one of snapshot / chords required")
     if not native_supported(plan):
         raise ValueError("plan not native-compilable; use plans.executor")
+    from icicle_spark.plans.ir import resolve_dtypes
+
+    # idempotent when run_plan already resolved: keeps direct
+    # compile_native callers on the same output typing (int folds
+    # stay integral) as every run_plan strategy
+    plan = resolve_dtypes(plan, facts)
     full = plan
     plan, _dups = plan.stripped().cse()
     ecol, tcol = plan.entity_col, plan.time_col

@@ -231,7 +231,19 @@ def _feature_series(
     if f.group_latest is not None and f.group is not None:
         # `group k ~> latest N`: the frame is PER KEY (contexts after
         # group run inside each group — t17-latest:4-8)
-        sub = sub.groupby(["seg", "gk"], sort=False).tail(f.group_latest)
+        if f.pg_before_latest and "pg" in sub.columns:
+            # filter-then-frame (zebra test_map): the post-group
+            # filter narrows each key's stream BEFORE the frame. Keys
+            # still establish from every visible fact, so guarded-out
+            # rows stay in sub (they never feed the fold).
+            keep = (
+                sub[sub["pg"]]
+                .groupby(["seg", "gk"], sort=False)
+                .tail(f.group_latest)
+            )
+            sub = pd.concat([keep, sub[~sub["pg"]]]).sort_index()
+        else:
+            sub = sub.groupby(["seg", "gk"], sort=False).tail(f.group_latest)
     if f.latest is not None:
         sub = sub.groupby("seg", sort=False).tail(f.latest)
     if not f.skip_nulls:
@@ -313,7 +325,10 @@ def _feature_series(
             out = out.astype(bool)
         elif isinstance(fill, int):
             out = out.astype("int64")
-    if agg is Agg.DISTINCT_VALUES:
+    if agg in (Agg.DISTINCT_VALUES, Agg.COLLECT) and f.group is None:
+        # empty visible slice -> empty LIST (fold init; zebra golden
+        # `latest_four = []` for an entity whose every fact filtered
+        # out) — executor._EMPTY parity
         out = out.apply(lambda x: x if isinstance(x, list) else [])
     if f.group is not None:
         # empty visible slice -> empty map (cogroup executor parity);
@@ -371,6 +386,13 @@ def _grouped_map(f: Feature, sub: pd.DataFrame, n_seg: int, max_group: int):
         fill = _FILL.get(agg)
         if fill is not None:
             per_key = per_key.fillna(fill)
+        elif agg in (Agg.COLLECT, Agg.DISTINCT_VALUES):
+            # list-valued folds: the init over an empty guarded slice
+            # is the empty LIST (zebra test_map golden `["arm",[]]`),
+            # and fillna can't take a list
+            per_key = per_key.apply(
+                lambda v: v if isinstance(v, list) else []
+            )
         else:
             per_key = per_key.astype(object).where(per_key.notna(), None)
     if agg is Agg.COUNT:

@@ -250,7 +250,18 @@ def _split_pipeline(q: str) -> list[str]:
         cur.append(ch)
         i += 1
     segs.append("".join(cur).strip())
-    return segs
+    # splice fully-parenthesized pipeline stages: the function inliner
+    # wraps a context-carrying body in parens (`(group fold ... ~>
+    # max_by e k)` from data/example max_group), and `(A ~> B)` as an
+    # ENTIRE stage means the pipeline A ~> B, not a subquery value
+    out: list[str] = []
+    for seg in segs:
+        inner = _strip_outer_parens(seg)
+        if inner is not None and len(_split_pipeline(inner)) > 1:
+            out.extend(_split_pipeline(inner))
+        else:
+            out.append(seg)
+    return out
 
 
 def _strip_some(e: str) -> str:
@@ -292,6 +303,7 @@ class _Builder:
         self.nested_group = False  # `group a ~> group b` composite
         self.post_filters: list[str] = []  # filters AFTER `group k`
         self.group_latest: int | None = None  # `group k ~> latest N`
+        self.pg_before_latest = False  # filter-then-frame under group
         self.distinct: str | list | None = None
         self.distinct_scoped = False  # distinct arrived AFTER `group k`
         self.group_fold: tuple | None = None  # (k, v, hidden, int?)
@@ -422,6 +434,7 @@ class _Builder:
             )
             if self.post_filters else None,
             group_latest=self.group_latest,
+            pg_before_latest=self.pg_before_latest,
             skip_nulls=self.skip_nulls,
             dtype=dtype,
         )
@@ -446,6 +459,7 @@ def _child_builder(b: _Builder) -> _Builder:
     c.nested_group = b.nested_group
     c.post_filters = list(b.post_filters)
     c.group_latest = b.group_latest
+    c.pg_before_latest = b.pg_before_latest
     c.distinct = b.distinct
     c.distinct_scoped = b.distinct_scoped
     c.folds = dict(b.folds)
@@ -812,6 +826,39 @@ def _extract_aggs(b: _Builder, s: str) -> str:
             parts.append(frag)
             i = j
             continue
+        if kw == "circular_stats":
+            # prelude.icicle:303-324: Welford fold over (cos θ, sin θ)
+            # means, finalized to { mean, sd, z_test }. Running means
+            # ≡ sum/n, so it lowers to three hidden folds + a struct
+            # postcomp; n=0 keeps the fold-init semantics (x=y=0 →
+            # mean 0, sd 1, z_test 0), hence coalesce not nullif.
+            if b.dialect != "sql":
+                raise ValueError("circular_stats requires the sql dialect")
+            a1, j = _scan_atom(s, j, kw)
+            E = f"({_check_element(b, b.sub(a1), kw)})"
+
+            def hf(expr, agg=Agg.SUM):
+                h = b.fresh()
+                b.feats.append(b.mk_feature(h, agg, expr))
+                return h
+
+            n_ = hf(E, Agg.COUNT)
+            sx = hf(f"cos{E}")
+            sy = hf(f"sin{E}")
+            # juxtaposed (not SQL-call) builtin syntax: this fragment
+            # still flows through the _juxta rewriter with the rest
+            # of the postcomp expression
+            x = f"coalesce(({sx}) / nullif({n_}, 0), 0.0)"
+            y = f"coalesce(({sy}) / nullif({n_}, 0), 0.0)"
+            r2 = f"(({x}) * ({x}) + ({y}) * ({y}))"
+            parts.append(
+                f"named_struct("
+                f"'mean', atan2 ({y}) ({x}), "
+                f"'sd', 1.0 - sqrt {r2}, "
+                f"'z_test', ({n_}) * {r2})"
+            )
+            i = j
+            continue
         hname = b.fresh()
         if kw == "numflips'":
             # numflips' v tomb (prelude.icicle:278-291): tombstones
@@ -892,6 +939,11 @@ def _apply_context(b: _Builder, c: str) -> None:
             # filter AFTER `group k` (t02-groups:11-13 "counts of
             # zero"): keys establish from the unfiltered stream; the
             # predicate guards only the fold step
+            if b.pg_before_latest:
+                raise ValueError(
+                    "mixed filter/frame order after `group` is "
+                    "unsupported"
+                )
             b.post_filters.append(b.sub(m.group(1)))
             return
         b.filters.append(b.sub(m.group(1)))
@@ -915,12 +967,16 @@ def _apply_context(b: _Builder, c: str) -> None:
         n = int(m.group(1))
         if b.group is not None:
             # contexts after `group k` run INSIDE each group
-            # (t17-latest:4-8): the frame is per key
+            # (t17-latest:4-8): the frame is per key. A post-group
+            # filter BEFORE the frame (zebra test_map `group loc ~>
+            # filter ~> latest 2`) narrows each key's stream first.
             if b.post_filters:
-                raise ValueError(
-                    "latest after a post-group filter is unsupported "
-                    "(frame-then-filter is the corpus order)"
-                )
+                if b.group_latest is not None:
+                    raise ValueError(
+                        "mixed filter/frame order after `group` is "
+                        "unsupported"
+                    )
+                b.pg_before_latest = True
             b.group_latest = (
                 n if b.group_latest is None else min(b.group_latest, n)
             )
@@ -1062,6 +1118,45 @@ def _apply_context(b: _Builder, c: str) -> None:
         )
         b.group_fold = (kname, vname, hname, int_valued)
         return
+    m = re.fullmatch(r"group\s+fold\s*\((.+)\)\s*=\s*\((.+)\)", c, re.S)
+    if m and len(_split_top_tuple(f"({m.group(1).strip()})") or ()) == 2:
+        # binder positions holding parenthesized EXPRESSIONS: the
+        # textual inliner substituted a function's parameters into
+        # the fold's (k, v) pattern (the reference's max_group
+        # shadows its params deliberately — data/example
+        # dictionary.icicle). Substitution is textually consistent,
+        # so the same strings in the tail ARE the binds: store them
+        # raw; _group_fold_tail matches binds with re.escape.
+        kname, vname = (
+            x.strip() for x in _split_top_tuple(f"({m.group(1).strip()})")
+        )
+        if b.group_fold is not None:
+            raise ValueError("nested group folds are unsupported")
+        segs_i = _split_pipeline(m.group(2))
+        for cc in segs_i[:-1]:
+            _apply_context(b, cc)
+        if b.group is None:
+            raise ValueError("group fold requires an inner `group k`")
+        if b.nested_group:
+            raise ValueError("group fold over nested groups unsupported")
+        tail_i = segs_i[-1].strip()
+        while True:  # substitution may wrap several paren layers
+            inner2 = _strip_outer_parens(tail_i)
+            if inner2 is None or inner2.strip() == tail_i:
+                break
+            tail_i = inner2.strip()
+        mm = re.fullmatch(r"([a-z_]+)\s+(.+)", tail_i, re.S)
+        if not (mm and mm.group(1) in _AGGS):
+            raise ValueError(
+                f"group fold inner aggregate unsupported: {tail_i!r}"
+            )
+        agg, expr = _AGGS[mm.group(1)], b.sub(mm.group(2))
+        hname = f"__{b.qname}_g"
+        b.feats.append(b.mk_feature(hname, agg, expr))
+        b.group = None
+        int_valued = agg in (Agg.COUNT, Agg.COUNT_DISTINCT, Agg.NUMFLIPS)
+        b.group_fold = (kname, vname, hname, int_valued)
+        return
     m = re.fullmatch(r"group\s+(.+)", c, re.S)
     if m:
         key = b.sub(m.group(1))
@@ -1157,11 +1252,55 @@ def _apply_context(b: _Builder, c: str) -> None:
     m = re.fullmatch(r"let\s+(.+)", c, re.S)
     if m:
         # multiple bindings separate with `;` (t09.1:
-        # `let a = (...); b = (...)`)
-        for binding in _split_top_semis(m.group(1)):
-            _apply_one_let(b, binding.strip())
+        # `let a = (...); b = (...)`) or by the layout rule
+        # (data/example mean_day_of_week's let block)
+        for semi in _split_top_semis(m.group(1)):
+            for binding in _split_layout_bindings(semi.strip()):
+                _apply_one_let(b, binding.strip())
         return
     raise ValueError(f"unsupported context: {c!r}")
+
+
+_BIND_GUARDS = {"fold", "fold1", "scan", "let", "Some", "None", "filter"}
+
+
+def _split_layout_bindings(s: str) -> list[str]:
+    """Split a multi-binding ``let`` block bound by the reference's
+    layout rule (``let a = e1\\n  b = e2\\n in ...`` — newline
+    structure lost when top-level blocks join into one line) on
+    top-level ``ident =`` boundaries. A ``=`` inside parens, part of
+    ``==``, or introduced by a fold/scan/filter-let keyword does not
+    start a new binding. Runs on MASKED text (string literals carry
+    no ``=``)."""
+    bounds: list[int] = []
+    depth = 0
+    for m in re.finditer(r"(?<![\w'])([\w']+)\s*=(?![=])", s):
+        p = m.start()
+        d = 0
+        for ch in s[:p]:
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+        if d != 0:
+            continue
+        prev = s[:p].split()
+        if prev and prev[-1] in _BIND_GUARDS:
+            continue
+        if prev and prev[-1][-1:] in "<>!+-*/%^=,":
+            continue  # operator context: `x <= y`, `a == b` halves
+        bounds.append(p)
+    if len(bounds) <= 1:
+        return [s]
+    if bounds[0] != 0 and not s[: bounds[0]].strip().startswith("("):
+        # leading non-binding text (shouldn't happen in a let block)
+        return [s]
+    starts = [0] + bounds[1:]
+    return [
+        s[a:b].strip()
+        for a, b in zip(starts, starts[1:] + [len(s)])
+        if s[a:b].strip()
+    ]
 
 
 def _split_top_semis(s: str) -> list[str]:
@@ -1273,9 +1412,9 @@ def _apply_one_let(b: _Builder, binding: str) -> None:
 
 
 _AGG_KW = re.compile(
-    r"\b(numflips'|sum|count|mean|min|max|newest|oldest|variance|sd|any"
+    r"(?<![\w'.])(numflips'|sum|count|mean|min|max|newest|oldest|variance|sd|any"
     r"|all|max_by|min_by|covariance|correlation|gradient|intercept"
-    r"|numflips)(?![\w'])"
+    r"|numflips|circular_stats)(?![\w'])"
 )
 
 # two-argument prelude aggregates (prelude.icicle:219-255): lowered to
@@ -1296,6 +1435,13 @@ _JUXTA_SQL = {
     "asin": "asin({})", "acos": "acos({})", "atan": "atan({})",
     "sinh": "sinh({})", "cosh": "cosh({})", "tanh": "tanh({})",
     "atan2": "atan2({0}, {1})",
+    # prelude.icicle:8-17 mod/int_div (trunc-division forms; the
+    # reference bakes the prelude in, so these bind as builtins).
+    # nullif guards the Possibly zero-divisor (ANSI % 0 throws; the
+    # reference's trunc(x/0) overflows to an error value = None here)
+    "mod": "(({0}) % nullif(({1}), 0))",
+    "pi": "pi()",
+    "int_div": "int(double({0}) / nullif(double({1}), 0))",
     # days since the Ivory epoch 1600-03-01
     # (Time.hs:149-165 daysCountIvory)
     "days": "datediff(CAST(({}) AS DATE), DATE '1600-03-01')",
@@ -1318,8 +1464,10 @@ _JUXTA_SQL = {
 }
 _JUXTA_ARGN = {"atan2": 2, "days_between": 2, "index": 2,
                "get_or_else": 2, "seq": 2, "grepl": 2,
-               "grepl_count": 2}
+               "grepl_count": 2, "mod": 2, "int_div": 2, "pi": 0}
 _JUXTA_PD = {"double": "(({}) * 1.0)", "log": "log({})", "exp": "exp({})",
+             "mod": "(({0}) % ({1}))",
+             "pi": "3.141592653589793",
              "sqrt": "sqrt({})", "abs": "abs({})",
              "sin": "sin({})", "cos": "cos({})", "tan": "tan({})",
              "floor": "floor({})",
@@ -1332,6 +1480,11 @@ def _juxta(s: str, dialect: str) -> str:
     (also normalizes call syntax `log(x)` — same rewrite). Multi-arg
     builtins (`atan2 a b`, `index arr i`) consume one atom per
     argument — application binds tightest."""
+    if dialect == "sql":
+        # Icicle boolean operators: Spark SQL has no `&&`, and `||`
+        # is string CONCAT there — silently wrong on booleans. Runs
+        # on masked text, so literals never rewrite.
+        s = s.replace("||", " OR ").replace("&&", " AND ")
     table = _JUXTA_SQL if dialect == "sql" else _JUXTA_PD
     pat = re.compile(
         r"\b(" + "|".join(_JUXTA_SQL) + r")(?![\w'])"
@@ -1821,6 +1974,10 @@ def parse_query_multi(
         def _lam(body: str) -> str:
             for i, nm in enumerate(map_names):
                 body = re.sub(rf"\b{re.escape(nm)}\b", f"__v{i}", body)
+            # Option wrapping is the identity on the engine's nullable
+            # values (zebra test_map_double `Some (mean ...)`); a bare
+            # `Some` in SQL would resolve to Spark's SOME aggregate
+            body = re.sub(r"\bSome\b\s*", "", body)
             return _juxta(_safe_divisions(body), "sql")
 
         comps = _split_top_tuple(rewritten)
@@ -2121,7 +2278,7 @@ def _collect_functions(blocks: list[str]) -> dict[str, tuple[list[str], str]]:
         if block.startswith(("module ", "import ", "input ", "feature ")):
             continue
         m = re.match(
-            r"([a-z_][\w']*)((?:\s+[a-z_][\w']*)+)\s*=\s*(.+)", block, re.S
+            r"([a-z_][\w']*)((?:\s+[a-z_][\w']*)*)\s*=\s*(.+)", block, re.S
         )
         if not m or m.group(1) in bound:
             continue
@@ -2129,6 +2286,58 @@ def _collect_functions(blocks: list[str]) -> dict[str, tuple[list[str], str]]:
         masked, lits = _mask_strings(body)
         funcs[name] = (params, _unmask(_reduce_let_in(masked), lits))
     return funcs
+
+
+def _module_blocks(
+    text: str, base_dir: str | None, _seen: set[str] | None = None
+) -> tuple[list[str], dict[str, str]]:
+    """Top-level declaration blocks with ``import X`` transitively
+    flattened (the reference module system — Source/Query/Module.hs:
+    a module name resolves to ``<name>.icicle`` beside the importing
+    file, matched case-insensitively). Imported blocks come FIRST so
+    the importing module's declarations win on name clashes; an
+    import cycle or unresolvable module records a skip reason instead
+    of raising (partial coverage is the caller's call, as with
+    unsupported features)."""
+    import os
+
+    seen = _seen if _seen is not None else set()
+    skipped: dict[str, str] = {}
+    own = _top_level_blocks(text)
+    out: list[str] = []
+    for block in own:
+        m = re.match(r"import\s+([\w.]+)", block)
+        if not m:
+            continue
+        mod = m.group(1)
+        if base_dir is None:
+            skipped[mod] = "import needs a file context (base_dir)"
+            continue
+        want = mod.split(".")[-1].lower() + ".icicle"
+        path = None
+        try:
+            for fn in os.listdir(base_dir):
+                if fn.lower() == want:
+                    path = os.path.join(base_dir, fn)
+                    break
+        except OSError as e:
+            skipped[mod] = f"import: {e}"
+            continue
+        if path is None:
+            skipped[mod] = f"import: no {want!r} beside the importing file"
+            continue
+        real = os.path.realpath(path)
+        if real in seen:
+            continue  # already flattened (diamond import)
+        seen.add(real)
+        with open(path, encoding="utf-8") as f:
+            sub_blocks, sub_skipped = _module_blocks(
+                f.read(), os.path.dirname(real), seen
+            )
+        out.extend(sub_blocks)
+        skipped.update(sub_skipped)
+    out.extend(own)
+    return out, skipped
 
 
 def _top_level_blocks(text: str) -> list[str]:
@@ -2153,6 +2362,7 @@ def parse_dictionary_source(
     entity_col: str = "entity",
     time_col: str = "time",
     seq_col: str | None = None,
+    base_dir: str | None = None,
 ):
     """Parse a dictionary.icicle source file into a validated
     :class:`icicle_spark.dictionary.Dictionary` plus the skipped
@@ -2163,7 +2373,13 @@ def parse_dictionary_source(
     pipelines are the reference surface syntax for `~>`. Custom
     function definitions and queries outside the supported grammar
     are skipped with the raising reason — call sites decide whether
-    partial coverage is acceptable."""
+    partial coverage is acceptable. ``base_dir`` resolves ``import
+    Module`` declarations to sibling ``module.icicle`` files
+    (use :func:`parse_dictionary_file` for the common case).
+    Redefinitions of grammar-bound names (the reference prelude
+    re-declares ``newest``/``not``/... as source functions —
+    data/libs/prelude.icicle) are consumed silently: the engine's
+    built-ins ARE those functions."""
     from icicle_spark.dictionary import (
         Dictionary,
         DictionaryInput,
@@ -2172,9 +2388,8 @@ def parse_dictionary_source(
 
     inputs: list = []
     outputs: list = []
-    skipped: dict[str, str] = {}
     feature_inputs: set[str] = set()
-    blocks = _top_level_blocks(text)
+    blocks, skipped = _module_blocks(text, base_dir)
     # pass 1: custom function definitions (declaration order is not
     # significant in the reference module system)
     funcs = _collect_functions(blocks)
@@ -2233,6 +2448,7 @@ def parse_dictionary_source(
                     DictionaryOutput(
                         name, qinput, features=tuple(feats),
                         postcomps=tuple(posts), hidden=tuple(hidden),
+                        dialect=dialect,
                     )
                 )
                 feature_inputs.add(qinput)
@@ -2244,6 +2460,14 @@ def parse_dictionary_source(
             # a registered function definition, or its type signature
             # (consumed silently — the engine infers nothing from it)
             continue
+        if word in _grammar_bound_names() and re.match(
+            r"[a-z_][\w']*(?:\s+[a-z_][\w']*)*\s*=", block
+        ):
+            # the prelude re-declares built-ins as source functions
+            # (newest/oldest/not/mean/... — data/libs/prelude.icicle);
+            # the engine's native implementations ARE these, so the
+            # redefinition is consumed, not an unsupported skip
+            continue
         skipped.setdefault(
             word, f"unsupported toplevel declaration: {block[:60]!r}"
         )
@@ -2252,3 +2476,33 @@ def parse_dictionary_source(
     if missing:
         raise ValueError(f"features read undeclared inputs: {sorted(missing)}")
     return Dictionary(inputs=inputs, outputs=outputs), skipped
+
+
+def collect_module_functions(
+    text: str, base_dir: str | None = None
+) -> dict[str, tuple[list[str], str]]:
+    """The custom function definitions a module (and its imports)
+    declares — the environment the reference repl binds for typed
+    queries after ``:load dictionary.icicle``."""
+    blocks, _skipped = _module_blocks(text, base_dir)
+    return _collect_functions(blocks)
+
+
+def parse_dictionary_file(
+    path: str,
+    dialect: str = "sql",
+    skip_nulls: bool = False,
+    entity_col: str = "entity",
+    time_col: str = "time",
+    seq_col: str | None = None,
+):
+    """:func:`parse_dictionary_source` over a file, with ``import``
+    declarations resolved beside it."""
+    import os
+
+    with open(path, encoding="utf-8") as f:
+        return parse_dictionary_source(
+            f.read(), dialect=dialect, skip_nulls=skip_nulls,
+            entity_col=entity_col, time_col=time_col, seq_col=seq_col,
+            base_dir=os.path.dirname(os.path.abspath(path)),
+        )

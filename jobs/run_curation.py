@@ -66,6 +66,9 @@ def load_signal_dictionary(spec: str, id_col: str):
             kw.update(
                 dict(zip(("entity_col", "time_col", "seq_col"), parts))
             )
+        import os as _os
+
+        kw["base_dir"] = _os.path.dirname(_os.path.abspath(path))
         d_sql, skipped = parse_dictionary_source(
             open(path).read(), dialect="sql", skip_nulls=True, **kw
         )

@@ -39,8 +39,11 @@ def load_dictionary(spec: str):
         if attr:  # module.icicle:entity_col,time_col,seq_col
             parts = attr.split(",")
             kw = dict(zip(("entity_col", "time_col", "seq_col"), parts))
+        import os as _os
+
         d, skipped = parse_dictionary_source(
-            open(path).read(), dialect="sql", **kw
+            open(path).read(), dialect="sql",
+            base_dir=_os.path.dirname(_os.path.abspath(path)), **kw
         )
         for name, why in skipped.items():
             print(f"dictionary: skipped {name}: {why}", file=_sys.stderr)

@@ -20,6 +20,7 @@ MUST_BE_IN_WINDOW = {
     "source_scan",
     "source_tuple",
     "source_case",
+    "source_circular",
     "classifier_score",
     "token_budget_mix",
     # r3-certified but r3-TOUCHED (Possibly-native groups, RAW codecs,

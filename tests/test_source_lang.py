@@ -389,6 +389,10 @@ feature scored_damage =
   from injury
     in sum (severity_score severity 2.0)
 
+feature phi_scaled =
+  from injury
+    in phi
+
 feature latest_sev =
   from injury
     in newest2 severity
@@ -414,28 +418,38 @@ feature days_loc =
 """
 
 
-def test_parse_dictionary_source_file(spark):
+def test_parse_dictionary_source_file(spark, tmp_path):
     """Full dictionary.icicle surface (data/example/dictionary.icicle
-    style): module/import headers, typed inputs (records + Option),
-    `in`-separated feature pipelines, and explicit skips for custom
-    function definitions and out-of-grammar queries."""
-    from icicle_spark.source_lang import parse_dictionary_source
+    style): module/import headers (resolved to sibling files, matched
+    case-insensitively), typed inputs (records + Option),
+    `in`-separated feature pipelines, custom function + zero-param
+    constant inlining."""
+    from icicle_spark.source_lang import (
+        parse_dictionary_file,
+        parse_dictionary_source,
+    )
 
-    d, skipped = parse_dictionary_source(
-        DICT_SRC, dialect="pandas", skip_nulls=True, seq_col="seq"
+    (tmp_path / "missing.icicle").write_text(
+        "module Missing where\n\nmissing : Possibly a\nmissing = 0\n"
+    )
+    (tmp_path / "dict.icicle").write_text(DICT_SRC)
+    d, skipped = parse_dictionary_file(
+        str(tmp_path / "dict.icicle"), dialect="pandas",
+        skip_nulls=True, seq_col="seq",
     )
     assert sorted(d.inputs) == ["injury", "salary"]
     assert sorted(d.outputs) == [
         "actioned_damage", "days_loc", "head_damage", "latest_sev",
-        "mean_salary", "scored_damage", "sum_severity", "worst",
+        "mean_salary", "phi_scaled", "scored_damage", "sum_severity",
+        "worst",
     ]
     # custom functions inline at their call sites (Transform/Inline.hs
     # class): expression bodies (is_head), let/in chains
     # (severity_score), and even CONTEXT-carrying bodies (newest2's
     # latest/fold pipeline becomes a parenthesized subquery tail).
-    # Unsupported toplevels still skip loudly (the 0-arg constant).
-    assert set(skipped) == {"phi"}
-    assert "toplevel" in skipped["phi"]
+    # Zero-param constants (phi) register as inlinable functions —
+    # the reference module system's `missing = get None` shape.
+    assert skipped == {}
 
     inj = pd.DataFrame({
         "entity": ["homer"] * 4 + ["marge"],
@@ -476,6 +490,8 @@ def test_parse_dictionary_source_file(spark):
     assert got.loc["homer", "head_damage"] == 3.0
     # severity_score severity 2.0 = severity * 2 + 1, summed over 4
     assert got.loc["homer", "scored_damage"] == 24.0
+    # zero-param constant inlined as the aggregate-stage tail
+    assert float(got.loc["homer", "phi_scaled"]) == 1.618
     # newest2 = latest 1 ~> fold1 (the prelude's newest shape)
     assert got.loc["homer", "latest_sev"] == 3.0
     assert got.loc["marge", "latest_sev"] == 5.0
@@ -1063,3 +1079,47 @@ def test_inline_functions_recursion_raises():
             "from s ~> sum (loop value)",
             {"loop": (["x"], "loop (x + 1)")},
         )
+
+
+def test_reference_modules_parse_clean():
+    """The reference's own module files parse with zero unsupported
+    skips: the full prelude (data/libs/prelude.icicle — every
+    declaration is either a custom function we register or a
+    re-declaration of an engine built-in, consumed silently) and the
+    example dictionary tree (data/example/dictionary.icicle: imports
+    Missing + Demographics, 15 features incl. generic functions like
+    max_group)."""
+    import os
+
+    from icicle_spark.source_lang import parse_dictionary_file
+
+    ref = "/root/reference/data"
+    if not os.path.isdir(ref):  # pragma: no cover
+        import pytest as _pytest
+
+        _pytest.skip("reference tree not present")
+    d, skipped = parse_dictionary_file(f"{ref}/libs/prelude.icicle")
+    assert skipped == {}
+    d, skipped = parse_dictionary_file(
+        f"{ref}/example/dictionary.icicle", seq_col="seq"
+    )
+    # imports pulled in Demographics' inputs and its is_adult feature
+    assert {"injury", "age", "salary", "gender"} <= set(d.inputs)
+    assert {"is_adult", "sum_severity", "worst_injured",
+            "head_damage", "any_head"} <= set(d.outputs)
+    # incl. mean_day_of_week: layout-rule multi-binding let block +
+    # circular_stats struct projection
+    assert skipped == {}
+    assert "mean_day_of_week" in d.outputs
+
+
+def test_collect_module_functions_imports(tmp_path):
+    from icicle_spark.source_lang import collect_module_functions
+
+    (tmp_path / "util.icicle").write_text(
+        "module Util where\n\ntwice x = x + x\n"
+    )
+    funcs = collect_module_functions(
+        "module M where\n\nimport Util\n\nthree = 3\n", str(tmp_path)
+    )
+    assert set(funcs) == {"twice", "three"}

@@ -355,108 +355,13 @@ def values_match(g, e) -> bool:
 
 
 # --------------------------------------------------------------- facts build
+#
+# PSV ingestion is shared with the user-facing REPL
+# (icicle_spark/repl.py) — the corpus replays through the same
+# decode + facts builder the `icicle-spark repl` CLI uses, so a
+# golden match certifies the user surface, not a test-only path.
 
-
-def _decode(v, dtype) -> object:
-    """PSV/JSON value -> a Python object acceptable to createDataFrame
-    under ``dtype`` (recursive for struct/array encodings)."""
-    from pyspark.sql import types as T
-
-    if v is None:
-        return None
-    if isinstance(dtype, T.StructType):
-        obj = json.loads(v.rstrip('"')) if isinstance(v, str) else v
-        return {
-            f.name: _decode(obj.get(f.name), f.dataType)
-            for f in dtype.fields
-        }
-    if isinstance(dtype, T.ArrayType):
-        obj = json.loads(v.rstrip('"')) if isinstance(v, str) else v
-        return [_decode(x, dtype.elementType) for x in obj]
-    if isinstance(dtype, (T.IntegerType, T.LongType)):
-        return int(v)
-    if isinstance(dtype, (T.DoubleType, T.FloatType)):
-        return float(v)
-    if isinstance(dtype, T.BooleanType):
-        return str(v).lower() == "true"
-    if isinstance(dtype, (T.DateType, T.TimestampType)):
-        return pd.Timestamp(v).to_pydatetime()
-    return str(v)
-
-
-def build_facts(spark, dictionary, input_name: str, psv_path: str):
-    """Typed facts for one input from an entity|attr|value|time PSV,
-    with seq = file order (the repl's ingestion order — ties on time
-    resolve by it). Struct values tolerate the corpus's stray
-    trailing quote (`{...}"`), as the reference's parser does."""
-    from pyspark.sql import types as T
-
-    inp = dictionary.inputs[input_name]
-    vfields = inp.value_fields()
-    rows = []
-    with open(psv_path, encoding="utf-8") as f:
-        for i, raw in enumerate(f):
-            line = raw.rstrip("\n")
-            if not line:
-                continue
-            parts = line.split("|")
-            ent, attr = parts[0], parts[1]
-            time = parts[-1]
-            value = "|".join(parts[2:-1])
-            if attr != input_name:
-                continue
-            tomb = value in (inp.tombstones or {"NA"})
-            if len(vfields) == 1 and not isinstance(
-                vfields[0].dataType, T.StructType
-            ):
-                vals = {
-                    vfields[0].name: None
-                    if tomb
-                    else _decode(value, vfields[0].dataType)
-                }
-            else:
-                if tomb:
-                    vals = {fld.name: None for fld in vfields}
-                else:
-                    obj = json.loads(value.rstrip('"'))
-                    vals = {
-                        fld.name: _decode(obj.get(fld.name), fld.dataType)
-                        for fld in vfields
-                    }
-            rows.append(
-                {
-                    "entity": ent,
-                    "time": pd.Timestamp(time).to_pydatetime(),
-                    **vals,
-                    "tombstone": tomb,
-                    "seq": i,
-                }
-            )
-    schema = T.StructType(
-        [
-            T.StructField("entity", T.StringType()),
-            T.StructField("time", T.TimestampType()),
-            *[T.StructField(fld.name, fld.dataType) for fld in vfields],
-            T.StructField("tombstone", T.BooleanType()),
-            T.StructField("seq", T.LongType()),
-        ]
-    )
-    df = spark.createDataFrame(rows, schema)
-    if len(vfields) > 1:
-        # record inputs implicitly bind `fields` = the whole value
-        # record (Query/Environment.hs:109 — t16 `newest fields`);
-        # field order is the record's Data.Map (name) order
-        from pyspark.sql import functions as F
-
-        df = df.withColumn(
-            "fields",
-            F.when(~F.col("tombstone"),
-                   F.struct(*[
-                       F.col(f.name)
-                       for f in sorted(vfields, key=lambda x: x.name)
-                   ])),
-        )
-    return df
+from icicle_spark.repl import load_typed_facts as build_facts  # noqa: E402
 
 
 # --------------------------------------------------------------------- runner
