@@ -131,6 +131,27 @@ def _rand_new_query(rng: np.random.Generator, cls: str) -> str:
             parts.append(f"latest {int(rng.integers(1, 6))}")
         parts.append(f"filter value > {int(rng.integers(0, 60))}")
         parts.append(f"{agg} value")
+    elif cls == "pgf_first":
+        # round-4-late: filter BEFORE the per-key frame (zebra
+        # test_map order; Feature.pg_before_latest — native declines)
+        agg = rng.choice(["count", "sum", "newest"])
+        parts.append(f"group (value > {int(rng.integers(-5, 25))})")
+        parts.append(f"filter value > {int(rng.integers(0, 60))}")
+        parts.append(f"latest {int(rng.integers(1, 5))}")
+        parts.append(f"{agg} value")
+    elif cls == "mlet":
+        # layout-rule multi-binding let block (no semicolons)
+        k1, k2 = int(rng.integers(1, 7)), int(rng.integers(2, 5))
+        parts.append(
+            f"let a = value + {k1} b = a * {k2} c = b - a"
+        )
+        agg = rng.choice(["sum", "mean", "max", "count"])
+        parts.append(f"{agg} c")
+    elif cls == "circ":
+        # circular_stats lowering (hidden folds + struct postcomp)
+        k = int(rng.integers(20, 80))
+        fld = rng.choice(["mean", "sd", "z_test"])
+        parts.append(f"(circular_stats (value / {k})).{fld}")
     elif cls == "scan":
         sagg = rng.choice(["sum", "count", "min", "max", "mean"])
         oagg = rng.choice(["sum", "mean", "max", "newest"])
@@ -206,3 +227,17 @@ def test_random_new_grammar_commutes(spark, facts):
     _runs(native_ok, [("native", "sql"), ("vectorized", "pandas"),
                       ("cogroup", "pandas")])
     _runs(scans, [("vectorized", "pandas"), ("cogroup", "pandas")])
+
+    # late-round-4 classes: multi-binding lets (all three backends),
+    # circular_stats (sql-only dialect), filter-then-frame per key
+    # (native declines pg_before_latest by design)
+    mlets = {f"m{i}": _rand_new_query(rng, "mlet") for i in range(5)}
+    _runs(mlets, [("native", "sql"), ("vectorized", "pandas"),
+                  ("cogroup", "pandas")])
+    circs = {f"x{i}": _rand_new_query(rng, "circ") for i in range(5)}
+    _runs(circs, [("native", "sql"), ("vectorized", "sql"),
+                  ("cogroup", "sql")])
+    pgf_first = {
+        f"pf{i}": _rand_new_query(rng, "pgf_first") for i in range(6)
+    }
+    _runs(pgf_first, [("vectorized", "pandas"), ("cogroup", "pandas")])
