@@ -513,20 +513,47 @@ def resolve_dtypes(plan: Plan, facts) -> Plan:
     types = {fld.name: fld.dataType.simpleString()
              for fld in facts.schema.fields}
 
+    # gather every expression needing a probe, analyze them in ONE
+    # select (each facts.select is a full driver-side analysis pass,
+    # ~15-50 ms — per-expression probing measurably inflated plan
+    # compile time on wide plans); a failing batch falls back to
+    # per-expression so one pandas-dialect string doesn't untype the
+    # rest
+    from pyspark.sql import functions as F
+
+    want: list[str] = []
+    for f in plan.features:
+        if f.dtype is None and not isinstance(f.agg, CustomFold) and (
+            f.agg in _SHAPE_PRESERVING or f.agg is Agg.SUM
+        ) and isinstance(f.expr, str):
+            s = f.expr.strip()
+            if s not in types and s not in want:
+                want.append(s)
+    probed: dict[str, str | None] = {}
+    if want:
+        try:
+            sch = facts.select(
+                *[F.expr(s).alias(f"__p{i}") for i, s in enumerate(want)]
+            ).schema
+            probed = {
+                s: fld.dataType.simpleString()
+                for s, fld in zip(want, sch.fields)
+            }
+        except Exception:  # noqa: BLE001 — some expr not Spark SQL
+            for s in want:
+                try:
+                    probed[s] = (
+                        facts.select(F.expr(s))
+                        .schema[0].dataType.simpleString()
+                    )
+                except Exception:  # noqa: BLE001 — pandas dialect
+                    probed[s] = None
+
     def expr_type(e) -> str | None:
         if not isinstance(e, str):
             return None
         s = e.strip()
-        if s in types:
-            return types[s]
-        from pyspark.sql import functions as F
-
-        try:
-            return (
-                facts.select(F.expr(s)).schema[0].dataType.simpleString()
-            )
-        except Exception:  # noqa: BLE001 — pandas-dialect expr
-            return None
+        return types.get(s) or probed.get(s)
 
     feats, changed = [], False
     for f in plan.features:
