@@ -67,10 +67,33 @@ def _expr(f: Feature) -> Column:
     return F.expr(f.expr)
 
 
-def _err_col(f: Feature, tomb: Column, frame: Column) -> Column:
+def _overflow(f: Feature, frame: Column, bound: int) -> Column | None:
+    """maxMapSize overflow probe (reference Melt bounds, repl t03/t60.1
+    `:set max-map-size`): the bounded-state fold errors when its
+    Data.Map exceeds the bound, and the value backends surface that as
+    a null — which must read CannotCompute, not OK ("codes explain
+    every null"). Exact for `group k` and the first `distinct k`
+    stage; group-scoped distinct bounds are per key and stay
+    unflagged here (the value backends still null them)."""
+    key = None
+    if f.group is not None and not f.distinct:
+        key = f.group
+    elif f.distinct is not None and f.group is None:
+        key = f.distinct[0] if isinstance(f.distinct, list) else f.distinct
+    if key is None or not isinstance(key, str):
+        return None
+    return (
+        F.count_distinct(F.when(frame, F.expr(key))) > F.lit(bound)
+    )
+
+
+def _err_col(
+    f: Feature, tomb: Column, frame: Column, bound: int | None = None
+) -> Column:
     """Error64 for one feature from conditional aggregates over its
     visible (and latest-N-framed) elements."""
     ex = _expr(f)
+    over = _overflow(f, frame, bound) if bound is not None else None
     if f.group is not None or f.distinct is not None:
         # whole-map Possibly semantics: a null KEY poisons too
         # (chained distincts carry a LIST of keys — any null poisons)
@@ -93,16 +116,23 @@ def _err_col(f: Feature, tomb: Column, frame: Column) -> Column:
         # all-tombstone frame yields a null fold1 value and must carry
         # ERR_FOLD1_NO_VALUE ("codes explain every null").
         n_vis = F.sum(F.when(frame & ~null_elem & ~tomb, 1).otherwise(0))
+        out0 = F.lit(ERR_OK)
         if _is_fold1(f):
-            return F.when(
+            out0 = F.when(
                 F.coalesce(n_vis, F.lit(0)) == 0, F.lit(ERR_FOLD1_NO_VALUE)
             ).otherwise(F.lit(ERR_OK))
-        return F.lit(ERR_OK)
+        if over is not None:
+            out0 = F.when(over, F.lit(ERR_CANNOT_COMPUTE)).otherwise(out0)
+        return out0
     tomb_any = F.max(F.when(frame & tomb, 1).otherwise(0))
     err_any = F.max(F.when(frame & ~tomb & null_elem, 1).otherwise(0))
     n_vis = F.sum(F.when(frame, 1).otherwise(0))
+    out = F.when(
+        over if over is not None else F.lit(False),
+        F.lit(ERR_CANNOT_COMPUTE),
+    )
     out = (
-        F.when(F.coalesce(tomb_any, F.lit(0)) == 1, F.lit(ERR_TOMBSTONE))
+        out.when(F.coalesce(tomb_any, F.lit(0)) == 1, F.lit(ERR_TOMBSTONE))
         .when(F.coalesce(err_any, F.lit(0)) == 1, F.lit(ERR_CANNOT_COMPUTE))
     )
     if _is_fold1(f):
@@ -188,7 +218,14 @@ def error_codes(
             rank = F.sum(F.when(frame, 1).otherwise(0)).over(w_fwd)
             base = base.withColumn(f"__efr_{f.name}", frame & (rank <= f.latest))
             frame = F.col(f"__efr_{f.name}")
-        aggs.append(_err_col(f, tomb, frame).alias(f"{f.name}_err"))
+        bound = (
+            plan.max_group_size
+            if plan.max_group_size < 1_048_576
+            else None
+        )
+        aggs.append(
+            _err_col(f, tomb, frame, bound).alias(f"{f.name}_err")
+        )
     agged = base.groupBy(*keys).agg(*aggs)
     out = spine.join(agged, on=keys, how="left")
     # entities/chords with zero visible facts never reach the agg:

@@ -84,6 +84,11 @@ class CustomFold:
                                                              # (prelude days_in).
                                                              # Wins over `output`.
     dtype: str = "double"
+    bind: str | None = None       # SOURCE metadata (fold x = i then s):
+    init_src: str | None = None   # lets resolve_dtypes type the fold
+    step_src: str | None = None   # via a Spark-SQL analysis probe of
+                                  # step[bind := (init)] — int folds
+                                  # print `1500`, not `1500.0`
 
 
 @dataclass(frozen=True)
@@ -519,16 +524,39 @@ def resolve_dtypes(plan: Plan, facts) -> Plan:
     # compile time on wide plans); a failing batch falls back to
     # per-expression so one pandas-dialect string doesn't untype the
     # rest
+    import re as _re
+
     from pyspark.sql import functions as F
+
+    def _fold_probe(cf) -> str | None:
+        # source fold typing: analyze step[bind := (init)] — Spark's
+        # type coercion IS the reference checker's numeric typing
+        # (`fold x = 0 then x + value` over Int stays Int); exprlang
+        # constructs SQL can't analyze keep the widened double
+        if not (cf.step_src and cf.bind and cf.init_src):
+            return None
+        if cf.dtype != "double":
+            return None  # map/struct/bool states typed at compile
+        return _re.sub(
+            rf"(?<![\w']){_re.escape(cf.bind)}(?![\w'])",
+            f"({cf.init_src})", cf.step_src,
+        )
 
     want: list[str] = []
     for f in plan.features:
-        if f.dtype is None and not isinstance(f.agg, CustomFold) and (
+        s = None
+        if f.dtype is not None:
+            continue
+        if isinstance(f.agg, CustomFold):
+            s = _fold_probe(f.agg)
+        elif (
             f.agg in _SHAPE_PRESERVING or f.agg is Agg.SUM
         ) and isinstance(f.expr, str):
             s = f.expr.strip()
-            if s not in types and s not in want:
-                want.append(s)
+            if s in types:
+                s = None
+        if s is not None and s not in want:
+            want.append(s)
     probed: dict[str, str | None] = {}
     if want:
         try:
@@ -557,7 +585,17 @@ def resolve_dtypes(plan: Plan, facts) -> Plan:
 
     feats, changed = [], False
     for f in plan.features:
-        if f.dtype is not None or isinstance(f.agg, CustomFold):
+        if f.dtype is not None:
+            feats.append(f)
+            continue
+        if isinstance(f.agg, CustomFold):
+            s = _fold_probe(f.agg)
+            t = probed.get(s) if s else None
+            if t is not None and t.startswith(_INT_FAMILY):
+                f = _dc.replace(
+                    f, agg=_dc.replace(f.agg, dtype="bigint")
+                )
+                changed = True
             feats.append(f)
             continue
         t = None

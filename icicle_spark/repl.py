@@ -207,17 +207,21 @@ def render_value(v) -> str:
     if isinstance(v, np.ndarray):
         return render_value(v.tolist())
     if isinstance(v, (list, tuple)) and not hasattr(v, "asDict"):
-        return "[ " + ", ".join(render_value(x) for x in v) + " ]"
+        if not len(v):
+            return "[]"
+        return "[ " + " , ".join(render_value(x) for x in v) + " ]"
     if isinstance(v, dict):
         keys = list(v.keys())
         if keys and all(
             isinstance(k, str) and re.fullmatch(r"f\d+", k) for k in keys
         ):
             return "(" + ", ".join(render_value(x) for x in v.values()) + ")"
+        if not v:
+            return "[]"
         return (
             "[ "
-            + ", ".join(
-                f"({render_value(k)}, {render_value(x)})"
+            + " , ".join(
+                f"({render_key(k)}, {render_value(x)})"
                 for k, x in v.items()
             )
             + " ]"
@@ -226,12 +230,32 @@ def render_value(v) -> str:
         d = v.asDict()
         if all(re.fullmatch(r"f\d+", k) for k in d):
             return "(" + ", ".join(render_value(x) for x in d.values()) + ")"
+        if not d:
+            return "[]"
         return (
             "[ "
-            + ", ".join(f"({json.dumps(k)}, {render_value(x)})" for k, x in d.items())
+            + " , ".join(
+                f"({render_key(k)}, {render_value(x)})" for k, x in d.items()
+            )
             + " ]"
         )
     return str(v)
+
+
+def render_key(k) -> str:
+    """Map keys print in their ORIGINAL type's show form (the engine
+    stringifies map keys for the map<string,_> convention, but the
+    reference prints `(100, 1)` and `(1989-12-17, 1)` — numbers and
+    dates bare, only real strings quoted)."""
+    if isinstance(k, str):
+        if re.fullmatch(r"-?\d+(\.\d+)?", k):
+            return k
+        if re.fullmatch(r"\d{4}-\d{2}-\d{2}( \d{2}:\d{2}:\d{2})?", k):
+            return k
+        if k in ("True", "False"):
+            return k
+        return json.dumps(k)
+    return render_value(k)
 
 
 def _is_integral_type(dtype_str: str) -> bool:
@@ -503,13 +527,23 @@ class ReplSession:
                     plan = dataclasses.replace(
                         plan, max_group_size=self.max_map_size
                     )
-                res = run_plan(
-                    facts,
-                    plan,
-                    snapshot=icicle_snapshot(self.snapshot),
-                    strategy=run_strategy,
-                )
-                return res.toPandas(), dict(res.dtypes)
+                # the Error64 channel distinguishes error nulls from
+                # Option Nones — the reference repl prints the former
+                # as `tombstone` (t03/t15 goldens); not every plan
+                # shape supports the error pass, so fall back
+                for err in (True, False):
+                    try:
+                        res = run_plan(
+                            facts,
+                            plan,
+                            snapshot=icicle_snapshot(self.snapshot),
+                            strategy=run_strategy,
+                            error_codes=err,
+                        )
+                        return res.toPandas(), dict(res.dtypes)
+                    except Exception:  # noqa: BLE001 — retry w/o errs
+                        if not err:
+                            raise
             except Exception as exc:  # noqa: BLE001 — ladder, loud at end
                 if first_err is None:
                     first_err = exc
@@ -521,15 +555,26 @@ class ReplSession:
         except Exception as exc:  # noqa: BLE001 — repl reports, not dies
             return [f"error: {exc}"]
         ecol = out.columns[0]
-        vcols = [c for c in out.columns if c != ecol]
+        vcols = [
+            c for c in out.columns
+            if c != ecol and not (c.endswith("_err") and c[:-4] in out.columns)
+        ]
         lines = ["Spark evaluation", "----------------", ""]
+
+        def _cell(row, c):
+            v = row[c]
+            err = row.get(f"{c}_err")
+            if err is not None and not pd.isna(err) and int(err) in (1, 3):
+                # ERR_TOMBSTONE / ERR_CANNOT_COMPUTE: the reference
+                # repl shows error values as `tombstone` (t03:50)
+                if v is None or (not hasattr(v, "__len__") and pd.isna(v)):
+                    return "tombstone"
+            if _is_integral_type(dtypes.get(c, "")):
+                return render_value(_intify(v))
+            return render_value(v)
+
         for _, row in out.sort_values(ecol).iterrows():
-            vals = ", ".join(
-                render_value(_intify(row[c]))
-                if _is_integral_type(dtypes.get(c, ""))
-                else render_value(row[c])
-                for c in vcols
-            )
+            vals = ", ".join(_cell(row, c) for c in vcols)
             if len(vcols) > 1:
                 vals = f"({vals})"
             lines.append(f"{row[ecol]}|{vals}")

@@ -143,7 +143,10 @@ def _compile_fold(bind: str, init_src: str, step_src: str, fold1: bool):
         def output(acc):
             return None if isinstance(acc, _Uninit) else X.unwrap_output(acc)
 
-        return CustomFold(seed, step_seq=step_seq, output=output), cols
+        return CustomFold(
+            seed, step_seq=step_seq, output=output,
+            bind=bind, init_src=init_src, step_src=step_src,
+        ), cols
 
     try:
         init_val = X.evaluate(init_ast, {})
@@ -165,6 +168,7 @@ def _compile_fold(bind: str, init_src: str, step_src: str, fold1: bool):
         CustomFold(
             init_val, step_seq=step_seq, output=X.unwrap_output,
             dtype=dtype,
+            bind=bind, init_src=init_src, step_src=step_src,
         ),
         cols,
     )

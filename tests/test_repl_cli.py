@@ -125,7 +125,8 @@ def test_render_value_forms():
     assert render_value(3) == "3"
     assert render_value(300.0) == "300.0"
     assert render_value("hi") == '"hi"'
-    assert render_value([1, 2]) == "[ 1, 2 ]"
+    assert render_value([1, 2]) == "[ 1 , 2 ]"
+    assert render_value([]) == "[]"
     assert render_value({"f0": 1, "f1": 2.5}) == "(1, 2.5)"
     assert render_value({"a": 1}) == '[ ("a", 1) ]'
     assert render_value(np.int64(7)) == "7"

@@ -1,0 +1,110 @@
+"""REPL *rendering* parity: replay reference repl scripts through the
+user-facing ``ReplSession`` and compare the RENDERED ``entity|value``
+text to the goldens character-for-character (the golden corpus runner
+verifies parsed VALUES; this pins the print format — ints without
+``.0``, tuples parenthesized, maps as assoc lists, strings quoted,
+dates bare ISO).
+
+Known, accepted print divergence: Haskell ``show`` uses scientific
+notation outside [0.1, 1e7) (``1.0e-2``); ``render_value`` uses
+Python's shortest-roundtrip ``repr`` (``0.01``). Lines that differ
+only that way (same parsed value) count as value-match; the covered
+scripts currently render 100% exact."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPL = "/root/reference/icicle-compiler/test/cli/repl"
+sys.path.insert(0, "/root/repo")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REPL), reason="reference tree not present"
+)
+
+# scripts whose golden blocks are plain eval output over the shared
+# dictionary + data.psv (no :load overrides, no reject lines mixed
+# into eval bodies)
+SCRIPTS = [
+    "t01-sanity",
+    "t02-groups",
+    "t03-distinct",
+    "t04-lets",
+    "t06-custom-folds",
+    "t14-dates",
+    "t19-windows",
+]
+
+
+def _value_match(golden: str, got: str) -> bool:
+    from tools.golden_corpus import parse_golden_value, values_match
+
+    try:
+        g = parse_golden_value(golden)
+        e = parse_golden_value(got)
+    except Exception:  # noqa: BLE001 — unparseable -> text must match
+        return False
+    return values_match(g, e)
+
+
+def test_repl_renders_reference_goldens(spark):
+    from icicle_spark.repl import ReplSession
+    from tools.golden_corpus import (
+        golden_blocks,
+        parse_golden_rows,
+        script_events,
+    )
+
+    total = exact = valueonly = 0
+    mismatches: list[tuple] = []
+    for name in SCRIPTS:
+        sdir = f"{REPL}/{name}"
+        sess = ReplSession(spark)
+        sess.handle(f":load {REPL}/dictionary.icicle")
+        sess.handle(f":load {REPL}/data.psv")
+        goldens = golden_blocks(f"{sdir}/expected")
+        gi = 0
+        for kind, text in script_events(f"{sdir}/script"):
+            if kind == "set":
+                sess.handle(f":set {text}")
+                continue
+            if kind == "load":
+                path = text if os.path.isabs(text) else (
+                    f"/root/reference/icicle-compiler/{text}"
+                )
+                sess.handle(f":load {path}")
+                continue
+            if kind == "let":
+                sess.handle(f":let {text}")
+                continue
+            gkind, body = goldens[gi]
+            gi += 1
+            if gkind == "error":
+                continue
+            rows = parse_golden_rows(body)
+            if rows is None:
+                continue
+            out = sess.handle(text)
+            got = {}
+            for line in out:
+                if "|" in line:
+                    ent, _, val = line.partition("|")
+                    got[ent] = val
+            assert set(got) == set(rows), (name, text, got, rows)
+            for ent, gval in rows.items():
+                total += 1
+                if got[ent] == gval:
+                    exact += 1
+                elif _value_match(gval, got[ent]):
+                    valueonly += 1
+                else:
+                    mismatches.append((name, text, ent, gval, got[ent]))
+        assert gi == len(goldens) or gi <= len(goldens)
+    assert not mismatches, mismatches[:8]
+    # the print format itself must hold for the overwhelming majority
+    # (the remainder is the documented scientific-notation divergence)
+    assert total > 55, total
+    assert exact == total, (exact, valueonly, total)
