@@ -542,6 +542,38 @@ def resolve_dtypes(plan: Plan, facts) -> Plan:
             f"({cf.init_src})", cf.step_src,
         )
 
+    def _bind_sub(e: str, f) -> str | None:
+        # filter_let binds aren't columns either: `filter let Some
+        # zod = Some (value + 1) ~> latest 3 ~> zod` collects Int
+        # elements (t17 prints `[ 301 , ... ]`)
+        for b, be in (f.filter_let or ()):
+            if not isinstance(be, str):
+                return None
+            e = _re.sub(
+                rf"(?<![\w']){_re.escape(b)}(?![\w'])", f"({be})", e
+            )
+        return e
+
+    def _scan_sub(e: str, scans) -> str | None:
+        # scan binds aren't columns: substitute a TYPE-equivalent SQL
+        # fragment for each (`scan z = sum value ~> latest 3 ~> z`
+        # collects running Int sums — t17 prints `[ 600 , 1000 ... ]`)
+        for name, agg, sexpr in scans or ():
+            if not isinstance(sexpr, str):
+                return None
+            if agg is Agg.SUM:
+                rep = f"(({sexpr}) + ({sexpr}))"
+            elif agg is Agg.COUNT:
+                rep = "CAST(1 AS BIGINT)"
+            elif agg is Agg.MEAN:
+                rep = f"CAST(({sexpr}) AS DOUBLE)"
+            else:  # min/max/second_last: element-shaped
+                rep = f"({sexpr})"
+            e = _re.sub(
+                rf"(?<![\w']){_re.escape(name)}(?![\w'])", rep, e
+            )
+        return e
+
     want: list[str] = []
     for f in plan.features:
         s = None
@@ -553,7 +585,13 @@ def resolve_dtypes(plan: Plan, facts) -> Plan:
             f.agg in _SHAPE_PRESERVING or f.agg is Agg.SUM
         ) and isinstance(f.expr, str):
             s = f.expr.strip()
-            if s in types:
+            if f.scans:
+                s = _scan_sub(s, f.scans)
+            if s is not None and f.filter_let:
+                s = _bind_sub(s, f)
+            if s is not None and not f.scans and not f.filter_let and (
+                s in types
+            ):
                 s = None
         if s is not None and s not in want:
             want.append(s)
@@ -599,8 +637,15 @@ def resolve_dtypes(plan: Plan, facts) -> Plan:
             feats.append(f)
             continue
         t = None
+        probe_expr = f.expr
+        if isinstance(f.expr, str) and (f.scans or f.filter_let):
+            probe_expr = f.expr.strip()
+            if f.scans:
+                probe_expr = _scan_sub(probe_expr, f.scans)
+            if probe_expr is not None and f.filter_let:
+                probe_expr = _bind_sub(probe_expr, f)
         if f.agg in _SHAPE_PRESERVING:
-            t = expr_type(f.expr)
+            t = expr_type(probe_expr)
             if t is not None and t.startswith(_NUMERICISH) and not (
                 t.startswith(_INT_FAMILY)
             ):
@@ -608,7 +653,7 @@ def resolve_dtypes(plan: Plan, facts) -> Plan:
             elif t is not None and f.agg is Agg.COLLECT:
                 t = f"array<{t}>"
         elif f.agg is Agg.SUM:
-            t = expr_type(f.expr)
+            t = expr_type(probe_expr)
             t = "bigint" if t is not None and t.startswith(_INT_FAMILY) else None
         if t is not None:
             if f.group is not None:

@@ -540,7 +540,18 @@ class ReplSession:
                             strategy=run_strategy,
                             error_codes=err,
                         )
-                        return res.toPandas(), dict(res.dtypes)
+                        pdf = res.toPandas()
+                        if not err and run_dialect != "sql":
+                            # pandas-dialect plans carry callable
+                            # exprs the Error64 pass can't read;
+                            # re-derive the codes from the sql parse
+                            # of the same query so `tombstone` still
+                            # renders (best-effort)
+                            pdf = self._merge_error_codes(
+                                q, facts, ecol, tcol, scol, tombcol,
+                                funcs, pdf,
+                            )
+                        return pdf, dict(res.dtypes)
                     except Exception:  # noqa: BLE001 — retry w/o errs
                         if not err:
                             raise
@@ -548,6 +559,46 @@ class ReplSession:
                 if first_err is None:
                     first_err = exc
         raise first_err
+
+    def _merge_error_codes(
+        self, q, facts, ecol, tcol, scol, tombcol, funcs, pdf
+    ):
+        """Best-effort Error64 merge for results computed from a
+        pandas-dialect plan: parse the query again in the sql dialect
+        and join the standalone code pass's ``<name>_err`` columns, so
+        error nulls render ``tombstone``. Any failure leaves the
+        result code-less (plain ``None`` rendering)."""
+        from icicle_spark.plans import icicle_snapshot
+        from icicle_spark.source_lang import parse_program
+
+        try:
+            plans = parse_program(
+                [q], dialect="sql", entity_col=ecol, time_col=tcol,
+                seq_col=scol, tombstone_col=tombcol,
+                functions=funcs or None,
+            )
+            (_, p2), = plans.items()
+            if self.max_map_size is not None:
+                p2 = dataclasses.replace(
+                    p2, max_group_size=self.max_map_size
+                )
+            from icicle_spark.plans.errors import error_codes as _ec
+
+            errs = _ec(
+                facts, p2, snapshot=icicle_snapshot(self.snapshot)
+            ).toPandas()
+            pdf = pdf.merge(errs, on=ecol, how="left")
+            # a postcomp may null out of its OWN arithmetic while its
+            # folds read OK — upgrade to CannotCompute (run_plan's
+            # error branch does the same JVM-side)
+            for name, _e in p2.postcomps:
+                ecol_name = f"{name}_err"
+                if name in pdf.columns and ecol_name in pdf.columns:
+                    m = pdf[name].isna() & (pdf[ecol_name] == 0)
+                    pdf.loc[m, ecol_name] = 3
+        except Exception:  # noqa: BLE001 — codes are best-effort
+            pass
+        return pdf
 
     def _query(self, q: str) -> list[str]:
         try:
@@ -569,8 +620,22 @@ class ReplSession:
                 # repl shows error values as `tombstone` (t03:50)
                 if v is None or (not hasattr(v, "__len__") and pd.isna(v)):
                     return "tombstone"
-            if _is_integral_type(dtypes.get(c, "")):
-                return render_value(_intify(v))
+            dt = dtypes.get(c, "")
+            if _is_integral_type(dt):
+                v = _intify(v)
+            if dt.startswith("struct<") and isinstance(v, dict) and not all(
+                re.fullmatch(r"f\d+", k) for k in v
+            ):
+                # RECORD cell (t16 `newest fields`): field names print
+                # bare, in the record's Data.Map order — unlike map
+                # keys, which render in their key type's show form
+                return (
+                    "[ "
+                    + " , ".join(
+                        f"({k}, {render_value(x)})" for k, x in v.items()
+                    )
+                    + " ]"
+                )
             return render_value(v)
 
         for _, row in out.sort_values(ecol).iterrows():
