@@ -718,6 +718,119 @@ def unwrap_output(v):
     return v
 
 
+_INT_APPS = {
+    "trunc", "abs", "length", "fst", "snd", "get", "get_or_else",
+    "box", "minimum", "maximum", "mod", "int_div",
+    "year_of", "month_of", "day_of", "days", "days_between", "index",
+}
+_DBL_APPS = {
+    "double", "log", "exp", "sqrt", "sin", "cos", "tan", "asin",
+    "acos", "atan", "atan2", "sinh", "cosh", "tanh", "pi",
+}
+
+
+def infer_numeric(ast, coltypes: dict) -> str | None:
+    """Static numeric typing of an expression: ``"int"`` when every
+    evaluation provably yields an integral number given the leaf
+    column types, ``"double"`` for provably-fractional, None for
+    non-numeric / unknown shapes. The reference checker's Num typing
+    for the arithmetic fragment — lets int folds and int element
+    expressions print `1500`, not `1500.0`, even when the body only
+    parses in the exprlang (non-SQL) dialect.
+
+    ``coltypes`` maps leaf names to Spark simpleString types (column
+    types, bind types, or "int"/"double" for pre-typed binds)."""
+    _INT = ("tinyint", "smallint", "int", "bigint", "long")
+
+    def join(ts):
+        ts = [t for t in ts if t != "bottom"]
+        if not ts:
+            return "bottom"
+        if any(t is None for t in ts):
+            return None
+        if all(t == "int" for t in ts):
+            return "int"
+        if all(t in ("int", "double") for t in ts):
+            return "double"
+        return None
+
+    def binds(pat, st):
+        # pattern binds inherit the scrutinee's numeric type (payload
+        # of an error/option wrapper ≈ the wrapped numeric)
+        kind = pat[0]
+        if kind == "pvar":
+            return {pat[1]: st if st is not None else None}
+        if kind == "pctor" and pat[2] is not None:
+            return binds(pat[2], st)
+        return {}
+
+    def go(a, env):
+        kind = a[0]
+        if kind == "lit":
+            v = a[1]
+            if isinstance(v, bool):
+                return None
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                return "double"
+            return None
+        if kind == "var":
+            t = env.get(a[1], coltypes.get(a[1]))
+            if t in ("int", "double", "bottom", None):
+                return t
+            if t.startswith(_INT):
+                return "int"
+            if t.startswith(("double", "float", "decimal")):
+                return "double"
+            return None
+        if kind == "un":
+            if a[1] == "-":
+                return go(a[2], env)
+            return None
+        if kind == "bin":
+            op = a[1]
+            if op == "/":
+                lt, rt = go(a[2], env), go(a[3], env)
+                return "double" if None not in (lt, rt) else None
+            if op in ("+", "-", "*"):
+                return join([go(a[2], env), go(a[3], env)])
+            return None  # comparisons/booleans aren't numeric
+        if kind == "if":
+            return join([go(a[2], env), go(a[3], env)])
+        if kind == "case":
+            st = go(a[1], env)
+            return join([
+                go(body, {**env, **binds(pat, st)})
+                for pat, body in a[2]
+            ])
+        if kind == "ctor":
+            tag, arg = a[1], a[2]
+            if tag in ("Some", "Right", "Left", "ExceptTombstone"):
+                # error/option wrappers: payload type (None payload =
+                # a null leaf — bottom, joins as identity)
+                return go(arg, env) if arg is not None else "bottom"
+            if tag == "None":
+                return "bottom"
+            return None
+        if kind == "app":
+            fn = a[1]
+            if fn in _INT_APPS:
+                if fn in ("minimum", "maximum", "get_or_else",
+                          "fst", "snd", "get", "box", "index"):
+                    return join([go(x, env) for x in a[2]])
+                return "int"
+            if fn in _DBL_APPS:
+                return "double"
+            if fn == "seq":
+                return go(a[2][-1], env) if a[2] else None
+            return None
+        return None  # tuple/record/map states are non-numeric
+
+    t = go(ast, {})
+    return None if t == "bottom" else t
+
+
 def free_vars(ast) -> set[str]:
     """Free variables of an expression (pattern binds removed)."""
     kind = ast[0]
@@ -1062,6 +1175,7 @@ def to_callable(ast, env: dict | None = None):
     def fn(pdf):
         return ev(ast, pdf, {})
 
+    fn.__icicle_ast__ = ast  # lets resolve_dtypes type the callable
     return fn
 
 

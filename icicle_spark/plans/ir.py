@@ -617,6 +617,15 @@ def resolve_dtypes(plan: Plan, facts) -> Plan:
 
     def expr_type(e) -> str | None:
         if not isinstance(e, str):
+            # exprlang callable: static numeric inference over its AST
+            # (the reference checker's Num typing for the arithmetic
+            # fragment) — covers pandas-dialect plans SQL can't probe
+            ast = getattr(e, "__icicle_ast__", None)
+            if ast is not None:
+                from icicle_spark.exprlang import infer_numeric
+
+                t = infer_numeric(ast, types)
+                return {"int": "bigint", "double": "double"}.get(t)
             return None
         s = e.strip()
         return types.get(s) or probed.get(s)
@@ -629,6 +638,25 @@ def resolve_dtypes(plan: Plan, facts) -> Plan:
         if isinstance(f.agg, CustomFold):
             s = _fold_probe(f.agg)
             t = probed.get(s) if s else None
+            if t is None and f.agg.step_src and f.agg.bind and (
+                f.agg.init_src and f.agg.dtype == "double"
+            ):
+                # non-SQL fold body (constructor states, case
+                # patterns): static exprlang inference — `fold p =
+                # Left 0 then case ...` is an Int fold (t13 prints 0)
+                try:
+                    from icicle_spark import exprlang as X
+
+                    i_ast = X.parse(f.agg.init_src)
+                    s_ast = X.parse(f.agg.step_src)
+                    it = X.infer_numeric(i_ast, types)
+                    st = X.infer_numeric(
+                        s_ast, {**types, f.agg.bind: it}
+                    ) if it is not None else None
+                    if it == st == "int":
+                        t = "bigint"
+                except Exception:  # noqa: BLE001 — stay double
+                    t = None
             if t is not None and t.startswith(_INT_FAMILY):
                 f = _dc.replace(
                     f, agg=_dc.replace(f.agg, dtype="bigint")

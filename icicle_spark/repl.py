@@ -215,7 +215,7 @@ def render_value(v) -> str:
         if keys and all(
             isinstance(k, str) and re.fullmatch(r"f\d+", k) for k in keys
         ):
-            return "(" + ", ".join(render_value(x) for x in v.values()) + ")"
+            return _tuple_str([render_value(x) for x in v.values()])
         if not v:
             return "[]"
         return (
@@ -229,7 +229,7 @@ def render_value(v) -> str:
     if hasattr(v, "asDict"):  # pyspark Row (struct cell)
         d = v.asDict()
         if all(re.fullmatch(r"f\d+", k) for k in d):
-            return "(" + ", ".join(render_value(x) for x in d.values()) + ")"
+            return _tuple_str([render_value(x) for x in d.values()])
         if not d:
             return "[]"
         return (
@@ -240,6 +240,18 @@ def render_value(v) -> str:
             + " ]"
         )
     return str(v)
+
+
+def _tuple_str(parts: list[str]) -> str:
+    """N-tuples print as LEFT-NESTED pairs, the reference's tuple
+    association (t07 golden `((100.0, 20.0), 1500)` for a flat
+    3-tuple output; the engine's struct value is flat f1..fN)."""
+    if len(parts) <= 2:
+        return "(" + ", ".join(parts) + ")"
+    s = f"({parts[0]}, {parts[1]})"
+    for x in parts[2:]:
+        s = f"({s}, {x})"
+    return s
 
 
 def render_key(k) -> str:
@@ -623,6 +635,18 @@ class ReplSession:
             dt = dtypes.get(c, "")
             if _is_integral_type(dt):
                 v = _intify(v)
+            if dt.startswith("array<struct") and v is not None and (
+                hasattr(v, "__len__")
+            ):
+                # per-element error boxing inside `latest N` (t15
+                # golden): a null STRUCT element can only be an error
+                # value — Options never wrap tuples in the corpus
+                # grammar — so it prints `tombstone` in place
+                items = [
+                    "tombstone" if x is None else render_value(x)
+                    for x in (v.tolist() if hasattr(v, "tolist") else v)
+                ]
+                return "[ " + " , ".join(items) + " ]" if items else "[]"
             if dt.startswith("struct<") and isinstance(v, dict) and not all(
                 re.fullmatch(r"f\d+", k) for k in v
             ):

@@ -1836,12 +1836,21 @@ def parse_query_multi(
         # fragment; the visible output is one struct column f1..fN.
         # (The reference prints N-tuples as left-nested pairs; the
         # flat struct is the same value up to association.)
-        frags = []
-        for comp in comps:
+        def _tuple_frag(comp: str) -> str:
+            inner = _split_top_tuple(comp.strip())
+            if inner:
+                # NESTED tuple component (t07 `((newest .., newest ..),
+                # sum ..)`): a nested struct, not a flattened one
+                return "named_struct(" + ", ".join(
+                    f"'f{j + 1}', {_tuple_frag(ci)}"
+                    for j, ci in enumerate(inner)
+                ) + ")"
             low = _lower_subqueries(b, comp)
             rew = _extract_aggs(b, low)
             rew = b.sub(b.sub_agg(rew)).strip()
-            frags.append(_render_post(b, rew))
+            return _render_post(b, rew)
+
+        frags = [_tuple_frag(comp) for comp in comps]
         if not b.feats:
             # all-constant tuple (t07 `(map_insert 0 0 map_create, 0)`)
             # still emits one row per entity: a context-free presence
