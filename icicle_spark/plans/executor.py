@@ -282,7 +282,14 @@ def _feature_value(
         if pg is not None:
             # a guarded-out null never reaches the fold: no poison
             vis_null = vis_null & pg[idx]
-        if not f.skip_nulls and vis_null.any():
+        # COLLECT is exempt: `group k ~> latest N ~> elem` boxes each
+        # element's error individually (ReifyPossibility.hs — the t70
+        # golden renders homer|{ "arm" -> [ None, None ], ... })
+        if (
+            not f.skip_nulls
+            and f.agg is not Agg.COLLECT
+            and vis_null.any()
+        ):
             return None
         keys = gkey[idx]
         out: dict[str, Any] = {}

@@ -253,7 +253,9 @@ def _feature_series(
         # is exempt: inside `latest N` each element boxes its OWN
         # error (ReifyPossibility.hs — t15 per-element `tombstone`
         # golden), so nulls stay in place.
-        if f.agg is Agg.COLLECT and f.group is None:
+        if f.agg is Agg.COLLECT:
+            # grouped or not — null group KEYS still poison (t03.1),
+            # null elements box per-element (t70 group ~> latest)
             poison = key_poison
         else:
             nn = pd.isna(sub["v"]).to_numpy()

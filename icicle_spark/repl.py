@@ -14,6 +14,8 @@ that have no Spark counterpart):
 
     :load FILE.icicle            declared dictionary (source format)
     :load FILE.psv               entity|attribute|value|time facts
+    :load FILE.zbin              zebra binary fact store (schema IS
+                                 the dictionary, as in reference t70)
     :load FILE.parquet input=N entity=C time=C [seq=C] [tombstone=C]
                                  columnar facts registered as input N
     :set snapshot YYYY-MM-DD     exclusive snapshot date
@@ -301,7 +303,7 @@ def _intify(v):
 
 
 _HELP = """\
-:load FILE.icicle|FILE.psv        load dictionary / PSV facts
+:load FILE.icicle|FILE.psv|FILE.zbin   dictionary / PSV / zebra facts
 :load F.parquet input=N entity=C time=C [seq=C] [tombstone=C]
 :set snapshot DATE | max-map-size N | +big-data | -big-data
 :set strategy auto|native|vectorized|cogroup | dialect pandas|sql
@@ -436,6 +438,25 @@ class ReplSession:
             self.psv_path = path
             self._facts_cache.clear()
             return [f"Selected psv file as input: {path}"]
+        if path.endswith((".zbin", ".zbin3")):
+            # zebra binary fact store: the store's schema IS the
+            # dictionary (reference repl t70: "Loaded dictionary with
+            # 1 inputs" after :load sample.zbin)
+            from icicle_spark.sources.zebra_binary import (
+                read_zbin_schema,
+                zebra_dictionary,
+            )
+
+            self.dictionary = zebra_dictionary(read_zbin_schema(path))
+            self.dict_path = path
+            self.dict_funcs = {}
+            self.psv_path = path
+            self._facts_cache.clear()
+            return [
+                f"Loaded dictionary with "
+                f"{len(self.dictionary.inputs)} inputs.",
+                f"Selected zebra binary file as input: {path}",
+            ]
         if path.endswith((".parquet", ".pq")) or "input" in opts:
             name = opts.get("input")
             if not name or "entity" not in opts or "time" not in opts:
@@ -484,9 +505,17 @@ class ReplSession:
             raise ValueError("no facts loaded — :load FILE.psv first")
         key = (self.dict_path, self.psv_path, input_name)
         if key not in self._facts_cache:
-            self._facts_cache[key] = load_typed_facts(
-                self.spark, self.dictionary, input_name, self.psv_path
-            ).cache()
+            if self.psv_path.endswith((".zbin", ".zbin3")):
+                from icicle_spark.sources.zebra_binary import (
+                    load_zebra_facts,
+                )
+
+                df = load_zebra_facts(self.spark, self.psv_path, input_name)
+            else:
+                df = load_typed_facts(
+                    self.spark, self.dictionary, input_name, self.psv_path
+                )
+            self._facts_cache[key] = df.cache()
         return (self._facts_cache[key], "entity", "time", "seq", "tombstone")
 
     def run_query(self, q: str) -> pd.DataFrame:

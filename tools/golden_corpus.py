@@ -411,10 +411,12 @@ def run_script(spark, script: str, verbose: bool = False,
 
     state = ReplState()
     for ev, arg in script_events(script):
-        if ev == "load" and not arg.endswith((".psv", ".icicle")):
+        if ev == "load" and not arg.endswith(
+            (".psv", ".icicle", ".zbin", ".zbin3")
+        ):
             n_eval = sum(1 for k, _ in goldens if k == "eval")
             return 0, 0, [], [
-                ("<script>", f"binary input format {arg!r} (zebra) — "
+                ("<script>", f"unknown input format {arg!r} — "
                              f"{n_eval} queries out of scope")
             ]
     verified = rejected = 0
@@ -432,6 +434,10 @@ def run_script(spark, script: str, verbose: bool = False,
             path = os.path.normpath(path)
             if arg.endswith(".icicle"):
                 state.dict_path = path
+            elif arg.endswith((".zbin", ".zbin3")):
+                # zebra binary store: schema IS the dictionary (t70)
+                state.dict_path = path
+                state.psv_path = path
             else:
                 state.psv_path = path
             continue
@@ -444,10 +450,20 @@ def run_script(spark, script: str, verbose: bool = False,
         qi += 1
         try:
             if state.dict_path not in dictionaries:
-                with open(state.dict_path) as f:
-                    dic, _skipped = parse_dictionary_source(
-                        f.read(), seq_col="seq"
+                if state.dict_path.endswith((".zbin", ".zbin3")):
+                    from icicle_spark.sources.zebra_binary import (
+                        read_zbin_schema,
+                        zebra_dictionary,
                     )
+
+                    dic = zebra_dictionary(
+                        read_zbin_schema(state.dict_path)
+                    )
+                else:
+                    with open(state.dict_path) as f:
+                        dic, _skipped = parse_dictionary_source(
+                            f.read(), seq_col="seq"
+                        )
                 dictionaries[state.dict_path] = dic
             dic = dictionaries[state.dict_path]
             funcs = _collect_functions(_top_level_blocks("\n".join(state.lets)))
@@ -500,9 +516,19 @@ def run_script(spark, script: str, verbose: bool = False,
                         )
                     key = (state.dict_path, state.psv_path, inp)
                     if key not in facts_cache:
-                        facts_cache[key] = build_facts(
-                            spark, dic, inp, state.psv_path
-                        ).cache()
+                        if state.psv_path.endswith((".zbin", ".zbin3")):
+                            from icicle_spark.sources.zebra_binary import (
+                                load_zebra_facts,
+                            )
+
+                            facts = load_zebra_facts(
+                                spark, state.psv_path, inp
+                            )
+                        else:
+                            facts = build_facts(
+                                spark, dic, inp, state.psv_path
+                            )
+                        facts_cache[key] = facts.cache()
                     facts = facts_cache[key]
                     out = run_plan(
                         facts, plan,
