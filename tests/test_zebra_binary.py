@@ -348,3 +348,68 @@ def test_repl_session_loads_zbin(spark):
     df = sess.run_query("from injury ~> newest location")
     got = dict(zip(df["entity"], df.iloc[:, 1]))
     assert got == {"homer": "torso", "marge": "head", "moe": "hair"}
+
+
+def test_zebra_nested_cli_golden(spark):
+    """The zebra-nested CLI suite end-to-end FROM ITS BINARY: the run
+    script queries input.zbin3 (Array String facts) through five
+    declared features at snapshot 2017-02-01 and diffs expected.psv —
+    reproduced here value-for-value (column order in expected.psv is
+    feature-name order: latest_couple, length, length_outer,
+    newest_strings, sorted)."""
+    from icicle_spark.plans import icicle_snapshot, run_plan
+    from icicle_spark.source_lang import parse_program
+    from icicle_spark.sources.zebra_binary import load_zebra_facts
+
+    d = f"{REF}/icicle-compiler/test/cli/zebra-nested"
+    facts = load_zebra_facts(spark, f"{d}/input.zbin3", "nested")
+
+    QS = {
+        "newest_strings": "from nested ~> newest value",
+        "latest_couple": "from nested ~> latest 5 ~> value",
+        "length": "from nested ~> length (newest value)",
+        "length_outer":
+            "from nested ~> let l = (latest 5 ~> value) ~> length l",
+        "sorted": "from nested ~> sort (newest value)",
+    }
+    got: dict[str, dict] = {}
+    for name, q in QS.items():
+        plans = parse_program(
+            [q], dialect="pandas", seq_col="seq",
+            tombstone_col="tombstone",
+        )
+        (_, plan), = plans.items()
+        out = run_plan(
+            facts, plan, snapshot=icicle_snapshot("2017-02-01"),
+            strategy="auto",
+        ).toPandas()
+        for _, r in out.iterrows():
+            got.setdefault(r["entity"], {})[name] = _to_py(r["q0"])
+
+    want = {
+        "e2": {
+            "latest_couple": [[], ["fact1"], ["foasfd"]],
+            "length": 1,
+            "length_outer": 3,
+            "newest_strings": ["foasfd"],
+            "sorted": ["foasfd"],
+        },
+        "homer": {
+            "latest_couple": [["ammmm", "bi", "", "c"]],
+            "length": 4,
+            "length_outer": 1,
+            "newest_strings": ["ammmm", "bi", "", "c"],
+            "sorted": ["", "ammmm", "bi", "c"],
+        },
+    }
+    assert got == want
+
+
+def _to_py(v):
+    if isinstance(v, np.ndarray):
+        return [_to_py(x) for x in v.tolist()]
+    if isinstance(v, list):
+        return [_to_py(x) for x in v]
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
