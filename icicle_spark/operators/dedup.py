@@ -136,6 +136,133 @@ def exact_dedup(
     )
 
 
+def duplicate_line_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    delim: str = "\n",
+    min_count: int = 2,
+) -> DataFrame:
+    """``(line_hash, n_occurrences)`` for every line whose corpus-wide
+    occurrence count reaches ``min_count`` — the boilerplate detector
+    behind line-level dedup (CCNet paragraph dedup / MassiveText &
+    RefinedWeb repeated-line removal: headers, footers, navigation
+    chrome, license blocks repeat across pages; prose lines don't).
+
+    100 TB shape: one narrow Generate (explode) and ONE groupBy over
+    8-byte xxhash64 keys (map-side combine does the heavy lifting —
+    every repeated line collapses to one row per partition before the
+    exchange). The result is bounded by the corpus's DISTINCT repeated
+    lines, not its size."""
+    import re as _re
+
+    lines = docs.select(
+        F.explode(F.split(_c(text_col), _re.escape(delim))).alias("__line")
+    )
+    return (
+        lines.groupBy(F.xxhash64("__line").alias("line_hash"))
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= F.lit(min_count))
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    min_count: int = 2,
+    strategy: str = "broadcast_set",
+    max_dup_lines: int = 100_000,
+) -> DataFrame:
+    """Remove every line that appears ``min_count``-or-more times
+    across the corpus (ALL occurrences — repeated lines are
+    boilerplate, not content; deterministic, unlike keep-one-copy
+    under shuffle). Returns ``docs`` with ``text_col`` rewritten
+    (kept lines re-joined on ``delim``) plus ``n_removed``.
+
+    Two scale strategies:
+
+    * ``broadcast_set`` (default): the dup-line hash set is collected
+      into ONE array row, broadcast, and each document filters its own
+      split — ZERO corpus shuffle beyond the small freq groupBy. Right
+      whenever the boilerplate set is modest (the normal case);
+      guarded by ``max_dup_lines`` with a loud executor-side error.
+    * ``positions``: duplicate OCCURRENCES join against the dup set
+      (AQE picks broadcast vs shuffle) and reduce to a per-doc
+      removal-position list; documents then drop those indexes with a
+      filter-with-index HOF. The corpus text itself never shuffles in
+      exploded form — only the matched positions do.
+    """
+    import re as _re
+
+    pat = _re.escape(delim)
+    dup = duplicate_line_hashes(docs, text_col, delim, min_count)
+    split = F.split(_c(text_col), pat)
+
+    if strategy == "broadcast_set":
+        arr = dup.agg(F.collect_list("line_hash").alias("__dup_lines"))
+        # the guard rides INSIDE the used column (a separate
+        # assert_true column would be pruned away by Catalyst)
+        arr = arr.select(
+            F.when(
+                F.size("__dup_lines") <= F.lit(max_dup_lines),
+                F.col("__dup_lines"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"line_dedup: duplicate-line set exceeds "
+                        f"{max_dup_lines}; use strategy='positions'"
+                    )
+                )
+            )
+            .alias("__dup_lines")
+        )
+        kept = F.filter(
+            split,
+            lambda x: ~F.array_contains("__dup_lines", F.xxhash64(x)),
+        )
+        return (
+            docs.crossJoin(F.broadcast(arr))
+            .withColumn("__kept", kept)
+            .withColumn(
+                "n_removed", F.size(split) - F.size("__kept")
+            )
+            .withColumn(text_col, F.array_join("__kept", delim))
+            .drop("__dup_lines", "__kept")
+        )
+    if strategy == "positions":
+        parts = docs.select(
+            _c(id_col).alias(id_col),
+            F.posexplode(split).alias("__pos", "__line"),
+        )
+        rm = (
+            parts.withColumn("line_hash", F.xxhash64("__line"))
+            .join(dup.select("line_hash"), on="line_hash")
+            .groupBy(id_col)
+            .agg(
+                F.collect_list("__pos").alias("__rm_pos"),
+                F.count("*").alias("__n_rm"),
+            )
+        )
+        kept = F.filter(
+            split, lambda x, i: ~F.array_contains("__rm_pos", i)
+        )
+        out = docs.join(rm, on=id_col, how="left")
+        return (
+            out.withColumn(
+                "n_removed", F.coalesce("__n_rm", F.lit(0))
+            )
+            .withColumn(
+                text_col,
+                F.when(F.col("__rm_pos").isNull(), _c(text_col))
+                .otherwise(F.array_join(kept, delim)),
+            )
+            .drop("__rm_pos", "__n_rm")
+        )
+    raise ValueError(f"unknown line_dedup strategy {strategy!r}")
+
+
 def benchmark_gram_index(
     benchmark: DataFrame, text_col: str = "text", n: int = 13
 ) -> DataFrame:

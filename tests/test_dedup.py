@@ -271,3 +271,106 @@ def test_decontaminate_flags_ngram_overlap(spark):
     assert hits.sort_index().equals(hits2)
     clean = decontaminate(corpus, bench, "text", "doc_id", n=8)
     assert sorted(r.doc_id for r in clean.select("doc_id").collect()) == [2, 4]
+
+
+# ----------------------------------------------------------- line dedup
+
+
+def _line_docs(spark):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": [
+                    "COOKIE BANNER\nreal prose one\nCOOKIE BANNER\n"
+                    "footer (c) 2026",
+                    "real prose two\nfooter (c) 2026",
+                    "COOKIE BANNER",   # becomes empty
+                    "unique only",     # untouched
+                    "",                # stays empty, n_removed 0
+                ],
+            }
+        )
+    )
+
+
+def test_line_dedup_removes_corpus_repeated_lines(spark):
+    from icicle_spark.operators.dedup import line_dedup
+
+    out = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in line_dedup(_line_docs(spark)).collect()
+    }
+    assert out == {
+        0: ("real prose one", 3),   # both banner copies + footer
+        1: ("real prose two", 1),
+        2: ("", 1),
+        3: ("unique only", 0),
+        4: ("", 0),
+    }
+
+
+def test_line_dedup_strategies_agree(spark):
+    """broadcast_set (zero corpus shuffle) and positions (per-doc
+    removal lists) are the same operator at two scales."""
+    from icicle_spark.operators.dedup import line_dedup
+
+    docs = _line_docs(spark)
+    a = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in line_dedup(docs, strategy="broadcast_set").collect()
+    }
+    b = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in line_dedup(docs, strategy="positions").collect()
+    }
+    assert a == b
+
+
+def test_line_dedup_min_count_and_delim(spark):
+    import pandas as pd
+
+    from icicle_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["a|b|c", "b|d", "b|e"],
+            }
+        )
+    )
+    # b repeats 3x: survives min_count=4, drops at min_count=3
+    keep = {
+        r.doc_id: r.text
+        for r in line_dedup(docs, delim="|", min_count=4).collect()
+    }
+    assert keep == {0: "a|b|c", 1: "b|d", 2: "b|e"}
+    drop = {
+        r.doc_id: r.text
+        for r in line_dedup(docs, delim="|", min_count=3).collect()
+    }
+    assert drop == {0: "a|c", 1: "d", 2: "e"}
+
+
+def test_line_dedup_guard_raises_on_oversized_set(spark):
+    import pytest as _pytest
+
+    from icicle_spark.operators.dedup import line_dedup
+
+    docs = _line_docs(spark)
+    with _pytest.raises(Exception, match="exceeds|positions"):
+        line_dedup(docs, max_dup_lines=1).collect()
+
+
+def test_line_dedup_broadcast_plan_shape(spark):
+    """broadcast_set: the corpus side of the plan has NO exchange —
+    only the dup-set aggregation shuffles (tiny), and it arrives via
+    a broadcast join."""
+    from icicle_spark.operators.dedup import line_dedup
+
+    plan = line_dedup(_line_docs(spark))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
