@@ -39,6 +39,7 @@ HEADLINE = [
     "minhash_pairs",
     "simhash_pairs",
     "decontaminate",
+    "line_dedup",
     "repetition_stats",
     "embed_topk",
     "tpch_q1",

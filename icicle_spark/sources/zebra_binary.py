@@ -38,6 +38,11 @@ snappy reader accepts them).
 Arrays packed with 64-value bit-packed frames (a size that is neither
 raw nor snappy) have not been observed in the reference tree; the
 decoder raises a loud ``NotImplementedError`` rather than guessing.
+
+The legacy V2 layout (``||ZEBRA||00002||``, attribute-keyed blocks)
+is intentionally out of scope: the reference's own CLI suites ship
+``input.zbin2`` files but their run scripts exercise only the V3
+path (``test/cli/zebra/run`` line 31 "Zebra v3").
 """
 
 from __future__ import annotations
