@@ -2890,6 +2890,77 @@ ORDER BY doc_id
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2022,
+    arXiv 2107.06499): every 3-token gram occurring >= 2 times
+    corpus-wide marks its span; the union of marked spans drops from
+    ALL documents (all-occurrence policy — deterministic under
+    shuffle). Plan shape (`operators/dedup.py substring_dedup`,
+    strategy broadcast_set): 62-bit rolling-polynomial gram ids, one
+    freq groupBy over 8-byte keys (map-side combine), the dup set
+    broadcast as ONE array row, then pure-HOF span resolution per
+    document — ZERO corpus shuffle. The oracle recomputes the same
+    marking over gram STRINGS, so this also certifies the polynomial
+    ids collision-free on this corpus."""
+    from icicle_spark.operators.dedup import substring_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = substring_dedup(docs, k=3, min_count=2)
+    return out.select(
+        "doc_id",
+        F.col("text").alias("cleaned"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    ).orderBy("doc_id")
+
+
+_SUBSTRING_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+              ELSE [array_to_string(ws[i+1:i+3], ' ')
+                    FOR i IN range(0, len(ws) - 2)]
+         END gs
+  FROM toks
+),
+g2 AS (
+  SELECT doc_id, i AS p, gs[i+1] AS g
+  FROM grams, UNNEST(range(len(gs))) t(i)
+),
+dup AS (SELECT g FROM g2 GROUP BY g HAVING count(*) >= 2),
+marks AS (SELECT g2.doc_id, g2.p FROM g2 JOIN dup USING (g)),
+tokens AS (
+  SELECT doc_id, t, ws[t+1] AS tok
+  FROM toks, UNNEST(range(len(ws))) s(t)
+),
+flag AS (
+  SELECT tk.doc_id, tk.t, any_value(tk.tok) AS tok,
+         count(m.p) > 0 AS rm
+  FROM tokens tk
+  LEFT JOIN marks m
+    ON m.doc_id = tk.doc_id AND m.p BETWEEN tk.t - 2 AND tk.t
+  GROUP BY tk.doc_id, tk.t
+),
+agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(tok, ' ' ORDER BY t)
+                  FILTER (WHERE NOT rm), '') AS cleaned,
+         count(*) FILTER (WHERE rm)          AS n_removed
+  FROM flag GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       coalesce(a.cleaned, '')                    AS cleaned,
+       CAST(coalesce(a.n_removed, 0) AS BIGINT)   AS n_removed
+FROM toks tk LEFT JOIN agg a USING (doc_id)
+ORDER BY tk.doc_id
+"""
+
+
 def q_math_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BuiltinMath scalar surface (Builtin.hs:47-67) with Possibly
     semantics: acos/asin outside [-1,1] are null (not NaN), rounding
@@ -3012,7 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decon": q_semantic_decon,
         "decontaminate": q_decontaminate,
         "line_dedup": q_line_dedup,
-        "math_builtins": q_math_builtins,
+        "substring_dedup": q_substring_dedup,
         "chord_labeled": q_chord_labeled,
         "resume_fold": q_resume_fold,
         "classifier_score": q_classifier_score,
@@ -3031,6 +3102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_let_bind": q_filter_let_bind,
         "dictionary_native": q_dictionary_native,
         # ---- position 51+: driver-certified in r01/r02/r03 ----
+        # (math_builtins rotated out late-r4 for substring_dedup:
+        # functions/scalars.py is untouched since its r3 oracle row)
+        "math_builtins": q_math_builtins,
         "minhash_incremental": q_minhash_incremental,
         "simhash_incremental": q_simhash_incremental,
         "redact_pii": q_redact_pii,
@@ -3147,6 +3221,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_mix": _TOKEN_BUDGET_SQL,
         "math_builtins": _MATH_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
+        "substring_dedup": _SUBSTRING_DEDUP_SQL,
         # minhash_incremental / simhash_incremental: LSH banding not
         # SQL-expressible — rows-only; full-vs-incremental parity is
         # pinned by tests/test_dedup.py.

@@ -263,6 +263,176 @@ def line_dedup(
     raise ValueError(f"unknown line_dedup strategy {strategy!r}")
 
 
+def duplicate_gram_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """``(gram_hash, n_occurrences)`` for every k-token gram whose
+    corpus-wide occurrence count (across ALL positions, including
+    repeats inside one document) reaches ``min_count`` — the
+    duplicated-substring detector behind :func:`substring_dedup`.
+
+    100 TB shape: gram ids are 62-bit rolling polynomials over
+    per-word hashes (:func:`ngram_hashes64` — no shingle strings ever
+    materialize), then ONE groupBy over 8-byte keys with map-side
+    combine. The result is bounded by the corpus's distinct duplicated
+    grams, not its size. Texts shorter than ``k`` tokens contribute
+    their whole normalized text as one gram (same rule as
+    :func:`shingles`), so exact short duplicates are still caught."""
+    grams = docs.withColumn("__wh", word_hashes(text_col)).select(
+        F.explode(ngram_hashes64(F.col("__wh"), k)).alias("gram_hash")
+    )
+    return (
+        grams.groupBy("gram_hash")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= F.lit(min_count))
+    )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_count: int = 2,
+    strategy: str = "broadcast_set",
+    max_dup_grams: int = 200_000,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2022,
+    arXiv 2107.06499 "Deduplicating Training Data Makes Language
+    Models Better"): any run of >= ``k`` tokens appearing
+    ``min_count``-or-more times corpus-wide is duplicated text, and
+    every token covered by such a run drops from ALL documents. (The
+    paper keeps one copy via a corpus suffix array; removing all
+    occurrences keeps the operator deterministic under shuffle — the
+    same policy as :func:`line_dedup`.) Overlapping duplicated grams
+    merge into maximal spans automatically: a token is removed iff ANY
+    k-gram window covering it is duplicated.
+
+    Matching is over NORMALIZED tokens (lowercase alnum runs — the
+    tokenization every operator in this module uses) and the cleaned
+    text is that token stream re-joined with single spaces. Returns
+    ``docs`` with ``text_col`` rewritten plus ``n_removed`` (tokens
+    dropped).
+
+    Two scale strategies, mirroring :func:`line_dedup`:
+
+    * ``broadcast_set`` (default): the dup-gram set is collected into
+      ONE array row, broadcast, and each document resolves its own
+      spans with pure HOFs — ZERO corpus shuffle beyond the small
+      freq groupBy; guarded by ``max_dup_grams`` with a loud
+      executor-side error.
+    * ``positions``: duplicate gram OCCURRENCES join against the dup
+      set (AQE picks broadcast vs shuffle) and reduce to a per-doc
+      position list; only matched positions ever shuffle — never the
+      exploded corpus text.
+
+    Per-doc cost is O(tokens x k) HOF comparisons (a window ``exists``
+    over a flag-array slice); k is 8-50 in practice."""
+    base = (
+        docs.withColumn("__toks", _norm_tokens(text_col))
+        # materialized word hashes: an inline expression would be
+        # re-evaluated per polynomial slice (see word_hashes)
+        .withColumn(
+            "__wh",
+            F.transform(
+                "__toks",
+                lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE)),
+            ),
+        )
+        .withColumn("__grams", ngram_hashes64(F.col("__wh"), k))
+    )
+    dup = duplicate_gram_hashes(docs, text_col, k, min_count)
+
+    if strategy == "broadcast_set":
+        arr = dup.agg(F.collect_list("gram_hash").alias("__dup"))
+        # the guard rides INSIDE the used column (a separate
+        # assert_true column would be pruned away by Catalyst)
+        arr = arr.select(
+            F.when(
+                F.size("__dup") <= F.lit(max_dup_grams), F.col("__dup")
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"substring_dedup: duplicate-gram set exceeds "
+                        f"{max_dup_grams}; use strategy='positions'"
+                    )
+                )
+            )
+            .alias("__dup")
+        )
+        marked = base.crossJoin(F.broadcast(arr)).withColumn(
+            "__flags",
+            F.transform(
+                "__grams", lambda g: F.array_contains("__dup", g)
+            ),
+        )
+    elif strategy == "positions":
+        occ = base.select(
+            _c(id_col).alias(id_col),
+            F.posexplode("__grams").alias("__p", "gram_hash"),
+        )
+        rm = (
+            occ.join(dup.select("gram_hash"), on="gram_hash")
+            .groupBy(id_col)
+            .agg(F.collect_set("__p").alias("__dup_pos"))
+        )
+        marked = base.join(rm, on=id_col, how="left").withColumn(
+            "__flags",
+            F.when(
+                F.col("__dup_pos").isNull(),
+                F.transform("__grams", lambda g: F.lit(False)),
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__grams") - 1),
+                    lambda p: F.array_contains("__dup_pos", p),
+                )
+            ),
+        )
+    else:
+        raise ValueError(f"unknown substring_dedup strategy {strategy!r}")
+
+    n = F.size("__toks")
+    g = F.size("__flags")
+    # token t (1-based) is removed iff any flagged gram start in the
+    # window [max(1, t-k+1), min(t, g)] — non-empty for every t<=n
+    # (g = max(1, n-k+1), and the whole-text gram of a short doc
+    # covers all its tokens)
+    lo = lambda t: F.greatest(t - F.lit(k - 1), F.lit(1))  # noqa: E731
+    rm_flags = F.when(n == 0, F.array().cast("array<boolean>")).otherwise(
+        # the n==0 guard matters: sequence(1, 0) is DESCENDING [1, 0]
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda t: F.exists(
+                F.slice(
+                    F.col("__flags"),
+                    lo(t),
+                    F.least(t, g) - lo(t) + F.lit(1),
+                ),
+                lambda b: b,
+            ),
+        )
+    )
+    kept = F.filter(
+        # zip instead of element_at(i): element_at inside a HOF lambda
+        # re-evaluates the source array expression per element
+        F.zip_with("__toks", rm_flags, lambda x, f: F.when(~f, x)),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        marked.withColumn("__kept", kept)
+        .withColumn("n_removed", n - F.size("__kept"))
+        .withColumn(text_col, F.array_join("__kept", " "))
+        .drop(
+            "__toks", "__wh", "__grams", "__flags",
+            "__dup", "__dup_pos", "__kept",
+        )
+    )
+
+
 def benchmark_gram_index(
     benchmark: DataFrame, text_col: str = "text", n: int = 13
 ) -> DataFrame:

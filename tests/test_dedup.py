@@ -374,3 +374,109 @@ def test_line_dedup_broadcast_plan_shape(spark):
     plan = line_dedup(_line_docs(spark))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+
+
+def _ss_docs(spark):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "intro words then the quick brown fox jumps over"
+                    " the end",
+                    "totally unique content here",
+                    "short dup",   # < k tokens: whole-text gram
+                    "short dup",
+                ],
+            }
+        )
+    )
+
+
+def test_substring_dedup_merges_overlapping_spans(spark):
+    """The duplicated 7-token run is three overlapping dup 5-grams;
+    their union (a maximal span) is removed from BOTH docs, and
+    whole-text grams catch short exact dups."""
+    from icicle_spark.operators.dedup import substring_dedup
+
+    out = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in substring_dedup(_ss_docs(spark), k=5).collect()
+    }
+    assert out == {
+        0: ("lazy dog", 7),
+        1: ("intro words then end", 7),
+        2: ("totally unique content here", 0),
+        3: ("", 2),
+        4: ("", 2),
+    }
+
+
+def test_substring_dedup_strategies_agree(spark):
+    from icicle_spark.operators.dedup import substring_dedup
+
+    docs = _ss_docs(spark)
+    a = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in substring_dedup(
+            docs, k=5, strategy="broadcast_set"
+        ).collect()
+    }
+    b = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in substring_dedup(
+            docs, k=5, strategy="positions"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_substring_dedup_min_count_and_intra_doc_repeats(spark):
+    """min_count counts OCCURRENCES (a doc repeating its own phrase
+    counts twice), and raising min_count keeps borderline grams."""
+    import pandas as pd
+
+    from icicle_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [
+                    "spam spam spam spam eggs",  # 'spam spam' x3
+                    "fresh prose only",
+                ],
+            }
+        )
+    )
+    out = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in substring_dedup(docs, k=2, min_count=3).collect()
+    }
+    # grams: (spam,spam) x3 >= 3 -> tokens 0..3 removed; (spam,eggs)
+    # occurs once -> 'eggs' survives
+    assert out[0] == ("eggs", 4)
+    assert out[1] == ("fresh prose only", 0)
+
+
+def test_substring_dedup_guard_raises_on_oversized_set(spark):
+    import pytest as _pytest
+
+    from icicle_spark.operators.dedup import substring_dedup
+
+    with _pytest.raises(Exception, match="exceeds|positions"):
+        substring_dedup(_ss_docs(spark), k=5, max_dup_grams=1).collect()
+
+
+def test_substring_dedup_broadcast_plan_shape(spark):
+    """broadcast_set: the corpus never joins by shuffle — the dup set
+    arrives broadcast and there is no SortMergeJoin anywhere."""
+    from icicle_spark.operators.dedup import substring_dedup
+
+    plan = substring_dedup(_ss_docs(spark), k=5)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
