@@ -40,6 +40,7 @@ HEADLINE = [
     "simhash_pairs",
     "decontaminate",
     "line_dedup",
+    "substring_dedup",
     "repetition_stats",
     "embed_topk",
     "tpch_q1",

@@ -480,3 +480,69 @@ def test_substring_dedup_broadcast_plan_shape(spark):
         .queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _py_substring_dedup(texts, k, min_count=2):
+    """Pure-Python reference for substring_dedup semantics."""
+    import re as _re
+
+    toks = {
+        i: [t for t in _re.split(r"[^a-z0-9]+", s.lower()) if t]
+        for i, s in texts.items()
+    }
+    freq: dict = {}
+    per_doc = {}
+    for i, ws in toks.items():
+        gs = (
+            [tuple(ws[p : p + k]) for p in range(len(ws) - k + 1)]
+            if len(ws) >= k
+            else [tuple(ws)]
+        )
+        per_doc[i] = gs
+        for gr in gs:
+            freq[gr] = freq.get(gr, 0) + 1
+    out = {}
+    for i, ws in toks.items():
+        flags = [freq[gr] >= min_count for gr in per_doc[i]]
+        g = len(flags)
+        kept, rm = [], 0
+        for t in range(len(ws)):
+            if any(flags[max(0, t - k + 1) : min(t, g - 1) + 1]):
+                rm += 1
+            else:
+                kept.append(ws[t])
+        out[i] = (" ".join(kept), rm)
+    return out
+
+
+def test_substring_dedup_random_parity_with_python_reference(spark):
+    """Seeded random corpora (tiny vocab => dense duplication,
+    lengths straddling k, empty docs): both strategies match a
+    pure-Python span-marking reference exactly."""
+    import random
+
+    import pandas as pd
+
+    from icicle_spark.operators.dedup import substring_dedup
+
+    rng = random.Random(1789)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    for k in (2, 3, 5):
+        texts = {
+            i: " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(0, 14))
+            )
+            for i in range(30)
+        }
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": list(texts), "text": list(texts.values())}
+            )
+        )
+        want = _py_substring_dedup(texts, k)
+        for strat in ("broadcast_set", "positions"):
+            got = {
+                r.doc_id: (r.text, r.n_removed)
+                for r in substring_dedup(docs, k=k, strategy=strat).collect()
+            }
+            assert got == want, (k, strat)
