@@ -2961,6 +2961,57 @@ ORDER BY tk.doc_id
 """
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf keywords (`functions/text.py
+    tfidf_top_terms`). Plan shape: one corpus exchange (per-doc term
+    counts, map-side combined); document frequencies derive from that
+    same tf frame and join back BROADCAST (vocabulary-bounded); the
+    rank is over 6-digit-rounded scores with a word tiebreak so the
+    ordering is engine-stable."""
+    from icicle_spark.functions.text import tfidf_top_terms
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = tfidf_top_terms(docs, top_k=3)
+    return out.select(
+        "doc_id",
+        "word",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("tf").cast("long").alias("tf"),
+        "score",
+    ).orderBy("doc_id", "rank")
+
+
+_TFIDF_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text),
+                                               '[^a-z0-9]+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
+),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         tf.tf * ln(n.n / df.df) AS score
+  FROM tf JOIN df USING (word) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+              PARTITION BY doc_id
+              ORDER BY round(score, 6) DESC, word ASC
+            ) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, word, rank, CAST(tf AS BIGINT) AS tf, score
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 def q_math_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BuiltinMath scalar surface (Builtin.hs:47-67) with Possibly
     semantics: acos/asin outside [-1,1] are null (not NaN), rounding
@@ -3095,16 +3146,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_windows": q_calendar_windows,
         "latest_repack": q_latest_repack,
         "group_pair": q_group_pair,
-        "token_arrays": q_token_arrays,
+        "tfidf_terms": q_tfidf_terms,
         "token_seq_stats": q_token_seq_stats,
         "token_freq": q_token_freq,
         "source_mix": q_source_mix,
         "filter_let_bind": q_filter_let_bind,
         "dictionary_native": q_dictionary_native,
         # ---- position 51+: driver-certified in r01/r02/r03 ----
-        # (math_builtins rotated out late-r4 for substring_dedup:
-        # functions/scalars.py is untouched since its r3 oracle row)
+        # (math_builtins / token_arrays rotated out late-r4 for
+        # substring_dedup / tfidf_terms: functions/scalars.py,
+        # functions/arrays.py and operators/tokens.py are untouched
+        # since their r3 oracle rows)
         "math_builtins": q_math_builtins,
+        "token_arrays": q_token_arrays,
         "minhash_incremental": q_minhash_incremental,
         "simhash_incremental": q_simhash_incremental,
         "redact_pii": q_redact_pii,
@@ -3222,6 +3276,7 @@ def oracle_sql() -> dict[str, str]:
         "math_builtins": _MATH_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "substring_dedup": _SUBSTRING_DEDUP_SQL,
+        "tfidf_terms": _TFIDF_SQL,
         # minhash_incremental / simhash_incremental: LSH banding not
         # SQL-expressible — rows-only; full-vs-incremental parity is
         # pinned by tests/test_dedup.py.

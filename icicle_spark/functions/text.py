@@ -307,6 +307,58 @@ def doc_logprob(
     )
 
 
+def tfidf_top_terms(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+):
+    """Per-document top-``top_k`` distinctive terms by tf-idf
+    (``tf * ln(N / df)``) — the classic keyword-extraction /
+    topic-tagging signal for corpus exploration and source labelling.
+
+    Returns ``(id_col, word, rank, tf, score)`` with ``rank`` 1-based
+    by score descending, ties broken by word ascending. The ORDERING
+    uses the score rounded to 6 digits (so near-ties rank identically
+    on any engine) while the emitted ``score`` stays the raw double
+    (a rounded VALUE can straddle a half-boundary differently across
+    engines' libm; a raw one differs only in trailing ulps).
+    Documents with no tokens are absent.
+
+    100 TB shape: ONE corpus-sized exchange (the per-doc term-count
+    groupBy, map-side combined). Document frequencies derive from
+    that same tf frame (its rows are already distinct doc-term pairs
+    — no second corpus scan or distinct), and the df/N tables join
+    back BROADCAST (vocabulary-bounded). The final top-k window
+    re-partitions only the tf frame, never raw text."""
+    from pyspark.sql import Window as W
+
+    from icicle_spark.operators.dedup import _norm_tokens
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(_norm_tokens(F.col(text_col))).alias("word"),
+    )
+    tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    nrow = docs.agg(F.count("*").alias("__n"))
+    scored = (
+        tf.join(F.broadcast(df_), on="word")
+        .crossJoin(F.broadcast(nrow))
+        .withColumn(
+            "score", F.col("tf") * F.log(F.col("__n") / F.col("df"))
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(top_k))
+        .select(id_col, "word", "rank", "tf", "score")
+    )
+
+
 def quality_filter(docs, rules, keep_only: bool = False):
     """Declarative quality policy: ``rules`` is an ORDERED list of
     ``(name, sql_predicate)`` pairs over the frame's columns;

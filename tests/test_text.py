@@ -92,3 +92,38 @@ def test_doc_logprob_hand_golden(spark):
     assert out.loc[2, "logprob"] == pytest.approx(
         (math.log(3 / 8) + math.log(2 / 8)) / 2
     )
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from icicle_spark.functions.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "cat cat dog",      # cat distinctive (df=1, tf=2)
+                    "dog bird",         # dog is everywhere (df=3)
+                    "dog fish fish",
+                ],
+            }
+        )
+    )
+    out = tfidf_top_terms(docs, top_k=2).toPandas()
+    by_doc = {
+        d: list(g.sort_values("rank")[["word", "tf"]].itertuples(index=False, name=None))
+        for d, g in out.groupby("doc_id")
+    }
+    # df: cat 1, dog 3, bird 1, fish 1; N=3 => idf(dog)=ln(1)=0
+    assert by_doc[1] == [("cat", 2), ("dog", 1)]
+    assert by_doc[2] == [("bird", 1), ("dog", 1)]
+    assert by_doc[3] == [("fish", 2), ("dog", 1)]
+    s = out.set_index(["doc_id", "word"]).score
+    assert s.loc[(1, "cat")] == pytest.approx(2 * math.log(3))
+    assert s.loc[(1, "dog")] == pytest.approx(0.0)
+    # rank ties (score 0 for dog everywhere) break by word asc
+    plan = tfidf_top_terms(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # df/N join back broadcast
