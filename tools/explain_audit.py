@@ -270,6 +270,38 @@ def main() -> int:
         ],
     )
 
+    from icicle_spark.functions.text import tfidf_top_terms
+    from icicle_spark.operators.dedup import substring_dedup
+
+    t9 = plan_text(substring_dedup(docs, k=3))
+    ex9 = count(r"\(\d+\) Exchange", t9)
+    check(
+        "substring dedup (broadcast_set)",
+        t9,
+        [
+            ("corpus never joins by shuffle",
+             "SortMergeJoin" not in t9 and "ShuffledHashJoin" not in t9),
+            ("dup set arrives broadcast", "Broadcast" in t9),
+            ("only the dup-gram explode Generates (corpus side is "
+             "pure HOFs)", count(r"\(\d+\) Generate", t9) == 1),
+            (f"only dup-set-build exchanges (got {ex9} <= 3)", ex9 <= 3),
+        ],
+    )
+
+    t10 = plan_text(tfidf_top_terms(docs))
+    ex10 = count(r"\(\d+\) Exchange", t10)
+    check(
+        "tfidf top terms",
+        t10,
+        [
+            ("df/N join back broadcast (vocab-bounded)",
+             "BroadcastHashJoin" in t10),
+            ("no sort-merge join", "SortMergeJoin" not in t10),
+            (f"tf groupBy + vocab aggs + topk window only "
+             f"(got {ex10} <= 5)", ex10 <= 5),
+        ],
+    )
+
     print("=====")
     if failures:
         print("PLAN AUDIT FAILURES:", *failures, sep="\n  ")
