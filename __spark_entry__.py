@@ -3012,6 +3012,66 @@ ORDER BY doc_id, rank
 """
 
 
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style HTML -> text extraction (`functions/text.py
+    html_strip`): documents are deterministically wrapped in markup
+    (a comment and a script block CONTAINING the document text, a
+    tag per word boundary, entity-encoded angle brackets), then
+    stripped. Both engines synthesize the same HTML and the oracle
+    mirrors the strip chain, so the row certifies the regex-chain
+    parity end to end — comments/scripts vanish wholesale, tags
+    collapse to whitespace, entities decode (&amp; last)."""
+    from icicle_spark.functions.text import html_strip
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ent = F.replace(F.col("text"), F.lit("table"), F.lit("&lt;T&gt;"))
+    html = F.concat(
+        F.lit('<html><!-- '),
+        F.col("text"),
+        F.lit(' --><script a="b">var t = "'),
+        F.col("text"),
+        F.lit('";</script><body><p>'),
+        F.regexp_replace(ent, " ", " <br/> \n "),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(
+        "doc_id", html_strip(html).alias("cleaned")
+    ).orderBy("doc_id")
+
+
+_HTML_STRIP_SQL = r"""
+WITH synth AS (
+  SELECT doc_id,
+         '<html><!-- ' || text || ' --><script a="b">var t = "'
+         || text || '";</script><body><p>'
+         || regexp_replace(replace(text, 'table', '&lt;T&gt;'),
+                           ' ', ' <br/> ' || chr(10) || ' ', 'g')
+         || '</p></body></html>' AS h
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g'),
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+           '<[^>]+>', ' ', 'g') AS c
+  FROM synth
+)
+SELECT doc_id,
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(replace(replace(
+           c, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
+           '&amp;', '&'),
+         '\s+', ' ', 'g')) AS cleaned
+FROM stripped
+ORDER BY doc_id
+"""
+
+
 def q_math_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BuiltinMath scalar surface (Builtin.hs:47-67) with Possibly
     semantics: acos/asin outside [-1,1] are null (not NaN), rounding
@@ -3147,7 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_repack": q_latest_repack,
         "group_pair": q_group_pair,
         "tfidf_terms": q_tfidf_terms,
-        "token_seq_stats": q_token_seq_stats,
+        "html_strip": q_html_strip,
         "token_freq": q_token_freq,
         "source_mix": q_source_mix,
         "filter_let_bind": q_filter_let_bind,
@@ -3159,6 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # since their r3 oracle rows)
         "math_builtins": q_math_builtins,
         "token_arrays": q_token_arrays,
+        "token_seq_stats": q_token_seq_stats,
         "minhash_incremental": q_minhash_incremental,
         "simhash_incremental": q_simhash_incremental,
         "redact_pii": q_redact_pii,
@@ -3277,6 +3338,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_SQL,
         "substring_dedup": _SUBSTRING_DEDUP_SQL,
         "tfidf_terms": _TFIDF_SQL,
+        "html_strip": _HTML_STRIP_SQL,
         # minhash_incremental / simhash_incremental: LSH banding not
         # SQL-expressible — rows-only; full-vs-incremental parity is
         # pinned by tests/test_dedup.py.

@@ -307,6 +307,38 @@ def doc_logprob(
     )
 
 
+def html_strip(text: Column) -> Column:
+    """WET-style HTML -> text extraction (the CommonCrawl-pipeline
+    stage before any quality/dedup signal): drops comments,
+    ``<script>``/``<style>`` blocks wholesale, every remaining tag,
+    decodes the common entities, and collapses whitespace.
+
+    Pure chained ``regexp_replace`` — whole-stage codegen, zero
+    Python. The patterns stay in the RE2-compatible subset (inline
+    ``(?is)`` flags, non-greedy, no lookaround) so an engine-parity
+    oracle can mirror them verbatim; ``&amp;`` decodes LAST so
+    double-encoded entities don't double-decode."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, rep in (
+        (r"(?s)<!--.*?-->", " "),
+        (r"(?is)<script[^>]*>.*?</script>", " "),
+        (r"(?is)<style[^>]*>.*?</style>", " "),
+        (r"<[^>]+>", " "),
+    ):
+        c = F.regexp_replace(c, pat, rep)
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def tfidf_top_terms(
     docs,
     text_col: str = "text",

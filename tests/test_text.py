@@ -127,3 +127,36 @@ def test_tfidf_top_terms(spark):
     plan = tfidf_top_terms(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # df/N join back broadcast
+
+
+def test_html_strip(spark):
+    from icicle_spark.functions.text import html_strip
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "i": [0, 1, 2, 3],
+                "h": [
+                    '<html><head><style>p{c:red}</style>'
+                    '<script>var x=1<2;</script></head><body>'
+                    '<!-- secret -->'
+                    "<p>Hello &amp;amp; <b>world</b></p>\n"
+                    '<div>a&nbsp;&lt;tag&gt; &quot;q&#39;s&quot;</div>'
+                    "</body></html>",
+                    "plain text no markup",
+                    "<p>multi\n\n  space</p>",
+                    "",
+                ],
+            }
+        )
+    )
+    got = [r.t for r in docs.select(html_strip("h").alias("t"))
+           .orderBy("i").collect()]
+    assert got == [
+        # &amp;amp; decodes ONCE (amp last); script/style/comment
+        # bodies vanish wholesale, tags collapse to single spaces
+        'Hello &amp; world a <tag> "q\'s"',
+        "plain text no markup",
+        "multi space",
+        "",
+    ]
