@@ -136,33 +136,65 @@ def exact_dedup(
     )
 
 
+def line_hash_counts(
+    docs: DataFrame, text_col: str = "text", delim: str = "\n"
+) -> DataFrame:
+    """UNFILTERED corpus line counts ``(line_hash, n_occurrences)`` —
+    the persistable index behind incremental line-level dedup: keep
+    every count (a line seen once in the stored corpus plus once in
+    an increment IS a duplicate), parquet it per corpus snapshot, and
+    fold new batches in with :func:`merge_hash_counts`. Bounded by
+    distinct lines, not corpus size."""
+    import re as _re
+
+    lines = docs.select(
+        F.explode(F.split(_c(text_col), _re.escape(delim))).alias("__line")
+    )
+    return lines.groupBy(F.xxhash64("__line").alias("line_hash")).agg(
+        F.count("*").alias("n_occurrences")
+    )
+
+
+def merge_hash_counts(
+    a: DataFrame, b: DataFrame, key: str
+) -> DataFrame:
+    """Sum two ``(key, n_occurrences)`` count indexes — the
+    corpus-refresh update step for incremental line/substring dedup.
+    One groupBy over the two (distinct-bounded) indexes; never over
+    corpus data."""
+    return (
+        a.select(key, "n_occurrences")
+        .unionByName(b.select(key, "n_occurrences"))
+        .groupBy(key)
+        .agg(F.sum("n_occurrences").alias("n_occurrences"))
+    )
+
+
 def duplicate_line_hashes(
     docs: DataFrame,
     text_col: str = "text",
     delim: str = "\n",
     min_count: int = 2,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """``(line_hash, n_occurrences)`` for every line whose corpus-wide
     occurrence count reaches ``min_count`` — the boilerplate detector
     behind line-level dedup (CCNet paragraph dedup / MassiveText &
     RefinedWeb repeated-line removal: headers, footers, navigation
     chrome, license blocks repeat across pages; prose lines don't).
+    ``index`` (a persisted :func:`line_hash_counts` frame for the
+    already-ingested corpus) makes the detector incremental: counts
+    from ``docs`` merge with the stored counts before thresholding.
 
     100 TB shape: one narrow Generate (explode) and ONE groupBy over
     8-byte xxhash64 keys (map-side combine does the heavy lifting —
     every repeated line collapses to one row per partition before the
     exchange). The result is bounded by the corpus's DISTINCT repeated
     lines, not its size."""
-    import re as _re
-
-    lines = docs.select(
-        F.explode(F.split(_c(text_col), _re.escape(delim))).alias("__line")
-    )
-    return (
-        lines.groupBy(F.xxhash64("__line").alias("line_hash"))
-        .agg(F.count("*").alias("n_occurrences"))
-        .filter(F.col("n_occurrences") >= F.lit(min_count))
-    )
+    counts = line_hash_counts(docs, text_col, delim)
+    if index is not None:
+        counts = merge_hash_counts(counts, index, "line_hash")
+    return counts.filter(F.col("n_occurrences") >= F.lit(min_count))
 
 
 def line_dedup(
@@ -173,12 +205,23 @@ def line_dedup(
     min_count: int = 2,
     strategy: str = "broadcast_set",
     max_dup_lines: int = 100_000,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Remove every line that appears ``min_count``-or-more times
     across the corpus (ALL occurrences — repeated lines are
     boilerplate, not content; deterministic, unlike keep-one-copy
     under shuffle). Returns ``docs`` with ``text_col`` rewritten
     (kept lines re-joined on ``delim``) plus ``n_removed``.
+
+    INCREMENTAL ingest: pass ``index`` (the persisted
+    :func:`line_hash_counts` of the already-stored corpus) and
+    ``docs`` = the new batch only. The batch is cleaned against the
+    MERGED counts — identical to what a full-corpus run would do to
+    these documents (pytest-pinned) — at a cost proportional to the
+    increment; refresh the stored index with
+    :func:`merge_hash_counts`. (Old documents whose lines only now
+    became duplicates are re-cleaned at the next corpus refresh, the
+    standard ingest-pipeline contract.)
 
     Two scale strategies:
 
@@ -196,7 +239,7 @@ def line_dedup(
     import re as _re
 
     pat = _re.escape(delim)
-    dup = duplicate_line_hashes(docs, text_col, delim, min_count)
+    dup = duplicate_line_hashes(docs, text_col, delim, min_count, index)
     split = F.split(_c(text_col), pat)
 
     if strategy == "broadcast_set":
@@ -263,16 +306,34 @@ def line_dedup(
     raise ValueError(f"unknown line_dedup strategy {strategy!r}")
 
 
+def gram_hash_counts(
+    docs: DataFrame, text_col: str = "text", k: int = 10
+) -> DataFrame:
+    """UNFILTERED corpus k-gram counts ``(gram_hash,
+    n_occurrences)`` — the persistable index behind incremental
+    substring dedup (see :func:`line_hash_counts` for the contract).
+    Bounded by distinct grams, not corpus size."""
+    grams = docs.withColumn("__wh", word_hashes(text_col)).select(
+        F.explode(ngram_hashes64(F.col("__wh"), k)).alias("gram_hash")
+    )
+    return grams.groupBy("gram_hash").agg(
+        F.count("*").alias("n_occurrences")
+    )
+
+
 def duplicate_gram_hashes(
     docs: DataFrame,
     text_col: str = "text",
     k: int = 10,
     min_count: int = 2,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """``(gram_hash, n_occurrences)`` for every k-token gram whose
     corpus-wide occurrence count (across ALL positions, including
     repeats inside one document) reaches ``min_count`` — the
     duplicated-substring detector behind :func:`substring_dedup`.
+    ``index`` (a persisted :func:`gram_hash_counts` frame) makes it
+    incremental, exactly as in :func:`duplicate_line_hashes`.
 
     100 TB shape: gram ids are 62-bit rolling polynomials over
     per-word hashes (:func:`ngram_hashes64` — no shingle strings ever
@@ -281,14 +342,10 @@ def duplicate_gram_hashes(
     grams, not its size. Texts shorter than ``k`` tokens contribute
     their whole normalized text as one gram (same rule as
     :func:`shingles`), so exact short duplicates are still caught."""
-    grams = docs.withColumn("__wh", word_hashes(text_col)).select(
-        F.explode(ngram_hashes64(F.col("__wh"), k)).alias("gram_hash")
-    )
-    return (
-        grams.groupBy("gram_hash")
-        .agg(F.count("*").alias("n_occurrences"))
-        .filter(F.col("n_occurrences") >= F.lit(min_count))
-    )
+    counts = gram_hash_counts(docs, text_col, k)
+    if index is not None:
+        counts = merge_hash_counts(counts, index, "gram_hash")
+    return counts.filter(F.col("n_occurrences") >= F.lit(min_count))
 
 
 def substring_dedup(
@@ -299,6 +356,7 @@ def substring_dedup(
     min_count: int = 2,
     strategy: str = "broadcast_set",
     max_dup_grams: int = 200_000,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """ExactSubstr-style duplicated-span removal (Lee et al. 2022,
     arXiv 2107.06499 "Deduplicating Training Data Makes Language
@@ -330,7 +388,13 @@ def substring_dedup(
       exploded corpus text.
 
     Per-doc cost is O(tokens x k) HOF comparisons (a window ``exists``
-    over a flag-array slice); k is 8-50 in practice."""
+    over a flag-array slice); k is 8-50 in practice.
+
+    INCREMENTAL ingest: pass ``index`` (the persisted
+    :func:`gram_hash_counts` of the stored corpus) and ``docs`` = the
+    new batch; cleaning matches a full-corpus run on those documents
+    exactly (pytest-pinned) at increment cost — same contract as
+    :func:`line_dedup`."""
     base = (
         docs.withColumn("__toks", _norm_tokens(text_col))
         # materialized word hashes: an inline expression would be
@@ -344,7 +408,7 @@ def substring_dedup(
         )
         .withColumn("__grams", ngram_hashes64(F.col("__wh"), k))
     )
-    dup = duplicate_gram_hashes(docs, text_col, k, min_count)
+    dup = duplicate_gram_hashes(docs, text_col, k, min_count, index)
 
     if strategy == "broadcast_set":
         arr = dup.agg(F.collect_list("gram_hash").alias("__dup"))

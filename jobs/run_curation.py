@@ -1,6 +1,7 @@
 """End-to-end corpus curation pipeline (spark-submit entry):
 
-    exact dedup -> [benchmark n-gram decontamination] -> quality
+    exact dedup -> [line-level / substring boilerplate removal] ->
+    [benchmark n-gram decontamination] -> quality
     signals (word count, Gopher repetition stats, type-token ratio,
     unigram LM log-prob) -> declarative quality policy -> kept /
     dropped(+reason) parquet + a per-reason summary
@@ -155,6 +156,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--benchmark-embeddings",
                     help="eval-set embeddings parquet")
     ap.add_argument("--semantic-threshold", type=float, default=0.9)
+    ap.add_argument("--line-dedup", action="store_true",
+                    help="remove corpus-repeated lines (boilerplate) "
+                         "before signals; see dedup.line_dedup — "
+                         "incremental index reuse is operator-level")
+    ap.add_argument("--line-min-count", type=int, default=2)
+    ap.add_argument("--substring-dedup", type=int, default=0,
+                    metavar="K",
+                    help="remove duplicated >=K-token runs "
+                         "(ExactSubstr; dedup.substring_dedup); 0=off")
     ap.add_argument("--min-words", type=int, default=20)
     ap.add_argument("--max-words", type=int, default=100_000)
     ap.add_argument("--max-dup2", type=float, default=0.5)
@@ -200,6 +210,25 @@ def main(argv: list[str] | None = None) -> int:
     # 1. exact dedup (hash + groupBy, map-side combine)
     docs = exact_dedup(docs, args.text_col, args.id_col)
 
+    # 1.5 boilerplate removal — content REWRITES, so they run before
+    # any signal is computed; removal totals land in the job record
+    removal_totals = {}
+    if args.line_dedup:
+        from icicle_spark.operators.dedup import line_dedup
+
+        docs = line_dedup(
+            docs, args.text_col, args.id_col,
+            min_count=args.line_min_count,
+        )
+        docs = docs.withColumnRenamed("n_removed", "__lines_rm")
+    if args.substring_dedup:
+        from icicle_spark.operators.dedup import substring_dedup
+
+        docs = substring_dedup(
+            docs, args.text_col, args.id_col, k=args.substring_dedup
+        )
+        docs = docs.withColumnRenamed("n_removed", "__tokens_rm")
+
     # 2. benchmark decontamination (broadcast gram index), optionally
     # followed by embedding-space decontamination (paraphrases share
     # no n-gram; the flagged id set anti-joins the docs)
@@ -228,6 +257,13 @@ def main(argv: list[str] | None = None) -> int:
     # five times
     docs = docs.persist()
     n_clean = docs.count()
+    for col, key in (("__lines_rm", "lines_removed"),
+                     ("__tokens_rm", "tokens_removed")):
+        if col in docs.columns:
+            removal_totals[key] = int(
+                docs.agg(F.sum(col)).first()[0] or 0
+            )  # one bounded scalar off the persisted frame
+            docs = docs.drop(col)
 
     # 3. quality signals: one scan-side stage; log-prob adds the
     # word-freq build (one explode+groupBy) + a broadcast join
@@ -281,6 +317,7 @@ def main(argv: list[str] | None = None) -> int:
         "after_dedup_decontamination": n_clean,
         "kept": n_kept,
         "dropped_by_reason": reasons,
+        **removal_totals,
     }
     os.makedirs(args.output, exist_ok=True)
     with open(os.path.join(args.output, "summary.json"), "w") as f:

@@ -546,3 +546,111 @@ def test_substring_dedup_random_parity_with_python_reference(spark):
                 for r in substring_dedup(docs, k=k, strategy=strat).collect()
             }
             assert got == want, (k, strat)
+
+
+def test_line_dedup_incremental_matches_full(spark):
+    """Cleaning a new batch against the persisted line-count index of
+    the stored corpus == what a full-corpus run does to those same
+    documents (the dup set is the merged counts either way)."""
+    import pandas as pd
+
+    from icicle_spark.operators.dedup import (
+        line_dedup,
+        line_hash_counts,
+        merge_hash_counts,
+    )
+
+    old = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["COOKIE BANNER\nold prose", "old other\nfooter"],
+            }
+        )
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [2, 3],
+                # COOKIE BANNER dups vs OLD corpus; 'fresh line' dups
+                # only WITHIN the increment
+                "text": [
+                    "COOKIE BANNER\nfresh line\nnew prose",
+                    "fresh line\nmore new",
+                ],
+            }
+        )
+    )
+    idx = line_hash_counts(old)
+    inc = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in line_dedup(new, index=idx).collect()
+    }
+    full = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in line_dedup(old.unionByName(new)).collect()
+        if r.doc_id >= 2
+    }
+    assert inc == full
+    assert inc[2] == ("new prose", 2)
+    # and the refreshed index equals counting the whole corpus
+    merged = {
+        r.line_hash: r.n_occurrences
+        for r in merge_hash_counts(
+            line_hash_counts(new), idx, "line_hash"
+        ).collect()
+    }
+    whole = {
+        r.line_hash: r.n_occurrences
+        for r in line_hash_counts(old.unionByName(new)).collect()
+    }
+    assert merged == whole
+
+
+def test_substring_dedup_incremental_matches_full(spark):
+    import pandas as pd
+
+    from icicle_spark.operators.dedup import (
+        gram_hash_counts,
+        substring_dedup,
+    )
+
+    old = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [
+                    "the quick brown fox jumps high",
+                    "unrelated stored material here",
+                ],
+            }
+        )
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [2, 3],
+                "text": [
+                    "intro the quick brown fox outro",  # dup vs OLD
+                    "repeat me now repeat me now",      # dup within
+                ],
+            }
+        )
+    )
+    idx = gram_hash_counts(old, k=3)
+    for strat in ("broadcast_set", "positions"):
+        inc = {
+            r.doc_id: (r.text, r.n_removed)
+            for r in substring_dedup(
+                new, k=3, index=idx, strategy=strat
+            ).collect()
+        }
+        full = {
+            r.doc_id: (r.text, r.n_removed)
+            for r in substring_dedup(
+                old.unionByName(new), k=3, strategy=strat
+            ).collect()
+            if r.doc_id >= 2
+        }
+        assert inc == full, strat
+        assert inc[2] == ("intro outro", 4), strat

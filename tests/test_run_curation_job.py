@@ -153,3 +153,25 @@ feature text_len =
     assert got[4] == "repetitive_2gram"
     assert set(kept.doc_id) == {5, 6}
     assert summary["kept"] == 2
+
+
+def test_curation_pipeline_boilerplate_stages(spark, corpus, tmp_path):
+    """--line-dedup / --substring-dedup rewrite text before signals
+    and report removal totals in the summary."""
+    src, _ = corpus
+    out = str(tmp_path / "out_bp")
+    assert main([
+        "--input", src, "--output", out,
+        "--line-dedup", "--substring-dedup", "6",
+        "--min-words", "2", "--max-dup2", "1.0",
+        "--min-distinct-ratio", "0.0", "--no-logprob",
+    ]) == 0
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    # docs 1/2 are exact dups -> one survives, so its text is unique
+    # afterwards; the duplicated-substring stage still sees doc 4's
+    # internal 'spam ham' repetition (>= 6-token run repeated)
+    assert summary["tokens_removed"] > 0
+    assert "lines_removed" in summary
+    kept = spark.read.parquet(os.path.join(out, "kept"))
+    assert "__tokens_rm" not in kept.columns
+    assert "__lines_rm" not in kept.columns
