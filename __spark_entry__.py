@@ -2838,9 +2838,12 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The testdata's documents are single-line, so "lines" are derived
     as consecutive 5-word segments (the oracle derives them
     identically). Plan shape (`operators/dedup.py line_dedup`,
-    strategy broadcast_set): one freq groupBy over 8-byte xxhash64
-    keys (map-side combine), the dup set broadcast as ONE array row,
-    then a pure-HOF per-document filter — ZERO corpus shuffle."""
+    strategy positions — this synthetic corpus repeats ~2.7k distinct
+    segments, past broadcast_set's small-boilerplate sweet spot): one
+    freq groupBy over 8-byte xxhash64 keys (map-side combine), dup
+    OCCURRENCES hash-join the dup set and reduce to per-doc removal
+    indexes; only matched positions shuffle, never the corpus
+    text."""
     from icicle_spark.operators.dedup import line_dedup
 
     K = 5
@@ -2854,7 +2857,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lined = docs.select(
         "doc_id", F.array_join(segs, "\n").alias("text")
     )
-    out = line_dedup(lined, min_count=2)
+    out = line_dedup(lined, min_count=2, strategy="positions")
     return out.select(
         "doc_id",
         F.col("text").alias("cleaned"),
@@ -2896,12 +2899,15 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide marks its span; the union of marked spans drops from
     ALL documents (all-occurrence policy — deterministic under
     shuffle). Plan shape (`operators/dedup.py substring_dedup`,
-    strategy broadcast_set): 62-bit rolling-polynomial gram ids, one
-    freq groupBy over 8-byte keys (map-side combine), the dup set
-    broadcast as ONE array row, then pure-HOF span resolution per
-    document — ZERO corpus shuffle. The oracle recomputes the same
-    marking over gram STRINGS, so this also certifies the polynomial
-    ids collision-free on this corpus."""
+    default strategy positions): 62-bit rolling-polynomial gram ids,
+    one freq groupBy over 8-byte keys (map-side combine), duplicate
+    OCCURRENCES hash-join the broadcast dup set (membership cost
+    independent of dup-set size — this synthetic corpus duplicates
+    ~27k distinct grams) and reduce to per-doc position lists; span
+    resolution is then pure HOFs over those concrete arrays. The
+    oracle recomputes the same marking over gram STRINGS, so this
+    also certifies the polynomial ids collision-free on this
+    corpus."""
     from icicle_spark.operators.dedup import substring_dedup
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")

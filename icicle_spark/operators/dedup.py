@@ -228,7 +228,9 @@ def line_dedup(
     * ``broadcast_set`` (default): the dup-line hash set is collected
       into ONE array row, broadcast, and each document filters its own
       split — ZERO corpus shuffle beyond the small freq groupBy. Right
-      whenever the boilerplate set is modest (the normal case);
+      whenever the boilerplate set is modest (the normal case — but
+      note the per-line membership test scans the array: O(lines x
+      |dup set|), so switch to ``positions`` past ~1k dup lines);
       guarded by ``max_dup_lines`` with a loud executor-side error.
     * ``positions``: duplicate OCCURRENCES join against the dup set
       (AQE picks broadcast vs shuffle) and reduce to a per-doc
@@ -354,7 +356,7 @@ def substring_dedup(
     id_col: str = "doc_id",
     k: int = 10,
     min_count: int = 2,
-    strategy: str = "broadcast_set",
+    strategy: str = "positions",
     max_dup_grams: int = 200_000,
     index: DataFrame | None = None,
 ) -> DataFrame:
@@ -377,15 +379,19 @@ def substring_dedup(
 
     Two scale strategies, mirroring :func:`line_dedup`:
 
-    * ``broadcast_set`` (default): the dup-gram set is collected into
-      ONE array row, broadcast, and each document resolves its own
-      spans with pure HOFs — ZERO corpus shuffle beyond the small
-      freq groupBy; guarded by ``max_dup_grams`` with a loud
-      executor-side error.
-    * ``positions``: duplicate gram OCCURRENCES join against the dup
-      set (AQE picks broadcast vs shuffle) and reduce to a per-doc
+    * ``positions`` (default): duplicate gram OCCURRENCES hash-join
+      against the (broadcast) dup set and reduce to a per-doc
       position list; only matched positions ever shuffle — never the
-      exploded corpus text.
+      exploded corpus text. Membership is a hash probe, so cost is
+      independent of the dup-set size — the right shape here, since
+      duplicated-substring sets are corpus-frequency-bounded, not
+      boilerplate-bounded.
+    * ``broadcast_set``: the dup-gram set is collected into ONE array
+      row, broadcast, and each document resolves its own spans with
+      pure HOFs — ZERO corpus shuffle beyond the small freq groupBy,
+      but the in-array membership scan is O(grams x |dup set|) per
+      doc: use only when the dup set is SMALL (<~1k grams); guarded
+      by ``max_dup_grams`` with a loud executor-side error.
 
     Per-doc cost is O(tokens x k) HOF comparisons (a window ``exists``
     over a flag-array slice); k is 8-50 in practice.
@@ -428,10 +434,31 @@ def substring_dedup(
             )
             .alias("__dup")
         )
+        # __dup_pos: 0-based gram positions whose gram is duplicated,
+        # built in ONE pass over __grams. F.shuffle pins this to its
+        # own Project (nondeterministic expressions don't collapse):
+        # without the pin, Catalyst inlines the whole O(grams x
+        # |dup_set|) membership scan into the PER-TOKEN lambda below,
+        # multiplying it by n (measured 194 s vs 131 s at sf0.1's
+        # degenerate 27k-gram dup set; `exists` doesn't care about
+        # order). The remaining O(grams x |dup set|) is the array
+        # scan itself — inherent to this strategy, see the docstring.
         marked = base.crossJoin(F.broadcast(arr)).withColumn(
-            "__flags",
-            F.transform(
-                "__grams", lambda g: F.array_contains("__dup", g)
+            "__dup_pos",
+            F.shuffle(
+                F.filter(
+                    F.zip_with(
+                        F.transform(
+                            "__grams",
+                            lambda gr: F.array_contains("__dup", gr),
+                        ),
+                        F.sequence(
+                            F.lit(0), F.size("__grams") - F.lit(1)
+                        ),
+                        lambda fl, p: F.when(fl, p),
+                    ),
+                    lambda p: p.isNotNull(),
+                )
             ),
         )
     elif strategy == "positions":
@@ -440,43 +467,31 @@ def substring_dedup(
             F.posexplode("__grams").alias("__p", "gram_hash"),
         )
         rm = (
-            occ.join(dup.select("gram_hash"), on="gram_hash")
+            occ.join(F.broadcast(dup.select("gram_hash")), on="gram_hash")
             .groupBy(id_col)
             .agg(F.collect_set("__p").alias("__dup_pos"))
         )
         marked = base.join(rm, on=id_col, how="left").withColumn(
-            "__flags",
-            F.when(
-                F.col("__dup_pos").isNull(),
-                F.transform("__grams", lambda g: F.lit(False)),
-            ).otherwise(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("__grams") - 1),
-                    lambda p: F.array_contains("__dup_pos", p),
-                )
-            ),
+            "__dup_pos",
+            F.coalesce("__dup_pos", F.array().cast("array<int>")),
         )
     else:
         raise ValueError(f"unknown substring_dedup strategy {strategy!r}")
 
     n = F.size("__toks")
-    g = F.size("__flags")
-    # token t (1-based) is removed iff any flagged gram start in the
-    # window [max(1, t-k+1), min(t, g)] — non-empty for every t<=n
-    # (g = max(1, n-k+1), and the whole-text gram of a short doc
-    # covers all its tokens)
-    lo = lambda t: F.greatest(t - F.lit(k - 1), F.lit(1))  # noqa: E731
+    # token t (1-based) is removed iff some duplicated gram STARTS in
+    # [t-k, t-1] (0-based starts; a short doc's whole-text gram sits
+    # at 0 and covers everything). __dup_pos is CONCRETE here — an
+    # aggregation output or a pinned projection — so the per-token
+    # exists costs O(|dup positions in doc|), never a re-evaluation
+    # of the gram scan.
     rm_flags = F.when(n == 0, F.array().cast("array<boolean>")).otherwise(
         # the n==0 guard matters: sequence(1, 0) is DESCENDING [1, 0]
         F.transform(
             F.sequence(F.lit(1), n),
             lambda t: F.exists(
-                F.slice(
-                    F.col("__flags"),
-                    lo(t),
-                    F.least(t, g) - lo(t) + F.lit(1),
-                ),
-                lambda b: b,
+                F.col("__dup_pos"),
+                lambda p: (p >= t - F.lit(k)) & (p <= t - F.lit(1)),
             ),
         )
     )
@@ -491,7 +506,7 @@ def substring_dedup(
         .withColumn("n_removed", n - F.size("__kept"))
         .withColumn(text_col, F.array_join("__kept", " "))
         .drop(
-            "__toks", "__wh", "__grams", "__flags",
+            "__toks", "__wh", "__grams",
             "__dup", "__dup_pos", "__kept",
         )
     )

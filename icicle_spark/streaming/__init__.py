@@ -1,4 +1,5 @@
 from icicle_spark.streaming.dedup_stream import (  # noqa: F401
+    line_dedup_ingest_sink,
     minhash_ingest_sink,
 )
 from icicle_spark.streaming.fold_stream import (  # noqa: F401

@@ -154,3 +154,59 @@ def minhash_ingest_sink(
             kept.unpersist()
 
     return fn
+
+
+def line_dedup_ingest_sink(
+    index_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    min_count: int = 2,
+    strategy: str = "broadcast_set",
+) -> Callable[[DataFrame, int], None]:
+    """Streaming boilerplate removal against a self-extending
+    line-count index (the streaming form of batch
+    ``line_dedup(..., index=...)``). Per micro-batch:
+
+    1. read the persisted corpus line counts (the index directory is
+       APPEND-ONLY partial counts, summed on read — each batch writes
+       O(|batch|) rows, never rewrites the index; compact it offline
+       whenever it fragments);
+    2. clean the batch against the MERGED counts (corpus-so-far +
+       batch — a line repeated across old batches and this one drops,
+       same contract as the batch incremental form);
+    3. append the cleaned batch to ``out_path`` and the batch's RAW
+       counts (pre-cleaning — later batches must see boilerplate's
+       true occurrence totals) to the index.
+
+    Same exactly-once caveat as :func:`minhash_ingest_sink`: the two
+    appends are not transactional; point them at Iceberg/Delta keyed
+    by batch_id for replay safety.
+    """
+    from icicle_spark.operators.dedup import (
+        line_dedup,
+        line_hash_counts,
+    )
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        idx = None
+        if os.path.exists(index_path):
+            idx = (
+                spark.read.parquet(index_path)
+                .groupBy("line_hash")
+                .agg(F.sum("n_occurrences").alias("n_occurrences"))
+            )
+        cleaned = line_dedup(
+            batch, text_col, id_col, delim,
+            min_count=min_count, strategy=strategy, index=idx,
+        )
+        cleaned.write.mode("append").parquet(out_path)
+        line_hash_counts(batch, text_col, delim).write.mode(
+            "append"
+        ).parquet(index_path)
+
+    return fn

@@ -468,18 +468,30 @@ def test_substring_dedup_guard_raises_on_oversized_set(spark):
     from icicle_spark.operators.dedup import substring_dedup
 
     with _pytest.raises(Exception, match="exceeds|positions"):
-        substring_dedup(_ss_docs(spark), k=5, max_dup_grams=1).collect()
+        substring_dedup(
+            _ss_docs(spark), k=5,
+            strategy="broadcast_set", max_dup_grams=1,
+        ).collect()
 
 
-def test_substring_dedup_broadcast_plan_shape(spark):
-    """broadcast_set: the corpus never joins by shuffle — the dup set
-    arrives broadcast and there is no SortMergeJoin anywhere."""
+def test_substring_dedup_plan_shapes(spark):
+    """broadcast_set: dup set arrives as one broadcast array row and
+    the corpus NEVER joins by shuffle. positions: gram MEMBERSHIP is
+    a broadcast hash join (probe cost independent of dup-set size);
+    the only shuffled join is the per-doc position list re-joining
+    the corpus on id (co-partitioned, corpus-cardinality — correct at
+    scale)."""
     from icicle_spark.operators.dedup import substring_dedup
 
-    plan = substring_dedup(_ss_docs(spark), k=5)._jdf \
-        .queryExecution().executedPlan().toString()
-    assert "Broadcast" in plan
-    assert "SortMergeJoin" not in plan
+    bp = substring_dedup(
+        _ss_docs(spark), k=5, strategy="broadcast_set"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in bp
+    assert "SortMergeJoin" not in bp
+    pp = substring_dedup(
+        _ss_docs(spark), k=5, strategy="positions"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in pp
 
 
 def _py_substring_dedup(texts, k, min_count=2):

@@ -329,3 +329,70 @@ def test_stream_fold_postcomp_parity(spark, stream_dir, tmp_path):
             final[c].astype("float64"), batch[c].astype("float64"),
             equal_nan=True,
         ), c
+
+
+def test_stream_line_dedup_ingest(spark, tmp_path_factory, tmp_path):
+    """Streaming boilerplate removal against the self-extending
+    line-count index: a line repeated only ACROSS batches still drops
+    from the later batch (the index carries the earlier count), and
+    the final index equals whole-corpus counts."""
+    from icicle_spark.operators.dedup import line_hash_counts
+    from icicle_spark.streaming import line_dedup_ingest_sink
+
+    src = str(tmp_path_factory.mktemp("line_src"))
+    rows1 = [
+        (0, "COOKIE BANNER\nunique prose one"),
+        (1, "other text\nmore words"),
+    ]
+    rows2 = [
+        # banner seen ONCE in batch 1, once here: cross-batch dup
+        (10, "COOKIE BANNER\nfresh content"),
+        (11, "repeated twice\nrepeated twice\nkeep me"),
+    ]
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(pd.DataFrame(rows1, columns=["doc_id", "text"]))
+    b2 = spark.createDataFrame(pd.DataFrame(rows2, columns=["doc_id", "text"]))
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    index = str(tmp_path / "line_index")
+    out = str(tmp_path / "line_out")
+    sink = line_dedup_ingest_sink(index, out)
+
+    def run_available():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck_line"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_available()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run_available()
+
+    got = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in spark.read.parquet(out).collect()
+    }
+    # batch 1 saw the banner only once -> doc 0 kept it whole
+    assert got[0] == ("COOKIE BANNER\nunique prose one", 0)
+    # batch 2 sees count 2 via the index -> banner drops
+    assert got[10] == ("fresh content", 1)
+    # intra-batch repetition still drops
+    assert got[11] == ("keep me", 2)
+    # index == whole-corpus counts (summed over appended partials)
+    merged = {
+        r.line_hash: r.n_occurrences
+        for r in spark.read.parquet(index)
+        .groupBy("line_hash").sum("n_occurrences")
+        .withColumnRenamed("sum(n_occurrences)", "n_occurrences")
+        .collect()
+    }
+    both = b1.unionByName(b2)
+    whole = {
+        r.line_hash: r.n_occurrences
+        for r in line_hash_counts(both).collect()
+    }
+    assert merged == whole

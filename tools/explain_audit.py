@@ -29,6 +29,20 @@ def count(pat: str, text: str) -> int:
     return len(re.findall(pat, text))
 
 
+def _exchange_payloads(text: str) -> str:
+    """The formatted-plan detail blocks of every Exchange node,
+    concatenated — lets a check assert which COLUMNS ride a shuffle."""
+    ids = re.findall(r"\((\d+)\) Exchange", text)
+    blocks = []
+    for i in ids:
+        m = re.search(
+            rf"\({i}\) Exchange\n(.*?)(?:\n\n|\Z)", text, re.DOTALL
+        )
+        if m:
+            blocks.append(m.group(1))
+    return "\n".join(blocks)
+
+
 def main() -> int:
     from icicle_spark.plans import Agg, Feature, Plan, Window, run_plan
     from icicle_spark.session import get_spark
@@ -273,7 +287,7 @@ def main() -> int:
     from icicle_spark.functions.text import tfidf_top_terms
     from icicle_spark.operators.dedup import substring_dedup
 
-    t9 = plan_text(substring_dedup(docs, k=3))
+    t9 = plan_text(substring_dedup(docs, k=3, strategy="broadcast_set"))
     ex9 = count(r"\(\d+\) Exchange", t9)
     check(
         "substring dedup (broadcast_set)",
@@ -285,6 +299,20 @@ def main() -> int:
             ("only the dup-gram explode Generates (corpus side is "
              "pure HOFs)", count(r"\(\d+\) Generate", t9) == 1),
             (f"only dup-set-build exchanges (got {ex9} <= 3)", ex9 <= 3),
+        ],
+    )
+
+    t9b = plan_text(substring_dedup(docs, k=3, strategy="positions"))
+    check(
+        "substring dedup (positions, default)",
+        t9b,
+        [
+            ("gram membership is a broadcast hash join (probe cost "
+             "independent of dup-set size)",
+             "BroadcastHashJoin" in t9b),
+            ("raw text never shuffles exploded (only id+pos pairs "
+             "reach the position groupBy)",
+             "text" not in _exchange_payloads(t9b)),
         ],
     )
 
