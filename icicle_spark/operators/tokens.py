@@ -76,19 +76,31 @@ def token_histogram(tokens) -> Column:
 
 def subseq_count(tokens, pattern: list[int]) -> Column:
     """Occurrences of a contiguous token pattern in the sequence
-    (possibly overlapping): compare each len(pattern)-gram id against
-    the pattern's id. Collision-free for patterns whose rolling id is
-    unique mod 2^31-1 at the compared positions — exact verification
-    would re-check token equality; at id width 31 bits the collision
-    rate is ~len/2^31 per sequence."""
+    (possibly overlapping). EXACT: the rolling n-gram id is a cheap
+    O(len) prefilter; each id-matched position is then verified by
+    token-slice equality, so hash collisions cannot inflate the
+    count (they only cost one extra n-token compare each,
+    ~len/2^31 expected per sequence)."""
     n = len(pattern)
     if n == 0:
         raise ValueError("pattern must be non-empty")
     pid = 0
     for x in pattern:
         pid = (pid * 131 + x) % _MERSENNE
+    t = _c(tokens)
+    pat = F.array(*[F.lit(int(x)) for x in pattern])
     grams = token_ngram_ids(tokens, n)
-    return F.size(F.filter(grams, lambda g: g == F.lit(pid))).cast("long")
+    # 1-based start positions whose gram id matches the pattern id
+    starts = F.filter(
+        F.transform(
+            grams,
+            lambda g, i: F.when(g == F.lit(pid), i + 1),
+        ),
+        lambda p: p.isNotNull(),
+    )
+    return F.size(
+        F.filter(starts, lambda p: F.slice(t, p, n) == pat)
+    ).cast("long")
 
 
 def corpus_token_freq(

@@ -76,6 +76,23 @@ def test_subseq_count_overlapping(spark, seqs):
     assert got.loc[1, "c12"] == 0 and got.loc[2, "c12"] == 0
 
 
+def test_subseq_count_hash_collision_exact(spark):
+    # [6, 869] has the same rolling id as [5, 1000]
+    # (5*131 + 1000 == 6*131 + 869 == 1655): the id prefilter alone
+    # would count it; slice verification must reject it.
+    df = spark.createDataFrame(
+        [(0, [6, 869, 5, 1000]), (1, [6, 869])],
+        "doc_id int, tokens array<int>",
+    )
+    got = (
+        df.select("doc_id", subseq_count("tokens", [5, 1000]).alias("c"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[0, "c"] == 1
+    assert got.loc[1, "c"] == 0
+
+
 def test_token_histogram(spark, seqs):
     got = (
         seqs.select("doc_id", token_histogram("tokens").alias("h"))
