@@ -2707,6 +2707,49 @@ FROM documents
 """
 
 
+
+def q_unicode_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (training-pipeline extension):
+    canonicalize decomposed accents / combining marks before hashing
+    or dedup, via the Arrow-batched ``normalize_unicode`` pandas UDF
+    (Series.str.normalize per Arrow chunk — no per-row Python). The
+    corpus is ASCII, so decomposed vs precomposed spellings of the
+    same phrase are synthesized deterministically from doc_id on BOTH
+    sides; ``changed`` certifies the pass actually rewrote the
+    decomposed rows (not a no-op), and the even/odd branches must
+    normalize to byte-identical text."""
+    from icicle_spark.functions.text import normalize_unicode
+
+    d = _docs(spark, sf_dir)
+    synth = F.concat(
+        F.col("text"),
+        F.when(
+            (F.col("doc_id") % 2) == 0,
+            F.lit(" cafe\u0301 de\u0301ja\u0300 vu"),
+        ).otherwise(F.lit(" caf\u00e9 d\u00e9j\u00e0 vu")),
+    )
+    norm = normalize_unicode(synth, "NFC")
+    return d.select(
+        F.col("doc_id"),
+        norm.alias("clean"),
+        (norm != synth).cast("long").alias("changed"),
+    )
+
+
+_UNICODE_NORM_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 2 = 0
+                      THEN ' cafe\u0301 de\u0301ja\u0300 vu'
+                      ELSE ' caf\u00e9 d\u00e9j\u00e0 vu' END AS synth
+  FROM documents)
+SELECT doc_id,
+       nfc_normalize(synth) AS clean,
+       CAST(nfc_normalize(synth) <> synth AS BIGINT) AS changed
+FROM s
+"""
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (training-pipeline extension): sliding
     32-word windows with 8-word overlap, pure JVM HOFs, no shuffle —
@@ -3260,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk_lsh": q_embed_topk_lsh,
         "embed_topk_ivf": q_embed_topk_ivf,
         "embed_dedup_ivf": q_embed_dedup_ivf,
+        "unicode_norm": q_unicode_norm,
     }
 
 
@@ -3337,6 +3381,7 @@ def oracle_sql() -> dict[str, str]:
         "dictionary_native": _FOLD_SQL,
         "resume_fold": _RESUME_SQL,
         "redact_pii": _REDACT_SQL,
+        "unicode_norm": _UNICODE_NORM_SQL,
         "chunk_docs": _CHUNK_SQL,
         "classifier_score": _CLASSIFIER_SQL,
         "token_budget_mix": _TOKEN_BUDGET_SQL,

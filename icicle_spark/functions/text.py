@@ -133,6 +133,36 @@ def redact_pii(text: Column, kinds: list[str] | None = None) -> Column:
     return out
 
 
+_NORM_UDFS: dict[str, object] = {}
+
+
+def normalize_unicode(text: Column, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) — the ftfy/CCNet-style
+    cleanup pass that canonicalizes decomposed accents and
+    compatibility forms before hashing, dedup, or tokenization (two
+    byte-wise-different spellings of the same text otherwise escape
+    exact dedup). Spark exposes no normalization expression, so this
+    is an Arrow-batched pandas UDF around ``Series.str.normalize``
+    (one vectorized call per Arrow chunk, never per row). Map-stage
+    only: fuses into whatever scan surrounds it, no shuffle at any
+    scale."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    if form not in _NORM_UDFS:
+        from pyspark.sql.functions import pandas_udf
+
+        def make(f: str):
+            @pandas_udf("string")
+            def norm(s):  # pd.Series -> pd.Series
+                return s.str.normalize(f)
+
+            return norm
+
+        _NORM_UDFS[form] = make(form)
+    c = F.col(text) if isinstance(text, str) else text
+    return _NORM_UDFS[form](c)
+
+
 def doc_fingerprint(text: Column, normalize: bool = True) -> Column:
     """64-bit content fingerprint: xxhash64 of the normalized word
     stream — a deterministic rolling-hash analogue for exact-dup keys."""

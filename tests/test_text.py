@@ -160,3 +160,45 @@ def test_html_strip(spark):
         "multi space",
         "",
     ]
+
+
+def test_normalize_unicode_forms(spark):
+    import unicodedata
+
+    from icicle_spark.functions.text import normalize_unicode
+
+    rows = [
+        (0, "café"),          # decomposed acute
+        (1, "café"),           # precomposed
+        (2, "ﬁle Ａ"),     # fi ligature + fullwidth A (NFKC)
+        (3, ""),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "i int, t string")
+    for form in ("NFC", "NFD", "NFKC", "NFKD"):
+        got = {
+            r.i: r.n
+            for r in docs.select(
+                "i", normalize_unicode("t", form).alias("n")
+            ).collect()
+        }
+        for i, t in rows:
+            want = None if t is None else unicodedata.normalize(form, t)
+            assert got[i] == want, (form, i)
+    # NFC joins combining marks; NFKC also folds compatibility forms
+    nfc = {
+        r.i: r.n
+        for r in docs.select("i", normalize_unicode("t", "NFC").alias("n"))
+        .collect()
+    }
+    assert nfc[0] == nfc[1] == "café"
+    nfkc = {
+        r.i: r.n
+        for r in docs.select("i", normalize_unicode("t", "NFKC").alias("n"))
+        .collect()
+    }
+    assert nfkc[2] == "file A"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        normalize_unicode("t", "NFX")
