@@ -1,0 +1,156 @@
+"""Corpus-level sequence packing: concatenate every document's token
+array in one deterministic global order and slice the stream into
+fixed-length training windows (the GPT-style concat-then-chunk shape).
+
+Engine extension for LLM training-data pipelines — no reference
+counterpart (the reference's array surface stops at sort/index,
+SURVEY §2.7); ``operators/chunking.py`` packs *within* a document,
+this packs *across* the corpus.
+
+Scale design (the interesting part). The op needs an exclusive prefix
+sum of token counts over a total order — naively a single-partition
+global window, which is exactly the kind of plan that dies at 100 TB.
+Instead it is a classic two-level distributed prefix sum:
+
+1. within-SEGMENT exclusive cumsum — one hash exchange on
+   ``segment_col`` (the leading column of the order), windows running
+   in parallel across segments;
+2. per-segment totals — a map-side-combined aggregate producing ONE
+   ROW PER SEGMENT, collected to the driver (bounded, documented) and
+   turned into a literal prefix-offset map;
+3. global offset = segment prefix + local cumsum.
+
+``segment_col`` must be the first entry of ``order_cols`` so segment
+boundaries are order-aligned. Parallelism of step 1 is the segment
+count: with a handful of giant sources, pass a finer order-aligned
+segment (a date/shard column from the table layout) — the API takes
+any column.
+
+Each document then explodes into at most ``ceil(n/L)+1`` bin pieces
+(pure JVM ``transform``/``slice`` over the bin id range), and one
+``groupBy(seq_id)`` reassembles windows via
+``flatten(sort_array(collect_list(...)))``. Bins hold exactly
+``seq_len`` tokens by construction, so the final shuffle is perfectly
+balanced regardless of document-length skew. Total: two data shuffles
+(segment window + bin group) and one tiny driver-side segment table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    order_cols: tuple[str, ...] = ("source", "doc_id"),
+    seq_len: int = 2048,
+    eos: int | None = None,
+) -> DataFrame:
+    """Pack ``tokens_col`` arrays into windows of exactly ``seq_len``
+    tokens (the last window of the corpus may be shorter).
+
+    Documents are concatenated in ``order_cols`` order (must be a
+    unique key; its first column is the parallel-cumsum segment).
+    ``eos`` appends one end-of-document token to every document before
+    packing. Documents that contribute no tokens are dropped (with
+    ``eos`` set, an empty document still contributes its eos marker).
+
+    Returns ``(seq_id bigint, tokens array, n_tok int, n_docs bigint)``
+    — ``n_docs`` counts the documents contributing at least one token
+    to the window.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if len(order_cols) < 1:
+        raise ValueError("order_cols must name at least one column")
+    segment_col = order_cols[0]
+
+    toks = F.col(tokens_col)
+    if eos is not None:
+        elem_ty = df.schema[tokens_col].dataType.elementType.simpleString()
+        toks = F.concat(toks, F.array(F.lit(int(eos)).cast(elem_ty)))
+    d = (
+        df.select(*order_cols, toks.alias("__t"))
+        .withColumn("__n", F.size("__t").cast("bigint"))
+        .where(F.col("__n") > 0)
+    )
+
+    # (1) within-segment exclusive cumsum, parallel across segments
+    within = list(order_cols[1:]) or [F.lit(1)]
+    w = Window.partitionBy(segment_col).orderBy(*within)
+    d = d.withColumn("__loc", F.sum("__n").over(w) - F.col("__n"))
+
+    # (2) one row per segment -> driver -> literal prefix map
+    seg_rows = (
+        d.groupBy(segment_col).agg(F.sum("__n").alias("__tot")).collect()
+    )
+    seg_rows.sort(key=lambda r: r[segment_col])
+    prefix: dict = {}
+    acc = 0
+    for r in seg_rows:
+        prefix[r[segment_col]] = acc
+        acc += r["__tot"]
+    if not prefix:  # empty corpus
+        return d.select(
+            F.lit(0).cast("bigint").alias("seq_id"),
+            F.col("__t").alias("tokens"),
+            F.lit(0).cast("int").alias("n_tok"),
+            F.lit(0).cast("bigint").alias("n_docs"),
+        ).limit(0)
+    pairs: list[Column] = []
+    for k, v in prefix.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v).cast("bigint"))
+    d = d.withColumn(
+        "__off",
+        F.col("__loc") + F.create_map(*pairs)[F.col(segment_col)],
+    )
+
+    # (3) explode into per-window pieces — pure JVM slices
+    L = F.lit(int(seq_len)).cast("bigint")
+    first_bin = F.floor(F.col("__off") / L)
+    last_bin = F.floor((F.col("__off") + F.col("__n") - 1) / L)
+    end = F.col("__off") + F.col("__n")
+    piece = F.explode(
+        F.transform(
+            F.sequence(first_bin, last_bin),
+            lambda b: F.struct(
+                b.alias("seq_id"),
+                F.slice(
+                    F.col("__t"),
+                    (F.greatest(b * L, F.col("__off")) - F.col("__off") + 1
+                     ).cast("int"),
+                    (F.least((b + 1) * L, end)
+                     - F.greatest(b * L, F.col("__off"))).cast("int"),
+                ).alias("piece"),
+            ),
+        )
+    )
+    pieces = d.select(F.col("__off"), piece.alias("__p")).select(
+        F.col("__p.seq_id").alias("seq_id"),
+        F.col("__off").alias("__off"),
+        F.col("__p.piece").alias("__piece"),
+    )
+
+    # (4) reassemble each window: pieces ordered by their doc offset
+    return (
+        pieces.groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("__off", "__piece"))
+                    ),
+                    lambda s: s["__piece"],
+                )
+            ).alias("tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            F.col("seq_id").cast("bigint").alias("seq_id"),
+            "tokens",
+            F.size("tokens").alias("n_tok"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+    )

@@ -103,6 +103,48 @@ def subseq_count(tokens, pattern: list[int]) -> Column:
     ).cast("long")
 
 
+def remap_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    tokens_col: str = "tokens",
+    token_col: str = "token",
+    new_id_col: str = "new_id",
+    unk: int = 0,
+) -> DataFrame:
+    """Re-tokenize ``tokens_col`` through a vocabulary table
+    (``token -> new_id``): out-of-vocabulary ids become ``unk`` and
+    are counted into ``n_oov`` / ``oov_rate``.
+
+    Scale shape: the vocab collapses to ONE literal map row
+    (``map_from_entries(collect_list(...))``) that is broadcast and
+    cross-joined — the corpus side is a pure narrow ``transform`` with
+    zero shuffle, whole-stage codegen, no Python. Vocabularies are
+    bounded (1e5-1e6 entries), so the map row is megabytes; corpora
+    are not, so keeping the 100 TB side shuffle-free is the win.
+
+    Adds ``remapped`` (same element order), ``n_oov`` and ``oov_rate``
+    columns; other input columns pass through.
+    """
+    one = vocab.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(_c(token_col), _c(new_id_col)))
+        ).alias("__vmap")
+    )
+    t = _c(tokens_col)
+    out = df.crossJoin(F.broadcast(one))
+    lookup = lambda x: F.element_at(F.col("__vmap"), x)  # noqa: E731
+    n = F.size(t)
+    n_oov = F.size(F.filter(t, lambda x: lookup(x).isNull()))
+    return out.select(
+        *[c for c in df.columns],
+        F.transform(t, lambda x: F.coalesce(lookup(x), F.lit(unk))).alias(
+            "remapped"
+        ),
+        n_oov.cast("bigint").alias("n_oov"),
+        F.when(n > 0, n_oov / n).otherwise(F.lit(0.0)).alias("oov_rate"),
+    )
+
+
 def corpus_token_freq(
     df: DataFrame, tokens_col: str = "tokens", k: int | None = None
 ) -> DataFrame:

@@ -1,0 +1,129 @@
+"""Corpus-level sequence packing + vocab remapping parity tests.
+
+``pack_token_sequences`` is checked against a pure-Python reference
+(concatenate in order, slice every seq_len) over randomized corpora —
+exact token-array equality per window, the north-rule invariant.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from icicle_spark.operators.packing import pack_token_sequences
+from icicle_spark.operators.tokens import remap_tokens
+
+
+def _py_pack(docs, seq_len, eos=None):
+    """Reference: docs = [(source, doc_id, tokens)] sorted; returns
+    {seq_id: (tokens, n_docs)}."""
+    stream, spans = [], []
+    for _, _, toks in sorted(docs, key=lambda d: (d[0], d[1])):
+        t = list(toks) + ([eos] if eos is not None else [])
+        if not t:
+            continue
+        spans.append((len(stream), len(stream) + len(t)))
+        stream.extend(t)
+    out = {}
+    for s in range(0, len(stream), seq_len):
+        sid = s // seq_len
+        lo, hi = s, min(s + seq_len, len(stream))
+        ndocs = sum(1 for a, b in spans if a < hi and b > lo)
+        out[sid] = (stream[lo:hi], ndocs)
+    return out
+
+
+def _mk_docs(rng, n_docs, max_len):
+    return [
+        (
+            f"src{rng.randrange(3)}",
+            f"d{i:04d}",
+            [rng.randrange(1000) for _ in range(rng.randrange(max_len + 1))],
+        )
+        for i in range(n_docs)
+    ]
+
+
+@pytest.mark.parametrize("seq_len,eos", [(16, None), (16, 9999), (7, 0), (256, None)])
+def test_pack_matches_python_reference(spark, seq_len, eos):
+    rng = random.Random(seq_len * 31 + (eos or 7))
+    docs = _mk_docs(rng, 40, 50)
+    sdf = spark.createDataFrame(
+        [(s, d, t) for s, d, t in docs], "source string, doc_id string, tokens array<int>"
+    )
+    got = {
+        r["seq_id"]: (list(r["tokens"]), r["n_docs"])
+        for r in pack_token_sequences(
+            sdf, seq_len=seq_len, eos=eos
+        ).collect()
+    }
+    want = _py_pack(docs, seq_len, eos)
+    assert got == want
+    # every window except possibly the last is exactly seq_len
+    if want:
+        last = max(want)
+        for sid, (toks, _) in want.items():
+            assert len(toks) == (seq_len if sid != last else len(toks))
+            if sid != last:
+                assert len(got[sid][0]) == seq_len
+
+
+def test_pack_doc_longer_than_window(spark):
+    docs = [("a", "d0", list(range(35))), ("a", "d1", [100, 101])]
+    sdf = spark.createDataFrame(docs, "source string, doc_id string, tokens array<int>")
+    got = {
+        r["seq_id"]: list(r["tokens"])
+        for r in pack_token_sequences(sdf, seq_len=10).collect()
+    }
+    stream = list(range(35)) + [100, 101]
+    assert got == {i: stream[i * 10 : (i + 1) * 10] for i in range(4)}
+
+
+def test_pack_empty_docs_dropped_and_order(spark):
+    docs = [("b", "x", [5]), ("a", "y", []), ("a", "x", [1, 2, 3])]
+    sdf = spark.createDataFrame(docs, "source string, doc_id string, tokens array<int>")
+    rows = pack_token_sequences(sdf, seq_len=100).collect()
+    assert len(rows) == 1
+    assert list(rows[0]["tokens"]) == [1, 2, 3, 5]  # (a,x) then (b,x)
+    assert rows[0]["n_docs"] == 2
+
+
+def test_pack_plan_no_global_single_partition_window(spark):
+    """The exclusive prefix sum must not serialize onto one partition:
+    the physical plan's window must partition on the segment column."""
+    sdf = spark.createDataFrame(
+        [("a", "d", [1, 2])], "source string, doc_id string, tokens array<int>"
+    )
+    plan = pack_token_sequences(sdf, seq_len=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # a global window would show 'SinglePartition' feeding the Window
+    win = plan[plan.index("Window") :]
+    assert "SinglePartition" not in win.split("\n\n")[0]
+
+
+def test_remap_tokens_oov(spark):
+    docs = spark.createDataFrame(
+        [("d0", [1, 2, 3, 2]), ("d1", [7, 8]), ("d2", [])],
+        "doc_id string, tokens array<int>",
+    )
+    vocab = spark.createDataFrame(
+        [(1, 10), (2, 20), (8, 80)], "token int, new_id int"
+    )
+    got = {
+        r["doc_id"]: (list(r["remapped"]), r["n_oov"], round(r["oov_rate"], 6))
+        for r in remap_tokens(docs, vocab, unk=-1).collect()
+    }
+    assert got == {
+        "d0": ([10, 20, -1, 20], 1, 0.25),
+        "d1": ([-1, 80], 1, 0.5),
+        "d2": ([], 0, 0.0),
+    }
+
+
+def test_remap_plan_broadcasts_vocab(spark):
+    docs = spark.createDataFrame([("d0", [1])], "doc_id string, tokens array<int>")
+    vocab = spark.createDataFrame([(1, 10)], "token int, new_id int")
+    plan = remap_tokens(docs, vocab)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
