@@ -708,8 +708,10 @@ FROM documents
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icicle_spark.functions.text import lang_id_frame
+
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    return lang_id_frame(d, "text").select("doc_id", "lang_pred")
 
 
 def _langid_sql() -> str:
@@ -1257,11 +1259,10 @@ GROUP BY n_name
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surface-statistics quality score per document."""
-    from icicle_spark.functions.text import quality_score
+    from icicle_spark.functions.text import quality_score_frame
 
-    return _docs(spark, sf_dir).select(
-        "doc_id", _r(quality_score(F.col("text")), 6).alias("q")
-    )
+    out = quality_score_frame(_docs(spark, sf_dir), "text", "__q")
+    return out.select("doc_id", _r(F.col("__q"), 6).alias("q"))
 
 
 _QUALITY_SQL = r"""
