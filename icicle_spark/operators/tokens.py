@@ -59,19 +59,58 @@ def token_ngram_ids(tokens, n: int) -> Column:
 
 
 def token_histogram(tokens) -> Column:
-    """Per-sequence token -> count map (map_from_entries over the
-    distinct ids; O(distinct x len) — per-sequence scale, fine for
-    vocab-bounded token streams)."""
+    """Per-sequence token -> count map, key-sorted (Data.Map order,
+    matching the engine's map semantics elsewhere). Sort +
+    run-length: O(n log n) per sequence instead of the naive
+    O(distinct x len) rescan-per-key — run starts are the positions
+    where the sorted array changes, counts are gaps between
+    consecutive starts."""
     t = _c(tokens)
-    return F.map_from_entries(
-        F.transform(
-            F.array_distinct(t),
-            lambda k: F.struct(
-                k.alias("key"),
-                F.size(F.filter(t, lambda x: x == k)).cast("long").alias("value"),
+
+    # Bind intermediates as lambda VARIABLES (transform over a
+    # one-element array): inline HOF subtrees re-evaluate per
+    # reference, so an unbound array_sort would re-sort per element —
+    # measured catastrophic. Bound, each stage evaluates once.
+    def _bind(expr, fn):
+        return F.get(F.transform(F.array(expr), fn), 0)
+
+    def from_sorted(sv):
+        n = F.size(sv)
+        # 1-based positions opening a run of equal values
+        starts_expr = F.filter(
+            F.transform(
+                sv,
+                lambda x, i: F.when(
+                    (i == 0) | (x != F.get(sv, i - 1)), i + 1
+                ),
             ),
+            lambda p: p.isNotNull(),
         )
-    )
+
+        def with_starts(st):
+            ends = F.concat(
+                F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
+                F.array(n + 1),
+            )
+            entries = F.zip_with(
+                st,
+                ends,
+                lambda a, b: F.struct(
+                    F.get(sv, a - 1).alias("key"),
+                    (b - a).cast("long").alias("value"),
+                ),
+            )
+            # empty-input guard with the SAME map type: zero-length
+            # slice of the entries array (zip_with would otherwise
+            # pad a null key)
+            empty = F.map_from_entries(F.slice(entries, 1, 0))
+            return F.when(n > 0, F.map_from_entries(entries)).otherwise(
+                empty
+            )
+
+        return _bind(starts_expr, with_starts)
+
+    return _bind(F.array_sort(t), from_sorted)
 
 
 def subseq_count(tokens, pattern: list[int]) -> Column:
