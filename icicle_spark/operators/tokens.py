@@ -149,39 +149,98 @@ def remap_tokens(
     token_col: str = "token",
     new_id_col: str = "new_id",
     unk: int = 0,
+    strategy: str = "auto",
+    map_threshold: int = 4096,
 ) -> DataFrame:
     """Re-tokenize ``tokens_col`` through a vocabulary table
     (``token -> new_id``): out-of-vocabulary ids become ``unk`` and
-    are counted into ``n_oov`` / ``oov_rate``.
+    are counted into ``n_oov`` / ``oov_rate``. Both strategies keep
+    the corpus side SHUFFLE-FREE — only how the lookup ships differs:
 
-    Scale shape: the vocab collapses to ONE literal map row
-    (``map_from_entries(collect_list(...))``) that is broadcast and
-    cross-joined — the corpus side is a pure narrow ``transform`` with
-    zero shuffle, whole-stage codegen, no Python. Vocabularies are
-    bounded (1e5-1e6 entries), so the map row is megabytes; corpora
-    are not, so keeping the 100 TB side shuffle-free is the win.
+    * ``'map'`` — vocab collapses to ONE literal map row
+      (``map_from_entries``), broadcast-cross-joined; the corpus side
+      is a narrow JVM ``transform`` in whole-stage codegen, no
+      Python. BUT Spark's map access is a LINEAR SCAN per key, so
+      this is right only for small vocabularies.
+    * ``'pandas'`` — vocab collects to a plain dict (bounded: it IS
+      the vocabulary) shipped as a Spark broadcast; an Arrow-batched
+      ``mapInPandas`` does one vectorized hash lookup over the
+      flattened batch — O(1) per token, the 1e5-1e6-entry BPE-vocab
+      scale path.
+
+    ``'auto'`` counts the vocab (tiny aggregate) and picks map below
+    ``map_threshold`` entries, pandas above.
 
     Adds ``remapped`` (same element order), ``n_oov`` and ``oov_rate``
     columns; other input columns pass through.
     """
-    one = vocab.groupBy().agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(_c(token_col), _c(new_id_col)))
-        ).alias("__vmap")
+    if strategy == "auto":
+        strategy = (
+            "map" if vocab.count() <= map_threshold else "pandas"
+        )
+    if strategy == "map":
+        one = vocab.groupBy().agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(_c(token_col), _c(new_id_col)))
+            ).alias("__vmap")
+        )
+        t = _c(tokens_col)
+        out = df.crossJoin(F.broadcast(one))
+        lookup = lambda x: F.element_at(F.col("__vmap"), x)  # noqa: E731
+        n = F.size(t)
+        n_oov = F.size(F.filter(t, lambda x: lookup(x).isNull()))
+        return out.select(
+            *[c for c in df.columns],
+            F.transform(t, lambda x: F.coalesce(lookup(x), F.lit(unk))).alias(
+                "remapped"
+            ),
+            n_oov.cast("bigint").alias("n_oov"),
+            F.when(n > 0, n_oov / n).otherwise(F.lit(0.0)).alias("oov_rate"),
+        )
+    if strategy != "pandas":
+        raise ValueError(f"unknown remap strategy: {strategy!r}")
+
+    lut = {
+        r[0]: r[1] for r in vocab.select(_c(token_col), _c(new_id_col)).collect()
+    }
+    bc = df.sparkSession.sparkContext.broadcast(lut)
+    elem_ty = df.schema[tokens_col].dataType.elementType.simpleString()
+    out_schema = (
+        df.schema.simpleString()[7:-1]  # strip struct< >
+        + f",remapped:array<{elem_ty}>,n_oov:bigint,oov_rate:double"
     )
-    t = _c(tokens_col)
-    out = df.crossJoin(F.broadcast(one))
-    lookup = lambda x: F.element_at(F.col("__vmap"), x)  # noqa: E731
-    n = F.size(t)
-    n_oov = F.size(F.filter(t, lambda x: lookup(x).isNull()))
-    return out.select(
-        *[c for c in df.columns],
-        F.transform(t, lambda x: F.coalesce(lookup(x), F.lit(unk))).alias(
-            "remapped"
-        ),
-        n_oov.cast("bigint").alias("n_oov"),
-        F.when(n > 0, n_oov / n).otherwise(F.lit(0.0)).alias("oov_rate"),
-    )
+    unk_val = unk
+
+    def _remap(batches):
+        import numpy as np
+        import pandas as pd
+
+        d = bc.value
+        for pdf in batches:
+            toks = pdf[tokens_col]
+            lens = np.fromiter((len(a) for a in toks), dtype=np.int64, count=len(toks))
+            total = int(lens.sum())
+            if total:
+                flat = np.concatenate([np.asarray(a) for a in toks])
+                mapped = pd.Series(flat).map(d)
+                oov = mapped.isna().to_numpy()
+                # fillna leaves float64 when NaNs were present — cast
+                # back so Arrow gets integral values for the int array
+                vals = mapped.fillna(unk_val).to_numpy().astype(np.int64)
+            else:
+                oov = np.zeros(0, dtype=bool)
+                vals = np.zeros(0, dtype=np.int64)
+            cuts = np.cumsum(lens)[:-1]
+            out = pdf.copy()
+            out["remapped"] = [seg.tolist() for seg in np.split(vals, cuts)]
+            n_oov = np.array(
+                [int(seg.sum()) for seg in np.split(oov, cuts)], dtype=np.int64
+            )
+            out["n_oov"] = n_oov
+            out["oov_rate"] = np.where(lens > 0, n_oov / np.maximum(lens, 1), 0.0)
+            yield out
+
+    return df.mapInPandas(_remap, schema=out_schema)
 
 
 def corpus_token_freq(

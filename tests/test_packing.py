@@ -122,6 +122,33 @@ def test_remap_tokens_oov(spark):
     }
 
 
+def test_remap_strategies_agree(spark):
+    rng = random.Random(11)
+    docs = spark.createDataFrame(
+        [
+            (f"d{i}", [rng.randrange(500) for _ in range(rng.randrange(30))])
+            for i in range(60)
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    vocab = spark.createDataFrame(
+        [(t, t * 7 + 1) for t in range(0, 500, 3)], "token int, new_id int"
+    )
+
+    def snap(df):
+        return {
+            r["doc_id"]: (list(r["remapped"]), r["n_oov"], round(r["oov_rate"], 9))
+            for r in df.collect()
+        }
+
+    a = snap(remap_tokens(docs, vocab, unk=-1, strategy="map"))
+    b = snap(remap_tokens(docs, vocab, unk=-1, strategy="pandas"))
+    assert a == b
+    # auto picks map under the threshold, pandas above
+    c = snap(remap_tokens(docs, vocab, unk=-1, strategy="auto", map_threshold=10))
+    assert c == a
+
+
 def test_remap_plan_broadcasts_vocab(spark):
     docs = spark.createDataFrame([("d0", [1])], "doc_id string, tokens array<int>")
     vocab = spark.createDataFrame([(1, 10)], "token int, new_id int")
