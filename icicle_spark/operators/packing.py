@@ -85,6 +85,11 @@ def pack_token_sequences(
     seg_rows = (
         d.groupBy(segment_col).agg(F.sum("__n").alias("__tot")).collect()
     )
+    if any(r[segment_col] is None for r in seg_rows):
+        raise ValueError(
+            f"pack_token_sequences: null value in segment column "
+            f"{segment_col!r} — order_cols must be a non-null unique key"
+        )
     seg_rows.sort(key=lambda r: r[segment_col])
     prefix: dict = {}
     acc = 0
