@@ -195,9 +195,15 @@ def main() -> None:
             cpus=CPUS,
             extra_conf={
                 "spark.sql.adaptive.enabled": "false",
-                # 64 MiB scan splits: ~2x splits per core at this
-                # input size, evening out the scan waves
-                "spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024),
+                # scan splits sized for ~4 waves on the LARGEST core
+                # count measured (default 16 MiB: the 488 MB scaling
+                # input -> ~31 splits -> 4 self-balancing waves at 8
+                # cores instead of one straggler-exposed 8-task wave;
+                # at 2 cores the same setting just means more, smaller
+                # waves). Tunable for probes via SPARK_GRAFT_MPB.
+                "spark.sql.files.maxPartitionBytes": os.environ.get(
+                    "SPARK_GRAFT_MPB", str(16 * 1024 * 1024)
+                ),
             },
         )
         spark.sparkContext.setLogLevel("ERROR")
