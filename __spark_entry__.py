@@ -1305,6 +1305,41 @@ def _quality_sql() -> str:
     return _QUALITY_SQL.format(stops=stops)
 
 
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile bucketing over the quality score (curriculum /
+    stratified-sampling shape): rounded-score histogram -> driver
+    cumulative counts -> broadcast literal THRESHOLDS; the corpus side
+    is a zero-shuffle O(n_buckets)-comparison projection (no
+    single-partition ntile window, no approxQuantile, no linear-scan
+    map lookup). Oracle: the same
+    ``floor(cum_below * n / total) + 1`` formula via DuckDB windows."""
+    from icicle_spark.functions.text import quality_score_frame
+    from icicle_spark.operators.sampling import quantile_buckets
+
+    d = quality_score_frame(_docs(spark, sf_dir), "text", "__q")
+    # same off-grid epsilon as the oracle's stabilized round: the
+    # bucket histogram groups on the rounded score, so both engines
+    # must round identically at the 6th digit
+    d = d.select("doc_id", _r("__q", 6).alias("q"))
+    return quantile_buckets(d, "q", n_buckets=10, round_digits=6)
+
+
+def _quality_buckets_sql() -> str:
+    return f"""
+WITH q AS ({_quality_sql()}),
+c AS (
+  SELECT doc_id, q,
+         count(*) OVER (ORDER BY q RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)
+           - count(*) OVER (PARTITION BY q) AS cum_below,
+         count(*) OVER () AS total
+  FROM q
+)
+SELECT doc_id, q, CAST(cum_below * 10 // total + 1 AS INT) AS bucket
+FROM c
+"""
+
+
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (engine extensions — rows-only check:
     sketch internals differ across engines by design)."""
@@ -3385,7 +3420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_fold": q_resume_fold,
         "classifier_score": q_classifier_score,
         "token_budget_mix": q_token_budget_mix,
-        "ewma_fold": q_ewma_fold,
+        "quality_buckets": q_quality_buckets,
         "decayed_sum": q_decayed_sum,
         "max_by_min_by": q_max_by_min_by,
         "any_all_distinct": q_any_all_distinct,
@@ -3443,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_first": q_distinct_first,
         "numflips": q_numflips,
         "stats_moments": q_stats_moments,
+        "ewma_fold": q_ewma_fold,
     }
 
 
@@ -3501,6 +3537,7 @@ def oracle_sql() -> dict[str, str]:
         "chord_labeled": _CHORD_LABELED_SQL,
         "tpch_q5ish": _TPCH_Q5_SQL,
         "quality_score": _quality_sql(),
+        "quality_buckets": _quality_buckets_sql(),
         "media_features": _MEDIA_SQL,
         "frame_sample": _FRAME_SQL,
         "embed_topk_arrow": _EMBED_SQL,

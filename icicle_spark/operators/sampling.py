@@ -170,3 +170,57 @@ def split_train_holdout(
     cut = int(holdout_fraction * _BUCKETS)
     b = _bucket(key_col, seed)
     return df.where(b >= cut), df.where(b < cut)
+
+
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact quantile bucketing for curriculum ordering / stratified
+    sampling: adds ``bucket`` in ``1..n_buckets`` with (near-)equal
+    populations, ties sharing a bucket.
+
+    Definition (reproducible in any engine): with scores rounded to
+    ``round_digits``, ``bucket = floor(cum_below * n_buckets / total)
+    + 1`` where ``cum_below`` counts rows with a strictly smaller
+    rounded score.
+
+    Scale shape: ONE map-side-combined aggregate over the rounded
+    score (distinct cardinality is bounded by the rounding grid, not
+    the corpus) and cumulative counts on the driver, emitting
+    ``n_buckets - 1`` literal THRESHOLDS; assignment is a chain of
+    O(n_buckets) comparisons in a narrow whole-stage-codegen
+    projection — the corpus side has ZERO shuffle, unlike
+    ntile/percent_rank (single-partition global window) or
+    approxQuantile (approximate thresholds). No per-row map lookup
+    (Spark map access is a linear scan).
+    """
+    import numpy as np
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    s = F.round(F.col(score_col), round_digits)
+    hist = df.select(s.alias("__s")).groupBy("__s").count().collect()
+    if any(r["__s"] is None for r in hist):
+        raise ValueError(f"null score in {score_col!r}")
+    hist.sort(key=lambda r: r["__s"])
+    if not hist:
+        return df.withColumn("bucket", F.lit(None).cast("int"))
+    counts = np.array([r["count"] for r in hist], dtype=np.int64)
+    total = int(counts.sum())
+    below = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    per_score_bucket = below * n_buckets // total + 1  # non-decreasing
+    # boundary for bucket b = smallest score whose bucket >= b;
+    # bucket(s) = 1 + #boundaries <= s (skipped bucket ids collapse
+    # onto repeated boundaries, preserving the formula under ties)
+    idx = np.searchsorted(per_score_bucket, np.arange(2, n_buckets + 1), "left")
+    bucket = F.lit(1)
+    for i in idx:
+        if i >= len(hist):
+            break
+        bucket = bucket + (
+            s >= F.lit(float(hist[int(i)]["__s"]))
+        ).cast("int")
+    return df.withColumn("bucket", bucket.cast("int"))

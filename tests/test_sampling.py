@@ -176,3 +176,62 @@ def test_token_budget_drops_zero_token_rows(spark):
     )
     kept = token_budget_sample(d, 100, "n_tok", buckets=4)
     assert set(r.doc_id for r in kept.collect()) == {"b"}
+
+
+def test_quantile_buckets_formula_parity(spark):
+    """bucket = floor(cum_below * n / total) + 1, ties share."""
+    import random
+
+    from icicle_spark.operators.sampling import quantile_buckets
+
+    rng = random.Random(5)
+    scores = [round(rng.random(), 2) for _ in range(500)]  # many ties
+    d = spark.createDataFrame(
+        [(f"d{i}", s) for i, s in enumerate(scores)],
+        "doc_id string, q double",
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in quantile_buckets(d, "q", n_buckets=10).collect()
+    }
+    srt = sorted(scores)
+    import bisect
+
+    total = len(scores)
+    for i, s in enumerate(scores):
+        below = bisect.bisect_left(srt, s)
+        assert got[f"d{i}"] == below * 10 // total + 1, (s, got[f"d{i}"])
+
+
+def test_quantile_buckets_equal_populations(spark):
+    from collections import Counter
+
+    from icicle_spark.operators.sampling import quantile_buckets
+
+    d = spark.range(1000).selectExpr("id", "id / 1000.0 AS q")
+    c = Counter(
+        r["bucket"] for r in quantile_buckets(d, "q", n_buckets=4).collect()
+    )
+    assert c == {1: 250, 2: 250, 3: 250, 4: 250}
+
+
+def test_quantile_buckets_massive_tie(spark):
+    from icicle_spark.operators.sampling import quantile_buckets
+
+    # 60% of mass on one value: it takes bucket 1, the rest jump to 7
+    rows = [("a%d" % i, 0.1) for i in range(60)] + [
+        ("b%d" % i, 0.9) for i in range(40)
+    ]
+    d = spark.createDataFrame(rows, "doc_id string, q double")
+    got = {r["doc_id"]: r["bucket"] for r in quantile_buckets(d, "q").collect()}
+    assert got["a0"] == 1 and got["b0"] == 7
+
+
+def test_quantile_buckets_null_raises(spark):
+    import pytest as _pytest
+
+    from icicle_spark.operators.sampling import quantile_buckets
+
+    d = spark.createDataFrame([("a", None)], "doc_id string, q double")
+    with _pytest.raises(ValueError, match="null score"):
+        quantile_buckets(d, "q")
