@@ -3105,6 +3105,55 @@ ORDER BY doc_id
 """
 
 
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-information-rate scoring for corpus refreshes: every doc's
+    distinct 3-gram ids checked against a persisted gram index built
+    from the non-'src0' slice (the "already held" corpus). One
+    8-byte-key membership join + one per-doc re-aggregate; cost ~
+    snapshot, not held-corpus, size."""
+    from icicle_spark.operators.dedup import gram_hash_counts, gram_novelty
+
+    d = _docs(spark, sf_dir)
+    idx = gram_hash_counts(d.where("source <> 'src0'"), "text", k=3)
+    out = gram_novelty(d, idx, "text", "doc_id", k=3)
+    return out.select(
+        "doc_id", "n_grams", "n_novel", _r("novelty", 6).alias("novelty")
+    )
+
+
+_GRAM_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+              ELSE [array_to_string(ws[i+1:i+3], ' ')
+                    FOR i IN range(0, len(ws) - 2)]
+         END gs
+  FROM toks
+),
+dg AS (
+  SELECT doc_id, unnest(list_distinct(gs)) AS g FROM grams
+),
+idx AS (
+  SELECT DISTINCT g
+  FROM (SELECT unnest(gs) AS g FROM grams WHERE source <> 'src0')
+)
+SELECT dg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN idx.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN idx.g IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS novelty
+FROM dg LEFT JOIN idx ON dg.g = idx.g
+GROUP BY dg.doc_id
+"""
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicated-span removal (Lee et al. 2022,
     arXiv 2107.06499): every 3-token gram occurring >= 2 times
@@ -3416,7 +3465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "line_dedup": q_line_dedup,
         "substring_dedup": q_substring_dedup,
-        "chord_labeled": q_chord_labeled,
+        "gram_novelty": q_gram_novelty,
         "resume_fold": q_resume_fold,
         "classifier_score": q_classifier_score,
         "token_budget_mix": q_token_budget_mix,
@@ -3479,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numflips": q_numflips,
         "stats_moments": q_stats_moments,
         "ewma_fold": q_ewma_fold,
+        "chord_labeled": q_chord_labeled,
     }
 
 
@@ -3538,6 +3588,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5ish": _TPCH_Q5_SQL,
         "quality_score": _quality_sql(),
         "quality_buckets": _quality_buckets_sql(),
+        "gram_novelty": _GRAM_NOVELTY_SQL,
         "media_features": _MEDIA_SQL,
         "frame_sample": _FRAME_SQL,
         "embed_topk_arrow": _EMBED_SQL,

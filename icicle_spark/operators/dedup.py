@@ -350,6 +350,58 @@ def duplicate_gram_hashes(
     return counts.filter(F.col("n_occurrences") >= F.lit(min_count))
 
 
+def gram_novelty(
+    docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Per-document novelty against a persisted corpus gram index (a
+    :func:`gram_hash_counts` frame): the fraction of the document's
+    DISTINCT k-gram ids absent from the index — the "new information
+    rate" signal for corpus-refresh curation (score a crawl snapshot
+    against everything already held; high-novelty docs are worth
+    keeping even at mediocre quality, near-zero-novelty docs are
+    boilerplate re-crawls).
+
+    Returns ``(id, n_grams, n_novel, novelty)``. 100 TB shape: the
+    document side explodes distinct 62-bit gram ids (no shingle
+    strings); membership is ONE join on 8-byte keys against the
+    index (Spark broadcasts it when small, shuffles both sides
+    otherwise — the index is bounded by distinct corpus grams) and
+    one groupBy(doc) re-aggregate. Cost ~ snapshot size, not held
+    corpus size."""
+    grams = (
+        docs.withColumn("__wh", word_hashes(text_col))
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(ngram_hashes64(F.col("__wh"), k))
+            ).alias("gram_hash"),
+        )
+    )
+    seen = index.select("gram_hash").distinct().withColumn(
+        "__seen", F.lit(1)
+    )
+    joined = grams.join(seen, "gram_hash", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("__seen").isNull(), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_novel").cast("bigint").alias("n_novel"),
+            (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
+        )
+    )
+
+
 def substring_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -666,3 +666,29 @@ def test_substring_dedup_incremental_matches_full(spark):
         }
         assert inc == full, strat
         assert inc[2] == ("intro outro", 4), strat
+
+
+def test_gram_novelty_hand_golden(spark):
+    from icicle_spark.operators.dedup import gram_hash_counts, gram_novelty
+
+    held = spark.createDataFrame(
+        [("h1", "alpha beta gamma delta")], "doc_id string, text string"
+    )
+    idx = gram_hash_counts(held, "text", k=2)
+    snap = spark.createDataFrame(
+        [
+            ("n1", "alpha beta gamma"),     # grams (a,b),(b,g): both held
+            ("n2", "alpha beta zeta eta"),  # (a,b) held; (b,z),(z,e) novel
+            ("n3", "totally new words"),    # all novel
+            ("n4", ""),                     # empty: 1 whole-gram, novel
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], round(r["novelty"], 6))
+        for r in gram_novelty(snap, idx, k=2).collect()
+    }
+    assert got["n1"] == (2, 0, 0.0)
+    assert got["n2"] == (3, 2, round(2 / 3, 6))
+    assert got["n3"] == (2, 2, 1.0)
+    assert got["n4"] == (1, 1, 1.0)
