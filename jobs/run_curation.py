@@ -172,6 +172,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-logprob", type=float, default=-12.0)
     ap.add_argument("--no-logprob", action="store_true",
                     help="skip the word-freq build + LM proxy")
+    ap.add_argument("--novelty-index",
+                    metavar="PATH[:K]",
+                    help="persisted gram_hash_counts parquet: adds "
+                         "novelty signals (n_grams, n_novel, "
+                         "novelty) vs the held corpus, referencable "
+                         "from --rule (e.g. 'stale:novelty >= 0.05')")
     ap.add_argument("--dictionary",
                     help="quality-signal dictionary: path/to/dict"
                          ".icicle[:entity,time,seq] or module.py:ATTR"
@@ -275,6 +281,25 @@ def main(argv: list[str] | None = None) -> int:
         lp = doc_logprob(docs, freq, args.text_col, args.id_col)
         sig = sig.join(
             lp.select(args.id_col, "logprob"), on=args.id_col, how="left"
+        )
+    if args.novelty_index:
+        # new-information-rate vs a persisted held-corpus gram index
+        # (one 8-byte-key membership join; ~snapshot-sized cost)
+        from icicle_spark.operators.dedup import gram_novelty
+
+        spec = args.novelty_index
+        path, _, kk = spec.rpartition(":")
+        if path and kk.isdigit():
+            nk = int(kk)
+        else:
+            path, nk = spec, 10
+        nov = gram_novelty(
+            docs, spark.read.parquet(path), args.text_col,
+            args.id_col, k=nk,
+        )
+        sig = sig.join(
+            nov.select(args.id_col, "n_grams", "n_novel", "novelty"),
+            on=args.id_col, how="left",
         )
     if args.dictionary:
         # declared quality signals (.icicle feature outputs) join the

@@ -175,3 +175,31 @@ def test_curation_pipeline_boilerplate_stages(spark, corpus, tmp_path):
     kept = spark.read.parquet(os.path.join(out, "kept"))
     assert "__tokens_rm" not in kept.columns
     assert "__lines_rm" not in kept.columns
+
+
+def test_curation_novelty_signal(spark, corpus, tmp_path):
+    """--novelty-index joins gram-novelty signals and --rule can gate
+    on them (near-zero-novelty docs = boilerplate re-crawls)."""
+    from icicle_spark.operators.dedup import gram_hash_counts
+
+    src, _bench = corpus
+    held = str(tmp_path / "held_index.parquet")
+    # held corpus = the healthy doc 5: doc 5 re-crawled => novelty 0
+    gram_hash_counts(
+        spark.read.parquet(src).where("doc_id = 5"), "text", k=4
+    ).write.mode("overwrite").parquet(held)
+    out = str(tmp_path / "out_nov")
+    assert main([
+        "--input", src, "--output", out,
+        "--novelty-index", f"{held}:4",
+        "--min-words", "2", "--max-dup2", "1.0",
+        "--min-distinct-ratio", "0.0", "--no-logprob",
+        "--rule", "stale:novelty >= 0.05",
+    ]) == 0
+    import pandas as _pd
+
+    kept = _pd.read_parquet(f"{out}/kept")
+    dropped = _pd.read_parquet(f"{out}/dropped")
+    assert 5 not in set(kept["doc_id"])  # its own grams: novelty 0
+    assert set(dropped[dropped["fail_reason"] == "stale"]["doc_id"]) == {5}
+    assert "novelty" in kept.columns
