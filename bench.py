@@ -290,7 +290,12 @@ def _fused_once(strategy: str) -> dict:
         SPARK_GRAFT_BENCH_DOCS=str(BENCH_DOCS),
     )
     cmd = [sys.executable, os.path.abspath(__file__), "--fused-only"]
-    r = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"fused subprocess ({strategy}) exited "
+            f"{r.returncode}: {r.stderr[-800:]}"
+        )
     return json.loads(r.stdout.strip().splitlines()[-1])
 
 
@@ -307,8 +312,21 @@ def _fused_subprocess(strategy: str) -> dict:
     min_samples = int(os.environ.get("SPARK_GRAFT_FUSED_SAMPLES", "2"))
     max_samples = int(os.environ.get("SPARK_GRAFT_FUSED_MAX_SAMPLES", "5"))
     samples: list[dict] = []
+    crashes = 0
     while len(samples) < max_samples:
-        samples.append(_fused_once(strategy))
+        try:
+            samples.append(_fused_once(strategy))
+        except (RuntimeError, json.JSONDecodeError, IndexError) as e:
+            # a transient subprocess death (JVM OOM while another
+            # session's heap lingers, env blip) must not abort the
+            # whole suite — retry up to 2 crashes, then surface
+            crashes += 1
+            print(f"warn: fused sample crashed ({e})", file=sys.stderr)
+            if crashes > 2:
+                if samples:
+                    break
+                raise
+            continue
         if len(samples) >= min_samples:
             el = sorted(s["elapsed"] for s in samples)
             if el[1] <= el[0] * 1.15:
@@ -348,7 +366,17 @@ def measure_scaling() -> dict:
         cmd = [sys.executable, os.path.abspath(__file__), "--fused-only"]
         if os.path.exists("/usr/bin/taskset"):
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        r = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
+        for attempt in (1, 2):
+            r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+            if r.returncode == 0:
+                break
+            print(
+                f"warn: scaling sample at {cpus} cores crashed "
+                f"(attempt {attempt}): {r.stderr[-300:]}",
+                file=sys.stderr,
+            )
+        else:
+            return  # two crashes: skip this sample, keep the draw alive
         res = json.loads(r.stdout.strip().splitlines()[-1])
         if cpus not in out or res["elapsed"] < out[cpus]["elapsed"]:
             out[cpus] = res
