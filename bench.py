@@ -191,18 +191,21 @@ def main() -> None:
         # collapses the merge stage's parallelism and adds 2-10x
         # run-to-run variance; the fold plan is skew-immune via
         # map-side partials + salting, so AQE has nothing to fix here.
+        # scan splits sized for ~4 waves on the LARGEST core count
+        # measured (16 MiB: the 488 MB scaling input -> ~31 splits ->
+        # 4 self-balancing waves at 8 cores instead of one
+        # straggler-exposed 8-task wave; at 2 cores the same setting
+        # just means more, smaller waves). The ARRANGED store instead
+        # needs splits >= its bucket-file size (one file per task is
+        # the storage contract; read_fact_store refuses to let Spark
+        # split a bucket). Tunable for probes via SPARK_GRAFT_MPB.
+        default_mpb = (128 if strategy == "arranged" else 16) * 1024 * 1024
         spark = get_spark(
             cpus=CPUS,
             extra_conf={
                 "spark.sql.adaptive.enabled": "false",
-                # scan splits sized for ~4 waves on the LARGEST core
-                # count measured (default 16 MiB: the 488 MB scaling
-                # input -> ~31 splits -> 4 self-balancing waves at 8
-                # cores instead of one straggler-exposed 8-task wave;
-                # at 2 cores the same setting just means more, smaller
-                # waves). Tunable for probes via SPARK_GRAFT_MPB.
                 "spark.sql.files.maxPartitionBytes": os.environ.get(
-                    "SPARK_GRAFT_MPB", str(16 * 1024 * 1024)
+                    "SPARK_GRAFT_MPB", str(default_mpb)
                 ),
             },
         )
