@@ -1587,6 +1587,110 @@ LIMIT 20
 """
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-pair frequency top-20 — the inner
+    statistic of BPE tokenizer training (`operators/bpe.py`
+    pair_counts). ONE scan + ONE shuffle: pairs come from a JVM
+    zip_with over two array slices (whole-stage codegen, no Python),
+    counted with map-side partial aggregation."""
+    from icicle_spark.operators.bpe import pair_counts
+    from icicle_spark.operators.tokens import char_token_ids
+
+    d = _docs(spark, sf_dir).select(char_token_ids("text").alias("toks"))
+    return (
+        pair_counts(d, "toks")
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+_BPE_TOKS_SQL = """
+  SELECT doc_id, list_transform(
+           list_filter(string_split(text, ' '), w -> w <> ''),
+           w -> ascii(w[1:1]) * 32 + least(length(w), 31)
+         ) AS toks
+  FROM documents
+"""
+
+_BPE_PAIR_SQL = f"""
+WITH t AS ({_BPE_TOKS_SQL}),
+p AS (
+  SELECT unnest(list_zip(toks, toks[2:])) AS pr FROM t WHERE len(toks) >= 2
+)
+SELECT CAST(pr[1] AS BIGINT) AS a, CAST(pr[2] AS BIGINT) AS b,
+       count(*) AS cnt
+FROM p WHERE pr[2] IS NOT NULL
+GROUP BY a, b ORDER BY cnt DESC, a ASC, b ASC LIMIT 20
+"""
+
+
+def q_bpe_top1_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge applied corpus-wide, exact token-array oracle:
+    pick the most frequent DISTINCT pair (a != b — the greedy
+    overlap-run case is not SQL-expressible; bpe's a == b semantics
+    are pinned by `tests/test_bpe.py` against a pure-Python golden),
+    mint new_id = corpus max + 1, and replace every occurrence via
+    the flat-numpy Arrow apply (`operators/bpe.py` bpe_apply). The
+    oracle rebuilds each merged list positionally in DuckDB."""
+    from icicle_spark.operators.bpe import bpe_apply, top_pair
+    from icicle_spark.operators.tokens import char_token_ids
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", char_token_ids("text").alias("toks")
+    )
+    best = top_pair(d, "toks", distinct_only=True)
+    assert best is not None
+    a, b, _ = best
+    mx = d.agg(F.max(F.array_max("toks"))).collect()[0][0]
+    new_id = int(mx) + 1
+    return bpe_apply(d, [(a, b, new_id)], "toks", out_col="merged").select(
+        "doc_id",
+        "merged",
+        F.size("toks").cast("bigint").alias("n_before"),
+    )
+
+
+_BPE_TOP1_SQL = f"""
+WITH t AS ({_BPE_TOKS_SQL}),
+mx AS (SELECT max(x) + 1 AS new_id FROM (SELECT unnest(toks) AS x FROM t)),
+pc AS (
+  SELECT pr[1] AS a, pr[2] AS b, count(*) AS cnt
+  FROM (SELECT unnest(list_zip(toks, toks[2:])) AS pr
+        FROM t WHERE len(toks) >= 2)
+  WHERE pr[2] IS NOT NULL AND pr[1] <> pr[2]
+  GROUP BY a, b ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+)
+SELECT doc_id,
+  flatten(list_transform(generate_series(1, len(toks)), i ->
+    CASE
+      WHEN i < len(toks) AND toks[i] = pc.a AND toks[i+1] = pc.b
+        THEN [CAST(mx.new_id AS BIGINT)]
+      WHEN i > 1 AND toks[i-1] = pc.a AND toks[i] = pc.b THEN []
+      ELSE [CAST(toks[i] AS BIGINT)]
+    END)) AS merged,
+  CAST(len(toks) AS BIGINT) AS n_before
+FROM t, pc, mx
+"""
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, 8 merges (`operators/bpe.py`
+    bpe_train): per iteration one pair-count shuffle + a ONE-ROW
+    argmax collect (control flow) + one flat-numpy merge pass;
+    working set cached, lineage truncated every 4 merges. The merge
+    LOOP is iterative (argmax depends on prior merges) so there is no
+    SQL oracle; semantics are pinned against a pure-Python golden in
+    tests/test_bpe.py, and the first iteration's statistic is the
+    oracle-checked `bpe_pair_counts`."""
+    from icicle_spark.operators.bpe import bpe_train
+    from icicle_spark.operators.tokens import char_token_ids
+
+    d = _docs(spark, sf_dir).select(char_token_ids("text").alias("toks"))
+    return bpe_train(d, "toks", n_merges=8, checkpoint_every=4).orderBy(
+        "rank"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level concat-then-chunk sequence packing (GPT
     pretraining shape): every document's token array concatenated in
@@ -3470,9 +3574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "token_budget_mix": q_token_budget_mix,
         "quality_buckets": q_quality_buckets,
-        "decayed_sum": q_decayed_sum,
-        "max_by_min_by": q_max_by_min_by,
-        "any_all_distinct": q_any_all_distinct,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_top1_encode": q_bpe_top1_encode,
+        "bpe_merges": q_bpe_merges,
         "calendar_windows": q_calendar_windows,
         "latest_repack": q_latest_repack,
         "group_pair": q_group_pair,
@@ -3486,7 +3590,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (math_builtins / token_arrays rotated out late-r4 for
         # substring_dedup / tfidf_terms: functions/scalars.py,
         # functions/arrays.py and operators/tokens.py are untouched
-        # since their r3 oracle rows)
+        # since their r3 oracle rows. decayed_sum / max_by_min_by /
+        # any_all_distinct rotated out for the bpe_* trio: they are
+        # r3-certified and their aggregate kernels are exercised by a
+        # dozen in-window fold queries; all 93 queries re-verified
+        # green against the DuckDB oracle locally this session.)
+        "decayed_sum": q_decayed_sum,
+        "max_by_min_by": q_max_by_min_by,
+        "any_all_distinct": q_any_all_distinct,
         "math_builtins": q_math_builtins,
         "token_arrays": q_token_arrays,
         "token_seq_stats": q_token_seq_stats,
@@ -3604,6 +3715,11 @@ def oracle_sql() -> dict[str, str]:
         "token_arrays": _TOKEN_ARRAYS_SQL,
         "token_seq_stats": _TOKEN_SEQ_SQL,
         "token_freq": _TOKEN_FREQ_SQL,
+        "bpe_pair_counts": _BPE_PAIR_SQL,
+        "bpe_top1_encode": _BPE_TOP1_SQL,
+        # bpe_merges: iterative argmax loop — no SQL oracle by design
+        # (pytest pins parity vs a pure-Python golden trainer);
+        # the per-iteration statistic IS the oracled bpe_pair_counts
         "filter_let_bind": _FILTER_LET_SQL,
         "dictionary_native": _FOLD_SQL,
         "resume_fold": _RESUME_SQL,
