@@ -229,11 +229,19 @@ def main() -> None:
     for name in HEADLINE:
         _force(qs[name](spark, SF_DIR))  # warm: JIT + file cache
         # fresh lineage per timed run: Spark reuses shuffle files on
-        # identical lineage, which would skip the map stages
-        df = qs[name](spark, SF_DIR)
-        t0 = time.perf_counter()
-        _force(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # identical lineage, which would skip the map stages.
+        # min-of-2: a single sample on this VM carries +-15% drift
+        # plus occasional multi-second GC/compile stalls (a one-sample
+        # group_fold_chord recorded 3.3 s where warm steady-state is
+        # 1.3 s) — the min of two fresh-lineage runs is the engine.
+        best = None
+        for _ in range(2):
+            df = qs[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            _force(df)
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
     # fused flagship in FRESH subprocess JVMs (the --fused-only entry,
     # same isolation as --scaling): measuring it inside this session
     # after 15+ headline queries inherits their heap/shuffle/codegen

@@ -41,6 +41,40 @@ def char_token_ids(text_col) -> Column:
     )
 
 
+def codepoint_token_ids(text_col) -> Column:
+    """Character-level base tokenization: one Unicode codepoint id per
+    character (the byte/char-level base vocabulary a BPE trainer
+    merges upward from). Pure JVM — split-to-chars + ascii() per char
+    (Spark's ascii returns the full codepoint of the first character)
+    — stays in whole-stage codegen, no Python."""
+    chars = F.filter(F.split(_c(text_col), ""), lambda c: c != "")
+    return F.transform(chars, lambda c: F.ascii(c).cast("long"))
+
+
+def utf8_byte_tokens(df, text_col: str = "text", out_col: str = "tokens"):
+    """UTF-8 BYTE-level base tokenization (GPT-2-style byte BPE base
+    vocabulary, ids 0-255): Arrow-batched ``mapInPandas``; per row one
+    ``np.frombuffer`` over the encoded bytes (C-speed per token, no
+    per-token Python). Adds ``out_col: array<bigint>``."""
+
+    out_schema = df.schema.simpleString()[7:-1] + f",{out_col}:array<bigint>"
+
+    def _enc(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = pdf.copy()
+            out[out_col] = [
+                np.frombuffer(
+                    (t or "").encode("utf-8"), dtype=np.uint8
+                ).astype(np.int64).tolist()
+                for t in pdf[text_col]
+            ]
+            yield out
+
+    return df.mapInPandas(_enc, schema=out_schema)
+
+
 def token_ngram_ids(tokens, n: int) -> Column:
     """Rolling polynomial id per contiguous token n-gram
     (id = ((t0*131 + t1)*131 + ...) mod 2^31-1): zip_with over n

@@ -19,7 +19,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# plain `python jobs/...` (no spark-submit --py-files) must still
+# find the library beside jobs/ — on the driver AND in the Python
+# workers Spark forks (they unpickle UDF closures that import it)
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+os.environ["PYTHONPATH"] = _ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def load_dictionary(spec: str):
