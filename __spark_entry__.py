@@ -3443,6 +3443,141 @@ ORDER BY doc_id
 """
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + blocklist gating (training-pipeline
+    extension; the RefinedWeb-style first curation stage). The corpus
+    has no URL column, so deterministic URLs — mixed-case hosts,
+    default ports, www., tracking params, fragments, trailing slashes,
+    a blocked domain, and an over-length pad — are synthesized from
+    doc_id/source on BOTH sides; the oracle certifies the canonical
+    form and the first-failing-reason policy, not a no-op."""
+    from icicle_spark.functions.urls import url_filter
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example.COM:443/articles/"),
+                F.col("source"), F.lit("/"), sid,
+                F.lit("?utm_source=feed&utm_campaign=x#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit("http://blog.example.org/post/"), sid,
+                F.lit("?id=7&gclid=abc&ref=tw"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("https://spam-casino.biz/win/"), sid),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("http://News.Site.net:80/read/"), sid, F.lit("/")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/a/b/"), sid,
+                F.lit("/?ref=tw&keep=1"),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.lit("&pad="), F.repeat(F.lit("z"), 3000)),
+                ).otherwise(F.lit("")),
+            )
+        )
+    )
+    out = url_filter(
+        d.withColumn("url", url),
+        blocked_domains=["spam-casino.biz"],
+        blocked_patterns=[r"/win/"],
+        max_len=2048,
+    )
+    return out.select(
+        "doc_id", "canonical_url", "domain", "kept", "reason"
+    ).orderBy("doc_id")
+
+
+_URL_FILTER_SQL = r"""
+WITH synth AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/articles/' || source
+                  || '/' || CAST(doc_id AS VARCHAR)
+                  || '?utm_source=feed&utm_campaign=x#frag'
+      WHEN 1 THEN 'http://blog.example.org/post/' || CAST(doc_id AS VARCHAR)
+                  || '?id=7&gclid=abc&ref=tw'
+      WHEN 2 THEN 'https://spam-casino.biz/win/' || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN 'http://News.Site.net:80/read/' || CAST(doc_id AS VARCHAR)
+                  || '/'
+      ELSE 'https://example.com/a/b/' || CAST(doc_id AS VARCHAR)
+           || '/?ref=tw&keep=1'
+           || CASE WHEN doc_id % 7 = 0 THEN '&pad=' || repeat('z', 3000)
+                   ELSE '' END
+    END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+    regexp_replace(url, '#.*$', '', 'g') AS u
+  FROM synth
+),
+canon AS (
+  SELECT doc_id, url,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+          '^(http://[^:]*):80$', '\1', 'g'),
+        '^(https://[^:]*):443$', '\1', 'g'),
+      '://www\.', '://', 'g')
+    ||
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g'),
+              '([?&])(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*', '\1', 'g'),
+            '\?&+', '?', 'g'),
+          '&&+', '&', 'g'),
+        '[?&]+$', '', 'g'),
+      '/+$', '', 'g') AS canonical_url,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+          '^[^@]*@', '', 'g'),
+        ':[0-9]*$', '', 'g'),
+      '^www\.', '', 'g') AS host
+  FROM parts
+),
+domains AS (
+  SELECT doc_id, url, canonical_url,
+    CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+         THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+         ELSE host END AS domain
+  FROM canon
+)
+SELECT doc_id, canonical_url, domain,
+  CASE
+    WHEN domain = 'spam-casino.biz' THEN 'blocked_domain'
+    WHEN regexp_matches(canonical_url, '(?:/win/)') THEN 'blocked_pattern'
+    WHEN length(url) > 2048 THEN 'too_long'
+  END AS reason,
+  CASE
+    WHEN domain = 'spam-casino.biz' THEN 'blocked_domain'
+    WHEN regexp_matches(canonical_url, '(?:/win/)') THEN 'blocked_pattern'
+    WHEN length(url) > 2048 THEN 'too_long'
+  END IS NULL AS kept
+FROM domains
+ORDER BY doc_id
+"""
+
+
 def q_math_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BuiltinMath scalar surface (Builtin.hs:47-67) with Possibly
     semantics: acos/asin outside [-1,1] are null (not NaN), rounding
@@ -3640,6 +3775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_moments": q_stats_moments,
         "ewma_fold": q_ewma_fold,
         "chord_labeled": q_chord_labeled,
+        "url_filter": q_url_filter,
     }
 
 
@@ -3735,6 +3871,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _SUBSTRING_DEDUP_SQL,
         "tfidf_terms": _TFIDF_SQL,
         "html_strip": _HTML_STRIP_SQL,
+        "url_filter": _URL_FILTER_SQL,
         # minhash_incremental / simhash_incremental: LSH banding not
         # SQL-expressible — rows-only; full-vs-incremental parity is
         # pinned by tests/test_dedup.py.
