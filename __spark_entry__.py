@@ -1507,6 +1507,73 @@ GROUP BY source
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (XLM-R/Gopher ``p^alpha``
+    reweighting, downsample-only): rates derive from per-source counts
+    as ``r_s = sqrt(n_min/n_s)`` at alpha=0.5 — sqrt/div/mul are all
+    IEEE-correctly-rounded, so the integer thresholds are bit-identical
+    in DuckDB and the md5-gated membership replays exactly. Sources in
+    the corpus are uniform, so a skewed 8:4:2:1:1 pseudo-source derives
+    from doc_id on BOTH sides."""
+    from icicle_spark.operators.sampling import (
+        temperature_mix,
+        temperature_rates,
+    )
+
+    m = F.col("doc_id") % 16
+    grp = (
+        F.when(m < 8, F.lit("web"))
+        .when(m < 12, F.lit("books"))
+        .when(m < 14, F.lit("code"))
+        .when(m == 14, F.lit("wiki"))
+        .otherwise(F.lit("papers"))
+    )
+    d = _docs(spark, sf_dir).select("doc_id").withColumn("grp", grp)
+    rates = temperature_rates(d, 0.5, source_col="grp")
+    mixed = temperature_mix(d, 0.5, source_col="grp", hash_fn="md5")
+    totals = d.groupBy("grp").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = mixed.groupBy("grp").agg(F.count(F.lit(1)).alias("kept"))
+    thr = spark.createDataFrame(
+        [(s, t) for s, t in rates.items()], "grp string, threshold long"
+    )
+    return (
+        totals.join(F.broadcast(thr), "grp")
+        .join(kept, "grp", "left")
+        .select(
+            "grp", "n_docs", "threshold",
+            F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("kept"),
+        )
+        .orderBy("grp")
+    )
+
+
+_TEMPERATURE_MIX_SQL = """
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 16 < 8 THEN 'web'
+         WHEN doc_id % 16 < 12 THEN 'books'
+         WHEN doc_id % 16 < 14 THEN 'code'
+         WHEN doc_id % 16 = 14 THEN 'wiki'
+         ELSE 'papers' END AS grp
+  FROM documents
+),
+cnt AS (SELECT grp, count(*) AS n FROM g GROUP BY grp),
+thr AS (
+  SELECT grp, n,
+    CAST(floor(sqrt((SELECT min(n) FROM cnt) / n) * 1000000) AS BIGINT)
+      AS threshold
+  FROM cnt
+)
+SELECT t.grp, t.n AS n_docs, t.threshold,
+  count(*) FILTER (WHERE
+    CAST(('0x' || substr(md5(g.doc_id || ':0'), 1, 15)) AS UBIGINT)
+      % 1000000 < t.threshold) AS kept
+FROM g JOIN thr t USING (grp)
+GROUP BY t.grp, t.n, t.threshold
+ORDER BY t.grp
+"""
+
+
 def q_token_seq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-SEQUENCE operators over array<int> token ids (the
     north-rule payload): n-gram rolling ids, distinct counts, and
@@ -3776,6 +3843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_fold": q_ewma_fold,
         "chord_labeled": q_chord_labeled,
         "url_filter": q_url_filter,
+        "temperature_mix": q_temperature_mix,
     }
 
 
@@ -3872,6 +3940,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": _TFIDF_SQL,
         "html_strip": _HTML_STRIP_SQL,
         "url_filter": _URL_FILTER_SQL,
+        "temperature_mix": _TEMPERATURE_MIX_SQL,
         # minhash_incremental / simhash_incremental: LSH banding not
         # SQL-expressible — rows-only; full-vs-incremental parity is
         # pinned by tests/test_dedup.py.

@@ -224,3 +224,65 @@ def quantile_buckets(
             s >= F.lit(float(hist[int(i)]["__s"]))
         ).cast("int")
     return df.withColumn("bucket", bucket.cast("int"))
+
+
+def temperature_rates(
+    df: DataFrame,
+    alpha: float,
+    source_col: str = "source",
+) -> dict[str, int]:
+    """Per-source keep thresholds (out of ``_BUCKETS``) that reshape
+    the empirical source distribution ``p_s`` into ``q_s ∝ p_s^alpha``
+    — the XLM-R / Gopher temperature-reweighting rule — by
+    downsampling only (the rarest source keeps rate 1.0, everything
+    more frequent is thinned: ``r_s ∝ p_s^(alpha-1)``, normalized so
+    ``max r_s = 1``).
+
+    One tiny count aggregate; the returned dict is control flow
+    (``n_sources`` rows to the driver), applied as a zero-shuffle gate
+    by ``temperature_mix``. ``alpha=0.5`` uses sqrt/div/mul only —
+    all IEEE-correctly-rounded, so thresholds are bit-identical in
+    every engine (numpy, JVM, DuckDB) and oracle-replayable; general
+    ``alpha`` goes through libm ``pow``, whose last ulp may differ
+    across engines (fine in production, not contract-exact)."""
+    import math
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1] (downsample-only)")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return {}
+    n_min = min(counts.values())
+    out: dict[str, int] = {}
+    for s, n in counts.items():
+        if alpha == 0.5:
+            r = math.sqrt(n_min / n)
+        else:
+            r = (n_min / n) ** (1.0 - alpha)
+        out[s] = int(math.floor(r * _BUCKETS))
+    return out
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xx64",
+) -> DataFrame:
+    """Temperature-based source rebalancing: keep each row iff its key
+    hash lands under the source's ``temperature_rates`` threshold.
+    Same deterministic-membership contract as ``mix_sources`` (stable
+    at any parallelism / rerun / corpus order); the corpus side is one
+    scan, zero shuffle, whole-stage codegen."""
+    rates = temperature_rates(df, alpha, source_col)
+    thr = F.lit(0)
+    for s, t in rates.items():
+        thr = F.when(F.col(source_col) == s, F.lit(t)).otherwise(thr)
+    return df.where(_bucket(key_col, seed, hash_fn) < thr)

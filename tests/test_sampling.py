@@ -235,3 +235,42 @@ def test_quantile_buckets_null_raises(spark):
     d = spark.createDataFrame([("a", None)], "doc_id string, q double")
     with _pytest.raises(ValueError, match="null score"):
         quantile_buckets(d, "q")
+
+
+def test_temperature_rates_skew(spark):
+    from icicle_spark.operators.sampling import _BUCKETS, temperature_rates
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    r = temperature_rates(df, 0.5)
+    assert r["small"] == _BUCKETS  # rarest source keeps everything
+    assert r["big"] == int((100 / 400) ** 0.5 * _BUCKETS)  # sqrt(1/4) = 0.5
+    # alpha=1 is identity (no reshaping)
+    assert set(temperature_rates(df, 1.0).values()) == {_BUCKETS}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        temperature_rates(df, 1.5)
+
+
+def test_temperature_mix_deterministic_and_reshaping(spark):
+    from icicle_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big" if i % 5 != 0 else "small") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    kept1 = {r["doc_id"] for r in temperature_mix(df, 0.5).collect()}
+    kept2 = {
+        r["doc_id"]
+        for r in temperature_mix(df.repartition(13), 0.5).collect()
+    }
+    assert kept1 == kept2  # membership invariant under partitioning
+    by_src = (
+        temperature_mix(df, 0.5)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    got = {r["source"]: r["count"] for r in by_src}
+    assert got["small"] == 400  # rarest kept wholesale
+    # big thinned toward sqrt ratio: expect ~1600*0.5=800, hash noise small
+    assert 700 <= got["big"] <= 900
