@@ -3736,6 +3736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # vocab_remap / unicode_norm rotate in for distinct_first /
     # numflips / stats_moments (r3-certified, re-verified green in
     # this round's full 91-query local check_contract sweep).
+    # Final-r4: the new url_filter / temperature_mix rotate in for
+    # embed_topk / semantic_decon (r3-certified; similarity.py is
+    # untouched this round, so those certifications stay valid).
     return {
         "asof_snapshot_folds": q_asof_snapshot_folds,
         "asof_window_folds": q_asof_window_folds,
@@ -3761,13 +3764,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "embed_dedup": q_embed_dedup,
         "json_map_ops": q_json_map_ops,
-        "embed_topk": q_embed_topk,
+        "url_filter": q_url_filter,
         "source_postcomp": q_source_postcomp,
         "repetition_stats": q_repetition_stats,
         "source_group_fold": q_source_group_fold,
         "doc_logprob": q_doc_logprob,
         "quality_filter": q_quality_filter,
-        "semantic_decon": q_semantic_decon,
+        "temperature_mix": q_temperature_mix,
         "decontaminate": q_decontaminate,
         "line_dedup": q_line_dedup,
         "substring_dedup": q_substring_dedup,
@@ -3842,8 +3845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_moments": q_stats_moments,
         "ewma_fold": q_ewma_fold,
         "chord_labeled": q_chord_labeled,
-        "url_filter": q_url_filter,
-        "temperature_mix": q_temperature_mix,
+        "embed_topk": q_embed_topk,
+        "semantic_decon": q_semantic_decon,
     }
 
 
@@ -3948,7 +3951,5 @@ def oracle_sql() -> dict[str, str]:
         # approx_aggs: sketches differ across engines — rows-only.
         # minhash_pairs / simhash_pairs: LSH not SQL-expressible —
         # rows-only check by design.
-        # source_mix: membership = f(xxhash64), not available in the
-        # oracle engine — rows-only; pinned by tests/test_sampling.py.
     }
     return {k: (v if "1.37e-" in v else _stab(v)) for k, v in raw.items()}
