@@ -275,13 +275,17 @@ def temperature_mix(
     key_col: str = "doc_id",
     seed: int = 0,
     hash_fn: str = "xx64",
+    rates: dict[str, int] | None = None,
 ) -> DataFrame:
     """Temperature-based source rebalancing: keep each row iff its key
     hash lands under the source's ``temperature_rates`` threshold.
     Same deterministic-membership contract as ``mix_sources`` (stable
     at any parallelism / rerun / corpus order); the corpus side is one
-    scan, zero shuffle, whole-stage codegen."""
-    rates = temperature_rates(df, alpha, source_col)
+    scan, zero shuffle, whole-stage codegen. Pass precomputed
+    ``rates`` (as returned by ``temperature_rates``) to skip the count
+    aggregate — e.g. when the caller also reports them."""
+    if rates is None:
+        rates = temperature_rates(df, alpha, source_col)
     thr = F.lit(0)
     for s, t in rates.items():
         thr = F.when(F.col(source_col) == s, F.lit(t)).otherwise(thr)

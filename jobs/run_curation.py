@@ -194,6 +194,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dict-snapshot", default="9999-01-01 00:00:00",
                     help="snapshot instant for the dictionary run "
                          "(default: everything visible)")
+    ap.add_argument("--mix-alpha", type=float, default=0.0,
+                    help="after the policy, rebalance KEPT docs by "
+                         "temperature: keep-rate r_s = (n_min/n_s)^"
+                         "(1-alpha) per source (0 = off; 0.5 = the "
+                         "common sqrt reweighting)")
+    ap.add_argument("--mix-source-col", default="source",
+                    help="grouping column for --mix-alpha")
     ap.add_argument("--rule", action="append", default=[],
                     metavar="REASON:PASS_EXPR",
                     help="extra policy rule: boolean Spark-SQL PASS "
@@ -332,9 +339,37 @@ def main(argv: list[str] | None = None) -> int:
 
     kept_path = os.path.join(args.output, "kept")
     dropped_path = os.path.join(args.output, "dropped")
-    out.where("passed").drop("passed", "fail_reason").write.mode(
-        "overwrite"
-    ).parquet(kept_path)
+    kept_df = out.where("passed").drop("passed", "fail_reason")
+    mix_info = {}
+    if args.mix_alpha:
+        # 5. temperature rebalancing of the kept corpus (XLM-R/Gopher
+        # p^alpha): one tiny count agg for the rates, then a
+        # zero-shuffle hash gate — deterministic at any parallelism
+        from icicle_spark.operators.sampling import (
+            _BUCKETS,
+            temperature_mix,
+            temperature_rates,
+        )
+
+        if args.mix_source_col not in kept_df.columns:
+            raise SystemExit(
+                f"--mix-alpha needs a {args.mix_source_col!r} column "
+                f"(set --mix-source-col); input has {kept_df.columns}"
+            )
+        rates = temperature_rates(
+            kept_df, args.mix_alpha, args.mix_source_col
+        )
+        kept_df = temperature_mix(
+            kept_df, args.mix_alpha, args.mix_source_col,
+            key_col=args.id_col, rates=rates,
+        )
+        mix_info = {
+            "mix_alpha": args.mix_alpha,
+            "mix_rates": {s: t / _BUCKETS for s, t in sorted(rates.items())},
+        }
+    kept_df.write.mode("overwrite").parquet(kept_path)
+    if mix_info:
+        mix_info["kept_after_mix"] = spark.read.parquet(kept_path).count()
     out.where("NOT passed").write.mode("overwrite").parquet(dropped_path)
 
     reasons = {
@@ -351,6 +386,7 @@ def main(argv: list[str] | None = None) -> int:
         "kept": n_kept,
         "dropped_by_reason": reasons,
         **removal_totals,
+        **mix_info,
     }
     os.makedirs(args.output, exist_ok=True)
     with open(os.path.join(args.output, "summary.json"), "w") as f:

@@ -9,6 +9,8 @@ import os
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from jobs.run_curation import main
 
 
@@ -203,3 +205,47 @@ def test_curation_novelty_signal(spark, corpus, tmp_path):
     assert 5 not in set(kept["doc_id"])  # its own grams: novelty 0
     assert set(dropped[dropped["fail_reason"] == "stale"]["doc_id"]) == {5}
     assert "novelty" in kept.columns
+
+
+def test_curation_pipeline_temperature_mix(spark, tmp_path):
+    """--mix-alpha rebalances the kept corpus by source: the rare
+    source survives wholesale, the dominant one is thinned toward the
+    sqrt ratio, and the rates land in summary.json."""
+    rows = [
+        (
+            i,
+            f"varied document number {i} with plenty of different "
+            f"interesting words covering rivers mountains cities music "
+            f"science history art cooking travel sports weather item{i}",
+            "web" if i % 10 else "books",
+        )
+        for i in range(1, 201)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    assert main([
+        "--input", src, "--output", out, "--min-words", "5",
+        "--no-logprob", "--mix-alpha", "0.5",
+    ]) == 0
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["mix_alpha"] == 0.5
+    assert summary["mix_rates"]["books"] == 1.0  # rare: kept wholesale
+    assert 0.3 < summary["mix_rates"]["web"] < 0.35  # sqrt(20/180)=0.333
+    kept = spark.read.parquet(os.path.join(out, "kept"))
+    by = {r["source"]: r["n"] for r in
+          kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by["books"] == 20
+    assert 40 <= by["web"] <= 80  # ~180*0.333 with hash noise
+    assert summary["kept_after_mix"] == by["books"] + by["web"]
+
+
+def test_curation_mix_requires_source_col(spark, corpus, tmp_path):
+    src, _ = corpus
+    with pytest.raises(SystemExit, match="mix-alpha"):
+        main([
+            "--input", src, "--output", str(tmp_path / "o2"),
+            "--min-words", "5", "--no-logprob", "--mix-alpha", "0.5",
+        ])
