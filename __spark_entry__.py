@@ -1547,6 +1547,44 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping (anti-spam "max N docs per domain"):
+    deterministic hash-ranked survivors, ONE shuffle (the rank
+    window). Pseudo-domains derive from doc_id on both sides; the md5
+    ordering replays exactly in DuckDB, so the oracle certifies the
+    precise survivor SET, not just counts."""
+    from icicle_spark.operators.sampling import cap_per_group
+
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .withColumn(
+            "grp", F.concat(F.lit("d"), (F.col("doc_id") % 23).cast("string"))
+        )
+    )
+    return (
+        cap_per_group(d, "grp", 12, key_col="doc_id", hash_fn="md5")
+        .select("doc_id", "grp")
+        .orderBy("doc_id")
+    )
+
+
+_CAP_PER_GROUP_SQL = """
+SELECT doc_id, grp FROM (
+  SELECT doc_id, grp, row_number() OVER (
+      PARTITION BY grp
+      ORDER BY CAST(('0x' || substr(md5(doc_id || ':0'), 1, 15))
+                 AS UBIGINT) % 1000000,
+               doc_id) AS rn
+  FROM (SELECT doc_id,
+               'd' || CAST(doc_id % 23 AS VARCHAR) AS grp
+        FROM documents)
+)
+WHERE rn <= 12
+ORDER BY doc_id
+"""
+
+
 _TEMPERATURE_MIX_SQL = """
 WITH g AS (
   SELECT doc_id,
@@ -3847,6 +3885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chord_labeled": q_chord_labeled,
         "embed_topk": q_embed_topk,
         "semantic_decon": q_semantic_decon,
+        "cap_per_group": q_cap_per_group,
     }
 
 
@@ -3944,6 +3983,7 @@ def oracle_sql() -> dict[str, str]:
         "html_strip": _HTML_STRIP_SQL,
         "url_filter": _URL_FILTER_SQL,
         "temperature_mix": _TEMPERATURE_MIX_SQL,
+        "cap_per_group": _CAP_PER_GROUP_SQL,
         # minhash_incremental / simhash_incremental: LSH banding not
         # SQL-expressible — rows-only; full-vs-incremental parity is
         # pinned by tests/test_dedup.py.

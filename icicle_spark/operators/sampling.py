@@ -290,3 +290,36 @@ def temperature_mix(
     for s, t in rates.items():
         thr = F.when(F.col(source_col) == s, F.lit(t)).otherwise(thr)
     return df.where(_bucket(key_col, seed, hash_fn) < thr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_rows: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xx64",
+) -> DataFrame:
+    """Per-group quota: keep at most ``max_rows`` rows per
+    ``group_col`` value — the anti-spam "max N documents per domain"
+    curation rule (composes with ``functions.urls.url_filter``'s
+    ``domain`` column).
+
+    Selection is deterministic at any parallelism: rows rank by
+    ``(hash(key), key)`` within their group, so the same ``max_rows``
+    survivors are chosen on any cluster / rerun / input order —
+    effectively a per-group uniform sample, NOT a scan-order prefix.
+    Cost: ONE shuffle on ``group_col`` (the rank window); at 100 TB
+    the key-hash ordering also means no sorted-input bias toward
+    early crawl segments."""
+    if max_rows < 1:
+        raise ValueError("max_rows must be >= 1")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(_bucket(key_col, seed, hash_fn), F.col(key_col))
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= max_rows)
+        .drop("__rank")
+    )

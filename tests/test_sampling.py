@@ -274,3 +274,29 @@ def test_temperature_mix_deterministic_and_reshaping(spark):
     assert got["small"] == 400  # rarest kept wholesale
     # big thinned toward sqrt ratio: expect ~1600*0.5=800, hash noise small
     assert 700 <= got["big"] <= 900
+
+
+def test_cap_per_group(spark):
+    from icicle_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"dom{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id int, domain string")
+    out = cap_per_group(df, "domain", 5, key_col="doc_id")
+    got = out.groupBy("domain").count().collect()
+    assert {r["count"] for r in got} == {5}
+    # deterministic survivor SET under repartitioning
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in cap_per_group(
+            df.repartition(7), "domain", 5, key_col="doc_id"
+        ).collect()
+    }
+    assert a == b
+    # groups under the cap pass through whole
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id int, domain string")
+    assert cap_per_group(small, "domain", 5, key_col="doc_id").count() == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cap_per_group(df, "domain", 0, key_col="doc_id")
