@@ -194,6 +194,19 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dict-snapshot", default="9999-01-01 00:00:00",
                     help="snapshot instant for the dictionary run "
                          "(default: everything visible)")
+    ap.add_argument("--url-col", default="",
+                    help="URL column: canonicalize + gate on the "
+                         "blocklists BEFORE any content stage (adds "
+                         "canonical_url/domain columns downstream)")
+    ap.add_argument("--block-domain", action="append", default=[],
+                    help="registered domain to drop (repeatable)")
+    ap.add_argument("--block-pattern", action="append", default=[],
+                    help="canonical-URL regex to drop (repeatable)")
+    ap.add_argument("--cap-group", default="",
+                    help="column for per-group quota capping of the "
+                         "kept corpus (e.g. domain)")
+    ap.add_argument("--cap-max", type=int, default=1000,
+                    help="max kept docs per --cap-group value")
     ap.add_argument("--mix-alpha", type=float, default=0.0,
                     help="after the policy, rebalance KEPT docs by "
                          "temperature: keep-rate r_s = (n_min/n_s)^"
@@ -227,6 +240,25 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="icicle_spark_curation")
     docs = spark.read.parquet(args.input)
     n_input = docs.count()
+
+    # 0. URL gate — the cheapest filter runs first (zero shuffle, one
+    # narrow map over the scan); canonical_url/domain ride downstream
+    n_url_dropped = 0
+    if args.url_col:
+        from icicle_spark.functions.urls import url_filter
+
+        if args.url_col not in docs.columns:
+            raise SystemExit(
+                f"--url-col {args.url_col!r} not in input columns "
+                f"{docs.columns}"
+            )
+        gated = url_filter(
+            docs, args.url_col,
+            blocked_domains=args.block_domain or None,
+            blocked_patterns=args.block_pattern or None,
+        )
+        docs = gated.where("kept").drop("kept", "reason")
+        n_url_dropped = n_input - docs.count()
 
     # 1. exact dedup (hash + groupBy, map-side combine)
     docs = exact_dedup(docs, args.text_col, args.id_col)
@@ -341,6 +373,21 @@ def main(argv: list[str] | None = None) -> int:
     dropped_path = os.path.join(args.output, "dropped")
     kept_df = out.where("passed").drop("passed", "fail_reason")
     mix_info = {}
+    if args.cap_group:
+        # 4.5 per-group quota (anti-spam): deterministic hash-ranked
+        # survivors, one rank-window shuffle
+        from icicle_spark.operators.sampling import cap_per_group
+
+        if args.cap_group not in kept_df.columns:
+            raise SystemExit(
+                f"--cap-group {args.cap_group!r} not in kept columns "
+                f"{kept_df.columns}"
+            )
+        kept_df = cap_per_group(
+            kept_df, args.cap_group, args.cap_max, key_col=args.id_col
+        )
+        mix_info["cap_group"] = args.cap_group
+        mix_info["cap_max"] = args.cap_max
     if args.mix_alpha:
         # 5. temperature rebalancing of the kept corpus (XLM-R/Gopher
         # p^alpha): one tiny count agg for the rates, then a
@@ -385,6 +432,7 @@ def main(argv: list[str] | None = None) -> int:
         "after_dedup_decontamination": n_clean,
         "kept": n_kept,
         "dropped_by_reason": reasons,
+        **({"url_dropped": n_url_dropped} if args.url_col else {}),
         **removal_totals,
         **mix_info,
     }

@@ -249,3 +249,39 @@ def test_curation_mix_requires_source_col(spark, corpus, tmp_path):
             "--input", src, "--output", str(tmp_path / "o2"),
             "--min-words", "5", "--no-logprob", "--mix-alpha", "0.5",
         ])
+
+
+def test_curation_url_gate_and_quota(spark, tmp_path):
+    """--url-col gates blocked domains up front; --cap-group caps the
+    kept corpus per domain; both land in summary.json."""
+    body = ("a genuinely varied document with many different words "
+            "covering rivers mountains cities music science history")
+    rows = [
+        (
+            i,
+            f"{body} item{i}",
+            (f"https://spam.bad.biz/x/{i}" if i % 10 == 0
+             else f"https://ok{i % 4}.example.com/page/{i}"),
+        )
+        for i in range(1, 101)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "url"])
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    assert main([
+        "--input", src, "--output", out, "--min-words", "5",
+        "--no-logprob", "--url-col", "url",
+        "--block-domain", "bad.biz",
+        "--cap-group", "domain", "--cap-max", "15",
+    ]) == 0
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["url_dropped"] == 10
+    assert summary["cap_group"] == "domain"
+    kept = spark.read.parquet(os.path.join(out, "kept"))
+    by = {r["domain"]: r["n"] for r in
+          kept.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert set(by) == {"example.com"}  # bad.biz gone; domain col rode through
+    assert by["example.com"] == 15  # quota applied
+    assert summary["kept_after_mix"] == 15
