@@ -12,3 +12,9 @@ from icicle_spark.functions.text import (  # noqa: F401
     quality_score,
     token_count,
 )
+from icicle_spark.functions.urls import (  # noqa: F401
+    canonicalize_url,
+    registered_domain,
+    url_filter,
+    url_host,
+)
