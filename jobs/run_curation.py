@@ -1,10 +1,12 @@
 """End-to-end corpus curation pipeline (spark-submit entry):
 
-    exact dedup -> [line-level / substring boilerplate removal] ->
+    [URL canonicalize + blocklist gate] -> exact dedup ->
+    [line-level / substring boilerplate removal] ->
     [benchmark n-gram decontamination] -> quality
     signals (word count, Gopher repetition stats, type-token ratio,
-    unigram LM log-prob) -> declarative quality policy -> kept /
-    dropped(+reason) parquet + a per-reason summary
+    unigram LM log-prob) -> declarative quality policy ->
+    [per-domain quota cap] -> [temperature source rebalancing] ->
+    kept / dropped(+reason) parquet + a per-reason summary
 
 This is the composition a training-data refresh actually runs at
 100 TB: every stage is one scan or one broadcast join; the only
