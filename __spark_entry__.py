@@ -3773,7 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round). Late-r4: the never-certified pack_sequences /
     # vocab_remap / unicode_norm rotate in for distinct_first /
     # numflips / stats_moments (r3-certified, re-verified green in
-    # this round's full 91-query local check_contract sweep).
+    # this round's full local check_contract sweeps).
     # Final-r4: the new url_filter / temperature_mix rotate in for
     # embed_topk / semantic_decon (r3-certified; similarity.py is
     # untouched this round, so those certifications stay valid).

@@ -96,3 +96,32 @@ def test_url_filter_blocklist_dataframe_broadcast(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     got = {r["doc_id"]: r["kept"] for r in out.collect()}
     assert got == {0: False, 1: True}
+
+
+def test_canonicalize_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over a
+    structured URL grid (scheme x www x port x path x params x
+    fragment) — the re-crawl/re-ingest invariant."""
+    import itertools
+
+    urls = [
+        f"{scheme}{www}Host{i}.Example.ORG{port}{path}{params}{frag}"
+        for i, (scheme, www, port, path, params, frag) in enumerate(
+            itertools.product(
+                ["https://", "HTTP://"],
+                ["www.", ""],
+                [":443", ":80", ":8080", ""],
+                ["/A/b/", "/x", ""],
+                ["?utm_q=1&id=2", "?ref=a", "?id=3&fbclid=z", ""],
+                ["#Frag", ""],
+            )
+        )
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url",
+        canonicalize_url(F.col("url")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], f"not idempotent: {r['url']!r} -> {r['c1']!r} -> {r['c2']!r}"
