@@ -1340,6 +1340,40 @@ FROM c
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus telemetry report (per-source rows + rolled-up TOTAL) in
+    ONE scan and ONE exchange: docs, chars (sum/avg/min/max/exact
+    interpolated median), single-space word counts, language spread,
+    exact-duplicate ratio via distinct md5. ROLLUP computes the total
+    in the same hash aggregate (grouping-set expansion, map-side
+    partials); the shuffle carries 32-byte text hashes, never bodies.
+    The refresh-over-refresh stats table a 100 TB curation pipeline
+    asserts on. Oracle: DuckDB GROUP BY ROLLUP + quantile_cont."""
+    from icicle_spark.operators.reporting import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir), round_eps=_EPS[6])
+
+
+_CORPUS_STATS_SQL = _stab(
+    """
+SELECT coalesce(source, 'TOTAL') AS source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 6) AS avg_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6)
+         AS dup_ratio
+FROM documents
+GROUP BY ROLLUP(source)
+"""
+)
+
+
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (engine extensions — rows-only check:
     sketch internals differ across engines by design)."""
@@ -3776,7 +3810,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round's full local check_contract sweeps).
     # Final-r4: the new url_filter / temperature_mix rotate in for
     # embed_topk / semantic_decon (r3-certified; similarity.py is
-    # untouched this round, so those certifications stay valid).
+    # untouched this round, so those certifications stay valid), and
+    # the new corpus_stats rotates in for calendar_windows
+    # (r3-certified; its windowed-fold path is still in-window via
+    # asof_window_folds).
     return {
         "asof_snapshot_folds": q_asof_snapshot_folds,
         "asof_window_folds": q_asof_window_folds,
@@ -3820,7 +3857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_top1_encode": q_bpe_top1_encode,
         "bpe_merges": q_bpe_merges,
-        "calendar_windows": q_calendar_windows,
+        "corpus_stats": q_corpus_stats,
         "latest_repack": q_latest_repack,
         "group_pair": q_group_pair,
         "tfidf_terms": q_tfidf_terms,
@@ -3830,6 +3867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_let_bind": q_filter_let_bind,
         "dictionary_native": q_dictionary_native,
         # ---- position 51+: driver-certified in r01/r02/r03 ----
+        "calendar_windows": q_calendar_windows,
         # (math_builtins / token_arrays rotated out late-r4 for
         # substring_dedup / tfidf_terms: functions/scalars.py,
         # functions/arrays.py and operators/tokens.py are untouched
@@ -3945,6 +3983,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5ish": _TPCH_Q5_SQL,
         "quality_score": _quality_sql(),
         "quality_buckets": _quality_buckets_sql(),
+        "corpus_stats": _CORPUS_STATS_SQL,
         "gram_novelty": _GRAM_NOVELTY_SQL,
         "media_features": _MEDIA_SQL,
         "frame_sample": _FRAME_SQL,

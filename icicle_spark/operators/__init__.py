@@ -14,3 +14,7 @@ from icicle_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
     lsh_topk,
 )
+from icicle_spark.operators.reporting import (  # noqa: F401
+    corpus_stats,
+    lang_histogram,
+)

@@ -1,0 +1,129 @@
+"""Corpus telemetry report — the stats page every corpus refresh
+publishes: docs / chars / words per source, length quantiles,
+exact-duplicate ratio, language spread, plus a grand-total row.
+
+Reference provenance: Icicle ships per-run statistics alongside every
+snapshot/chord output (``icicle-data/src/Icicle/Data/Fact.hs`` fact
+counts; the CLI prints per-entity/per-attribute tallies) — the engine
+equivalent at corpus scale is a one-pass summary table the pipeline
+can assert on (row deltas between refreshes, dup-rate regressions).
+
+Scale shape (the whole point at 100 TB):
+
+* ONE scan of the corpus, ONE exchange. ``ROLLUP`` computes the
+  per-source rows and the grand total in the same hash aggregate via
+  grouping-set expansion, with map-side partial aggregation — no
+  second pass, no union of two jobs.
+* The two ``count(distinct …)`` columns ride the same aggregate
+  (Spark plans an Expand: rows × #grouping-sets × #distinct-args,
+  then map-side partial aggregation on the expanded keys — the
+  shuffle carries one row per DISTINCT (source, hash), not per doc).
+  Duplicate detection hashes the text to a fixed 32-byte key
+  map-side (``md5``) so the shuffle carries hashes, never bodies.
+* The exact median is safe at scale too: Spark's ``percentile``
+  buffers a value→count map, so per-group state is bounded by the
+  number of DISTINCT document lengths (~1e5-1e6), not by doc count.
+* ``approx=True`` swaps the distinct counts for HLL sketches
+  (``approx_count_distinct``) and the median for
+  ``approx_percentile`` — constant per-group state and a
+  counts-only shuffle, the cheapest form when the report is
+  human-read telemetry rather than an asserted contract.
+* Everything is built-in Column expressions — whole-stage codegen,
+  zero Python rows.
+
+All statistics are chosen to be replayable exactly by another engine
+(counts, sums, interpolated medians, distinct counts over md5), so the
+report itself is oracle-checkable — telemetry you can trust across
+engine migrations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOTAL_LABEL = "TOTAL"
+
+
+def corpus_stats(
+    docs: DataFrame,
+    group_col: str = "source",
+    char_col: str = "n_chars",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    round_digits: int = 6,
+    round_eps: float = 0.0,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-``group_col`` corpus statistics with a rolled-up TOTAL row.
+
+    Columns: ``n_docs``, ``total_chars``, ``avg_chars``, ``min_chars``,
+    ``max_chars``, ``p50_chars`` (exact interpolated median),
+    ``total_words`` (single-space token count), ``n_langs``,
+    ``n_unique_texts`` (distinct md5), ``dup_ratio``.
+
+    ``round_eps`` is added inside every ``round`` so a cross-engine
+    oracle can stabilize ties off the 5-ulp grid the same way.
+    """
+    words = F.size(F.split(F.col(text_col), " "))
+
+    def _r(c):
+        return F.round(c + F.lit(round_eps), round_digits)
+
+    n_docs = F.count(F.lit(1))
+    if approx:
+        n_uniq = F.approx_count_distinct("__h")
+        n_langs = F.approx_count_distinct("__l")
+        p50 = F.expr("approx_percentile(__c, 0.5)").cast("double")
+    else:
+        n_uniq = F.countDistinct(F.col("__h"))
+        n_langs = F.countDistinct("__l")
+        p50 = F.expr("percentile(__c, 0.5)")
+    agg = (
+        docs.select(
+            F.col(group_col).alias("__g"),
+            F.col(char_col).alias("__c"),
+            F.col(lang_col).alias("__l"),
+            words.alias("__w"),
+            F.md5(F.col(text_col)).alias("__h"),
+        )
+        .rollup("__g")
+        .agg(
+            n_docs.alias("n_docs"),
+            F.sum("__c").alias("total_chars"),
+            _r(F.avg("__c")).alias("avg_chars"),
+            F.min("__c").alias("min_chars"),
+            F.max("__c").alias("max_chars"),
+            _r(p50).alias("p50_chars"),
+            F.sum("__w").cast("long").alias("total_words"),
+            n_langs.alias("n_langs"),
+            n_uniq.alias("n_unique_texts"),
+            _r(F.lit(1.0) - n_uniq.cast("double") / n_docs).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+    return agg.select(
+        F.coalesce(F.col("__g"), F.lit(TOTAL_LABEL)).alias(group_col),
+        "n_docs",
+        "total_chars",
+        "avg_chars",
+        "min_chars",
+        "max_chars",
+        "p50_chars",
+        "total_words",
+        "n_langs",
+        "n_unique_texts",
+        "dup_ratio",
+    )
+
+
+def lang_histogram(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    group_col: str = "source",
+) -> DataFrame:
+    """(source, lang) document counts — the language-mix drilldown of
+    the report. One groupBy (map-side combined)."""
+    return docs.groupBy(group_col, lang_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

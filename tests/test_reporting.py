@@ -1,0 +1,122 @@
+"""Corpus telemetry report: cross-row invariants, the exact/approx
+mode contract, plan shape, and the spark-submit job end-to-end.
+
+The exact-value cross-engine parity of ``corpus_stats`` is certified
+by the driver oracle (``corpus_stats`` in ``__spark_entry__``,
+DuckDB ``GROUP BY ROLLUP`` + ``quantile_cont``); these tests pin the
+invariants an oracle can't see — TOTAL really is the rollup of the
+per-source rows, duplicates actually move ``dup_ratio``, the approx
+mode keeps the schema, and the physical plan stays one scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from icicle_spark.operators.reporting import (
+    TOTAL_LABEL,
+    corpus_stats,
+    lang_histogram,
+)
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(60):
+        src = ["web", "books", "code"][i % 3]
+        lang = ["en", "de"][i % 2]
+        # 20 duplicated bodies inside 'web' (i % 3 == 0, i >= 30
+        # repeats i - 30), unique elsewhere
+        body = f"alpha beta gamma doc {i - 30 if (i % 3 == 0 and i >= 30) else i}"
+        rows.append((i, body, lang, src, len(body)))
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+
+
+def test_total_is_rollup_of_sources(docs):
+    out = corpus_stats(docs).collect()
+    per = {r["source"]: r for r in out if r["source"] != TOTAL_LABEL}
+    tot = next(r for r in out if r["source"] == TOTAL_LABEL)
+    assert set(per) == {"web", "books", "code"}
+    assert sum(r["n_docs"] for r in per.values()) == tot["n_docs"] == 60
+    assert sum(r["total_chars"] for r in per.values()) == tot["total_chars"]
+    assert sum(r["total_words"] for r in per.values()) == tot["total_words"]
+    assert tot["min_chars"] == min(r["min_chars"] for r in per.values())
+    assert tot["max_chars"] == max(r["max_chars"] for r in per.values())
+
+
+def test_dup_ratio_sees_duplicates(docs):
+    out = {r["source"]: r for r in corpus_stats(docs).collect()}
+    # web: 20 docs, 10 bodies repeated once each -> 10 unique
+    assert out["web"]["n_unique_texts"] == 10
+    assert out["web"]["dup_ratio"] == pytest.approx(0.5)
+    assert out["books"]["dup_ratio"] == pytest.approx(0.0)
+    assert out[TOTAL_LABEL]["n_unique_texts"] == 50
+    assert out[TOTAL_LABEL]["n_langs"] == 2
+
+
+def test_word_count_and_median(docs):
+    out = {r["source"]: r for r in corpus_stats(docs).collect()}
+    # every body is exactly 5 single-space words
+    assert out[TOTAL_LABEL]["total_words"] == 60 * 5
+    med = sorted(r["n_chars"] for r in docs.collect())
+    exact = (med[29] + med[30]) / 2
+    assert out[TOTAL_LABEL]["p50_chars"] == pytest.approx(exact, abs=1e-5)
+
+
+def test_approx_mode_schema_and_ballpark(docs):
+    exact = corpus_stats(docs)
+    approx = corpus_stats(docs, approx=True)
+    assert [f.name for f in approx.schema] == [f.name for f in exact.schema]
+    a = {r["source"]: r for r in approx.collect()}
+    # HLL on 60 keys is exact-ish; allow generous slack
+    assert abs(a[TOTAL_LABEL]["n_unique_texts"] - 50) <= 5
+    assert a[TOTAL_LABEL]["n_langs"] == 2
+
+
+def test_repartition_invariance(docs):
+    a = sorted(map(tuple, corpus_stats(docs).collect()))
+    b = sorted(map(tuple, corpus_stats(docs.repartition(7)).collect()))
+    assert a == b
+
+
+def test_plan_single_scan(docs):
+    t = corpus_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    # one pass over the corpus: no self-join, no second scan
+    assert len(re.findall(r"Scan ", t)) <= 1
+    assert "Join" not in t
+
+
+def test_lang_histogram(docs):
+    hist = {(r["source"], r["lang"]): r["n_docs"]
+            for r in lang_histogram(docs).collect()}
+    assert sum(hist.values()) == 60
+    assert hist[("web", "en")] + hist[("web", "de")] == 20
+
+
+def test_corpus_report_job(tmp_path, docs):
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "report")
+    r = subprocess.run(
+        [sys.executable, os.path.join(_ROOT, "jobs", "corpus_report.py"),
+         "--input", inp, "--output", out, "--cpus", "4"],
+        capture_output=True, text=True, cwd=_ROOT, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.load(open(os.path.join(out, "report.json")))
+    assert rep["total"]["n_docs"] == 60
+    assert len(rep["sources"]) == 3
+    assert os.path.exists(os.path.join(out, "stats.parquet"))
+    assert os.path.exists(os.path.join(out, "lang_histogram.parquet"))
