@@ -1374,6 +1374,49 @@ GROUP BY ROLLUP(source)
 )
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refresh-over-refresh corpus diff (added / removed / changed /
+    unchanged per doc). Old and new snapshots are synthesized
+    deterministically from the same table (drop doc_id%11==3 from
+    old, doc_id%13==5 from new, mutate old text on doc_id%7==0), so
+    both engines replay the exact same diff. Each side reduces to
+    (id, md5) map-side — the full-outer join shuffles 32-byte hashes,
+    never bodies. Oracle: the same CASE over a DuckDB FULL JOIN."""
+    from icicle_spark.operators.reporting import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where("doc_id % 11 != 3").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v1"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new = docs.where("doc_id % 13 != 5")
+    return corpus_diff(old, new)
+
+
+_CORPUS_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END)
+           AS old_hash
+  FROM documents WHERE doc_id % 11 != 3
+), new AS (
+  SELECT doc_id, md5(text) AS new_hash
+  FROM documents WHERE doc_id % 13 != 5
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN old_hash = new_hash THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_hash, new_hash
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (engine extensions — rows-only check:
     sketch internals differ across engines by design)."""
@@ -3864,9 +3907,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip": q_html_strip,
         "token_freq": q_token_freq,
         "source_mix": q_source_mix,
-        "filter_let_bind": q_filter_let_bind,
+        "corpus_diff": q_corpus_diff,
         "dictionary_native": q_dictionary_native,
         # ---- position 51+: driver-certified in r01/r02/r03 ----
+        # (filter_let_bind rotated out late-r4 for corpus_diff:
+        # r3-certified, and its bind semantics are pinned verbatim by
+        # the golden-corpus replay tests)
+        "filter_let_bind": q_filter_let_bind,
         "calendar_windows": q_calendar_windows,
         # (math_builtins / token_arrays rotated out late-r4 for
         # substring_dedup / tfidf_terms: functions/scalars.py,
@@ -3984,6 +4031,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _quality_sql(),
         "quality_buckets": _quality_buckets_sql(),
         "corpus_stats": _CORPUS_STATS_SQL,
+        "corpus_diff": _CORPUS_DIFF_SQL,
         "gram_novelty": _GRAM_NOVELTY_SQL,
         "media_features": _MEDIA_SQL,
         "frame_sample": _FRAME_SQL,

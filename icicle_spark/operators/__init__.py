@@ -15,6 +15,8 @@ from icicle_spark.operators.similarity import (  # noqa: F401
     lsh_topk,
 )
 from icicle_spark.operators.reporting import (  # noqa: F401
+    corpus_diff,
+    corpus_diff_summary,
     corpus_stats,
     lang_histogram,
 )

@@ -117,6 +117,44 @@ def corpus_stats(
     )
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Refresh-over-refresh corpus diff: per-document status
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` between two
+    snapshots, decided by content hash.
+
+    Scale shape: each side reduces to ``(id, md5(text))`` map-side
+    BEFORE the full-outer join, so the one co-partitioned shuffle
+    carries 32-byte hashes, never document bodies; everything else is
+    whole-stage-codegen Column logic. At 100 TB both sides bucket by
+    ``id_col`` at ingest (the arranged-store contract), making the
+    join exchange-free.
+
+    Output: ``(id_col, status, old_hash, new_hash)`` — hashes kept so
+    downstream audits can sample changed docs without a re-scan.
+    """
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("old_hash"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("new_hash"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(id_col, status.alias("status"), "old_hash", "new_hash")
+
+
+def corpus_diff_summary(diff: DataFrame) -> DataFrame:
+    """Status counts of a ``corpus_diff`` frame (one tiny map-side
+    combined aggregate)."""
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def lang_histogram(
     docs: DataFrame,
     lang_col: str = "lang",

@@ -4,6 +4,9 @@ pretraining-data refresh publishes and asserts on —
     per-source stats (docs / chars / words / exact median length /
     language spread / exact-duplicate ratio) + rolled-up TOTAL row
     -> (source, lang) histogram drilldown
+    -> [--diff-against] per-doc added/removed/changed/unchanged vs
+       the previous snapshot (content-hash full-outer join that
+       shuffles 32-byte md5s, never bodies)
     -> parquet tables + report.json
 
 Scale shape: the stats table is ONE corpus scan (ROLLUP grouping
@@ -44,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--derive-chars", action="store_true",
                     help="compute length(text) instead of reading "
                     "--char-col")
+    ap.add_argument("--diff-against",
+                    help="previous snapshot parquet; adds diff.parquet "
+                    "(per-doc added/removed/changed/unchanged by content "
+                    "hash) and a status summary to report.json")
+    ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--approx", action="store_true",
                     help="HLL distinct counts + approx_percentile "
                     "(constant per-group state; 100 TB telemetry mode)")
@@ -72,6 +80,27 @@ def main(argv: list[str] | None = None) -> int:
     hist = lang_histogram(docs, lang_col=args.lang_col,
                           group_col=args.group_col)
 
+    diff_summary = None
+    diff_path = None
+    if args.diff_against:
+        from icicle_spark.operators.reporting import (
+            corpus_diff,
+            corpus_diff_summary,
+        )
+
+        prev = spark.read.parquet(args.diff_against)
+        diff = corpus_diff(prev, docs, id_col=args.id_col,
+                           text_col=args.text_col)
+        diff_path = os.path.join(args.output, "diff.parquet")
+        os.makedirs(args.output, exist_ok=True)
+        diff.write.mode("overwrite").parquet(diff_path)
+        diff_summary = {
+            r["status"]: r["n_docs"]
+            for r in corpus_diff_summary(
+                spark.read.parquet(diff_path)
+            ).collect()
+        }
+
     os.makedirs(args.output, exist_ok=True)
     stats_path = os.path.join(args.output, "stats.parquet")
     hist_path = os.path.join(args.output, "lang_histogram.parquet")
@@ -87,6 +116,9 @@ def main(argv: list[str] | None = None) -> int:
         "total": next(r for r in rows if r[args.group_col] == "TOTAL"),
         "outputs": {"stats": stats_path, "lang_histogram": hist_path},
     }
+    if diff_summary is not None:
+        report["diff"] = diff_summary
+        report["outputs"]["diff"] = diff_path
     with open(os.path.join(args.output, "report.json"), "w") as f:
         json.dump(report, f, indent=2, sort_keys=True)
     print(json.dumps({"n_sources": len(report["sources"]),

@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 
 from icicle_spark.operators.reporting import (
     TOTAL_LABEL,
+    corpus_diff,
+    corpus_diff_summary,
     corpus_stats,
     lang_histogram,
 )
@@ -105,13 +107,49 @@ def test_lang_histogram(docs):
     assert hist[("web", "en")] + hist[("web", "de")] == 20
 
 
+def test_corpus_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C!"), (4, "d")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in corpus_diff(old, new).collect()}
+    assert {k: v["status"] for k, v in got.items()} == {
+        1: "removed", 2: "unchanged", 3: "changed", 4: "added"
+    }
+    assert got[1]["new_hash"] is None and got[4]["old_hash"] is None
+    assert got[3]["old_hash"] != got[3]["new_hash"]
+    summ = {r["status"]: r["n_docs"]
+            for r in corpus_diff_summary(corpus_diff(old, new)).collect()}
+    assert summ == {"removed": 1, "unchanged": 1, "changed": 1, "added": 1}
+
+
+def test_corpus_diff_shuffles_hashes_not_bodies(spark):
+    old = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    new = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    t = corpus_diff(old, new)._jdf.queryExecution().optimizedPlan().toString()
+    # the text column must be hashed away below the join
+    assert "md5" in t
+    join_ln = next(ln for ln in t.splitlines() if "Join" in ln)
+    assert "text" not in join_ln
+
+
 def test_corpus_report_job(tmp_path, docs):
     inp = str(tmp_path / "docs.parquet")
     docs.write.parquet(inp)
     out = str(tmp_path / "report")
+    prev = str(tmp_path / "prev.parquet")
+    docs.where("doc_id < 50").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" OLD")))
+        .otherwise(F.col("text")),
+    ).write.parquet(prev)
     r = subprocess.run(
         [sys.executable, os.path.join(_ROOT, "jobs", "corpus_report.py"),
-         "--input", inp, "--output", out, "--cpus", "4"],
+         "--input", inp, "--output", out, "--cpus", "4",
+         "--diff-against", prev],
         capture_output=True, text=True, cwd=_ROOT, timeout=600,
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -120,3 +158,6 @@ def test_corpus_report_job(tmp_path, docs):
     assert len(rep["sources"]) == 3
     assert os.path.exists(os.path.join(out, "stats.parquet"))
     assert os.path.exists(os.path.join(out, "lang_histogram.parquet"))
+    # prev = ids 0..49 with every 5th body mutated -> 10 changed,
+    # ids 50..59 added, none removed
+    assert rep["diff"] == {"added": 10, "changed": 10, "unchanged": 40}
