@@ -17,6 +17,9 @@ from icicle_spark.operators.similarity import (  # noqa: F401
 from icicle_spark.operators.reporting import (  # noqa: F401
     corpus_diff,
     corpus_diff_summary,
+    corpus_sketch_report,
     corpus_stats,
     lang_histogram,
+    merge_sketch_reports,
+    sketch_estimates,
 )

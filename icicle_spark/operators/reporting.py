@@ -155,6 +155,76 @@ def corpus_diff_summary(diff: DataFrame) -> DataFrame:
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def corpus_sketch_report(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    char_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source MERGEABLE telemetry: additive counters plus
+    DataSketches HLL sketches (binary columns). Each corpus refresh
+    persists one of these tables; corpus-lifetime stats come from
+    :func:`merge_sketch_reports` over the per-refresh tables — cost
+    proportional to #refreshes × #sources, with the held corpus never
+    rescanned. This is the telemetry counterpart of the incremental
+    dedup indexes: the sketch union correctly de-duplicates text
+    hashes ACROSS refreshes, which additive counters cannot.
+
+    One scan, one map-side-combined aggregate; the shuffle carries
+    per-partition sketches (KBs), not rows.
+    """
+    return docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(char_col).cast("long").alias("total_chars"),
+        F.min(char_col).alias("min_chars"),
+        F.max(char_col).alias("max_chars"),
+        F.hll_sketch_agg(F.md5(F.col(text_col))).alias("uniq_text_sketch"),
+        F.hll_sketch_agg(F.col(lang_col)).alias("lang_sketch"),
+    )
+
+
+def merge_sketch_reports(*reports: DataFrame) -> DataFrame:
+    """Merge per-refresh :func:`corpus_sketch_report` tables into one:
+    counters add, min/max fold, HLL sketches union (exactly mergeable
+    by construction — DataSketches union is order- and
+    partitioning-insensitive)."""
+    if not reports:
+        raise ValueError("merge_sketch_reports needs at least one report")
+    u = reports[0]
+    for r in reports[1:]:
+        u = u.unionByName(r)
+    group_col = u.columns[0]
+    return u.groupBy(group_col).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_chars").cast("long").alias("total_chars"),
+        F.min("min_chars").alias("min_chars"),
+        F.max("max_chars").alias("max_chars"),
+        F.hll_union_agg("uniq_text_sketch").alias("uniq_text_sketch"),
+        F.hll_union_agg("lang_sketch").alias("lang_sketch"),
+    )
+
+
+def sketch_estimates(report: DataFrame, round_digits: int = 6) -> DataFrame:
+    """Decode a (possibly merged) sketch report into human-readable
+    estimates. ``dup_ratio_est`` reads "fraction of appended docs whose
+    body was already seen" — exact counters over HLL-estimated
+    uniques (relative error ~1.6% at the default lgK=12)."""
+    uniq = F.hll_sketch_estimate("uniq_text_sketch")
+    return report.select(
+        report.columns[0],
+        "n_docs",
+        "total_chars",
+        "min_chars",
+        "max_chars",
+        uniq.alias("n_unique_texts_est"),
+        F.hll_sketch_estimate("lang_sketch").alias("n_langs_est"),
+        F.round(
+            F.lit(1.0) - uniq.cast("double") / F.col("n_docs"), round_digits
+        ).alias("dup_ratio_est"),
+    )
+
+
 def lang_histogram(
     docs: DataFrame,
     lang_col: str = "lang",

@@ -135,6 +135,43 @@ def test_corpus_diff_shuffles_hashes_not_bodies(spark):
     assert "text" not in join_ln
 
 
+def test_sketch_merge_matches_union_corpus(spark, docs, tmp_path):
+    from icicle_spark.operators.reporting import (
+        corpus_sketch_report,
+        merge_sketch_reports,
+        sketch_estimates,
+    )
+
+    a = docs.where("doc_id < 40")
+    b = docs.where("doc_id >= 20")  # overlaps a on 20..39
+    # per-refresh tables persist and reload (binary sketch columns
+    # must round-trip through parquet)
+    pa, pb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    corpus_sketch_report(a).write.parquet(pa)
+    corpus_sketch_report(b).write.parquet(pb)
+    merged = merge_sketch_reports(
+        spark.read.parquet(pa), spark.read.parquet(pb)
+    )
+    est = {r["source"]: r for r in sketch_estimates(merged).collect()}
+
+    exact = {
+        r["source"]: r
+        for r in corpus_stats(a.unionByName(b)).collect()
+        if r["source"] != TOTAL_LABEL
+    }
+    for src, e in exact.items():
+        m = est[src]
+        # counters are exact over the appended stream
+        assert m["n_docs"] == e["n_docs"]
+        assert m["total_chars"] == e["total_chars"]
+        assert m["min_chars"] == e["min_chars"]
+        assert m["max_chars"] == e["max_chars"]
+        # HLL on tens of keys is exact; the union must de-duplicate
+        # the overlap region across refreshes
+        assert m["n_unique_texts_est"] == e["n_unique_texts"]
+        assert m["n_langs_est"] == e["n_langs"]
+
+
 def test_corpus_report_job(tmp_path, docs):
     inp = str(tmp_path / "docs.parquet")
     docs.write.parquet(inp)
