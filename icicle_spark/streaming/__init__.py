@@ -2,6 +2,9 @@ from icicle_spark.streaming.dedup_stream import (  # noqa: F401
     line_dedup_ingest_sink,
     minhash_ingest_sink,
 )
+from icicle_spark.streaming.telemetry_stream import (  # noqa: F401
+    telemetry_sink,
+)
 from icicle_spark.streaming.fold_stream import (  # noqa: F401
     stream_exact_dedup,
     stream_fold,

@@ -172,6 +172,48 @@ def test_sketch_merge_matches_union_corpus(spark, docs, tmp_path):
         assert m["n_langs_est"] == e["n_langs"]
 
 
+def test_streaming_telemetry_sink(spark, docs, tmp_path):
+    """Two micro-batches through the foreachBatch telemetry sink must
+    leave the persisted report equal to the exact stats of everything
+    ingested (counters exact, HLL exact at this cardinality)."""
+    from icicle_spark.operators.reporting import sketch_estimates
+    from icicle_spark.streaming import telemetry_sink
+
+    src = str(tmp_path / "stream_src")
+    report = str(tmp_path / "report.parquet")
+    b1 = docs.where("doc_id < 40")
+    b2 = docs.where("doc_id >= 40")
+    b1.coalesce(1).write.parquet(src)
+    sink = telemetry_sink(report)
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+    def run_available():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck_tel"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_available()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run_available()
+
+    est = {r["source"]: r
+           for r in sketch_estimates(spark.read.parquet(report)).collect()}
+    exact = {r["source"]: r for r in corpus_stats(docs).collect()
+             if r["source"] != TOTAL_LABEL}
+    assert set(est) == set(exact)
+    for src_name, e in exact.items():
+        m = est[src_name]
+        assert m["n_docs"] == e["n_docs"]
+        assert m["total_chars"] == e["total_chars"]
+        assert m["n_unique_texts_est"] == e["n_unique_texts"]
+        assert m["n_langs_est"] == e["n_langs"]
+
+
 def test_corpus_report_job(tmp_path, docs):
     inp = str(tmp_path / "docs.parquet")
     docs.write.parquet(inp)
