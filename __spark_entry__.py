@@ -3868,8 +3868,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "vocab_remap": q_vocab_remap,
         "unicode_norm": q_unicode_norm,
-        "scan_running_sum": q_scan_running_sum,
-        "sessionize": q_sessionize,
+        # (scan_running_sum / sessionize rotated out late-r4 for
+        # dictionary_native / cap_per_group: both are r3-certified
+        # and window_ext.py is untouched this round, so their
+        # certifications stay valid; dictionary.py/source_lang.py DID
+        # change this round (FAILFAST struct decode, full source
+        # dictionaries) and cap_per_group had never been
+        # driver-checked)
+        "dictionary_native": q_dictionary_native,
+        "cap_per_group": q_cap_per_group,
         "post_group_filter": q_post_group_filter,
         "nested_group": q_nested_group,
         "chained_distinct": q_chained_distinct,
@@ -3908,12 +3915,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq": q_token_freq,
         "source_mix": q_source_mix,
         "corpus_diff": q_corpus_diff,
-        "dictionary_native": q_dictionary_native,
         # ---- position 51+: driver-certified in r01/r02/r03 ----
         # (filter_let_bind rotated out late-r4 for corpus_diff:
         # r3-certified, and its bind semantics are pinned verbatim by
         # the golden-corpus replay tests)
         "filter_let_bind": q_filter_let_bind,
+        "scan_running_sum": q_scan_running_sum,
         "calendar_windows": q_calendar_windows,
         # (math_builtins / token_arrays rotated out late-r4 for
         # substring_dedup / tfidf_terms: functions/scalars.py,
@@ -3970,7 +3977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chord_labeled": q_chord_labeled,
         "embed_topk": q_embed_topk,
         "semantic_decon": q_semantic_decon,
-        "cap_per_group": q_cap_per_group,
+        "sessionize": q_sessionize,
     }
 
 
