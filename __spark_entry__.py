@@ -3909,17 +3909,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "corpus_stats": q_corpus_stats,
         "latest_repack": q_latest_repack,
-        "group_pair": q_group_pair,
+        # (group_pair rotated out late-r4 for filter_let_bind's
+        # return: r3-certified, and composite-key grouping stays
+        # covered in-window by group_fold/nested_group; filter_let
+        # rides ir.py, which was rewritten this round)
+        "filter_let_bind": q_filter_let_bind,
         "tfidf_terms": q_tfidf_terms,
         "html_strip": q_html_strip,
         "token_freq": q_token_freq,
         "source_mix": q_source_mix,
         "corpus_diff": q_corpus_diff,
         # ---- position 51+: driver-certified in r01/r02/r03 ----
-        # (filter_let_bind rotated out late-r4 for corpus_diff:
-        # r3-certified, and its bind semantics are pinned verbatim by
-        # the golden-corpus replay tests)
-        "filter_let_bind": q_filter_let_bind,
+        "group_pair": q_group_pair,
         "scan_running_sum": q_scan_running_sum,
         "calendar_windows": q_calendar_windows,
         # (math_builtins / token_arrays rotated out late-r4 for

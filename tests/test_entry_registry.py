@@ -23,6 +23,12 @@ MUST_BE_IN_WINDOW = {
     "source_circular",
     "classifier_score",
     "token_budget_mix",
+    "corpus_stats",
+    "corpus_diff",
+    "cap_per_group",
+    # r3-certified but r4-TOUCHED code (FAILFAST struct decode, full
+    # source dictionaries) — rotated back in for re-certification
+    "dictionary_native",
     # r3-certified but r3-TOUCHED (Possibly-native groups, RAW codecs,
     # gram-set verify, per-key map arithmetic changed after their last
     # oracle row) — rotated back in for re-certification
