@@ -216,6 +216,11 @@ def main(argv: list[str] | None = None) -> int:
                          "common sqrt reweighting)")
     ap.add_argument("--mix-source-col", default="source",
                     help="grouping column for --mix-alpha")
+    ap.add_argument("--report", action="store_true",
+                    help="after the kept corpus is written, publish "
+                         "its telemetry (one-scan ROLLUP stats; chars "
+                         "derived from the cleaned text) as "
+                         "kept_stats.parquet + summary['kept_stats']")
     ap.add_argument("--rule", action="append", default=[],
                     metavar="REASON:PASS_EXPR",
                     help="extra policy rule: boolean Spark-SQL PASS "
@@ -429,6 +434,36 @@ def main(argv: list[str] | None = None) -> int:
         .collect()  # bounded: one row per policy rule
     }
     n_kept = n_clean - sum(reasons.values())
+    report_info = {}
+    if args.report:
+        # telemetry over the PERSISTED kept corpus (re-read, same
+        # re-execution guard as the other consumers): chars derived
+        # from the cleaned text, lang column used when present
+        from icicle_spark.operators.reporting import corpus_stats
+
+        kept_read = spark.read.parquet(kept_path)
+        if "lang" not in kept_read.columns:
+            kept_read = kept_read.withColumn("lang", F.lit("und"))
+        kept_read = kept_read.withColumn(
+            "__chars", F.length(args.text_col)
+        )
+        group = (args.mix_source_col
+                 if args.mix_source_col in kept_read.columns else "lang")
+        stats = corpus_stats(
+            kept_read, group_col=group, char_col="__chars",
+            text_col=args.text_col, lang_col="lang",
+        )
+        stats_path = os.path.join(args.output, "kept_stats.parquet")
+        stats.write.mode("overwrite").parquet(stats_path)
+        report_info["kept_stats"] = {
+            r[group]: {
+                "n_docs": r["n_docs"],
+                "total_chars": r["total_chars"],
+                "p50_chars": r["p50_chars"],
+                "dup_ratio": r["dup_ratio"],
+            }
+            for r in spark.read.parquet(stats_path).collect()
+        }  # bounded: one row per source + TOTAL
     summary = {
         "input_docs": n_input,
         "after_dedup_decontamination": n_clean,
@@ -437,6 +472,7 @@ def main(argv: list[str] | None = None) -> int:
         **({"url_dropped": n_url_dropped} if args.url_col else {}),
         **removal_totals,
         **mix_info,
+        **report_info,
     }
     os.makedirs(args.output, exist_ok=True)
     with open(os.path.join(args.output, "summary.json"), "w") as f:

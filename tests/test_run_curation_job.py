@@ -58,8 +58,13 @@ def test_curation_pipeline(spark, corpus, tmp_path):
         "--input", src, "--output", out, "--benchmark", bench,
         "--ngram", "8", "--min-words", "12", "--max-dup2", "0.5",
         "--min-distinct-ratio", "0.25", "--min-logprob", "-20",
+        "--report",
     ]) == 0
     summary = json.load(open(os.path.join(out, "summary.json")))
+    # --report: kept-corpus telemetry persisted and summarized
+    assert os.path.exists(os.path.join(out, "kept_stats.parquet"))
+    assert summary["kept_stats"]["TOTAL"]["n_docs"] == summary["kept"]
+    assert summary["kept_stats"]["TOTAL"]["dup_ratio"] == 0.0
     assert summary["input_docs"] == 6
     # one exact dup + one contaminated doc removed pre-policy
     assert summary["after_dedup_decontamination"] == 4
