@@ -1458,6 +1458,52 @@ FROM documents
 """
 
 
+def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec round-trip certified cross-engine: each doc gets
+    a closed-form gradient image ((7i+3y+5x+11c) mod 256 over a
+    (4+i%5)x(4+i%7)x3 canvas) encoded as a real zlib PNG (Sub filter),
+    then decoded + feature-extracted in mapInPandas. The oracle
+    recomputes every statistic from the id alone — no shared code."""
+    from icicle_spark.operators.multimodal import (
+        attach_pattern_images,
+        image_features,
+    )
+
+    feats = image_features(attach_pattern_images(_docs(spark, sf_dir), fmt="png"))
+    return feats.select(
+        "doc_id", "height", "width", "channels",
+        _r("mean_r", 6).alias("mean_r"),
+        _r("mean_g", 6).alias("mean_g"),
+        _r("mean_b", 6).alias("mean_b"),
+        _r("std_px", 6).alias("std_px"),
+    )
+
+
+_PNG_FEATURES_SQL = """
+SELECT d.doc_id,
+       (4 + d.doc_id % 5)::INT AS height,
+       (4 + d.doc_id % 7)::INT AS width,
+       3 AS channels,
+       round(avg(CASE WHEN p.c = 0 THEN p.v END) + 1.37e-8, 6) AS mean_r,
+       round(avg(CASE WHEN p.c = 1 THEN p.v END) + 1.37e-8, 6) AS mean_g,
+       round(avg(CASE WHEN p.c = 2 THEN p.v END) + 1.37e-8, 6) AS mean_b,
+       round(stddev_pop(p.v) + 1.37e-8, 6) AS std_px
+FROM documents d
+CROSS JOIN (
+    SELECT y.g AS y, x.g AS x, c.g AS c
+    FROM generate_series(0, 7) y(g),
+         generate_series(0, 9) x(g),
+         generate_series(0, 2) c(g)
+) p0
+CROSS JOIN LATERAL (
+    SELECT ((7 * d.doc_id + 3 * p0.y + 5 * p0.x + 11 * p0.c) % 256)::DOUBLE AS v,
+           p0.c AS c
+) p
+WHERE p0.y < 4 + d.doc_id % 5 AND p0.x < 4 + d.doc_id % 7
+GROUP BY d.doc_id
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (every 4th 256-byte chunk)."""
     from icicle_spark.operators.multimodal import attach_fake_media, frame_sample
@@ -3908,7 +3954,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_top1_encode": q_bpe_top1_encode,
         "bpe_merges": q_bpe_merges,
         "corpus_stats": q_corpus_stats,
-        "latest_repack": q_latest_repack,
+        # (latest_repack rotated out end-r4 for png_features:
+        # latest_repack is r3-certified and the latest-N machinery
+        # stays in-window via latest_n; the PNG codec tier is NEW
+        # end-r4 code — closed-form pattern oracle certifies
+        # encode -> zlib -> unfilter -> features cross-engine)
+        "png_features": q_png_features,
         # (group_pair rotated out late-r4 for filter_let_bind's
         # return: r3-certified, and composite-key grouping stays
         # covered in-window by group_fold/nested_group; filter_let
@@ -3920,6 +3971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "corpus_diff": q_corpus_diff,
         # ---- position 51+: driver-certified in r01/r02/r03 ----
+        "latest_repack": q_latest_repack,
         "group_pair": q_group_pair,
         "scan_running_sum": q_scan_running_sum,
         "calendar_windows": q_calendar_windows,
@@ -4042,6 +4094,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": _CORPUS_DIFF_SQL,
         "gram_novelty": _GRAM_NOVELTY_SQL,
         "media_features": _MEDIA_SQL,
+        "png_features": _PNG_FEATURES_SQL,
         "frame_sample": _FRAME_SQL,
         "embed_topk_arrow": _EMBED_SQL,
         "json_map_ops": _JSON_MAP_SQL,

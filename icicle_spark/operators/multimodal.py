@@ -1,7 +1,7 @@
 """Multimodal column plumbing: images/audio/video as opaque binary
 columns with typed metadata.
 
-Two codec tiers:
+Three codec tiers:
 
 1. **RAW formats — fully real, pure numpy** (no external codec needed):
    ``RAW1`` images (magic + uint16 height/width + uint8 channels +
@@ -10,25 +10,35 @@ Two codec tiers:
    ``decode_pcm_audio`` validate and decode for real;
    ``image_features`` / ``audio_features`` / ``resize_raw_images``
    compute real statistics and a real nearest-neighbor resize inside
-   ``mapInPandas``. Production swaps the per-buffer decode call for
-   PIL/libsndfile to gain compressed formats — every Spark-side shape
-   (schema, Arrow batching, partitioning) is identical.
+   ``mapInPandas``.
 
-2. **Compressed formats — stubbed** (this environment ships no
-   PNG/JPEG/OGG codecs): ``decode_media_features`` tries the real
-   library and otherwise falls back to a clearly-marked DETERMINISTIC
-   FAKE over the raw bytes.
+2. **Standards-compliant compressed formats — fully real, stdlib
+   zlib + numpy**: ``encode_png``/``decode_png`` implement the PNG
+   baseline still-image profile (8-bit gray/RGB/±alpha,
+   non-interlaced, all five row filters, CRC-checked chunks) and
+   ``encode_wav``/``decode_wav`` the RIFF/WAVE PCM16 container. The
+   feature/resize operators dispatch on the payload magic, so
+   RAW1/PCM1 and PNG/WAV rows flow through the SAME extractors.
+
+3. **Codec-library formats — stubbed** (this environment ships no
+   JPEG/OGG/video codecs): ``decode_media_features`` tries tier 2,
+   then the real library, and otherwise falls back to a
+   clearly-marked DETERMINISTIC FAKE over the raw bytes. Production
+   swaps ``_try_real_decode`` for PIL/libsndfile — every Spark-side
+   shape (schema, Arrow batching, partitioning) is identical.
 
 Layout convention (one row per asset):
 
     media     binary          -- the encoded payload
     mime      string          -- 'image/raw1', 'audio/pcm1',
-                              --  'image/png', ...
+                              --  'image/png', 'audio/wav', ...
     width/height/duration_ms  -- typed metadata (nullable)
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -94,13 +104,244 @@ def decode_pcm_audio(buf: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(buf, "<i2", offset=8), rate
 
 
+# --------------------------------------------- PNG / WAV tier (real)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> channels
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, *, filter_type: int = 1) -> bytes:
+    """Encode an (H, W[, C]) uint8 array as a real PNG (8-bit depth,
+    non-interlaced) using stdlib zlib — readable by any compliant
+    viewer. ``filter_type`` 0 (None) or 1 (Sub) is applied to every
+    row; Sub compresses smooth content better."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"unsupported image shape {arr.shape}")
+    h, w, c = a.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    if filter_type == 0:
+        filtered = np.concatenate(
+            [np.zeros((h, 1), np.uint8), a.reshape(h, w * c)], axis=1
+        )
+    elif filter_type == 1:  # Sub: delta vs the pixel to the left, mod 256
+        delta = a.copy()
+        delta[:, 1:, :] = a[:, 1:, :] - a[:, :-1, :]
+        filtered = np.concatenate(
+            [np.full((h, 1), 1, np.uint8), delta.reshape(h, w * c)], axis=1
+        )
+    else:
+        raise ValueError("encoder supports filter types 0 (None) and 1 (Sub)")
+    idat = zlib.compress(filtered.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Real PNG decode -> (H, W, C) uint8 array, stdlib zlib + numpy.
+
+    Baseline still-image profile: 8-bit depth, color types 0/2/4/6
+    (gray, RGB, gray+alpha, RGBA), non-interlaced, all five row
+    filters (None/Sub/Up/Average/Paeth), per-chunk CRC verification.
+    Palette (type 3), sub-8/16-bit depths and Adam7 interlace raise
+    loudly — parity with the module's parse-don't-guess contract."""
+    if len(buf) < 8 or buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated PNG chunk {tag!r}")
+        (crc,) = struct.unpack(">I", buf[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG color type {color_type} (palette not supported)"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError("non-standard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlaced PNG not supported")
+    c = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG data is {len(raw)} bytes, expected {h * (stride + 1)}"
+        )
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    data = rows[:, 1:]
+    if ftypes.max(initial=0) > 4:
+        raise ValueError(f"invalid PNG filter type {int(ftypes.max())}")
+    # Unfilter. Each row depends on the previous RECONSTRUCTED row, so
+    # the outer loop is rows; Sub/Average/Paeth additionally carry a
+    # left-to-right dependency, walked bpp columns at a time with
+    # vectorized numpy arithmetic (no per-byte Python loop).
+    bpp = c
+    prev = np.zeros(stride, np.int64)
+    out = np.empty((h, stride), np.uint8)
+    for y in range(h):
+        ft = int(ftypes[y])
+        cur = data[y].astype(np.int64)
+        if ft == 0:
+            rec = cur
+        elif ft == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        else:  # Sub / Average / Paeth
+            rec = np.empty(stride, np.int64)
+            for x0 in range(0, stride, bpp):
+                sl = slice(x0, x0 + bpp)
+                left = rec[x0 - bpp : x0] if x0 else np.zeros(bpp, np.int64)
+                if ft == 1:  # Sub
+                    rec[sl] = (cur[sl] + left) & 0xFF
+                elif ft == 3:  # Average
+                    rec[sl] = (cur[sl] + (left + prev[sl]) // 2) & 0xFF
+                else:  # Paeth
+                    up = prev[sl]
+                    ul = (
+                        prev[x0 - bpp : x0] if x0 else np.zeros(bpp, np.int64)
+                    )
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, up, ul),
+                    )
+                    rec[sl] = (cur[sl] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, c)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Encode int16 PCM mono/stereo samples as a standard WAV file."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2 or s.shape[1] not in (1, 2):
+        raise ValueError(f"unsupported sample shape {samples.shape}")
+    n_ch = s.shape[1]
+    body = s.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, sample_rate * n_ch * 2, n_ch * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """Real RIFF/WAVE decode -> ((N, channels) int16 array, rate).
+    PCM (format tag 1), 16-bit only; anything else raises loudly."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        tag = buf[pos : pos + 4]
+        (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV format {audio_fmt}/{bits}-bit (PCM16 only)"
+        )
+    samples = np.frombuffer(
+        data[: len(data) - len(data) % (2 * n_ch)], "<i2"
+    ).reshape(-1, n_ch)
+    return samples, rate
+
+
+def decode_image(buf: bytes) -> np.ndarray:
+    """Magic-dispatching image decode: RAW1 or PNG -> (H, W, C)
+    uint8. The single entry the feature/resize operators call, so
+    both tiers flow through identical Spark plumbing."""
+    if buf[:4] == _RAW1:
+        return decode_raw_image(buf)
+    if buf[:8] == _PNG_SIG:
+        return decode_png(buf)
+    raise ValueError("unknown image payload (expected RAW1 or PNG magic)")
+
+
+def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
+    """Magic-dispatching audio decode: PCM1 or RIFF/WAVE -> (mono
+    int16 samples, rate). WAV stereo is averaged to mono so both
+    containers produce the same downstream feature shape."""
+    if buf[:4] == _PCM1:
+        return decode_pcm_audio(buf)
+    if buf[:4] == b"RIFF":
+        s, rate = decode_wav(buf)
+        mono = s[:, 0] if s.shape[1] == 1 else (
+            ((s[:, 0].astype(np.int32) + s[:, 1]) // 2).astype(np.int16)
+        )
+        return mono, rate
+    raise ValueError("unknown audio payload (expected PCM1 or RIFF magic)")
+
+
 def attach_raw_images(
-    docs: DataFrame, id_col: str = "doc_id", max_side: int = 24
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    max_side: int = 24,
+    fmt: str = "raw1",
 ) -> DataFrame:
-    """Fixture/ingest helper: deterministic synthetic RAW1 image per
-    row, seeded by the id (stands in for reading real blobs; the
-    bytes are REAL RAW1 payloads the decoder accepts)."""
+    """Fixture/ingest helper: deterministic synthetic image per row,
+    seeded by the id (stands in for reading real blobs; the bytes are
+    REAL payloads the decoder accepts). ``fmt`` picks the container:
+    ``raw1`` (uncompressed) or ``png`` (real zlib-compressed PNG)."""
+    if fmt not in ("raw1", "png"):
+        raise ValueError(f"unknown image format {fmt!r}")
     id_type = dict(docs.dtypes)[id_col]
+    enc = encode_raw_image if fmt == "raw1" else encode_png
+    mime = f"image/{fmt}"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -110,11 +351,49 @@ def attach_raw_images(
                 h = int(rng.integers(4, max_side + 1))
                 w = int(rng.integers(4, max_side + 1))
                 media.append(
-                    encode_raw_image(rng.integers(0, 256, (h, w, 3)))
+                    enc(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
                 )
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), "media": media,
-                 "mime": "image/raw1"}
+                 "mime": mime}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        fn, f"`{id_col}` {id_type}, media binary, mime string"
+    )
+
+
+def attach_pattern_images(
+    docs: DataFrame, id_col: str = "doc_id", fmt: str = "png"
+) -> DataFrame:
+    """Fixture/ingest helper with a CLOSED-FORM pattern: pixel
+    ``(y, x, c)`` of doc ``i`` is ``(7*i + 3*y + 5*x + 11*c) mod 256``
+    over a ``(4 + i%5) x (4 + i%7) x 3`` canvas. An external engine
+    can recompute every per-image statistic from the id alone, so a
+    cross-engine oracle certifies the PNG encode -> decode -> feature
+    path end-to-end with no shared code between query and oracle."""
+    if fmt not in ("raw1", "png"):
+        raise ValueError(f"unknown image format {fmt!r}")
+    id_type = dict(docs.dtypes)[id_col]
+    enc = encode_raw_image if fmt == "raw1" else encode_png
+    mime = f"image/{fmt}"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = []
+            for rid in pdf[id_col]:
+                i = int(rid)
+                h, w = 4 + i % 5, 4 + i % 7
+                img = (
+                    7 * i
+                    + 3 * np.arange(h)[:, None, None]
+                    + 5 * np.arange(w)[None, :, None]
+                    + 11 * np.arange(3)[None, None, :]
+                ) % 256
+                media.append(enc(img.astype(np.uint8)))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "media": media,
+                 "mime": mime}
             )
 
     return docs.select(id_col).mapInPandas(
@@ -125,16 +404,17 @@ def attach_raw_images(
 def image_features(
     df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
 ) -> DataFrame:
-    """REAL per-image features from RAW1 payloads: dimensions plus
-    per-channel means and overall std — one Arrow-batched decode per
-    asset, numpy throughout."""
+    """REAL per-image features from RAW1 or PNG payloads
+    (magic-dispatched decode): dimensions plus per-channel means and
+    overall std — one Arrow-batched decode per asset, numpy
+    throughout."""
     id_type = dict(df.dtypes)[id_col]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for rid, buf in zip(pdf[id_col], pdf[media_col]):
-                img = decode_raw_image(bytes(buf))
+                img = decode_image(bytes(buf))
                 h, w, c = img.shape
                 means = img.reshape(-1, c).mean(axis=0)
                 rows.append(
@@ -165,19 +445,22 @@ def resize_raw_images(
     target_w: int,
     media_col: str = "media",
 ) -> DataFrame:
-    """REAL nearest-neighbor resize of RAW1 images (numpy integer
-    index gather — the same access pattern a SIMD resize kernel
-    uses), re-encoded as RAW1."""
+    """REAL nearest-neighbor resize of RAW1 or PNG images (numpy
+    integer index gather — the same access pattern a SIMD resize
+    kernel uses), re-encoded in the SAME container the row arrived
+    in."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for buf in pdf[media_col]:
-                img = decode_raw_image(bytes(buf))
+                b = bytes(buf)
+                img = decode_image(b)
+                enc = encode_png if b[:8] == _PNG_SIG else encode_raw_image
                 h, w, _c = img.shape
                 yi = (np.arange(target_h) * h // target_h).clip(0, h - 1)
                 xi = (np.arange(target_w) * w // target_w).clip(0, w - 1)
-                out.append(encode_raw_image(img[yi[:, None], xi[None, :]]))
+                out.append(enc(img[yi[:, None], xi[None, :]]))
             pdf = pdf.copy()
             pdf[media_col] = out
             yield pdf
@@ -188,15 +471,16 @@ def resize_raw_images(
 def audio_features(
     df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
 ) -> DataFrame:
-    """REAL per-clip features from PCM1 payloads: duration, RMS, peak,
-    zero-crossing count."""
+    """REAL per-clip features from PCM1 or RIFF/WAVE payloads
+    (magic-dispatched; WAV stereo averaged to mono): duration, RMS,
+    peak, zero-crossing count."""
     id_type = dict(df.dtypes)[id_col]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for rid, buf in zip(pdf[id_col], pdf[media_col]):
-                s, rate = decode_pcm_audio(bytes(buf))
+                s, rate = decode_audio(bytes(buf))
                 x = s.astype("float64")
                 zc = int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1])))
                 rows.append(
@@ -223,10 +507,19 @@ def audio_features(
 # ------------------------------------------------------- compressed tier
 
 
-def _try_real_decode(buf: bytes):
-    """Real decode path — raises NotImplementedError here because no
-    codec library is available in this container. Swap this function
-    for PIL/cv2 in production; everything downstream is agnostic."""
+def _try_real_decode(buf: bytes) -> np.ndarray:
+    """Real decode path -> canonical uint8 content array (image pixels
+    flattened, or audio PCM bytes). RAW1/PNG/PCM1/WAV decode for real
+    via the tier-1/tier-2 codecs above; codec-library formats
+    (JPEG/OGG/video) raise NotImplementedError here because no codec
+    library is available in this container. Swap the tail of this
+    function for PIL/cv2/libsndfile in production; everything
+    downstream is agnostic."""
+    if buf[:4] == _RAW1 or buf[:8] == _PNG_SIG:
+        return decode_image(buf).reshape(-1)
+    if buf[:4] == _PCM1 or buf[:4] == b"RIFF":
+        samples, _rate = decode_audio(buf)
+        return np.frombuffer(samples.astype("<i2").tobytes(), np.uint8)
     try:
         import PIL.Image  # noqa: F401
     except ImportError:
@@ -248,17 +541,31 @@ def decode_media_features(
 ) -> DataFrame:
     """Per-asset decode + feature extraction via ``mapInPandas``
     (Arrow-batched; the per-asset loop is the codec call, exactly as a
-    real decoder would be driven)."""
+    real decoder would be driven). RAW1/PNG/PCM1/WAV payloads yield
+    stats over the REAL decoded content (pixels / PCM bytes);
+    codec-library formats fall back to the deterministic byte fake."""
     id_type = dict(df.dtypes)[id_col]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for buf in pdf[media_col]:
+                b = bytes(buf)
                 try:
-                    _try_real_decode(bytes(buf))
+                    content = _try_real_decode(b)
+                    if content.size == 0:
+                        feats.append((0, 0, 0, 0.0))
+                    else:
+                        feats.append(
+                            (
+                                int(content.size),
+                                int(content[0]),
+                                int(content[-1]),
+                                float(content.mean()),
+                            )
+                        )
                 except NotImplementedError:
-                    feats.append(_fake_features(bytes(buf)))
+                    feats.append(_fake_features(b))
             out = pd.DataFrame(
                 feats, columns=["n_bytes", "first_byte", "last_byte", "mean_byte"]
             )

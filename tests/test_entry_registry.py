@@ -26,6 +26,7 @@ MUST_BE_IN_WINDOW = {
     "corpus_stats",
     "corpus_diff",
     "cap_per_group",
+    "png_features",
     # r3-certified but r4-TOUCHED code (FAILFAST struct decode, full
     # source dictionaries) — rotated back in for re-certification
     "dictionary_native",
