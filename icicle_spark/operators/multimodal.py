@@ -13,15 +13,17 @@ Three codec tiers:
    ``mapInPandas``.
 
 2. **Standards-compliant compressed formats — fully real, stdlib
-   zlib + numpy**: ``encode_png``/``decode_png`` implement the PNG
+   + numpy**: ``encode_png``/``decode_png`` implement the PNG
    baseline still-image profile (8-bit gray/RGB/±alpha,
-   non-interlaced, all five row filters, CRC-checked chunks) and
-   ``encode_wav``/``decode_wav`` the RIFF/WAVE PCM16 container. The
-   feature/resize operators dispatch on the payload magic, so
-   RAW1/PCM1 and PNG/WAV rows flow through the SAME extractors.
+   non-interlaced, all five row filters, CRC-checked chunks),
+   ``encode_wav``/``decode_wav`` the RIFF/WAVE PCM16 container, and
+   ``operators/jpeg.py`` the baseline JPEG (ITU-T T.81) sequential
+   DCT process. The feature/resize operators dispatch on the payload
+   magic, so RAW1/PCM1 and PNG/JPEG/WAV rows flow through the SAME
+   extractors.
 
 3. **Codec-library formats — stubbed** (this environment ships no
-   JPEG/OGG/video codecs): ``decode_media_features`` tries tier 2,
+   OGG/video codecs): ``decode_media_features`` tries tiers 1-2,
    then the real library, and otherwise falls back to a
    clearly-marked DETERMINISTIC FAKE over the raw bytes. Production
    swaps ``_try_real_decode`` for PIL/libsndfile — every Spark-side
@@ -302,14 +304,20 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Magic-dispatching image decode: RAW1 or PNG -> (H, W, C)
-    uint8. The single entry the feature/resize operators call, so
-    both tiers flow through identical Spark plumbing."""
+    """Magic-dispatching image decode: RAW1, PNG, or baseline JPEG ->
+    (H, W, C) uint8. The single entry the feature/resize operators
+    call, so every tier flows through identical Spark plumbing."""
     if buf[:4] == _RAW1:
         return decode_raw_image(buf)
     if buf[:8] == _PNG_SIG:
         return decode_png(buf)
-    raise ValueError("unknown image payload (expected RAW1 or PNG magic)")
+    if buf[:3] == b"\xff\xd8\xff":
+        from icicle_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(buf)
+    raise ValueError(
+        "unknown image payload (expected RAW1, PNG, or JPEG magic)"
+    )
 
 
 def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
@@ -336,11 +344,18 @@ def attach_raw_images(
     """Fixture/ingest helper: deterministic synthetic image per row,
     seeded by the id (stands in for reading real blobs; the bytes are
     REAL payloads the decoder accepts). ``fmt`` picks the container:
-    ``raw1`` (uncompressed) or ``png`` (real zlib-compressed PNG)."""
-    if fmt not in ("raw1", "png"):
+    ``raw1`` (uncompressed), ``png`` (real zlib-compressed PNG), or
+    ``jpeg`` (real baseline T.81 — lossy, so downstream features are
+    near- but not bit-identical to the raw1 fixture)."""
+    if fmt == "jpeg":
+        from icicle_spark.operators.jpeg import encode_jpeg
+
+        enc = encode_jpeg
+    elif fmt in ("raw1", "png"):
+        enc = encode_raw_image if fmt == "raw1" else encode_png
+    else:
         raise ValueError(f"unknown image format {fmt!r}")
     id_type = dict(docs.dtypes)[id_col]
-    enc = encode_raw_image if fmt == "raw1" else encode_png
     mime = f"image/{fmt}"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -456,7 +471,14 @@ def resize_raw_images(
             for buf in pdf[media_col]:
                 b = bytes(buf)
                 img = decode_image(b)
-                enc = encode_png if b[:8] == _PNG_SIG else encode_raw_image
+                if b[:8] == _PNG_SIG:
+                    enc = encode_png
+                elif b[:3] == b"\xff\xd8\xff":
+                    from icicle_spark.operators.jpeg import encode_jpeg
+
+                    enc = encode_jpeg
+                else:
+                    enc = encode_raw_image
                 h, w, _c = img.shape
                 yi = (np.arange(target_h) * h // target_h).clip(0, h - 1)
                 xi = (np.arange(target_w) * w // target_w).clip(0, w - 1)
@@ -515,7 +537,7 @@ def _try_real_decode(buf: bytes) -> np.ndarray:
     library is available in this container. Swap the tail of this
     function for PIL/cv2/libsndfile in production; everything
     downstream is agnostic."""
-    if buf[:4] == _RAW1 or buf[:8] == _PNG_SIG:
+    if buf[:4] == _RAW1 or buf[:8] == _PNG_SIG or buf[:3] == b"\xff\xd8\xff":
         return decode_image(buf).reshape(-1)
     if buf[:4] == _PCM1 or buf[:4] == b"RIFF":
         samples, _rate = decode_audio(buf)
