@@ -16,18 +16,23 @@ Three codec tiers:
    + numpy**: ``encode_png``/``decode_png`` implement the PNG
    baseline still-image profile (8-bit gray/RGB/±alpha,
    non-interlaced, all five row filters, CRC-checked chunks),
-   ``encode_wav``/``decode_wav`` the RIFF/WAVE PCM16 container, and
+   ``encode_wav``/``decode_wav`` the RIFF/WAVE container (PCM16 and
+   4-bit IMA ADPCM, format tag 0x11 — ``encode_wav_adpcm``),
    ``operators/jpeg.py`` the baseline JPEG (ITU-T T.81) sequential
-   DCT process. The feature/resize operators dispatch on the payload
-   magic, so RAW1/PCM1 and PNG/JPEG/WAV rows flow through the SAME
-   extractors.
+   DCT process, ``operators/gif.py`` animated GIF89a (variable-width
+   LZW, interlace, disposal composition), and ``operators/avi.py``
+   the MJPEG AVI container over the same JPEG codec. The
+   feature/resize/frame-sample operators dispatch on the payload
+   magic, so RAW1/PCM1 and PNG/JPEG/WAV/GIF/AVI rows flow through
+   the SAME extractors.
 
 3. **Codec-library formats — stubbed** (this environment ships no
-   OGG/video codecs): ``decode_media_features`` tries tiers 1-2,
-   then the real library, and otherwise falls back to a
-   clearly-marked DETERMINISTIC FAKE over the raw bytes. Production
-   swaps ``_try_real_decode`` for PIL/libsndfile — every Spark-side
-   shape (schema, Arrow batching, partitioning) is identical.
+   OGG/Vorbis or inter-frame video codecs): ``decode_media_features``
+   tries tiers 1-2, then the real library, and otherwise falls back
+   to a clearly-marked DETERMINISTIC FAKE over the raw bytes.
+   Production swaps ``_try_real_decode`` for PIL/libsndfile — every
+   Spark-side shape (schema, Arrow batching, partitioning) is
+   identical.
 
 Layout convention (one row per asset):
 
@@ -277,10 +282,11 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
 
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     """Real RIFF/WAVE decode -> ((N, channels) int16 array, rate).
-    PCM (format tag 1), 16-bit only; anything else raises loudly."""
+    PCM16 (format tag 1) and mono IMA ADPCM (format tag 0x11);
+    anything else raises loudly."""
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     while pos + 8 <= len(buf):
         tag = buf[pos : pos + 4]
         (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
@@ -289,18 +295,139 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
             fmt = body
         elif tag == b"data":
             data = body
+        elif tag == b"fact" and length >= 4:
+            (fact,) = struct.unpack("<I", body[:4])
         pos += 8 + length + (length & 1)  # RIFF chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    audio_fmt, n_ch, rate, _, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_fmt == 0x11:  # IMA ADPCM (compressed tier)
+        if n_ch != 1 or bits != 4:
+            raise ValueError(
+                f"IMA ADPCM WAV: mono 4-bit only, got {n_ch}ch/{bits}-bit"
+            )
+        return _decode_ima_adpcm(data, block_align, fact), rate
     if audio_fmt != 1 or bits != 16:
         raise ValueError(
-            f"unsupported WAV format {audio_fmt}/{bits}-bit (PCM16 only)"
+            f"unsupported WAV format {audio_fmt}/{bits}-bit "
+            "(PCM16 or IMA ADPCM only)"
         )
     samples = np.frombuffer(
         data[: len(data) - len(data) % (2 * n_ch)], "<i2"
     ).reshape(-1, n_ch)
     return samples, rate
+
+
+# IMA/DVI ADPCM (WAVE format tag 0x11): 4-bit differential coding,
+# public algorithm from the IMA Digital Audio Focus Group (1992).
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM reconstruction step (shared by encoder+decoder
+    so the encoder's predictor tracks the decoder exactly)."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX[nibble & 7])))
+    return pred, index
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, sample_rate: int = 16_000, block_align: int = 256
+) -> bytes:
+    """Encode mono int16 samples as IMA ADPCM WAV (format tag 0x11,
+    ~4:1) — the compressed-audio tier. Block layout per the public
+    spec: 4-byte header (predictor int16, step index, reserved) then
+    two 4-bit samples per byte, low nibble first."""
+    s = np.asarray(samples, dtype=np.int16).reshape(-1)
+    if s.size == 0:
+        raise ValueError("cannot encode empty audio")
+    spb = (block_align - 4) * 2 + 1  # samples per block, mono
+    index = 0
+    out = bytearray()
+    for start in range(0, s.size, spb):
+        block = s[start : start + spb]
+        pred = int(block[0])
+        out += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for sample in block[1:]:
+            step = int(_IMA_STEPS[index])
+            delta = int(sample) - pred
+            n = 8 if delta < 0 else 0
+            d = -delta if delta < 0 else delta
+            if d >= step:
+                n |= 4
+                d -= step
+            if d >= step >> 1:
+                n |= 2
+                d -= step >> 1
+            if d >= step >> 2:
+                n |= 1
+            pred, index = _ima_step(pred, index, n)
+            nibbles.append(n)
+        if len(nibbles) & 1:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+        out += b"\x00" * (block_align - 4 - len(nibbles) // 2)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate,
+        (sample_rate * block_align + spb - 1) // spb, block_align, 4,
+        2, spb,
+    )
+    fact = struct.pack("<I", s.size)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(out))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + fact
+        + b"data" + struct.pack("<I", len(out)) + bytes(out)
+    )
+
+
+def _decode_ima_adpcm(
+    data: bytes, block_align: int, n_samples: int | None
+) -> np.ndarray:
+    """IMA ADPCM payload -> (N, 1) int16 (mono)."""
+    spb = (block_align - 4) * 2 + 1
+    out: list[int] = []
+    for start in range(0, len(data) - len(data) % block_align, block_align):
+        block = data[start : start + block_align]
+        pred, index, _ = struct.unpack("<hBB", block[:4])
+        index = max(0, min(88, index))
+        out.append(pred)
+        produced = 1
+        for byte in block[4:]:
+            for nibble in (byte & 0x0F, byte >> 4):
+                if produced >= spb:
+                    break
+                pred, index = _ima_step(pred, index, nibble)
+                out.append(pred)
+                produced += 1
+    arr = np.array(out, dtype=np.int16)
+    if n_samples is not None:
+        arr = arr[:n_samples]
+    return arr.reshape(-1, 1)
 
 
 def decode_image(buf: bytes) -> np.ndarray:
@@ -333,6 +460,31 @@ def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
         )
         return mono, rate
     raise ValueError("unknown audio payload (expected PCM1 or RIFF magic)")
+
+
+def _is_avi(buf: bytes) -> bool:
+    return len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"AVI "
+
+
+def _is_gif(buf: bytes) -> bool:
+    return buf[:6] in (b"GIF87a", b"GIF89a")
+
+
+def decode_video(buf: bytes) -> tuple[np.ndarray, float]:
+    """Magic-dispatching video decode: animated GIF (lossless, LZW)
+    or MJPEG AVI (T.81 frames) -> ((N, H, W, 3) uint8 frames, fps).
+    GIF fps derives from the first frame's delay (centiseconds)."""
+    if _is_gif(buf):
+        from icicle_spark.operators.gif import decode_gif
+
+        frames, delays = decode_gif(buf)
+        fps = 100.0 / delays[0] if delays and delays[0] else 0.0
+        return frames, fps
+    if _is_avi(buf):
+        from icicle_spark.operators.avi import decode_avi_frames
+
+        return decode_avi_frames(buf)
+    raise ValueError("unknown video payload (expected GIF or RIFF/AVI magic)")
 
 
 def attach_raw_images(
@@ -413,6 +565,93 @@ def attach_pattern_images(
 
     return docs.select(id_col).mapInPandas(
         fn, f"`{id_col}` {id_type}, media binary, mime string"
+    )
+
+
+def attach_pattern_videos(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    fmt: str = "gif",
+    fps: int = 25,
+) -> DataFrame:
+    """Fixture/ingest helper with a CLOSED-FORM video pattern: doc
+    ``i`` gets ``2 + i%3`` solid-colour frames of size
+    ``(6 + i%5) x (6 + i%7)``, frame ``k`` filled with gray
+    ``(7*i + 13*k + 5) mod 256``. Solid frames are exact through BOTH
+    containers (GIF is lossless; flat JPEG blocks are DC-only and
+    bit-exact at quality 100), so an external engine can recompute
+    every per-frame statistic from the id alone — a cross-engine
+    oracle certifies encode -> LZW/T.81 -> container parse -> decode
+    end-to-end with no shared code."""
+    if fmt not in ("gif", "avi"):
+        raise ValueError(f"unknown video format {fmt!r}")
+    id_type = dict(docs.dtypes)[id_col]
+    mime = "video/gif" if fmt == "gif" else "video/x-msvideo"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from icicle_spark.operators.avi import encode_avi_mjpeg
+        from icicle_spark.operators.gif import encode_gif
+
+        for pdf in batches:
+            media = []
+            for rid in pdf[id_col]:
+                i = int(rid)
+                n, h, w = 2 + i % 3, 6 + i % 5, 6 + i % 7
+                frames = np.stack([
+                    np.full((h, w), (7 * i + 13 * k + 5) % 256, np.uint8)
+                    for k in range(n)
+                ])
+                if fmt == "gif":
+                    media.append(
+                        encode_gif(frames, delay_cs=100 // fps)
+                    )
+                else:
+                    media.append(
+                        encode_avi_mjpeg(frames, fps=fps, quality=100)
+                    )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "media": media,
+                 "mime": mime}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        fn, f"`{id_col}` {id_type}, media binary, mime string"
+    )
+
+
+def video_frame_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    every: int = 1,
+) -> DataFrame:
+    """REAL per-frame features from GIF/AVI payloads: decode the
+    container, keep every ``every``-th frame, emit one row per kept
+    frame with dimensions + mean pixel — one Arrow-batched decode per
+    asset inside ``mapInPandas``."""
+    id_type = dict(df.dtypes)[id_col]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, buf in zip(pdf[id_col], pdf[media_col]):
+                frames, fps = decode_video(bytes(buf))
+                n, h, w, _ = frames.shape
+                for k in range(0, n, every):
+                    rows.append(
+                        (rid, k, n, h, w, float(fps),
+                         float(frames[k].astype(np.float64).mean()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "n_frames", "height",
+                         "width", "fps", "mean_px"],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        fn,
+        f"`{id_col}` {id_type}, frame_idx int, n_frames int, "
+        "height int, width int, fps double, mean_px double",
     )
 
 
@@ -530,15 +769,20 @@ def audio_features(
 
 
 def _try_real_decode(buf: bytes) -> np.ndarray:
-    """Real decode path -> canonical uint8 content array (image pixels
-    flattened, or audio PCM bytes). RAW1/PNG/PCM1/WAV decode for real
-    via the tier-1/tier-2 codecs above; codec-library formats
-    (JPEG/OGG/video) raise NotImplementedError here because no codec
-    library is available in this container. Swap the tail of this
-    function for PIL/cv2/libsndfile in production; everything
-    downstream is agnostic."""
+    """Real decode path -> canonical uint8 content array (image/video
+    pixels flattened, or audio PCM bytes). RAW1/PNG/JPEG images,
+    PCM1/WAV(PCM16 + IMA ADPCM) audio, and GIF/AVI video all decode
+    for real via the tier-1/tier-2 codecs above; the remaining
+    codec-library formats (OGG/Vorbis and inter-frame video codecs)
+    raise NotImplementedError here because no codec library is
+    available in this container. Swap the tail of this function for
+    PIL/cv2/libsndfile in production; everything downstream is
+    agnostic."""
     if buf[:4] == _RAW1 or buf[:8] == _PNG_SIG or buf[:3] == b"\xff\xd8\xff":
         return decode_image(buf).reshape(-1)
+    if _is_gif(buf) or _is_avi(buf):
+        frames, _fps = decode_video(buf)
+        return frames.reshape(-1)
     if buf[:4] == _PCM1 or buf[:4] == b"RIFF":
         samples, _rate = decode_audio(buf)
         return np.frombuffer(samples.astype("<i2").tobytes(), np.uint8)
@@ -607,16 +851,26 @@ def frame_sample(
     id_col: str = "doc_id",
     every: int = 4,
 ) -> DataFrame:
-    """Sample every ``every``-th FRAME_BYTES chunk of the payload and
-    emit one row per sampled frame with a deterministic checksum —
-    the video-frame-sampling access pattern with a fake codec."""
+    """Sample every ``every``-th frame and emit one row per sampled
+    frame with a deterministic checksum. GIF/AVI payloads go through
+    the REAL container decoders (checksum = int64 sum of the frame's
+    decoded RGB pixels); other payloads fall back to the byte-chunk
+    fake (one "frame" per FRAME_BYTES bytes, checksum = byte sum)."""
     id_type = dict(df.dtypes)[id_col]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, sums = [], [], []
             for rid, buf in zip(pdf[id_col], pdf[media_col]):
-                a = np.frombuffer(bytes(buf), dtype=np.uint8)
+                b = bytes(buf)
+                if _is_gif(b) or _is_avi(b):
+                    frames, _fps = decode_video(b)
+                    for k in range(0, frames.shape[0], every):
+                        ids.append(rid)
+                        idxs.append(k)
+                        sums.append(int(frames[k].astype(np.int64).sum()))
+                    continue
+                a = np.frombuffer(b, dtype=np.uint8)
                 n_frames = int(np.ceil(a.size / FRAME_BYTES)) if a.size else 0
                 for k in range(0, n_frames, every):
                     chunk = a[k * FRAME_BYTES: (k + 1) * FRAME_BYTES]

@@ -196,7 +196,7 @@ def test_wav_failure_modes():
     wav = bytearray(encode_wav(s))
     fmt_at = wav.index(b"fmt ") + 8
     wav[fmt_at] = 3  # IEEE-float format tag
-    with pytest.raises(ValueError, match="PCM16 only"):
+    with pytest.raises(ValueError, match="PCM16 or IMA ADPCM only"):
         decode_wav(bytes(wav))
 
 
