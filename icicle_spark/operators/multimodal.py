@@ -459,7 +459,15 @@ def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
             ((s[:, 0].astype(np.int32) + s[:, 1]) // 2).astype(np.int16)
         )
         return mono, rate
-    raise ValueError("unknown audio payload (expected PCM1 or RIFF magic)")
+    if buf[:4] == b"fLaC":
+        from icicle_spark.operators.flac import decode_flac
+
+        s, rate = decode_flac(buf)  # (N, ch) int32, 16-bit payloads
+        mono = s[:, 0] if s.shape[1] == 1 else ((s[:, 0] + s[:, 1]) // 2)
+        return mono.astype(np.int16), rate
+    raise ValueError(
+        "unknown audio payload (expected PCM1, RIFF, or fLaC magic)"
+    )
 
 
 def _is_avi(buf: bytes) -> bool:
@@ -771,8 +779,9 @@ def audio_features(
 def _try_real_decode(buf: bytes) -> np.ndarray:
     """Real decode path -> canonical uint8 content array (image/video
     pixels flattened, or audio PCM bytes). RAW1/PNG/JPEG images,
-    PCM1/WAV(PCM16 + IMA ADPCM) audio, and GIF/AVI video all decode
-    for real via the tier-1/tier-2 codecs above; the remaining
+    PCM1/WAV(PCM16 + IMA ADPCM)/FLAC audio, and GIF/AVI video all
+    decode for real via the tier-1/tier-2 codecs (FLAC in
+    ``flac.py``); the remaining
     codec-library formats (OGG/Vorbis and inter-frame video codecs)
     raise NotImplementedError here because no codec library is
     available in this container. Swap the tail of this function for
@@ -783,7 +792,7 @@ def _try_real_decode(buf: bytes) -> np.ndarray:
     if _is_gif(buf) or _is_avi(buf):
         frames, _fps = decode_video(buf)
         return frames.reshape(-1)
-    if buf[:4] == _PCM1 or buf[:4] == b"RIFF":
+    if buf[:4] == _PCM1 or buf[:4] == b"RIFF" or buf[:4] == b"fLaC":
         samples, _rate = decode_audio(buf)
         return np.frombuffer(samples.astype("<i2").tobytes(), np.uint8)
     try:
