@@ -20,14 +20,16 @@ Three codec tiers:
    4-bit IMA ADPCM, format tag 0x11 — ``encode_wav_adpcm``),
    ``operators/jpeg.py`` the baseline JPEG (ITU-T T.81) sequential
    DCT process, ``operators/gif.py`` animated GIF89a (variable-width
-   LZW, interlace, disposal composition), and ``operators/avi.py``
-   the MJPEG AVI container over the same JPEG codec. The
-   feature/resize/frame-sample operators dispatch on the payload
-   magic, so RAW1/PCM1 and PNG/JPEG/WAV/GIF/AVI rows flow through
-   the SAME extractors.
+   LZW, interlace, disposal composition), ``operators/avi.py``
+   the MJPEG AVI container over the same JPEG codec plus MS-RLE8
+   inter-frame AVI (keyframe + temporal-delta frames over a
+   persistent canvas), and ``operators/flac.py`` a FLAC (RFC 9639
+   subset) lossless audio codec. The feature/resize/frame-sample
+   operators dispatch on the payload magic, so RAW1/PCM1 and
+   PNG/JPEG/WAV/FLAC/GIF/AVI rows flow through the SAME extractors.
 
 3. **Codec-library formats — stubbed** (this environment ships no
-   OGG/Vorbis or inter-frame video codecs): ``decode_media_features``
+   OGG/Vorbis or motion-compensated video codecs): ``decode_media_features``
    tries tiers 1-2, then the real library, and otherwise falls back
    to a clearly-marked DETERMINISTIC FAKE over the raw bytes.
    Production swaps ``_try_real_decode`` for PIL/libsndfile — every
@@ -782,7 +784,7 @@ def _try_real_decode(buf: bytes) -> np.ndarray:
     PCM1/WAV(PCM16 + IMA ADPCM)/FLAC audio, and GIF/AVI video all
     decode for real via the tier-1/tier-2 codecs (FLAC in
     ``flac.py``); the remaining
-    codec-library formats (OGG/Vorbis and inter-frame video codecs)
+    codec-library formats (OGG/Vorbis and motion-compensated video codecs)
     raise NotImplementedError here because no codec library is
     available in this container. Swap the tail of this function for
     PIL/cv2/libsndfile in production; everything downstream is

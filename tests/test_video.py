@@ -383,3 +383,110 @@ def test_decode_media_features_video_tier(spark, sf_dir):
         grays = [(7 * i + 13 * k + 5) % 256 for k in range(n)]
         assert r.first_byte == grays[0] and r.last_byte == grays[-1]
         assert abs(r.mean_byte - sum(grays) / n) < 1e-9
+
+
+# ----------------------------------------------------------- MS-RLE8
+# BI_RLE8 is the inter-frame member of the video tier: delta frames
+# code only changed runs; skipped pixels carry the decoder's canvas.
+
+
+def _rle8_video(n=5, h=40, w=56, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h, w)).astype(np.uint8)  # noisy bg
+    frames = np.stack([base.copy() for _ in range(n)])
+    for k in range(n):
+        frames[k, 8:16, 4 + 5 * k : 12 + 5 * k] = 250  # moving square
+    return frames
+
+
+def test_rle8_roundtrip_bit_exact():
+    from icicle_spark.operators.avi import decode_avi_frames, encode_avi_rle8
+
+    frames = _rle8_video()
+    dec, fps = decode_avi_frames(encode_avi_rle8(frames, fps=8))
+    assert fps == 8.0
+    assert dec.shape == frames.shape + (3,)
+    for k in range(frames.shape[0]):
+        # grayscale palette: all three channels equal the index plane
+        assert np.array_equal(dec[k, :, :, 0], frames[k])
+        assert np.array_equal(dec[k, :, :, 0], dec[k, :, :, 1])
+        assert np.array_equal(dec[k, :, :, 0], dec[k, :, :, 2])
+
+
+def test_rle8_delta_frames_are_small():
+    """Inter-frame coding must pay off: on a noisy static background
+    the keyframe is ~full-frame size while deltas code only the
+    moving square."""
+    from icicle_spark.operators.avi import _rle8_encode_frame
+
+    frames = _rle8_video()
+    key = len(_rle8_encode_frame(frames[0], None))
+    deltas = [
+        len(_rle8_encode_frame(frames[k], frames[k - 1]))
+        for k in range(1, frames.shape[0])
+    ]
+    assert key > frames[0].size  # noise defeats intra-frame RLE
+    assert all(d < key / 5 for d in deltas)  # temporal deltas win
+
+
+def test_rle8_spec_literal_opcodes():
+    """Hand-built stream exercising every opcode: run, absolute
+    (word-padded), EOL, delta skip, early EOF. Untouched pixels must
+    keep previous-frame content (the inter-frame contract)."""
+    from icicle_spark.operators.avi import _rle8_apply
+
+    canvas = np.full((4, 8), 9, np.uint8)
+    prev = canvas.copy()
+    data = bytes(
+        [
+            3, 1,                # run: 3x palette index 1 (bottom row)
+            0, 4, 5, 6, 7, 8,    # absolute: 4 literals (even, no pad)
+            0, 0,                # end of line
+            0, 2, 2, 1,          # delta: right 2, up 1 row
+            2, 3,                # run: 2x index 3
+            0, 1,                # end of bitmap (rows above untouched)
+        ]
+    )
+    _rle8_apply(data, canvas)
+    expect = prev.copy()
+    expect[3, 0:3] = 1
+    expect[3, 3:7] = [5, 6, 7, 8]
+    expect[1, 2:4] = 3  # bottom-up row 2 == array row 1
+    assert np.array_equal(canvas, expect)
+
+
+def test_rle8_odd_absolute_run_padded():
+    from icicle_spark.operators.avi import _rle8_apply, _rle8_encode_frame
+
+    # a 5-literal stretch forces absolute mode with a pad byte
+    row = np.array([[10, 20, 30, 40, 50, 50, 50, 50]], np.uint8)
+    payload = _rle8_encode_frame(row, None)
+    canvas = np.zeros((1, 8), np.uint8)
+    _rle8_apply(payload, canvas)
+    assert np.array_equal(canvas, row)
+
+
+def test_rle8_bounds_and_truncation_raise():
+    from icicle_spark.operators.avi import _rle8_apply
+
+    with pytest.raises(ValueError, match="bounds"):
+        _rle8_apply(bytes([9, 1, 0, 1]), np.zeros((2, 4), np.uint8))
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        _rle8_apply(bytes([2, 1]), np.zeros((2, 4), np.uint8))
+
+
+def test_rle8_video_features_dispatch(spark):
+    """RLE8 AVI rows flow through the same Spark video plumbing as
+    MJPEG/GIF (magic dispatch is container-level RIFF/AVI)."""
+    import pandas as pd
+
+    from icicle_spark.operators.avi import encode_avi_rle8
+    from icicle_spark.operators.multimodal import video_frame_features
+
+    frames = _rle8_video(n=3)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "media": [encode_avi_rle8(frames)]})
+    )
+    got = video_frame_features(df).toPandas().sort_values("frame_idx")
+    assert len(got) == 3 and (got["n_frames"] == 3).all()
+    assert abs(got.iloc[0]["mean_px"] - frames[0].mean()) < 1e-9
