@@ -2805,6 +2805,75 @@ ORDER BY doc_id
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality proxy: corpus unigram + bigram counts (one
+    explode+groupBy each) broadcast into a per-document mean
+    Laplace-smoothed conditional log-probability
+    ln((cnt2+1)/(cnt1+V)). Sharper than the unigram doc_logprob —
+    word-soup scores low even when every word is common."""
+    from icicle_spark.functions.text import (
+        bigram_freq,
+        doc_logprob2,
+        word_freq,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    uni = word_freq(docs)
+    bi = bigram_freq(docs)
+    out = doc_logprob2(docs, uni, bi, "text", "doc_id")
+    return (
+        docs.select("doc_id")
+        .join(out, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            _r("logprob2").alias("logprob2"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BIGRAM_LOGPROB_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+p AS (
+  SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws) - 1),
+                  i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS pr
+    FROM t
+  )
+),
+uni AS (
+  SELECT word, count(*) AS cnt
+  FROM (SELECT unnest(ws) AS word FROM t) GROUP BY word
+),
+vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+bi AS (SELECT w1, w2, count(*) AS cnt2 FROM p GROUP BY w1, w2),
+scored AS (
+  SELECT p.doc_id,
+         count(*) AS n_pairs,
+         avg(ln((bi.cnt2 + 1.0) / (u.cnt + vv.v))) AS lp
+  FROM p
+  JOIN bi USING (w1, w2)
+  JOIN uni u ON u.word = p.w1
+  CROSS JOIN vv
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_pairs, 0) AS n_pairs,
+       round(s.lp, 6)         AS logprob2
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN scored s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) decontamination: max cosine of each
     corpus vector vs the held-out 'benchmark' split — one broadcast
@@ -4031,6 +4100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "semantic_decon": q_semantic_decon,
         "sessionize": q_sessionize,
+        "bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -4132,6 +4202,7 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": _URL_FILTER_SQL,
         "temperature_mix": _TEMPERATURE_MIX_SQL,
         "cap_per_group": _CAP_PER_GROUP_SQL,
+        "bigram_logprob": _BIGRAM_LOGPROB_SQL,
         # minhash_incremental / simhash_incremental: LSH banding not
         # SQL-expressible — rows-only; full-vs-incremental parity is
         # pinned by tests/test_dedup.py.

@@ -376,6 +376,83 @@ def doc_logprob(
     )
 
 
+def bigram_freq(docs, text_col: str = "text"):
+    """Corpus bigram counts ``(w1, w2, cnt2)`` over normalized word
+    tokens — adjacent pairs come from a JVM ``zip_with`` over two
+    shifted slices of the materialized token array (whole-stage
+    codegen, no Python), then ONE explode + groupBy shuffle with
+    map-side combine. Like :func:`word_freq`, persist once per corpus
+    snapshot; bigram tables over natural text stay broadcast-sized
+    relative to the corpus."""
+    from icicle_spark.operators.dedup import _norm_tokens
+
+    ws = docs.select(_norm_tokens(F.col(text_col)).alias("ws"))
+    k = F.greatest(F.size("ws") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("ws", 1, k),
+        F.slice("ws", 2, k),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        ws.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt2"))
+    )
+
+
+def doc_logprob2(
+    docs,
+    uni_freq,
+    bi_freq,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+):
+    """Mean add-``alpha``-smoothed BIGRAM conditional log-probability
+    per document: avg over adjacent word pairs of
+    ``ln((cnt2(w1,w2) + alpha) / (cnt1(w1) + alpha * V))`` with ``V``
+    the unigram vocabulary size (Laplace-smoothed conditional — the
+    textbook bigram LM). A sharper CCNet-style quality proxy than the
+    unigram :func:`doc_logprob`: unigram scoring cannot tell shuffled
+    word soup from fluent text, the bigram conditional can.
+
+    Returns ``(id_col, n_pairs, logprob2)``; documents with fewer
+    than two words are absent (score undefined). 100 TB shape: one
+    corpus scan explodes pairs map-side, both frequency tables join
+    broadcast, and the only corpus-sized exchange is the per-document
+    groupBy — identical topology to :func:`doc_logprob`."""
+    from icicle_spark.operators.dedup import _norm_tokens
+
+    v = float(uni_freq.count())  # bounded vocab-size scalar
+    ws = docs.select(
+        F.col(id_col), _norm_tokens(F.col(text_col)).alias("ws")
+    )
+    k = F.greatest(F.size("ws") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("ws", 1, k),
+        F.slice("ws", 2, k),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    p = ws.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, "p.w1", "p.w2"
+    )
+    uni1 = uni_freq.select(
+        F.col("word").alias("w1"), F.col("cnt").alias("cnt1")
+    )
+    joined = p.join(F.broadcast(bi_freq), on=["w1", "w2"], how="left").join(
+        F.broadcast(uni1), on="w1", how="left"
+    )
+    logp = F.log(
+        (F.coalesce(F.col("cnt2"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("cnt1"), F.lit(0)) + F.lit(alpha * v))
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_pairs"),
+        F.avg(logp).alias("logprob2"),
+    )
+
+
 def html_strip(text: Column) -> Column:
     """WET-style HTML -> text extraction (the CommonCrawl-pipeline
     stage before any quality/dedup signal): drops comments,

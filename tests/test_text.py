@@ -202,3 +202,56 @@ def test_normalize_unicode_forms(spark):
 
     with _pytest.raises(ValueError):
         normalize_unicode("t", "NFX")
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """doc_logprob2 vs a hand-computed Laplace bigram conditional on
+    a 3-doc corpus (V counted over the unigram vocabulary)."""
+    import math
+
+    from icicle_spark.functions.text import (
+        bigram_freq,
+        doc_logprob2,
+        word_freq,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat"),
+            (1, "the cat ran"),
+            (2, "dog"),  # single word: no pairs, absent from output
+        ],
+        "doc_id long, text string",
+    )
+    uni = word_freq(docs)
+    bi = bigram_freq(docs)
+
+    # corpus: unigrams {the:2, cat:2, sat:1, ran:1, dog:1} -> V=5
+    # bigrams {the cat:2, cat sat:1, cat ran:1}
+    got = {
+        r.doc_id: (r.n_pairs, r.logprob2)
+        for r in doc_logprob2(docs, uni, bi).collect()
+    }
+    v = 5.0
+    lp_the_cat = math.log((2 + 1) / (2 + v))
+    lp_cat_sat = math.log((1 + 1) / (2 + v))
+    want0 = (lp_the_cat + lp_cat_sat) / 2
+    assert got[0][0] == 2 and abs(got[0][1] - want0) < 1e-12
+    assert got[1][0] == 2 and abs(got[1][1] - want0) < 1e-12  # symmetric
+    assert 2 not in got  # no pairs -> undefined, row absent
+
+    # fluent vs shuffled: same unigram profile, different bigram score
+    counts2 = {(r.w1, r.w2): r.cnt2 for r in bi.collect()}
+    assert counts2[("the", "cat")] == 2
+
+
+def test_bigram_freq_one_shuffle_plan(spark):
+    """bigram_freq keeps the vocabulary-statistics shape: a single
+    hash-aggregate exchange over exploded pairs (map-side combine)."""
+    from icicle_spark.functions.text import bigram_freq
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a b")], "doc_id long, text string"
+    )
+    plan = bigram_freq(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
