@@ -2874,6 +2874,74 @@ ORDER BY doc_id
 """
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring (span-level) dedup, Lee et al. 2022 style:
+    word 5-grams occurring in >= 2 distinct docs are removed
+    everywhere except the canonical min-(doc_id, pos) occurrence;
+    overlapping removed spans union. Complements doc-level dedup —
+    it cleans boilerplate INSIDE otherwise-unique documents. The
+    contract run uses key="exact" (string grams both engines can
+    compute); production uses key="hash" (62-bit rolling-poly ids,
+    pytest-pinned identical on this corpus)."""
+    from icicle_spark.operators.span_dedup import strip_repeated_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return strip_repeated_spans(
+        docs, n=5, min_docs=2, key="exact"
+    ).orderBy("doc_id")
+
+
+_SPAN_DEDUP_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, o.pos AS pos, o.gram AS gram
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(ws) - 4, 0)),
+             i -> struct_pack(pos := i,
+                              gram := array_to_string(ws[i:i+4], ' ')))) AS o
+    FROM t)
+),
+dupg AS (
+  SELECT gram FROM occ GROUP BY gram
+  HAVING count(distinct doc_id) >= 2
+),
+rkd AS (
+  SELECT o.doc_id, o.pos,
+         row_number() OVER (PARTITION BY o.gram
+                            ORDER BY o.doc_id, o.pos) AS rn
+  FROM occ o JOIN dupg USING (gram)
+),
+cov AS (
+  SELECT doc_id, list(DISTINCT cp) AS cps
+  FROM (SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS cp
+        FROM rkd WHERE rn > 1)
+  GROUP BY doc_id
+),
+k AS (
+  SELECT t.doc_id, ws,
+         list_transform(
+           list_filter(generate_series(1, len(ws)),
+                       i -> NOT list_contains(coalesce(cps, []), i)),
+           i -> ws[i]) AS kept
+  FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+)
+SELECT doc_id,
+       len(ws) AS n_words,
+       len(ws) - len(kept) AS n_removed,
+       -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+       coalesce(array_to_string(kept, ' '), '') AS cleaned
+FROM k
+ORDER BY doc_id
+"""
+
+
 def q_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) decontamination: max cosine of each
     corpus vector vs the held-out 'benchmark' split — one broadcast
@@ -4101,6 +4169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decon": q_semantic_decon,
         "sessionize": q_sessionize,
         "bigram_logprob": q_bigram_logprob,
+        "span_dedup": q_span_dedup,
     }
 
 
@@ -4203,6 +4272,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": _TEMPERATURE_MIX_SQL,
         "cap_per_group": _CAP_PER_GROUP_SQL,
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
+        "span_dedup": _SPAN_DEDUP_SQL,
         # minhash_incremental / simhash_incremental: LSH banding not
         # SQL-expressible — rows-only; full-vs-incremental parity is
         # pinned by tests/test_dedup.py.

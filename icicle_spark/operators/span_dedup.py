@@ -1,0 +1,170 @@
+"""Repeated-substring (span-level) deduplication.
+
+Doc-level dedup (``operators/dedup.py``) drops whole near-duplicate
+documents; this module removes *duplicated spans inside otherwise
+unique documents* — the substring-granularity dedup of Lee et al.
+2022 ("Deduplicating Training Data Makes Language Models Better",
+suffix-array dedup) and the boilerplate pass of production corpus
+refreshes. Policy, deterministic and oracle-expressible:
+
+* a word n-gram is *duplicated* when it occurs in >= ``min_docs``
+  distinct documents;
+* for each duplicated gram exactly ONE occurrence survives — the
+  lexicographically smallest ``(doc_id, pos)`` (the canonical copy);
+* every other occurrence marks its ``n`` covered token positions for
+  removal; overlapping spans union naturally;
+* a document's cleaned text keeps its tokens in order minus the
+  covered positions (a surviving occurrence's tokens can still fall
+  to a different overlapping removed span — union semantics).
+
+The reference engine has no substring dedup; this extends the
+training-data curation surface (SURVEY.md §2.11) alongside exact /
+MinHash / SimHash document dedup.
+
+100 TB shape: ONE corpus-sized exchange (groupBy gram over the
+exploded occurrences, map-side combined); the duplicated-gram index
+is bounded by the corpus's *duplicated* distinct grams and joins back
+broadcast (``broadcast_index=False`` falls back to a shuffle join);
+the covered-position explode is bounded by ``n x`` removed
+occurrences, not corpus size. At scale use ``key="hash"`` — 62-bit
+rolling-polynomial gram ids over per-word hashes (shared with
+``dedup.ngram_hashes64``) so no gram *strings* ever materialize in
+the shuffle; ``key="exact"`` keeps string grams for cross-engine
+oracle checks. A pytest pins hash/exact agreement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from icicle_spark.operators.dedup import _norm_tokens, ngram_hashes64
+
+
+def _exact_gram_array(ws, n: int):
+    """Array of n-gram strings, element j = words j+1..j+n joined
+    (empty for docs shorter than ``n`` words). ``sequence`` is
+    guarded: Spark's ``sequence(1, 0)`` counts DOWN, so the empty
+    case must short-circuit to a typed empty array."""
+    m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(ws, i, n), " "))
+
+
+def _word_hashes_col(ws):
+    """Per-word 31-bit hashes over an already-tokenized array (the
+    array-input twin of dedup._word_hashes, same formula)."""
+    return F.transform(
+        ws, lambda w: F.pmod(F.xxhash64(w), F.lit(2147483647))
+    )
+
+
+def span_occurrences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    key: str = "exact",
+) -> DataFrame:
+    """``(id_col, pos, gram)`` — one row per word n-gram occurrence.
+    ``pos`` is the 1-based start position in the normalized word
+    sequence (:func:`dedup._norm_tokens` tokens). ``key="hash"``
+    swaps gram strings for 62-bit rolling-polynomial ids
+    (:func:`dedup.ngram_hashes64`) with the short-doc whole-text
+    fallback suppressed — a span operator must never emit a gram for
+    a doc shorter than ``n`` words, or removal would cover positions
+    past the document's end. Word hashes are materialized in their
+    own projection first (dedup.word_hashes documents the 2x
+    re-evaluation trap of inlining them under the polynomial
+    slices)."""
+    ws = docs.select(
+        F.col(id_col), _norm_tokens(F.col(text_col)).alias("ws")
+    )
+    if key == "exact":
+        garr = _exact_gram_array(F.col("ws"), n)
+    elif key == "hash":
+        ws = ws.select(
+            id_col, "ws", _word_hashes_col(F.col("ws")).alias("wh")
+        )
+        garr = F.when(
+            F.size("ws") < n, F.array().cast("array<long>")
+        ).otherwise(ngram_hashes64(F.col("wh"), n))
+    else:
+        raise ValueError(f"key must be 'exact' or 'hash', got {key!r}")
+    return ws.select(
+        id_col, F.posexplode(garr).alias("p", "gram")
+    ).select(id_col, (F.col("p") + 1).alias("pos"), "gram")
+
+
+def duplicated_span_index(
+    occ: DataFrame, id_col: str = "doc_id", min_docs: int = 2
+) -> DataFrame:
+    """Duplicated-gram index ``(gram, n_docs, keeper)`` from an
+    occurrence frame: grams present in >= ``min_docs`` distinct docs,
+    with the canonical (minimal ``(doc_id, pos)``) occurrence. One
+    map-side-combined exchange on the gram key."""
+    return (
+        occ.groupBy("gram")
+        .agg(
+            F.count_distinct(id_col).alias("n_docs"),
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("kid"), F.col("pos").alias("kpos")
+                )
+            ).alias("keeper"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+    key: str = "exact",
+    broadcast_index: bool = True,
+) -> DataFrame:
+    """Remove corpus-wide duplicated word n-gram spans, keeping one
+    canonical occurrence per gram (module docstring has the policy).
+    Returns ``(id_col, n_words, n_removed, cleaned)`` for EVERY input
+    document (untouched docs report ``n_removed = 0``)."""
+    occ = span_occurrences(docs, text_col, id_col, n, key)
+    dup = duplicated_span_index(occ, id_col, min_docs).select(
+        "gram", "keeper"
+    )
+    if broadcast_index:
+        dup = F.broadcast(dup)
+    removed = occ.join(dup, "gram", "inner").filter(
+        ~(
+            (F.col(id_col) == F.col("keeper.kid"))
+            & (F.col("pos") == F.col("keeper.kpos"))
+        )
+    )
+    covered = (
+        removed.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("cp"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("cp").alias("cov"))
+    )
+    base = docs.select(
+        F.col(id_col), _norm_tokens(F.col(text_col)).alias("ws")
+    )
+    kept = F.when(F.col("cov").isNull(), F.col("ws")).otherwise(
+        F.filter(
+            F.col("ws"),
+            lambda w, i: ~F.array_contains(F.col("cov"), i + F.lit(1)),
+        )
+    )
+    return base.join(covered, id_col, "left").select(
+        id_col,
+        F.size("ws").alias("n_words"),
+        (F.size("ws") - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("cleaned"),
+    )

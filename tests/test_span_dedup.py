@@ -1,0 +1,119 @@
+"""Repeated-substring (span-level) dedup — Lee-et-al-2022-style
+substring dedup policy: corpus-wide duplicated word n-grams are
+removed everywhere except one canonical (min (doc_id, pos))
+occurrence."""
+
+import pytest
+
+from icicle_spark.operators.span_dedup import (
+    duplicated_span_index,
+    span_occurrences,
+    strip_repeated_spans,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "a copy here: the quick brown fox jumps again and again"),
+            (2, "totally unique words without repetition whatsoever"),
+            (3, "xy"),  # shorter than n: contributes no grams
+            (4, ""),  # empty doc survives with n_words 0
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_strip_repeated_spans_hand_golden(corpus):
+    got = {
+        r.doc_id: (r.n_words, r.n_removed, r.cleaned)
+        for r in strip_repeated_spans(corpus, n=5, min_docs=2).collect()
+    }
+    # 'the quick brown fox jumps' occurs in docs 0 (pos 1) and 1
+    # (pos 4): the canonical copy (min (doc_id, pos)) stays in doc 0,
+    # doc 1 loses word positions 4..8.
+    assert got[0] == (9, 0, "the quick brown fox jumps over the lazy dog")
+    assert got[1] == (11, 5, "a copy here again and again")
+    assert got[2] == (
+        6,
+        0,
+        "totally unique words without repetition whatsoever",
+    )
+    assert got[3] == (1, 0, "xy")
+    assert got[4] == (0, 0, "")
+
+
+def test_overlapping_spans_union(spark):
+    """Two overlapping duplicated grams: covered positions union —
+    each doc keeps only what no removed span covers."""
+    docs = spark.createDataFrame(
+        [
+            (0, "p q a b c d x x x"),  # 'a b c d' at 3
+            (1, "a b c d y y y y y"),  # 'a b c d' at 1, 'b c d y' at 2
+            (2, "m b c d y n o p q"),  # 'b c d y' at 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_removed, r.cleaned)
+        for r in strip_repeated_spans(docs, n=4, min_docs=2).collect()
+    }
+    # 'a b c d' keeper = (0, 3) -> doc 1 removes 1..4.
+    # 'b c d y' keeper = (1, 2); doc 1's occurrence IS the keeper but
+    # positions 2..4 are already covered by the other removal — union
+    # semantics keep only position 5 ('y') out of 1..5.
+    assert got[0] == (0, "p q a b c d x x x")
+    assert got[1] == (4, "y y y y y")
+    assert got[2] == (4, "m n o p q")
+
+
+def test_short_docs_emit_no_grams(corpus):
+    occ = span_occurrences(corpus, n=5, key="exact")
+    assert occ.filter("doc_id in (3, 4)").count() == 0
+    occ_h = span_occurrences(corpus, n=5, key="hash")
+    assert occ_h.filter("doc_id in (3, 4)").count() == 0
+
+
+def test_hash_key_matches_exact(spark):
+    """62-bit gram ids give the identical cleaned corpus (collision
+    odds ~|grams|^2/2^62) on real sf0.001 documents."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    a = strip_repeated_spans(docs, n=5, min_docs=2, key="exact")
+    b = strip_repeated_spans(docs, n=5, min_docs=2, key="hash")
+    assert a.exceptAll(b).union(b.exceptAll(a)).count() == 0
+    assert a.filter("n_removed > 0").count() > 0  # non-trivial corpus
+
+
+def test_duplicated_span_index_keeper(spark):
+    docs = spark.createDataFrame(
+        [(7, "a b c"), (3, "z a b c"), (5, "a b c q")],
+        "doc_id long, text string",
+    )
+    occ = span_occurrences(docs, n=3, key="exact")
+    idx = {
+        r.gram: (r.n_docs, r.keeper.kid, r.keeper.kpos)
+        for r in duplicated_span_index(occ, min_docs=2).collect()
+    }
+    assert idx["a b c"] == (3, 3, 2)  # min (doc_id, pos) = (3, 2)
+
+
+def test_broadcast_index_plan(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e")], "doc_id long, text string"
+    )
+    plan = (
+        strip_repeated_spans(docs, n=5, min_docs=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bad_key_raises(corpus):
+    with pytest.raises(ValueError):
+        span_occurrences(corpus, key="fuzzy")
