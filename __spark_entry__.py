@@ -4074,9 +4074,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_map_ops": q_json_map_ops,
         "url_filter": q_url_filter,
         "source_postcomp": q_source_postcomp,
-        "repetition_stats": q_repetition_stats,
+        # (repetition_stats + doc_logprob rotated out late-r4 for the
+        # two NEW LM-quality/dedup ops below: both are r3-certified
+        # and their function bodies are unchanged since their r3
+        # creation commits — git -S verified)
+        "bigram_logprob": q_bigram_logprob,
         "source_group_fold": q_source_group_fold,
-        "doc_logprob": q_doc_logprob,
+        "span_dedup": q_span_dedup,
         "quality_filter": q_quality_filter,
         "temperature_mix": q_temperature_mix,
         "decontaminate": q_decontaminate,
@@ -4168,8 +4172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "semantic_decon": q_semantic_decon,
         "sessionize": q_sessionize,
-        "bigram_logprob": q_bigram_logprob,
-        "span_dedup": q_span_dedup,
+        "repetition_stats": q_repetition_stats,
+        "doc_logprob": q_doc_logprob,
     }
 
 

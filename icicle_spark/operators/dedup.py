@@ -419,7 +419,11 @@ def substring_dedup(
     every token covered by such a run drops from ALL documents. (The
     paper keeps one copy via a corpus suffix array; removing all
     occurrences keeps the operator deterministic under shuffle — the
-    same policy as :func:`line_dedup`.) Overlapping duplicated grams
+    same policy as :func:`line_dedup`. For the paper's keep-one
+    policy made deterministic — a canonical min-``(doc_id, pos)``
+    keeper per gram — see ``span_dedup.strip_repeated_spans``, the
+    dedup-proper complement of this boilerplate pass.) Overlapping
+    duplicated grams
     merge into maximal spans automatically: a token is removed iff ANY
     k-gram window covering it is duplicated.
 

@@ -2,10 +2,16 @@
 
 Doc-level dedup (``operators/dedup.py``) drops whole near-duplicate
 documents; this module removes *duplicated spans inside otherwise
-unique documents* — the substring-granularity dedup of Lee et al.
-2022 ("Deduplicating Training Data Makes Language Models Better",
-suffix-array dedup) and the boilerplate pass of production corpus
-refreshes. Policy, deterministic and oracle-expressible:
+unique documents* at the substring granularity of Lee et al. 2022
+("Deduplicating Training Data Makes Language Models Better",
+arXiv 2107.06499). It is the KEEP-ONE-COPY complement of
+``dedup.substring_dedup``: that operator drops every occurrence of a
+duplicated run (boilerplate removal — its docstring notes the paper's
+keep-one policy as omitted for shuffle determinism), while this one
+implements the paper's actual policy by making the kept copy
+deterministic — the lexicographically smallest ``(doc_id, pos)``
+occurrence survives, independent of partitioning. Policy, fully
+oracle-expressible:
 
 * a word n-gram is *duplicated* when it occurs in >= ``min_docs``
   distinct documents;

@@ -175,6 +175,13 @@ def main(argv: list[str] | None = None) -> int:
                     metavar="K",
                     help="remove duplicated >=K-token runs "
                          "(ExactSubstr; dedup.substring_dedup); 0=off")
+    ap.add_argument("--span-dedup", type=int, default=0,
+                    help="remove duplicated word n-gram spans of this "
+                         "size KEEPING one canonical min-(doc_id,pos) "
+                         "occurrence per gram (span_dedup."
+                         "strip_repeated_spans — the keep-one dedup "
+                         "complement of --substring-dedup's drop-all "
+                         "boilerplate pass); 0=off")
     ap.add_argument("--min-words", type=int, default=20)
     ap.add_argument("--max-words", type=int, default=100_000)
     ap.add_argument("--max-dup2", type=float, default=0.5)
@@ -288,6 +295,20 @@ def main(argv: list[str] | None = None) -> int:
             docs, args.text_col, args.id_col, k=args.substring_dedup
         )
         docs = docs.withColumnRenamed("n_removed", "__tokens_rm")
+    if args.span_dedup:
+        from icicle_spark.operators.span_dedup import strip_repeated_spans
+
+        cleaned = strip_repeated_spans(
+            docs, args.text_col, args.id_col, n=args.span_dedup,
+            key="hash",
+        ).select(
+            F.col(args.id_col),
+            F.col("n_removed").alias("__span_tokens_rm"),
+            F.col("cleaned").alias(args.text_col),
+        )
+        docs = docs.drop(args.text_col).join(
+            cleaned, on=args.id_col, how="inner"
+        )
 
     # 2. benchmark decontamination (broadcast gram index), optionally
     # followed by embedding-space decontamination (paraphrases share
@@ -318,7 +339,8 @@ def main(argv: list[str] | None = None) -> int:
     docs = docs.persist()
     n_clean = docs.count()
     for col, key in (("__lines_rm", "lines_removed"),
-                     ("__tokens_rm", "tokens_removed")):
+                     ("__tokens_rm", "tokens_removed"),
+                     ("__span_tokens_rm", "span_tokens_removed")):
         if col in docs.columns:
             removal_totals[key] = int(
                 docs.agg(F.sum(col)).first()[0] or 0

@@ -27,6 +27,8 @@ MUST_BE_IN_WINDOW = {
     "corpus_diff",
     "cap_per_group",
     "png_features",
+    "bigram_logprob",
+    "span_dedup",
     # r3-certified but r4-TOUCHED code (FAILFAST struct decode, full
     # source dictionaries) — rotated back in for re-certification
     "dictionary_native",

@@ -184,6 +184,42 @@ def test_curation_pipeline_boilerplate_stages(spark, corpus, tmp_path):
     assert "__lines_rm" not in kept.columns
 
 
+def test_curation_pipeline_span_dedup_stage(spark, tmp_path):
+    """--span-dedup rewrites text with the KEEP-ONE policy: the
+    canonical (lowest doc_id) occurrence of a cross-doc duplicated
+    span survives, the later copy is cut, and the total lands in the
+    summary as span_tokens_removed."""
+    shared = "copied boilerplate footer appears verbatim here"
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                f"first document unique opening words then {shared}",
+                f"second document different body text then {shared}",
+            ],
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out_span")
+    assert main([
+        "--input", src, "--output", out,
+        "--span-dedup", "6",
+        "--min-words", "1", "--max-dup2", "1.0",
+        "--min-distinct-ratio", "0.0", "--no-logprob",
+    ]) == 0
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    # both docs share the 7-word suffix 'then <shared>': two
+    # overlapping duplicated 6-grams whose canonical copies sit in
+    # doc 1, so doc 2 loses the unioned 7 positions
+    assert summary["span_tokens_removed"] == 7
+    kept = spark.read.parquet(os.path.join(out, "kept")).toPandas()
+    assert "__span_tokens_rm" not in kept.columns
+    texts = kept.set_index("doc_id")["text"].to_dict()
+    assert shared in texts[1]  # canonical copy survives
+    assert shared not in texts[2]
+
+
 def test_curation_novelty_signal(spark, corpus, tmp_path):
     """--novelty-index joins gram-novelty signals and --rule can gate
     on them (near-zero-novelty docs = boilerplate re-crawls)."""
