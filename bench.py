@@ -41,6 +41,7 @@ HEADLINE = [
     "decontaminate",
     "line_dedup",
     "substring_dedup",
+    "span_dedup",
     "repetition_stats",
     "embed_topk",
     "tpch_q1",

@@ -316,6 +316,24 @@ def main() -> int:
         ],
     )
 
+    from icicle_spark.operators.span_dedup import strip_repeated_spans
+
+    t9c = plan_text(strip_repeated_spans(docs, n=3, key="hash"))
+    ex9c = count(r"\(\d+\) Exchange", t9c)
+    check(
+        "span dedup keep-one (hash key)",
+        t9c,
+        [
+            ("duplicated-gram index joins back broadcast",
+             "BroadcastHashJoin" in t9c),
+            ("raw text never reaches an exchange (62-bit gram ids + "
+             "id/pos shuffle instead)",
+             "text" not in _exchange_payloads(t9c)),
+            (f"gram freq + covered-position + final doc join only "
+             f"(got {ex9c} <= 7)", ex9c <= 7),
+        ],
+    )
+
     t10 = plan_text(tfidf_top_terms(docs))
     ex10 = count(r"\(\d+\) Exchange", t10)
     check(
