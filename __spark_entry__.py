@@ -1479,6 +1479,44 @@ def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_m1v_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 (motion-compensated) codec round-trip certified
+    cross-engine: each doc gets 2+i%3 solid frames of closed-form
+    gray (7i+13k+5)%256 encoded as an MPEG-1 elementary stream
+    (I + P pictures), decoded per-frame in mapInPandas. Solid frames
+    are DC-only intra macroblocks (fixed step 8 — exact at any
+    quantiser), so the oracle recomputes every per-frame mean from
+    the id alone, certifying sequence/picture/slice headers, VLC
+    entropy coding, and the inter-picture mode machinery end-to-end
+    with no shared code."""
+    from icicle_spark.operators.multimodal import (
+        attach_pattern_videos,
+        video_frame_features,
+    )
+
+    media = attach_pattern_videos(_docs(spark, sf_dir), fmt="m1v")
+    return video_frame_features(media).select(
+        "doc_id", "frame_idx", "n_frames", "height", "width",
+        _r("fps", 6).alias("fps"),
+        _r("mean_px", 6).alias("mean_px"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+_M1V_FEATURES_SQL = """
+SELECT d.doc_id,
+       k.g::INT AS frame_idx,
+       (2 + d.doc_id % 3)::INT AS n_frames,
+       (6 + d.doc_id % 5)::INT AS height,
+       (6 + d.doc_id % 7)::INT AS width,
+       round(25.0, 6) AS fps,
+       round(((7 * d.doc_id + 13 * k.g + 5) % 256)::DOUBLE, 6) AS mean_px
+FROM documents d
+CROSS JOIN generate_series(0, 3) k(g)
+WHERE k.g < 2 + d.doc_id % 3
+ORDER BY doc_id, frame_idx
+"""
+
+
 _PNG_FEATURES_SQL = """
 SELECT d.doc_id,
        (4 + d.doc_id % 5)::INT AS height,
@@ -4083,7 +4121,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "quality_filter": q_quality_filter,
         "temperature_mix": q_temperature_mix,
-        "decontaminate": q_decontaminate,
+        # (decontaminate rotated out late-r4 for the NEW MPEG-1
+        # motion-compensated codec certificate: decontaminate is
+        # r3-certified and its function bodies are unchanged since
+        # their creation commit — git -S verified)
+        "m1v_features": q_m1v_features,
         "line_dedup": q_line_dedup,
         "substring_dedup": q_substring_dedup,
         "gram_novelty": q_gram_novelty,
@@ -4174,6 +4216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "repetition_stats": q_repetition_stats,
         "doc_logprob": q_doc_logprob,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -4277,6 +4320,7 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_group": _CAP_PER_GROUP_SQL,
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
         "span_dedup": _SPAN_DEDUP_SQL,
+        "m1v_features": _M1V_FEATURES_SQL,
         # minhash_incremental / simhash_incremental: LSH banding not
         # SQL-expressible — rows-only; full-vs-incremental parity is
         # pinned by tests/test_dedup.py.

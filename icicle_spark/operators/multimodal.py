@@ -23,13 +23,16 @@ Three codec tiers:
    LZW, interlace, disposal composition), ``operators/avi.py``
    the MJPEG AVI container over the same JPEG codec plus MS-RLE8
    inter-frame AVI (keyframe + temporal-delta frames over a
-   persistent canvas), and ``operators/flac.py`` a FLAC (RFC 9639
-   subset) lossless audio codec. The feature/resize/frame-sample
-   operators dispatch on the payload magic, so RAW1/PCM1 and
-   PNG/JPEG/WAV/FLAC/GIF/AVI rows flow through the SAME extractors.
+   persistent canvas), ``operators/flac.py`` a FLAC (RFC 9639
+   subset) lossless audio codec, and ``operators/mpeg1.py`` an
+   MPEG-1 video (ISO/IEC 11172-2 subset) codec with TRUE MOTION
+   COMPENSATION (I/P pictures, full-pel motion search, DCT residual
+   coding). The feature/resize/frame-sample operators dispatch on
+   the payload magic, so RAW1/PCM1 and PNG/JPEG/WAV/FLAC/GIF/AVI/
+   MPEG-1 rows flow through the SAME extractors.
 
 3. **Codec-library formats — stubbed** (this environment ships no
-   OGG/Vorbis or motion-compensated video codecs): ``decode_media_features``
+   OGG/Vorbis codec): ``decode_media_features``
    tries tiers 1-2, then the real library, and otherwise falls back
    to a clearly-marked DETERMINISTIC FAKE over the raw bytes.
    Production swaps ``_try_real_decode`` for PIL/libsndfile — every
@@ -480,10 +483,16 @@ def _is_gif(buf: bytes) -> bool:
     return buf[:6] in (b"GIF87a", b"GIF89a")
 
 
+def _is_m1v(buf: bytes) -> bool:
+    return buf[:4] == b"\x00\x00\x01\xb3"  # MPEG-1 sequence header
+
+
 def decode_video(buf: bytes) -> tuple[np.ndarray, float]:
-    """Magic-dispatching video decode: animated GIF (lossless, LZW)
-    or MJPEG AVI (T.81 frames) -> ((N, H, W, 3) uint8 frames, fps).
-    GIF fps derives from the first frame's delay (centiseconds)."""
+    """Magic-dispatching video decode: animated GIF (lossless, LZW),
+    MJPEG/MS-RLE8 AVI, or MPEG-1 video elementary stream (I/P
+    pictures with MOTION COMPENSATION — ``operators/mpeg1.py``) ->
+    ((N, H, W, 3) uint8 frames, fps). GIF fps derives from the first
+    frame's delay (centiseconds)."""
     if _is_gif(buf):
         from icicle_spark.operators.gif import decode_gif
 
@@ -494,7 +503,13 @@ def decode_video(buf: bytes) -> tuple[np.ndarray, float]:
         from icicle_spark.operators.avi import decode_avi_frames
 
         return decode_avi_frames(buf)
-    raise ValueError("unknown video payload (expected GIF or RIFF/AVI magic)")
+    if _is_m1v(buf):
+        from icicle_spark.operators.mpeg1 import decode_m1v
+
+        return decode_m1v(buf)
+    raise ValueError(
+        "unknown video payload (expected GIF, RIFF/AVI, or MPEG-1 magic)"
+    )
 
 
 def attach_raw_images(
@@ -592,15 +607,23 @@ def attach_pattern_videos(
     bit-exact at quality 100), so an external engine can recompute
     every per-frame statistic from the id alone — a cross-engine
     oracle certifies encode -> LZW/T.81 -> container parse -> decode
-    end-to-end with no shared code."""
-    if fmt not in ("gif", "avi"):
+    end-to-end with no shared code. ``fmt="m1v"`` rides the MPEG-1
+    codec: solid frames are DC-only intra macroblocks (fixed step 8,
+    so any gray level is exact), and the inter-frame gray jumps
+    always trip the encoder's intra mode decision — per-frame values
+    stay exact through the motion-compensated bitstream too."""
+    if fmt not in ("gif", "avi", "m1v"):
         raise ValueError(f"unknown video format {fmt!r}")
     id_type = dict(docs.dtypes)[id_col]
-    mime = "video/gif" if fmt == "gif" else "video/x-msvideo"
+    mime = {
+        "gif": "video/gif", "avi": "video/x-msvideo",
+        "m1v": "video/mpeg",
+    }[fmt]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from icicle_spark.operators.avi import encode_avi_mjpeg
         from icicle_spark.operators.gif import encode_gif
+        from icicle_spark.operators.mpeg1 import encode_m1v
 
         for pdf in batches:
             media = []
@@ -615,6 +638,8 @@ def attach_pattern_videos(
                     media.append(
                         encode_gif(frames, delay_cs=100 // fps)
                     )
+                elif fmt == "m1v":
+                    media.append(encode_m1v(frames, fps=fps, qscale=4))
                 else:
                     media.append(
                         encode_avi_mjpeg(frames, fps=fps, quality=100)
@@ -781,17 +806,17 @@ def audio_features(
 def _try_real_decode(buf: bytes) -> np.ndarray:
     """Real decode path -> canonical uint8 content array (image/video
     pixels flattened, or audio PCM bytes). RAW1/PNG/JPEG images,
-    PCM1/WAV(PCM16 + IMA ADPCM)/FLAC audio, and GIF/AVI video all
-    decode for real via the tier-1/tier-2 codecs (FLAC in
-    ``flac.py``); the remaining
-    codec-library formats (OGG/Vorbis and motion-compensated video codecs)
-    raise NotImplementedError here because no codec library is
-    available in this container. Swap the tail of this function for
+    PCM1/WAV(PCM16 + IMA ADPCM)/FLAC audio, and GIF/AVI/MPEG-1 video
+    all decode for real via the tier-1/tier-2 codecs (FLAC in
+    ``flac.py``, motion-compensated MPEG-1 in ``mpeg1.py``); the one
+    remaining codec-library format (OGG/Vorbis) raises
+    NotImplementedError here because no codec library is available
+    in this container. Swap the tail of this function for
     PIL/cv2/libsndfile in production; everything downstream is
     agnostic."""
     if buf[:4] == _RAW1 or buf[:8] == _PNG_SIG or buf[:3] == b"\xff\xd8\xff":
         return decode_image(buf).reshape(-1)
-    if _is_gif(buf) or _is_avi(buf):
+    if _is_gif(buf) or _is_avi(buf) or _is_m1v(buf):
         frames, _fps = decode_video(buf)
         return frames.reshape(-1)
     if buf[:4] == _PCM1 or buf[:4] == b"RIFF" or buf[:4] == b"fLaC":

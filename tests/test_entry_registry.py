@@ -29,6 +29,7 @@ MUST_BE_IN_WINDOW = {
     "png_features",
     "bigram_logprob",
     "span_dedup",
+    "m1v_features",
     # r3-certified but r4-TOUCHED code (FAILFAST struct decode, full
     # source dictionaries) — rotated back in for re-certification
     "dictionary_native",
