@@ -1502,6 +1502,38 @@ def q_m1v_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+def q_ogg_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Ogg FLAC path certified cross-engine: each doc gets a
+    closed-form alternating ±a clip (a = 100+i%11, n = 400+(i%7)*50
+    samples) encoded as Ogg FLAC (RFC 3533 pages + CRC around the
+    full FLAC codec), decoded + feature-extracted in mapInPandas.
+    Lossless end to end, so the oracle recomputes duration/RMS/peak/
+    zero-crossings exactly from the id alone."""
+    from icicle_spark.operators.multimodal import (
+        attach_pattern_audio,
+        audio_features,
+    )
+
+    media = attach_pattern_audio(_docs(spark, sf_dir), fmt="ogg")
+    return audio_features(media).select(
+        "doc_id",
+        _r("duration_ms", 6).alias("duration_ms"),
+        _r("rms", 6).alias("rms"),
+        "peak", "zero_crossings",
+    ).orderBy("doc_id")
+
+
+_OGG_FLAC_FEATURES_SQL = """
+SELECT doc_id,
+       round((400 + (doc_id % 7) * 50) / 16.0, 6) AS duration_ms,
+       round((100 + doc_id % 11)::DOUBLE, 6) AS rms,
+       (100 + doc_id % 11)::INT AS peak,
+       (400 + (doc_id % 7) * 50 - 1)::INT AS zero_crossings
+FROM documents
+ORDER BY doc_id
+"""
+
+
 _M1V_FEATURES_SQL = """
 SELECT d.doc_id,
        k.g::INT AS frame_idx,
@@ -4217,6 +4249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "doc_logprob": q_doc_logprob,
         "decontaminate": q_decontaminate,
+        # outside the 50-window: locally oracle-verified at sf0.01
+        # and sf0.1 (window slots are all never-certified r4 queries)
+        "ogg_flac_features": q_ogg_flac_features,
     }
 
 
@@ -4321,6 +4356,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
         "span_dedup": _SPAN_DEDUP_SQL,
         "m1v_features": _M1V_FEATURES_SQL,
+        "ogg_flac_features": _OGG_FLAC_FEATURES_SQL,
         # minhash_incremental / simhash_incremental: LSH banding not
         # SQL-expressible — rows-only; full-vs-incremental parity is
         # pinned by tests/test_dedup.py.

@@ -24,15 +24,19 @@ Three codec tiers:
    the MJPEG AVI container over the same JPEG codec plus MS-RLE8
    inter-frame AVI (keyframe + temporal-delta frames over a
    persistent canvas), ``operators/flac.py`` a FLAC (RFC 9639
-   subset) lossless audio codec, and ``operators/mpeg1.py`` an
-   MPEG-1 video (ISO/IEC 11172-2 subset) codec with TRUE MOTION
+   subset) lossless audio codec, ``operators/mpeg1.py`` an MPEG-1
+   video (ISO/IEC 11172-2 subset) codec with TRUE MOTION
    COMPENSATION (I/P pictures, full-pel motion search, DCT residual
-   coding). The feature/resize/frame-sample operators dispatch on
-   the payload magic, so RAW1/PCM1 and PNG/JPEG/WAV/FLAC/GIF/AVI/
-   MPEG-1 rows flow through the SAME extractors.
+   coding), and ``operators/ogg.py`` the Ogg container (RFC 3533:
+   pages, lacing, CRC-32) carrying FLAC frames per the published
+   Ogg FLAC 1.0 mapping. The feature/resize/frame-sample operators
+   dispatch on the payload magic, so RAW1/PCM1 and PNG/JPEG/WAV/
+   FLAC/OggFLAC/GIF/AVI/MPEG-1 rows flow through the SAME extractors.
 
 3. **Codec-library formats — stubbed** (this environment ships no
-   OGG/Vorbis codec): ``decode_media_features``
+   Vorbis codec; an ``OggS`` payload whose first packet is not the
+   Ogg FLAC mapping raises the documented stub):
+   ``decode_media_features``
    tries tiers 1-2, then the real library, and otherwise falls back
    to a clearly-marked DETERMINISTIC FAKE over the raw bytes.
    Production swaps ``_try_real_decode`` for PIL/libsndfile — every
@@ -470,8 +474,23 @@ def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
         s, rate = decode_flac(buf)  # (N, ch) int32, 16-bit payloads
         mono = s[:, 0] if s.shape[1] == 1 else ((s[:, 0] + s[:, 1]) // 2)
         return mono.astype(np.int16), rate
+    if buf[:4] == b"OggS":
+        from icicle_spark.operators.ogg import decode_ogg_flac, ogg_parse
+
+        first = ogg_parse(buf)[0][0]
+        if first[:5] == b"\x7fFLAC":
+            s, rate = decode_ogg_flac(buf)
+            mono = (
+                s[:, 0] if s.shape[1] == 1 else ((s[:, 0] + s[:, 1]) // 2)
+            )
+            return mono.astype(np.int16), rate
+        raise NotImplementedError(
+            "Ogg stream is not Ogg FLAC (Vorbis decode needs "
+            "stream-defined codebooks + MDCT synthesis — the one "
+            "codec this container intentionally leaves stubbed)"
+        )
     raise ValueError(
-        "unknown audio payload (expected PCM1, RIFF, or fLaC magic)"
+        "unknown audio payload (expected PCM1, RIFF, fLaC, or OggS magic)"
     )
 
 
@@ -654,6 +673,58 @@ def attach_pattern_videos(
     )
 
 
+def attach_pattern_audio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    fmt: str = "ogg",
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """Fixture/ingest helper with a CLOSED-FORM audio pattern: doc
+    ``i`` gets ``400 + (i%7)*50`` samples alternating ``+a, -a`` with
+    ``a = 100 + i%11``. Every downstream feature is exact arithmetic
+    on the id (RMS = peak = a, zero_crossings = n-1, duration =
+    n/16 ms at 16 kHz) and every container here is LOSSLESS, so an
+    external engine can recompute the statistics with no shared code
+    — the audio twin of :func:`attach_pattern_videos`. ``fmt``:
+    ``pcm1`` (raw tier), ``wav`` (RIFF PCM16), ``flac`` (native), or
+    ``ogg`` (Ogg FLAC mapping — certifies page framing + CRC + the
+    FLAC layer end-to-end)."""
+    if fmt not in ("pcm1", "wav", "flac", "ogg"):
+        raise ValueError(f"unknown audio format {fmt!r}")
+    id_type = dict(docs.dtypes)[id_col]
+    mime = {"pcm1": "audio/pcm1", "wav": "audio/wav",
+            "flac": "audio/flac", "ogg": "audio/ogg"}[fmt]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from icicle_spark.operators.flac import encode_flac
+        from icicle_spark.operators.ogg import encode_ogg_flac
+
+        enc = {
+            "pcm1": lambda s: encode_pcm_audio(s, sample_rate),
+            "wav": lambda s: encode_wav(s, sample_rate),
+            "flac": lambda s: encode_flac(s, sample_rate),
+            "ogg": lambda s: encode_ogg_flac(s, sample_rate),
+        }[fmt]
+        for pdf in batches:
+            media = []
+            for rid in pdf[id_col]:
+                i = int(rid)
+                n = 400 + (i % 7) * 50
+                a = 100 + i % 11
+                s = np.where(
+                    np.arange(n) % 2 == 0, a, -a
+                ).astype(np.int16)
+                media.append(enc(s))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "media": media,
+                 "mime": mime}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        fn, f"`{id_col}` {id_type}, media binary, mime string"
+    )
+
+
 def video_frame_features(
     df: DataFrame,
     media_col: str = "media",
@@ -767,9 +838,9 @@ def resize_raw_images(
 def audio_features(
     df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
 ) -> DataFrame:
-    """REAL per-clip features from PCM1 or RIFF/WAVE payloads
-    (magic-dispatched; WAV stereo averaged to mono): duration, RMS,
-    peak, zero-crossing count."""
+    """REAL per-clip features from PCM1 / RIFF/WAVE / FLAC /
+    Ogg FLAC payloads (magic-dispatched; stereo averaged to mono):
+    duration, RMS, peak, zero-crossing count."""
     id_type = dict(df.dtypes)[id_col]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -819,7 +890,9 @@ def _try_real_decode(buf: bytes) -> np.ndarray:
     if _is_gif(buf) or _is_avi(buf) or _is_m1v(buf):
         frames, _fps = decode_video(buf)
         return frames.reshape(-1)
-    if buf[:4] == _PCM1 or buf[:4] == b"RIFF" or buf[:4] == b"fLaC":
+    if buf[:4] in (_PCM1, b"RIFF", b"fLaC", b"OggS"):
+        # OggS: decode_audio handles Ogg FLAC for real and raises
+        # NotImplementedError for Vorbis (the documented stub)
         samples, _rate = decode_audio(buf)
         return np.frombuffer(samples.astype("<i2").tobytes(), np.uint8)
     try:
