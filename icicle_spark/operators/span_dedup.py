@@ -103,44 +103,43 @@ def span_occurrences(
     ).select(id_col, (F.col("p") + 1).alias("pos"), "gram")
 
 
+def _index_from_occ(occ: DataFrame, id_col: str) -> DataFrame:
+    """``(gram, n_docs, keeper)`` from an occurrence frame — one
+    map-side-combined exchange on the gram key."""
+    return occ.groupBy("gram").agg(
+        F.count_distinct(id_col).alias("n_docs"),
+        F.min(
+            F.struct(
+                F.col(id_col).alias("kid"), F.col("pos").alias("kpos")
+            )
+        ).alias("keeper"),
+    )
+
+
 def duplicated_span_index(
     occ: DataFrame, id_col: str = "doc_id", min_docs: int = 2
 ) -> DataFrame:
     """Duplicated-gram index ``(gram, n_docs, keeper)`` from an
     occurrence frame: grams present in >= ``min_docs`` distinct docs,
-    with the canonical (minimal ``(doc_id, pos)``) occurrence. One
-    map-side-combined exchange on the gram key."""
-    return (
-        occ.groupBy("gram")
-        .agg(
-            F.count_distinct(id_col).alias("n_docs"),
-            F.min(
-                F.struct(
-                    F.col(id_col).alias("kid"), F.col("pos").alias("kpos")
-                )
-            ).alias("keeper"),
-        )
-        .filter(F.col("n_docs") >= min_docs)
+    with the canonical (minimal ``(doc_id, pos)``) occurrence."""
+    return _index_from_occ(occ, id_col).filter(
+        F.col("n_docs") >= min_docs
     )
 
 
-def strip_repeated_spans(
+def _apply_removals(
     docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 5,
-    min_docs: int = 2,
-    key: str = "exact",
-    broadcast_index: bool = True,
+    occ: DataFrame,
+    dup: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    broadcast_index: bool,
 ) -> DataFrame:
-    """Remove corpus-wide duplicated word n-gram spans, keeping one
-    canonical occurrence per gram (module docstring has the policy).
-    Returns ``(id_col, n_words, n_removed, cleaned)`` for EVERY input
-    document (untouched docs report ``n_removed = 0``)."""
-    occ = span_occurrences(docs, text_col, id_col, n, key)
-    dup = duplicated_span_index(occ, id_col, min_docs).select(
-        "gram", "keeper"
-    )
+    """Shared tail of the full and incremental strips: join the
+    occurrences against a ``(gram, keeper)`` duplicated-gram index,
+    drop the keeper occurrence, union covered positions per doc, and
+    rebuild cleaned text."""
     if broadcast_index:
         dup = F.broadcast(dup)
     removed = occ.join(dup, "gram", "inner").filter(
@@ -173,4 +172,94 @@ def strip_repeated_spans(
         F.size("ws").alias("n_words"),
         (F.size("ws") - F.size(kept)).alias("n_removed"),
         F.array_join(kept, " ").alias("cleaned"),
+    )
+
+
+def strip_repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+    key: str = "exact",
+    broadcast_index: bool = True,
+) -> DataFrame:
+    """Remove corpus-wide duplicated word n-gram spans, keeping one
+    canonical occurrence per gram (module docstring has the policy).
+    Returns ``(id_col, n_words, n_removed, cleaned)`` for EVERY input
+    document (untouched docs report ``n_removed = 0``)."""
+    occ = span_occurrences(docs, text_col, id_col, n, key)
+    dup = duplicated_span_index(occ, id_col, min_docs).select(
+        "gram", "keeper"
+    )
+    return _apply_removals(
+        docs, occ, dup, text_col, id_col, n, broadcast_index
+    )
+
+
+def span_gram_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    key: str = "hash",
+) -> DataFrame:
+    """UNFILTERED keep-one span index ``(gram, n_docs, keeper)`` —
+    the persistable state behind incremental span dedup (parquet it
+    per corpus snapshot; the dedup.line/gram_hash_counts contract).
+    ``n_docs`` is exact across refreshes because increments carry
+    disjoint doc ids, so distinct-doc counts ADD under
+    :func:`merge_span_index`; the canonical keeper merges as a plain
+    min. Bounded by distinct grams, not corpus size."""
+    return _index_from_occ(
+        span_occurrences(docs, text_col, id_col, n, key), id_col
+    )
+
+
+def merge_span_index(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two span indexes (disjoint doc-id sets) into one."""
+    return (
+        a.unionByName(b)
+        .groupBy("gram")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.min("keeper").alias("keeper"),
+        )
+    )
+
+
+def strip_repeated_spans_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+    key: str = "hash",
+    broadcast_index: bool = True,
+) -> DataFrame:
+    """Keep-one span dedup of an INCREMENT against a persisted
+    :func:`span_gram_index` — cost scales with the increment plus
+    the touched index slice, never the stored corpus. Exactly equal
+    to re-running :func:`strip_repeated_spans` over stored+new and
+    keeping the new docs' rows (pytest-pinned), provided increment
+    doc ids are disjoint from stored ones: distinct-doc counts add
+    and the stored keeper stays the global min when stored ids sort
+    first. Returns the stripped increment; persist
+    ``merge_span_index(index, span_gram_index(new_docs, ...))`` as
+    the next snapshot's index."""
+    occ = span_occurrences(new_docs, text_col, id_col, n, key)
+    idx_new = _index_from_occ(occ, id_col)
+    # only grams the increment touches matter: semi-join the stored
+    # index down to the increment's gram set before merging
+    touched = index.join(
+        idx_new.select("gram"), "gram", "left_semi"
+    )
+    dup = (
+        merge_span_index(touched, idx_new)
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram", "keeper")
+    )
+    return _apply_removals(
+        new_docs, occ, dup, text_col, id_col, n, broadcast_index
     )

@@ -114,6 +114,36 @@ def test_broadcast_index_plan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_incremental_matches_full_run(spark):
+    """Incremental strip against a persisted span_gram_index equals
+    the full run over stored+new restricted to the new docs — on
+    real sf0.001 documents split 60/40 by doc_id."""
+    from icicle_spark.operators.span_dedup import (
+        merge_span_index,
+        span_gram_index,
+        strip_repeated_spans_incremental,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    stored = docs.filter("doc_id < 300")
+    new = docs.filter("doc_id >= 300")
+    idx = span_gram_index(stored, n=5, key="hash")
+    inc = strip_repeated_spans_incremental(new, idx, n=5, key="hash")
+    full = strip_repeated_spans(docs, n=5, min_docs=2, key="hash").filter(
+        "doc_id >= 300"
+    )
+    assert inc.exceptAll(full).union(full.exceptAll(inc)).count() == 0
+    assert inc.filter("n_removed > 0").count() > 0  # non-trivial
+    # merged index equals the from-scratch full index
+    merged = merge_span_index(idx, span_gram_index(new, n=5, key="hash"))
+    scratch = span_gram_index(docs, n=5, key="hash")
+    assert merged.exceptAll(scratch).union(
+        scratch.exceptAll(merged)
+    ).count() == 0
+
+
 def test_bad_key_raises(corpus):
     with pytest.raises(ValueError):
         span_occurrences(corpus, key="fuzzy")
