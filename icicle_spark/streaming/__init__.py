@@ -1,6 +1,7 @@
 from icicle_spark.streaming.dedup_stream import (  # noqa: F401
     line_dedup_ingest_sink,
     minhash_ingest_sink,
+    span_dedup_ingest_sink,
 )
 from icicle_spark.streaming.telemetry_stream import (  # noqa: F401
     telemetry_sink,

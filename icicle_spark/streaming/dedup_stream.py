@@ -210,3 +210,68 @@ def line_dedup_ingest_sink(
         ).parquet(index_path)
 
     return fn
+
+
+def span_dedup_ingest_sink(
+    index_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+    key: str = "hash",
+    broadcast_index: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming KEEP-ONE span dedup against a self-extending
+    ``span_gram_index`` (the streaming form of
+    ``span_dedup.strip_repeated_spans_incremental``). Per micro-batch:
+
+    1. read the persisted span index (APPEND-ONLY partial indexes,
+       folded on read by the ``merge_span_index`` law — ``sum`` of
+       distinct-doc counts + ``min`` of keepers; compact offline when
+       it fragments);
+    2. strip the batch against the merged index (a span first seen in
+       an earlier batch keeps its canonical copy THERE — the keep-one
+       policy holds across batches when doc ids are disjoint, the
+       same contract as the batch incremental form);
+    3. append the cleaned batch to ``out_path`` and the batch's RAW
+       partial index (pre-cleaning) to ``index_path``.
+
+    Same exactly-once caveat as :func:`minhash_ingest_sink`: the two
+    appends are not transactional; point them at Iceberg/Delta keyed
+    by batch_id for replay safety.
+    """
+    from icicle_spark.operators.span_dedup import (
+        span_gram_index,
+        strip_repeated_spans,
+        strip_repeated_spans_incremental,
+    )
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        if os.path.exists(index_path):
+            idx = (
+                spark.read.parquet(index_path)
+                .groupBy("gram")
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.min("keeper").alias("keeper"),
+                )
+            )
+            cleaned = strip_repeated_spans_incremental(
+                batch, idx, text_col, id_col, n, min_docs, key,
+                broadcast_index,
+            )
+        else:
+            cleaned = strip_repeated_spans(
+                batch, text_col, id_col, n, min_docs, key,
+                broadcast_index,
+            )
+        cleaned.write.mode("append").parquet(out_path)
+        span_gram_index(batch, text_col, id_col, n, key).write.mode(
+            "append"
+        ).parquet(index_path)
+
+    return fn

@@ -215,8 +215,12 @@ def test_magic_dispatch():
     assert np.array_equal(
         mono, ((s.astype(np.int32) + (s + 10)) // 2).astype(np.int16)
     )
-    with pytest.raises(ValueError, match="unknown audio"):
+    # OggS is a HANDLED magic now (Ogg FLAC) — garbage after the
+    # sync fails loudly in the container layer, not as "unknown"
+    with pytest.raises(ValueError, match="ogg"):
         decode_audio(b"OggS....")
+    with pytest.raises(ValueError, match="unknown audio"):
+        decode_audio(b"Mystery bytes")
 
 
 def test_png_rows_flow_through_spark_operators(spark):

@@ -4,6 +4,7 @@ removed everywhere except one canonical (min (doc_id, pos))
 occurrence."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from icicle_spark.operators.span_dedup import (
     duplicated_span_index,
@@ -141,6 +142,81 @@ def test_incremental_matches_full_run(spark):
     scratch = span_gram_index(docs, n=5, key="hash")
     assert merged.exceptAll(scratch).union(
         scratch.exceptAll(merged)
+    ).count() == 0
+
+
+def test_stream_span_dedup_ingest(spark, tmp_path):
+    """Streaming keep-one span removal against the self-extending
+    span index: a span repeated only ACROSS batches keeps its
+    canonical copy in the earlier batch, and the folded-on-read index
+    equals the whole-corpus index."""
+    import pandas as pd
+
+    from icicle_spark.operators.span_dedup import span_gram_index
+    from icicle_spark.streaming import span_dedup_ingest_sink
+
+    rows1 = [
+        (0, "alpha beta gamma delta unique tail one"),
+        (1, "totally different words here"),
+    ]
+    rows2 = [
+        (10, "prefix words alpha beta gamma delta end"),  # cross-batch
+        (11, "shared quad span here plus eleven filler"),
+        (12, "also shared quad span here again twelve"),  # intra-batch
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        pd.DataFrame(rows1, columns=["doc_id", "text"])
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    index = str(tmp_path / "span_index")
+    out = str(tmp_path / "span_out")
+    sink = span_dedup_ingest_sink(index, out, n=4)
+
+    def run_available():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck_span"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_available()
+    spark.createDataFrame(
+        pd.DataFrame(rows2, columns=["doc_id", "text"])
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_available()
+
+    got = {
+        r.doc_id: (r.n_removed, r.cleaned)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[0] == (0, "alpha beta gamma delta unique tail one")
+    assert got[1][0] == 0
+    assert got[10] == (4, "prefix words end")  # canonical copy in doc 0
+    assert got[11][0] == 0  # intra-batch keeper
+    assert got[12] == (4, "also again twelve")
+
+    # folded-on-read index == whole-corpus index
+    folded = (
+        spark.read.parquet(index)
+        .groupBy("gram")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.min("keeper").alias("keeper"),
+        )
+    )
+    whole = span_gram_index(
+        spark.createDataFrame(
+            pd.DataFrame(rows1 + rows2, columns=["doc_id", "text"])
+        ),
+        n=4,
+    )
+    assert folded.exceptAll(whole).union(
+        whole.exceptAll(folded)
     ).count() == 0
 
 
