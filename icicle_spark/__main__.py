@@ -40,7 +40,14 @@ def _cmd_check(args) -> int:
     try:
         d, skipped = _load(args.dictionary)
     except (ValueError, OSError) as ex:
-        print(f"error: {ex}", file=sys.stderr)
+        from icicle_spark.checker import SourceError
+
+        if isinstance(ex, SourceError):
+            # reference-shaped diagnostic block (Check/Desugar/Parse
+            # error — the repl corpus error surface)
+            print("\n".join(ex.render()), file=sys.stderr)
+        else:
+            print(f"error: {ex}", file=sys.stderr)
         return 1
     for name, inp in d.inputs.items():
         print(f"input  {name} : {inp.struct().simpleString()}")

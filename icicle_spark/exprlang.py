@@ -185,6 +185,12 @@ class _P:
             break
         if braced:
             self.expect("}")
+        # desugar-time pattern checks (reference Transform/Desugar —
+        # t13.1 goldens): overlap and exhaustiveness are parse errors,
+        # not a silent null branch
+        from icicle_spark.checker import check_case_alternatives
+
+        check_case_alternatives([p for p, _ in alts])
         return ("case", scrut, alts)
 
     def if_expr(self):

@@ -492,6 +492,15 @@ class ReplSession:
 
     # -- queries -------------------------------------------------------
 
+    def _known_fields(self) -> list[str]:
+        """Every column a loaded input could put in scope (`value`,
+        `time`, struct field names) — the Check-error environment."""
+        fields = {"value", "time"}
+        if self.dictionary is not None:
+            for inp in self.dictionary.inputs.values():
+                fields.update(f.name for f in inp.struct().fields)
+        return sorted(fields)
+
     def _facts_for(self, input_name: str):
         """(facts, entity_col, time_col, seq_col, tombstone_col)."""
         if input_name in self.frames:
@@ -645,6 +654,23 @@ class ReplSession:
         try:
             out, dtypes = self._run(q)
         except Exception as exc:  # noqa: BLE001 — repl reports, not dies
+            from icicle_spark.checker import diagnose
+            from icicle_spark.source_lang import (
+                _collect_functions,
+                _top_level_blocks,
+            )
+
+            funcs = dict(self.dict_funcs)
+            funcs.update(
+                _collect_functions(_top_level_blocks("\n".join(self.lets)))
+            )
+            diag = diagnose(
+                q, exc,
+                fields=self._known_fields(),
+                functions=list(funcs),
+            )
+            if diag is not None:
+                return diag.render()
             return [f"error: {exc}"]
         ecol = out.columns[0]
         vcols = [

@@ -59,6 +59,7 @@ import math
 import re
 from typing import Mapping
 
+from icicle_spark.checker import SourceError
 from icicle_spark.plans.ir import (
     NOW_TOKEN as _NOW_TOKEN,
     Agg,
@@ -396,6 +397,8 @@ class _Builder:
                     if self.dialect == "sql":
                         return X.to_sql(ast)
                     return X.to_callable(ast)
+                except SourceError:
+                    raise
                 except Exception:
                     pass
             if re.search(r"/(?![=/])", x):
@@ -413,6 +416,8 @@ class _Builder:
                     if self.dialect == "sql":
                         return X.to_sql(ast)
                     return X.to_callable(ast)
+                except SourceError:
+                    raise
                 except Exception:
                     pass
             return _unmask(_juxta(x, self.dialect), self.strlits)
@@ -624,6 +629,8 @@ def _is_constant_tail(b: _Builder, expr: str) -> bool:
         ast = X.parse(_unmask(expr, b.strlits))
         if X.free_vars(ast) <= {"now"}:
             return True
+    except SourceError:
+        raise
     except Exception:
         pass
     # fallback for juxtaposed builtins exprlang doesn't model (trig,
@@ -691,6 +698,8 @@ def _collect_dtype(b: _Builder, tail: str) -> str | None:
 
     try:
         ast = X.parse(_unmask(t, b.strlits))
+    except SourceError:
+        raise
     except Exception:
         return None
     ty = X.infer_sql_type(ast)
