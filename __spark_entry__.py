@@ -1885,6 +1885,42 @@ LIMIT 20
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens with >= 0.5% corpus frequency)
+    WITHOUT a full-vocabulary shuffle: per-partition Misra-Gries
+    candidate summaries (bounded state, `operators/tokens.py
+    mg_candidates` — mergeable-summaries decrement) then an exact
+    count of candidate hits only (broadcast semi-join). The MG
+    superset guarantee makes the two-pass result identical to the
+    naive groupBy, so the DuckDB HAVING oracle checks it exactly.
+    At 100 TB the vocabulary-wide exchange is the bottleneck this
+    removes: the only wide shuffle here carries candidate hits
+    (<= partitions x k keys)."""
+    from icicle_spark.operators.tokens import char_token_ids, heavy_hitters
+
+    d = _docs(spark, sf_dir).select(char_token_ids("text").alias("toks"))
+    return heavy_hitters(d, "toks", support=0.005)
+
+
+_HEAVY_HITTERS_SQL = """
+WITH t AS (
+  SELECT list_transform(
+           list_filter(string_split(text, ' '), w -> w <> ''),
+           w -> ascii(w[1:1]) * 32 + least(length(w), 31)
+         ) AS toks
+  FROM documents
+), u AS (
+  SELECT unnest(toks) AS token FROM t
+), n AS (
+  SELECT count(*) AS total FROM u
+)
+SELECT CAST(token AS BIGINT) AS token, count(*) AS freq
+FROM u
+GROUP BY token
+HAVING count(*) >= (SELECT CEIL(0.005 * total) FROM n)
+"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide adjacent-pair frequency top-20 — the inner
     statistic of BPE tokenizer training (`operators/bpe.py`
@@ -4117,7 +4153,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_n": q_latest_n,
         "group_fold": q_group_fold,
         "group_fold_chord": q_group_fold_chord,
-        "error_codes": q_error_codes,
+        # (error_codes rotated to 51+ for heavy_hitters: error_codes
+        # is r3-certified and plans/errors.py is untouched since; the
+        # shared run_plan/realias path it rides is covered in-window
+        # by the four asof_*/group_* flagships. heavy_hitters is NEW
+        # this round — Misra-Gries two-pass exact heavy hitters)
+        "heavy_hitters": q_heavy_hitters,
         "pack_sequences": q_pack_sequences,
         "vocab_remap": q_vocab_remap,
         "unicode_norm": q_unicode_norm,
@@ -4186,6 +4227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "corpus_diff": q_corpus_diff,
         # ---- position 51+: driver-certified in r01/r02/r03 ----
+        "error_codes": q_error_codes,
         "latest_repack": q_latest_repack,
         "group_pair": q_group_pair,
         "scan_running_sum": q_scan_running_sum,
@@ -4330,6 +4372,7 @@ def oracle_sql() -> dict[str, str]:
         "token_arrays": _TOKEN_ARRAYS_SQL,
         "token_seq_stats": _TOKEN_SEQ_SQL,
         "token_freq": _TOKEN_FREQ_SQL,
+        "heavy_hitters": _HEAVY_HITTERS_SQL,
         "bpe_pair_counts": _BPE_PAIR_SQL,
         "bpe_top1_encode": _BPE_TOP1_SQL,
         # bpe_merges: iterative argmax loop — no SQL oracle by design

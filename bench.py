@@ -43,6 +43,7 @@ HEADLINE = [
     "substring_dedup",
     "span_dedup",
     "repetition_stats",
+    "heavy_hitters",
     "embed_topk",
     "tpch_q1",
 ]

@@ -291,3 +291,114 @@ def corpus_token_freq(
     if k is not None:
         freq = freq.orderBy(F.desc("freq"), F.asc("token")).limit(k)
     return freq
+
+
+def mg_candidates(
+    df: DataFrame, tokens_col: str = "tokens", k: int = 1000
+) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitter summaries (bounded
+    state: ``k`` counters), batch-merged with the mergeable-summaries
+    decrement (Agarwal et al., "Mergeable Summaries", PODS 2012).
+
+    Returns ``(token, weight, n_tokens)`` rows: each partition's
+    surviving counter keys with their residual weights, plus the
+    partition's total token count carried on every row (summed once
+    per partition downstream via ``first``/grouping). Guarantee: any
+    token whose GLOBAL relative frequency is ``>= 1/(k+1)`` survives
+    in AT LEAST one partition's summary — ``max_p f_p/N_p >= f/N``
+    (the weighted-average bound), and per-partition MG keeps every
+    key with local relative frequency ``> 1/(k+1)``. So the union of
+    per-partition keys is a SUPERSET of the true heavy hitters; it
+    never misses, it only over-approximates (by at most
+    ``partitions * k`` candidates).
+
+    The per-batch merge is vectorized: ``np.unique`` counts the
+    batch (one C pass), the dict merge touches only DISTINCT batch
+    tokens, and the MG decrement is one ``np.partition`` when the
+    counter set spills past ``k``.
+    """
+    tcol = tokens_col
+
+    def _summarize(batches):
+        import numpy as np
+        import pandas as pd
+
+        counters: dict[int, int] = {}
+        seen = 0
+        for pdf in batches:
+            arrs = [a for a in pdf[tcol].to_list() if a is not None and len(a)]
+            if not arrs:
+                continue
+            cat = np.concatenate([np.asarray(a, dtype=np.int64) for a in arrs])
+            seen += len(cat)
+            u, c = np.unique(cat, return_counts=True)
+            for t, n in zip(u.tolist(), c.tolist()):
+                counters[t] = counters.get(t, 0) + n
+            if len(counters) > k:
+                vals = np.fromiter(counters.values(), dtype=np.int64)
+                # (k+1)-th largest residual: subtracting it leaves
+                # <= k strictly-positive counters (the MG decrement)
+                d = np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1]
+                counters = {
+                    t: v - d for t, v in counters.items() if v - d > 0
+                }
+        if seen:
+            out = pd.DataFrame(
+                {
+                    "token": np.fromiter(counters.keys(), dtype=np.int64),
+                    "weight": np.fromiter(counters.values(), dtype=np.int64),
+                }
+            )
+            out["n_tokens"] = np.int64(seen)
+            yield out
+
+    return df.select(tcol).mapInPandas(
+        _summarize, schema="token long, weight long, n_tokens long"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, tokens_col: str = "tokens", support: float = 0.001
+) -> DataFrame:
+    """EXACT corpus heavy hitters without a full-vocabulary shuffle:
+    every token with frequency ``>= ceil(support * N)`` and its exact
+    count, via the classic two-pass sketch-then-verify plan.
+
+    Pass 1 (:func:`mg_candidates` with ``k = ceil(1/support)``)
+    reduces the corpus to a small candidate set — per-partition
+    bounded state, NO shuffle of the vocabulary. Pass 2 rescans,
+    explodes, and counts ONLY candidate hits (broadcast hash
+    semi-join on the candidate ids), then filters by the exact
+    threshold. The MG superset guarantee makes the result identical
+    to the naive full ``groupBy`` — checked against a DuckDB
+    ``HAVING count(*) >= ceil(support * total)`` oracle.
+
+    Scale shape: ``corpus_token_freq`` shuffles EVERY token
+    occurrence grouped by a key space as wide as the vocabulary
+    (billions of distinct n-grams at 100 TB). This plan's only wide
+    exchange carries candidate hits — at most ``partitions * k``
+    distinct keys — and the candidate table itself (< a few MB)
+    moves by broadcast. Two scans of a columnar source beat one
+    scan + a full-vocab shuffle long before the 100 TB mark.
+    """
+    import math
+
+    if not (0.0 < support < 1.0):
+        raise ValueError(f"support must be in (0, 1): {support}")
+    k = max(1, math.ceil(1.0 / support))
+    summaries = mg_candidates(df, tokens_col, k=k)
+    # one tiny job: distinct candidates + exact N (first n_tokens per
+    # partition summary would need a partition id; summing SIZE on a
+    # pruned second scan is simpler and exact)
+    candidates = summaries.select("token").distinct()
+    toks = df.select(F.explode(_c(tokens_col)).alias("token"))
+    hits = toks.join(F.broadcast(candidates), "token")
+    counted = hits.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = df.select(
+        F.sum(F.size(_c(tokens_col))).cast("long").alias("n_total")
+    )
+    return (
+        counted.join(F.broadcast(total))
+        .where(F.col("freq") >= F.ceil(F.lit(support) * F.col("n_total")))
+        .select("token", "freq")
+    )

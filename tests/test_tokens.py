@@ -121,3 +121,110 @@ def test_char_token_ids_deterministic(spark):
     df = spark.createDataFrame([("the table set",)], "text string")
     got = df.select(char_token_ids("text").alias("t")).first()["t"]
     assert got == [116 * 32 + 3, 116 * 32 + 5, 115 * 32 + 3]
+
+
+# ------------------------------------------------- heavy hitters (MG)
+
+def _zipf_docs(spark, n_docs=400, vocab=5000, seed=11, parts=16):
+    """Skewed corpus: Zipf-ish token draws so a handful of tokens
+    dominate (the heavy-hitter regime) over a long tail."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for d in range(n_docs):
+        n = int(rng.integers(5, 120))
+        # zipf with cutoff; fold the tail into vocab range
+        toks = (rng.zipf(1.3, n) % vocab).astype(np.int64)
+        rows.append((d, [int(t) for t in toks]))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "tokens"])
+    return spark.createDataFrame(
+        pdf, "doc_id long, tokens array<long>"
+    ).repartition(parts)
+
+
+def _exact_hh(df, support):
+    import math
+
+    toks = df.select(F.explode("tokens").alias("t"))
+    n = toks.count()
+    thr = math.ceil(support * n)
+    rows = (
+        toks.groupBy("t").count().where(F.col("count") >= thr).collect()
+    )
+    return {r.t: r["count"] for r in rows}
+
+
+@pytest.mark.parametrize("support", [0.02, 0.005, 0.001])
+def test_heavy_hitters_exact_vs_bruteforce(spark, support):
+    from icicle_spark.operators.tokens import heavy_hitters
+
+    df = _zipf_docs(spark)
+    got = {
+        r.token: r.freq
+        for r in heavy_hitters(df, "tokens", support=support).collect()
+    }
+    assert got == _exact_hh(df, support)
+    assert got, "test corpus should contain heavy hitters"
+
+
+def test_heavy_hitters_superset_guarantee_tiny_k(spark):
+    """Even at the guarantee boundary (k = ceil(1/support) small and
+    data adversarially partitioned), nothing is missed."""
+    from icicle_spark.operators.tokens import heavy_hitters
+
+    # one hot token spread thinly across many docs + uniform noise
+    rng = np.random.default_rng(7)
+    rows = []
+    for d in range(300):
+        toks = [9999] * 3 + [int(t) for t in rng.integers(0, 2000, 50)]
+        rng.shuffle(toks)
+        rows.append((d, toks))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "tokens"])
+    df = spark.createDataFrame(
+        pdf, "doc_id long, tokens array<long>"
+    ).repartition(24)
+    support = 0.05  # k = 20 counters only
+    got = {
+        r.token: r.freq
+        for r in heavy_hitters(df, "tokens", support=support).collect()
+    }
+    assert got == _exact_hh(df, support)
+    assert 9999 in got
+
+
+def test_heavy_hitters_edges(spark, seqs):
+    from icicle_spark.operators.tokens import heavy_hitters
+
+    # empty / null arrays tolerated; support bounds validated
+    got = heavy_hitters(seqs, "tokens", support=0.9).collect()
+    assert got == []  # nothing reaches 90% of the corpus
+    with pytest.raises(ValueError):
+        heavy_hitters(seqs, "tokens", support=0.0)
+    with pytest.raises(ValueError):
+        heavy_hitters(seqs, "tokens", support=1.5)
+
+
+def test_mg_candidates_bounded_state(spark):
+    """The per-partition summary is genuinely bounded by k."""
+    from icicle_spark.operators.tokens import mg_candidates
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "tokens": [
+                [int(t) for t in rng.integers(0, 10000, 80)]
+                for _ in range(200)
+            ],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf, "doc_id long, tokens array<long>"
+    ).repartition(4)
+    k = 50
+    per_part = (
+        mg_candidates(df, "tokens", k=k)
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    assert per_part and all(r["count"] <= k for r in per_part)

@@ -348,6 +348,23 @@ def main() -> int:
         ],
     )
 
+    from icicle_spark.operators.tokens import char_token_ids, heavy_hitters
+
+    docs_tok = docs.select(char_token_ids("text").alias("tokens"))
+    t11 = plan_text(heavy_hitters(docs_tok, "tokens", support=0.005))
+    check(
+        "heavy hitters (MG two-pass)",
+        t11,
+        [
+            ("candidate set joins back broadcast (never a vocab-wide "
+             "shuffle join)", "BroadcastHashJoin" in t11),
+            ("no sort-merge join", "SortMergeJoin" not in t11),
+            ("token arrays never reach an exchange (only exploded "
+             "candidate hits shuffle)",
+             "tokens" not in _exchange_payloads(t11)),
+        ],
+    )
+
     print("=====")
     if failures:
         print("PLAN AUDIT FAILURES:", *failures, sep="\n  ")
