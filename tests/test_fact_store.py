@@ -7,6 +7,8 @@ contract, with loud failure when violated.
 
 from __future__ import annotations
 
+import datetime
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -183,3 +185,135 @@ def test_contiguity_guard_fires_across_batches(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+# ----------------------------------------- incremental ingest (LSM)
+
+def _pf(df):
+    return df.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+
+@pytest.fixture()
+def lsm_store(spark, tmp_path):
+    """Base + two delta runs over disjoint-and-overlapping entities."""
+    from icicle_spark.sources.io import append_fact_store
+
+    base = token_facts(spark, n_rows=3000, n_docs=150)
+    d1 = token_facts(spark, n_rows=600, n_docs=150, seed=7).withColumn(
+        "seq", F.col("seq") + 1_000_000
+    )
+    d2 = token_facts(spark, n_rows=400, n_docs=40, seed=9).withColumn(
+        "seq", F.col("seq") + 2_000_000
+    )
+    path = str(tmp_path / "lsm")
+    write_fact_store(base, path, "doc_id", "event_time", "seq", buckets=8)
+    append_fact_store(d1, path)
+    append_fact_store(d2, path)
+    union = base.unionByName(d1).unionByName(d2)
+    return union, path
+
+
+def test_merge_on_read_contents(spark, lsm_store):
+    union, path = lsm_store
+    merged, meta = read_fact_store(spark, path)
+    assert meta["runs"] == ["run-0000", "run-0001"]
+    a = merged.toPandas().sort_values(
+        ["doc_id", "event_time", "seq"], ignore_index=True
+    )
+    b = union.toPandas().sort_values(
+        ["doc_id", "event_time", "seq"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_merge_on_read_arranged_parity(spark, lsm_store):
+    union, path = lsm_store
+    merged, _ = read_fact_store(spark, path)
+    a = _pf(run_plan(merged, PLAN, snapshot=SNAP, strategy="vectorized",
+                     assume_arranged=True))
+    b = _pf(run_plan(union, PLAN, snapshot=SNAP, strategy="native"))
+    pd.testing.assert_frame_equal(
+        a.astype("float64", errors="ignore"),
+        b.astype("float64", errors="ignore"),
+        check_dtype=False, atol=1e-9,
+    )
+
+
+def test_merge_on_read_has_no_exchange(spark, lsm_store):
+    _, path = lsm_store
+    merged, _ = read_fact_store(spark, path)
+    out = run_plan(merged, PLAN, snapshot=SNAP, strategy="vectorized",
+                   assume_arranged=True)
+    plan_str = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_str
+
+
+def test_compaction_round_trip(spark, lsm_store):
+    from icicle_spark.sources.io import append_fact_store, compact_fact_store
+
+    union, path = lsm_store
+    n = union.count()
+    compact_fact_store(spark, path)
+    merged, meta = read_fact_store(spark, path)
+    assert meta["runs"] == [] and meta["compacted_rows"] == n
+    assert merged.count() == n
+    a = _pf(run_plan(merged, PLAN, snapshot=SNAP, strategy="vectorized",
+                     assume_arranged=True))
+    b = _pf(run_plan(union, PLAN, snapshot=SNAP, strategy="native"))
+    pd.testing.assert_frame_equal(
+        a.astype("float64", errors="ignore"),
+        b.astype("float64", errors="ignore"),
+        check_dtype=False, atol=1e-9,
+    )
+    # a post-compaction delta still aligns (bucket function unchanged)
+    extra = token_facts(spark, n_rows=200, n_docs=150, seed=11).withColumn(
+        "seq", F.col("seq") + 3_000_000
+    )
+    append_fact_store(extra, path)
+    merged2, _ = read_fact_store(spark, path)
+    assert merged2.count() == n + 200
+    # compaction is a no-op without runs
+    compact_fact_store(spark, path)  # folds the new run
+    compact_fact_store(spark, path)  # then no-op
+    merged3, meta3 = read_fact_store(spark, path)
+    assert merged3.count() == n + 200 and meta3["runs"] == []
+
+
+def test_ingestion_order_stable_on_equal_keys(spark, tmp_path):
+    """A run row with the SAME (entity, time, seq) as a base row sorts
+    AFTER it (stable merge: base first, runs in append order) — the
+    reference store's ingestion-order tiebreak."""
+    from icicle_spark.sources.io import append_fact_store
+
+    path = str(tmp_path / "ties")
+    cols = "doc_id string, event_time timestamp, seq long, n_tok long"
+    base = spark.createDataFrame(
+        [("d", datetime.datetime(2024, 1, 1), 0, 10)], cols
+    )
+    write_fact_store(base, path, "doc_id", "event_time", "seq", buckets=2)
+    append_fact_store(
+        spark.createDataFrame(
+            [("d", datetime.datetime(2024, 1, 1), 0, 99)], cols
+        ),
+        path,
+    )
+    merged, _ = read_fact_store(spark, path)
+    vals = merged.toPandas()["n_tok"].tolist()
+    assert vals == [10, 99]
+    plan = Plan(
+        [Feature("last", Agg.NEWEST, "n_tok", skip_nulls=True)],
+        entity_col="doc_id", time_col="event_time", seq_col="seq",
+    )
+    out = run_plan(merged, plan, snapshot=SNAP, strategy="vectorized",
+                   assume_arranged=True).toPandas()
+    assert out["last"].tolist() == [99]
+
+
+def test_append_guards(spark, lsm_store, tmp_path):
+    from icicle_spark.sources.io import append_fact_store
+
+    union, path = lsm_store
+    with pytest.raises(ValueError, match="store key columns"):
+        append_fact_store(union.drop("seq"), path)
+    with pytest.raises(FileNotFoundError):
+        append_fact_store(union, str(tmp_path / "nowhere"))
