@@ -148,7 +148,9 @@ def _write_meta(path: str, meta: dict) -> None:
         json.dump(meta, fh)
 
 
-def append_fact_store(df: DataFrame, path: str) -> None:
+def append_fact_store(
+    df: DataFrame, path: str, batch_id: int | None = None
+) -> None:
     """Append a DELTA RUN to an arranged fact store — incremental
     ingest without re-shuffling the base (the LSM pattern: base +
     sorted runs, compacted on demand).
@@ -163,8 +165,16 @@ def append_fact_store(df: DataFrame, path: str) -> None:
     ``_merged_store_frame``); at 100 TB this is the difference
     between re-bucketing the corpus per ingest batch and touching
     only the new facts.
+
+    ``batch_id`` (streaming foreachBatch replay protection): an id
+    already recorded in the store's meta is a committed batch — the
+    append becomes a no-op, and a replayed HALF-committed batch
+    (crash between the run write and the meta write) overwrites its
+    own orphan run directory, so the sink is idempotent per batch.
     """
     meta = _store_meta(path)
+    if batch_id is not None and int(batch_id) in meta.get("batches", []):
+        return
     cols = [meta["entity_col"], meta["time_col"]] + (
         [meta["seq_col"]] if meta["seq_col"] else []
     )
@@ -173,15 +183,22 @@ def append_fact_store(df: DataFrame, path: str) -> None:
         raise ValueError(f"delta lacks store key columns: {missing}")
     n = int(meta["buckets"])
     runs = meta.get("runs", [])
-    run_name = f"run-{len(runs):04d}"
+    if batch_id is not None:
+        run_name = f"run-b{int(batch_id):012d}"
+        write_mode = "overwrite"  # idempotent replay of an orphan
+    else:
+        run_name = f"run-{len(runs):04d}"
+        write_mode = "error"
     run_path = os.path.join(path, "runs", run_name)
     (
         df.repartition(n, meta["entity_col"])
         .sortWithinPartitions(*cols)
-        .write.mode("error")
+        .write.mode(write_mode)
         .parquet(run_path)
     )
     meta["runs"] = runs + [run_name]
+    if batch_id is not None:
+        meta["batches"] = meta.get("batches", []) + [int(batch_id)]
     _write_meta(path, meta)
 
 

@@ -3,6 +3,9 @@ from icicle_spark.streaming.dedup_stream import (  # noqa: F401
     minhash_ingest_sink,
     span_dedup_ingest_sink,
 )
+from icicle_spark.streaming.store_stream import (  # noqa: F401
+    fact_store_ingest_sink,
+)
 from icicle_spark.streaming.telemetry_stream import (  # noqa: F401
     telemetry_sink,
 )

@@ -396,3 +396,66 @@ def test_stream_line_dedup_ingest(spark, tmp_path_factory, tmp_path):
         for r in line_hash_counts(both).collect()
     }
     assert merged == whole
+
+
+def test_stream_fact_store_ingest(spark, tmp_path):
+    """Micro-batches land as aligned delta runs; the store's
+    merge-on-read view equals the batch union; replayed batch ids are
+    no-ops; fan-out triggers auto-compaction."""
+    from icicle_spark.sources.io import (
+        _store_meta,
+        read_fact_store,
+        write_fact_store,
+    )
+    from icicle_spark.streaming import fact_store_ingest_sink
+
+    facts = token_facts(spark, n_rows=900, n_docs=50)
+    store = str(tmp_path / "store")
+    # seed the store with an empty frame: fixes buckets + key columns
+    write_fact_store(
+        facts.limit(0), store, "doc_id", "event_time", "seq", buckets=4
+    )
+
+    src = str(tmp_path / "src")
+    for i in range(3):  # three files -> three micro-batches
+        facts.where(F.col("seq") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    sink = fact_store_ingest_sink(store, compact_every=None)
+    q = (
+        spark.readStream.schema(facts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    meta = _store_meta(store)
+    assert len(meta["runs"]) == 3 and meta["batches"] == [0, 1, 2]
+    merged, _ = read_fact_store(spark, store)
+    a = merged.toPandas().sort_values(
+        ["doc_id", "event_time", "seq"], ignore_index=True
+    )
+    b = facts.toPandas().sort_values(
+        ["doc_id", "event_time", "seq"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+    # replayed batch id: exactly-once no-op
+    sink(facts.limit(10), 1)
+    meta = _store_meta(store)
+    assert len(meta["runs"]) == 3 and meta["batches"] == [0, 1, 2]
+    merged, _ = read_fact_store(spark, store)
+    assert merged.count() == facts.count()
+
+    # fan-out threshold folds the runs in
+    sink2 = fact_store_ingest_sink(store, compact_every=4)
+    sink2(facts.limit(7), 3)
+    meta = _store_meta(store)
+    assert meta["runs"] == [] and meta["batches"] == [0, 1, 2, 3]
+    merged, _ = read_fact_store(spark, store)
+    assert merged.count() == facts.count() + 7
