@@ -4235,7 +4235,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (math_builtins / token_arrays rotated out late-r4 for
         # substring_dedup / tfidf_terms: functions/scalars.py,
         # functions/arrays.py and operators/tokens.py are untouched
-        # since their r3 oracle rows. decayed_sum / max_by_min_by /
+        # since their r3 oracle rows — tokens.py later gained
+        # APPEND-ONLY additions (mg_candidates/heavy_hitters, new
+        # functions); every function those queries call is
+        # byte-identical, and the full local contract sweep re-ran
+        # green after the change. decayed_sum / max_by_min_by /
         # any_all_distinct rotated out for the bpe_* trio: they are
         # r3-certified and their aggregate kernels are exercised by a
         # dozen in-window fold queries; all 93 queries re-verified
