@@ -7,6 +7,9 @@ pretraining-data refresh publishes and asserts on —
     -> [--diff-against] per-doc added/removed/changed/unchanged vs
        the previous snapshot (content-hash full-outer join that
        shuffles 32-byte md5s, never bodies)
+    -> [--top-tokens SUPPORT] exact token heavy hitters via two-pass
+       Misra-Gries (bounded candidate state, no vocabulary-wide
+       shuffle — operators/tokens.py heavy_hitters)
     -> parquet tables + report.json
 
 Scale shape: the stats table is ONE corpus scan (ROLLUP grouping
@@ -55,6 +58,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--approx", action="store_true",
                     help="HLL distinct counts + approx_percentile "
                     "(constant per-group state; 100 TB telemetry mode)")
+    ap.add_argument("--top-tokens", type=float, metavar="SUPPORT",
+                    help="also publish top_tokens.parquet: every token "
+                    "at >= SUPPORT corpus frequency with its EXACT "
+                    "count, via two-pass Misra-Gries (bounded state, "
+                    "no vocabulary-wide shuffle)")
+    ap.add_argument("--tokens-col",
+                    help="token array column for --top-tokens; when "
+                    "absent, tokens derive from --text-col via the "
+                    "deterministic stand-in tokenizer")
     ap.add_argument("--cpus", type=int, default=8)
     args = ap.parse_args(argv)
 
@@ -107,6 +119,23 @@ def main(argv: list[str] | None = None) -> int:
     stats.write.mode("overwrite").parquet(stats_path)
     hist.write.mode("overwrite").parquet(hist_path)
 
+    tokens_path = None
+    if args.top_tokens:
+        from icicle_spark.operators.tokens import (
+            char_token_ids,
+            heavy_hitters,
+        )
+
+        toks = (
+            docs.select(F.col(args.tokens_col).alias("tokens"))
+            if args.tokens_col
+            else docs.select(char_token_ids(args.text_col).alias("tokens"))
+        )
+        tokens_path = os.path.join(args.output, "top_tokens.parquet")
+        heavy_hitters(toks, "tokens", support=args.top_tokens).write.mode(
+            "overwrite"
+        ).parquet(tokens_path)
+
     # report.json: the persisted tables re-read (tiny by construction)
     rows = [r.asDict() for r in spark.read.parquet(stats_path).collect()]
     rows.sort(key=lambda r: r[args.group_col])
@@ -119,6 +148,12 @@ def main(argv: list[str] | None = None) -> int:
     if diff_summary is not None:
         report["diff"] = diff_summary
         report["outputs"]["diff"] = diff_path
+    if tokens_path is not None:
+        report["outputs"]["top_tokens"] = tokens_path
+        report["top_tokens_support"] = args.top_tokens
+        report["n_top_tokens"] = (
+            spark.read.parquet(tokens_path).count()
+        )
     with open(os.path.join(args.output, "report.json"), "w") as f:
         json.dump(report, f, indent=2, sort_keys=True)
     print(json.dumps({"n_sources": len(report["sources"]),

@@ -228,7 +228,7 @@ def test_corpus_report_job(tmp_path, docs):
     r = subprocess.run(
         [sys.executable, os.path.join(_ROOT, "jobs", "corpus_report.py"),
          "--input", inp, "--output", out, "--cpus", "4",
-         "--diff-against", prev],
+         "--diff-against", prev, "--top-tokens", "0.01"],
         capture_output=True, text=True, cwd=_ROOT, timeout=600,
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -240,3 +240,7 @@ def test_corpus_report_job(tmp_path, docs):
     # prev = ids 0..49 with every 5th body mutated -> 10 changed,
     # ids 50..59 added, none removed
     assert rep["diff"] == {"added": 10, "changed": 10, "unchanged": 40}
+    # --top-tokens publishes the exact MG heavy-hitter table
+    assert os.path.exists(os.path.join(out, "top_tokens.parquet"))
+    assert rep["top_tokens_support"] == 0.01
+    assert rep["n_top_tokens"] > 0
