@@ -307,3 +307,130 @@ def test_repl_renders_reference_blocks(spark):
     out = "\n".join(s.handle('from salary ~> mean "oops'))
     assert "## Parse error" in out
     assert "expecting '\"'" in out
+
+
+# --------------------- usefulness vs brute-force enumeration oracle
+
+# A type tree: ("bool",) ("int",) ("opt", T) ("either", T, T)
+# ("tup", T, T) ("rec", (("a", T), ("b", T)))
+# Enumeration is finite for every tree because the int leaf
+# enumerates {1, 2, 3} — patterns only distinguish equality to
+# literals drawn from {1, 2}, so a third "fresh" value decides open
+# coverage exactly (the finite-model argument).
+
+def _rand_type(rng, depth):
+    opts = ["bool", "int"]
+    if depth > 0:
+        opts += ["opt", "either", "tup", "rec"]
+    k = rng.choice(opts)
+    if k in ("bool", "int"):
+        return (k,)
+    if k == "opt":
+        return ("opt", _rand_type(rng, depth - 1))
+    if k == "either":
+        return ("either", _rand_type(rng, depth - 1), _rand_type(rng, depth - 1))
+    if k == "tup":
+        return ("tup", _rand_type(rng, depth - 1), _rand_type(rng, depth - 1))
+    return ("rec", (("a", _rand_type(rng, depth - 1)),
+                    ("b", _rand_type(rng, depth - 1))))
+
+
+def _enum_values(t):
+    k = t[0]
+    if k == "bool":
+        return [True, False]
+    if k == "int":
+        return [1, 2, 3]
+    if k == "opt":
+        return [("None",)] + [("Some", v) for v in _enum_values(t[1])]
+    if k == "either":
+        return ([("Left", v) for v in _enum_values(t[1])]
+                + [("Right", v) for v in _enum_values(t[2])])
+    if k == "tup":
+        return [("T", a, b) for a in _enum_values(t[1])
+                for b in _enum_values(t[2])]
+    return [("R", dict(zip([n for n, _ in t[1]], combo)))
+            for combo in __import__("itertools").product(
+                *[_enum_values(ft) for _, ft in t[1]])]
+
+
+def _rand_pattern(rng, t, depth):
+    if rng.random() < 0.25:
+        return ("pwild",) if rng.random() < 0.5 else ("pvar", "x")
+    k = t[0]
+    if k == "bool":
+        return ("plit", bool(rng.random() < 0.5))
+    if k == "int":
+        return ("plit", int(rng.choice([1, 2])))
+    if k == "opt":
+        if rng.random() < 0.5:
+            return ("pctor", "None", None)
+        return ("pctor", "Some", _rand_pattern(rng, t[1], depth - 1))
+    if k == "either":
+        side = rng.random() < 0.5
+        return ("pctor", "Left" if side else "Right",
+                _rand_pattern(rng, t[1 if side else 2], depth - 1))
+    if k == "tup":
+        return ("ptuple", [_rand_pattern(rng, t[1], depth - 1),
+                           _rand_pattern(rng, t[2], depth - 1)])
+    fields = [(n, _rand_pattern(rng, ft, depth - 1)) for n, ft in t[1]]
+    # records may omit fields (implicit wildcard — t13.1 semantics)
+    keep = [f for f in fields if rng.random() < 0.8]
+    return ("precord", keep or fields[:1])
+
+
+def _matches(v, p):
+    k = p[0]
+    if k in ("pwild", "pvar"):
+        return True
+    if k == "plit":
+        return v == p[1] and isinstance(v, bool) == isinstance(p[1], bool)
+    if k == "pctor":
+        if not (isinstance(v, tuple) and v[0] == p[1]):
+            return False
+        return p[2] is None or _matches(v[1], p[2])
+    if k == "ptuple":
+        return (isinstance(v, tuple) and v[0] == "T"
+                and all(_matches(sv, sp)
+                        for sv, sp in zip(v[1:], p[1])))
+    if k == "precord":
+        return (isinstance(v, tuple) and v[0] == "R"
+                and all(_matches(v[1][n], sp) for n, sp in p[1]))
+    raise AssertionError(p)
+
+
+def test_usefulness_matches_bruteforce_enumeration():
+    """The pattern-matrix algorithm agrees with exhaustive value
+    enumeration on 400 random (type, alternatives) cases: an
+    alternative is flagged overlapping iff it matches no value the
+    earlier rows miss, the set is flagged non-exhaustive iff some
+    value escapes every row, and the produced witness really is an
+    uncovered value's pattern."""
+    import random
+
+    from icicle_spark.checker import _useful
+
+    rng = random.Random(2024)
+    for case in range(400):
+        t = _rand_type(rng, depth=2)
+        values = _enum_values(t)
+        n_alts = rng.randint(1, 4)
+        pats = [_rand_pattern(rng, t, 2) for _ in range(n_alts)]
+
+        # per-row overlap oracle
+        for i in range(1, len(pats)):
+            fresh = [v for v in values
+                     if _matches(v, pats[i])
+                     and not any(_matches(v, q) for q in pats[:i])]
+            got = _useful([[q] for q in pats[:i]], [pats[i]])
+            assert (got is None) == (not fresh), (
+                case, t, pats[:i + 1], fresh[:3], got)
+
+        # exhaustiveness oracle + witness validity
+        uncovered = [v for v in values
+                     if not any(_matches(v, q) for q in pats)]
+        w = _useful([[q] for q in pats], [("pwild",)])
+        assert (w is None) == (not uncovered), (case, t, pats, uncovered[:3], w)
+        if w is not None:
+            hit = [v for v in uncovered if _matches(v, w[0])]
+            assert hit, (case, t, pats, w, uncovered[:3])
