@@ -1513,6 +1513,67 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_afp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup dedup (`operators/afp.py`): 180 deterministic
+    spectrally-dense clips in 60 planted trios (base WAV /
+    volume-scaled PCM1 / FLAC re-encode — all decoded by the
+    engine's own codecs), 63-bit HK-derived spectral fingerprint,
+    banded Hamming join (EXACT for d < bands), keep-one decisions.
+    No DuckDB oracle by design (FFT over decoded samples isn't
+    SQL-expressible); brute-force parity + planted-trio recovery
+    pinned in `tests/test_afp.py`."""
+    import numpy as np
+    import pandas as pd
+
+    from icicle_spark.operators.afp import afp_survivors
+
+    ids = spark.range(180).select(F.col("id").cast("long").alias("doc_id"))
+
+    def synth(batches):
+        from icicle_spark.operators.flac import encode_flac
+        from icicle_spark.operators.multimodal import (
+            encode_pcm_audio,
+            encode_wav,
+        )
+
+        sr = 16000
+
+        def dense(seed):
+            r = np.random.default_rng(int(seed))
+            n = sr
+            spec = np.fft.rfft(r.normal(0, 1, n))
+            f = np.linspace(0, 1, len(spec))
+            env = np.exp(sum(
+                a * np.cos(2 * np.pi * (k + 1) * f + r.uniform(0, 6))
+                for k, a in enumerate(r.uniform(0.3, 1.2, 4))
+            ))
+            x = np.fft.irfft(spec * env, n)
+            return (x / np.abs(x).max() * 12000).astype(np.int16)
+
+        for pdf in batches:
+            media = []
+            for rid in pdf["doc_id"]:
+                i = int(rid)
+                base = dense(i % 60)
+                variant = i // 60
+                if variant == 0:
+                    media.append(encode_wav(base, sr))
+                elif variant == 1:
+                    media.append(encode_pcm_audio(
+                        (base * 0.4).astype(np.int16), sr
+                    ))
+                else:
+                    media.append(encode_flac(base.reshape(-1, 1), sr))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "media": media}
+            )
+
+    clips = ids.mapInPandas(synth, "doc_id long, media binary")
+    return afp_survivors(
+        clips, "media", "doc_id", max_distance=3, bands=4
+    ).orderBy("doc_id")
+
+
 _MEDIA_SQL = """
 SELECT doc_id,
        length(text)::BIGINT AS n_bytes,
@@ -4299,6 +4360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # occupy is worth more to an oracled query; its exactness is
         # pinned by tests/test_phash.py brute-force parity instead)
         "phash_dedup": q_phash_dedup,
+        "afp_dedup": q_afp_dedup,
         "error_codes": q_error_codes,
         "latest_repack": q_latest_repack,
         "group_pair": q_group_pair,

@@ -29,7 +29,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["phash64", "phash_column", "phash_pairs", "phash_survivors"]
+__all__ = ["hamming_pairs", "phash64", "phash_column", "phash_pairs",
+           "phash_survivors"]
 
 _N = 32  # resample size before the DCT
 
@@ -95,65 +96,65 @@ def phash_column(
     )
 
 
-def phash_pairs(
-    df: DataFrame,
-    media_col: str = "media",
+def hamming_pairs(
+    hashes: DataFrame,
     id_col: str = "doc_id",
+    hash_col: str = "phash",
     max_distance: int = 3,
     bands: int = 4,
 ) -> DataFrame:
-    """Near-duplicate image pairs ``(id_a, id_b, distance)`` with
-    Hamming(phash) <= max_distance.
+    """``(id_a, id_b, distance)`` pairs with Hamming(hash) <=
+    max_distance over any 64-bit fingerprint column (images, audio,
+    SimHash variants).
 
     EXACT (no missed pairs) whenever ``max_distance < bands`` — the
     pigeonhole guarantee; a larger ``max_distance`` keeps every
     reported pair correct but may miss pairs that disagree in every
-    band. The join runs over DISTINCT hash values (identical images
+    band. The join runs over DISTINCT hash values (identical items
     collapse first), band keys and popcounts are JVM expressions."""
     if not 1 <= bands <= 64:
         raise ValueError(f"bands must be in 1..64: {bands}")
-    hashes = phash_column(df, media_col, id_col).cache()
+    hashes = hashes.select(
+        F.col(id_col).alias(id_col), F.col(hash_col).alias("__h")
+    ).cache()
     width = 64 // bands
     mask = (1 << width) - 1
-    distinct = hashes.select("phash").distinct()
+    distinct = hashes.select("__h").distinct()
     bands_df = distinct.select(
-        "phash",
+        "__h",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftrightunsigned(F.col("phash"), i * width)
+                    F.shiftrightunsigned(F.col("__h"), i * width)
                     .bitwiseAND(F.lit(mask))
                     .alias("key"),
                 )
                 for i in range(bands)
             ])
         ).alias("bk"),
-    ).select("phash", "bk.band", "bk.key")
-    b2 = (
-        bands_df.withColumnRenamed("phash", "phash_b")
-    )
+    ).select("__h", "bk.band", "bk.key")
+    b2 = bands_df.withColumnRenamed("__h", "__h_b")
     cand = (
         bands_df.join(b2, ["band", "key"])
-        .where(F.col("phash") < F.col("phash_b"))
-        .select("phash", "phash_b")
+        .where(F.col("__h") < F.col("__h_b"))
+        .select("__h", "__h_b")
         .distinct()
         .withColumn(
             "distance",
             F.bit_count(
-                F.col("phash").bitwiseXOR(F.col("phash_b"))
+                F.col("__h").bitwiseXOR(F.col("__h_b"))
             ).cast("int"),
         )
         .where(F.col("distance") <= max_distance)
     )
     # expand hash pairs back to id pairs; identical hashes pair at
     # distance 0 within their own group
-    ha = hashes.select(F.col(id_col).alias("id_a"),
-                       F.col("phash").alias("phash"))
+    ha = hashes.select(F.col(id_col).alias("id_a"), "__h")
     hb = hashes.select(F.col(id_col).alias("id_b"),
-                       F.col("phash").alias("phash_b"))
+                       F.col("__h").alias("__h_b"))
     cross = (
-        cand.join(ha, "phash").join(hb, "phash_b")
+        cand.join(ha, "__h").join(hb, "__h_b")
         .select(
             # normalize pair order on IDS (the hash order that drove
             # the join says nothing about id order)
@@ -163,13 +164,27 @@ def phash_pairs(
         )
     )
     same = (
-        ha.join(
-            hashes.select(F.col(id_col).alias("id_b"), "phash"), "phash"
-        )
+        ha.join(hashes.select(F.col(id_col).alias("id_b"), "__h"), "__h")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.lit(0).alias("distance"))
     )
     return cross.where(F.col("id_a") != F.col("id_b")).unionByName(same)
+
+
+def phash_pairs(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs ``(id_a, id_b, distance)`` with
+    Hamming(phash) <= max_distance — see :func:`hamming_pairs` for
+    the exactness guarantee."""
+    return hamming_pairs(
+        phash_column(df, media_col, id_col),
+        id_col, "phash", max_distance, bands,
+    )
 
 
 def phash_survivors(
