@@ -1574,6 +1574,76 @@ def q_afp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_vhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup dedup (`operators/vhash.py`): 80 deterministic
+    clips in 20 planted quads — MS-RLE8 AVI / GIF89a / MJPEG-q90 /
+    MPEG-1-q6 encodes of the SAME footage, all decoded by the
+    engine's own codecs — per-frame DCT pHash condensed by per-bit
+    majority, banded Hamming join (EXACT for d < bands), keep-one
+    decisions. No DuckDB oracle by design (per-frame DCT over
+    motion-compensated decodes isn't SQL); brute-force parity +
+    planted-quad recovery pinned in `tests/test_vhash.py`."""
+    import numpy as np
+    import pandas as pd
+
+    from icicle_spark.operators.vhash import vhash_survivors
+
+    ids = spark.range(80).select(F.col("id").cast("long").alias("doc_id"))
+
+    def synth(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        from icicle_spark.operators.avi import (
+            encode_avi_mjpeg,
+            encode_avi_rle8,
+        )
+        from icicle_spark.operators.gif import encode_gif
+        from icicle_spark.operators.mpeg1 import encode_m1v
+
+        def clip(seed, n_frames=12):
+            r = np.random.default_rng(int(seed))
+            raw = r.normal(0, 1, (48, 48))
+            sm = sliding_window_view(
+                np.pad(raw, 2, mode="edge"), (5, 5)
+            ).reshape(48, 48, 25).mean(-1)
+            base = (
+                (sm - sm.min()) / (sm.max() - sm.min()) * 130 + 60
+            ).astype(int)
+            frames = []
+            for t in range(n_frames):
+                f = np.clip(base + 3 * np.sin(t / 2.0), 0, 255).astype(
+                    np.uint8
+                )
+                frames.append(
+                    np.stack([np.roll(f, t, axis=1)] * 3, axis=2)
+                )
+            return np.stack(frames)
+
+        for pdf in batches:
+            media = []
+            for rid in pdf["doc_id"]:
+                i = int(rid)
+                fr = clip(i % 20)
+                gray = fr[:, :, :, 0]
+                variant = i // 20
+                if variant == 0:
+                    media.append(encode_avi_rle8(gray))
+                elif variant == 1:
+                    media.append(encode_gif(gray))
+                elif variant == 2:
+                    media.append(encode_avi_mjpeg(fr, quality=90))
+                else:
+                    media.append(encode_m1v(fr, qscale=6))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "media": media}
+            )
+
+    clips = ids.mapInPandas(synth, "doc_id long, media binary")
+    return vhash_survivors(
+        clips, "media", "doc_id", max_distance=11, bands=16
+    ).orderBy("doc_id")
+
+
 _MEDIA_SQL = """
 SELECT doc_id,
        length(text)::BIGINT AS n_bytes,
@@ -4361,6 +4431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pinned by tests/test_phash.py brute-force parity instead)
         "phash_dedup": q_phash_dedup,
         "afp_dedup": q_afp_dedup,
+        "vhash_dedup": q_vhash_dedup,
         "error_codes": q_error_codes,
         "latest_repack": q_latest_repack,
         "group_pair": q_group_pair,
