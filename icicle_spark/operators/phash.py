@@ -29,8 +29,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["hamming_pairs", "phash64", "phash_column", "phash_pairs",
-           "phash_survivors"]
+__all__ = ["hamming_pairs", "hamming_pairs_incremental", "phash64",
+           "phash_column", "phash_pairs", "phash_survivors"]
 
 _N = 32  # resample size before the DCT
 
@@ -169,6 +169,39 @@ def hamming_pairs(
         .select("id_a", "id_b", F.lit(0).alias("distance"))
     )
     return cross.where(F.col("id_a") != F.col("id_b")).unionByName(same)
+
+
+def hamming_pairs_incremental(
+    inc: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_distance: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental fingerprint dedup: pairs ``(id_a, id_b, distance)``
+    where AT LEAST ONE side is in the increment — new-vs-new and
+    new-vs-indexed, never indexed-vs-indexed (those were reported
+    when the index was built).
+
+    ``index`` is the persisted fingerprint table ``(id, hash)`` —
+    8 bytes per item. What it saves is the DECODE+HASH pass over the
+    historical corpus (the expensive Arrow/pyarrow work); band keys
+    re-derive from the stored hashes in one JVM projection, which is
+    the same narrow-int64 cost profile as the MinHash band index
+    re-read the text pipeline uses."""
+    all_h = index.select(id_col, hash_col).unionByName(
+        inc.select(id_col, hash_col)
+    ).dropDuplicates([id_col])
+    pairs = hamming_pairs(all_h, id_col, hash_col, max_distance, bands)
+    ids = inc.select(id_col).distinct()
+    pa = pairs.join(
+        ids.withColumnRenamed(id_col, "id_a"), "id_a", "leftsemi"
+    )
+    pb = pairs.join(
+        ids.withColumnRenamed(id_col, "id_b"), "id_b", "leftsemi"
+    )
+    return pa.unionByName(pb).distinct()
 
 
 def phash_pairs(

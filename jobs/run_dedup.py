@@ -38,15 +38,22 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
-    ap.add_argument("--method", default="minhash", choices=["minhash", "simhash", "exact"])
+    ap.add_argument("--method", default="minhash",
+                    choices=["minhash", "simhash", "exact",
+                             "phash", "afp", "vhash"])
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--media-col", default="media",
+                    help="binary media column for the fingerprint "
+                    "methods (phash: images, afp: audio, vhash: video)")
     ap.add_argument("--threshold", type=float, default=0.7)
     ap.add_argument("--max-hamming", type=int, default=3)
     ap.add_argument("--num-perm", type=int, default=64)
     ap.add_argument("--bands", type=int, default=16)
     ap.add_argument("--max-bucket", type=int, default=1000)
-    ap.add_argument("--index", help="existing MinHash bucket index (parquet)")
+    ap.add_argument("--index", help="existing index (parquet): MinHash "
+                    "band buckets, SimHash chunks, or the (id, hash) "
+                    "fingerprint table for phash/afp/vhash")
     ap.add_argument("--corpus-texts", help="texts covering the indexed corpus "
                     "(required with --index for Jaccard verification)")
     ap.add_argument("--write-index", help="persist this corpus' bucket index here")
@@ -72,6 +79,9 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="icicle_spark_dedup")
     docs = spark.read.parquet(args.input)
     idc, txt = args.id_col, args.text_col
+
+    if args.method in ("phash", "afp", "vhash"):
+        return _media_dedup(spark, docs, args, t0)
 
     # stage 1: exact dedup — survivors carry the near-dup cost
     kept_ids = exact_dedup(docs, txt, idc).select(idc)
@@ -157,6 +167,103 @@ def main(argv: list[str] | None = None) -> int:
             ).write.mode("overwrite").partitionBy("band").parquet(args.write_index)
         record["index"] = args.write_index
     print(json.dumps(record))
+    return 0
+
+
+
+
+def _media_dedup(spark, docs, args, t0) -> int:
+    """Fingerprint dedup over a binary media column: byte-identical
+    exact stage (md5 groupBy), then near-dup pairs from the 63-bit
+    perceptual/audio/video fingerprint (`operators/{phash,afp,
+    vhash}.py`) via the banded Hamming join — EXACT for
+    max_hamming < bands. ``--index`` points at a persisted (id, hash)
+    fingerprint table, so a refresh decodes+hashes ONLY the
+    increment; ``--write-index`` persists this corpus' fingerprints
+    (old index unioned in) for the next refresh."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from icicle_spark.operators.dedup import dedup_survivors
+    from icicle_spark.operators.phash import (
+        hamming_pairs,
+        hamming_pairs_incremental,
+    )
+
+    idc, media = args.id_col, args.media_col
+    if args.method == "phash":
+        from icicle_spark.operators.phash import phash_column as fp_col
+        hcol = "phash"
+    elif args.method == "afp":
+        from icicle_spark.operators.afp import afp_column as fp_col
+        hcol = "afp"
+    else:
+        from icicle_spark.operators.vhash import vhash_column as fp_col
+        hcol = "vhash"
+
+    # stage 1: byte-identical exact dedup — survivors carry the
+    # decode+hash cost
+    exact_cluster = docs.groupBy(F.md5(F.col(media)).alias("__k")).agg(
+        F.min(idc).alias("__surv")
+    )
+    base = docs.withColumn("__k", F.md5(F.col(media))).join(
+        exact_cluster, on="__k"
+    )
+    survivors = docs.join(
+        base.where(F.col(idc) == F.col("__surv")).select(idc), on=idc
+    )
+
+    # stage 2: fingerprint near-dup pairs (one decode+hash pass over
+    # the increment only when --index is given)
+    hashes = fp_col(survivors, media, idc)
+    if args.index:
+        index = spark.read.parquet(args.index)
+        pairs = hamming_pairs_incremental(
+            hashes, index, idc, hcol,
+            max_distance=args.max_hamming, bands=args.bands,
+        )
+    else:
+        index = None
+        pairs = hamming_pairs(
+            hashes, idc, hcol,
+            max_distance=args.max_hamming, bands=args.bands,
+        )
+
+    # stage 3: decisions (same contract as the text pipeline)
+    near = dedup_survivors(survivors, pairs, idc)
+    decisions = base.join(
+        near.select(F.col(idc).alias("__surv"),
+                    F.col("cluster").alias("__nc")),
+        on="__surv", how="left",
+    ).select(
+        idc,
+        F.coalesce("__nc", "__surv").alias("cluster"),
+        (F.col(idc) == F.coalesce("__nc", "__surv")).alias("keep"),
+    )
+    decisions.write.mode("overwrite").parquet(args.output)
+
+    record = {
+        "mode": (f"incremental_{args.method}" if args.index
+                 else args.method),
+        "docs_in": docs.count(),
+        "kept": spark.read.parquet(args.output).where("keep").count(),
+        "output": args.output,
+        "wall_seconds": round(_time.time() - t0, 3),
+    }
+    if args.pairs_out:
+        pairs.write.mode("overwrite").parquet(args.pairs_out)
+        record["pairs_out"] = args.pairs_out
+    if args.write_index:
+        out_index = hashes.select(idc, hcol)
+        if index is not None:
+            out_index = index.select(idc, hcol).unionByName(
+                out_index
+            ).dropDuplicates([idc])
+        out_index.write.mode("overwrite").parquet(args.write_index)
+        record["index"] = args.write_index
+    print(_json.dumps(record))
     return 0
 
 

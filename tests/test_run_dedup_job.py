@@ -148,3 +148,89 @@ def test_job_exact_with_index_errors(corpus, tmp_path):
             "--input", src, "--output", str(tmp_path / "o"),
             "--method", "exact", "--index", str(tmp_path / "idx"),
         ])
+
+
+def _textured(seed: int, n: int = 48) -> np.ndarray:
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    r = np.random.default_rng(seed)
+    raw = r.normal(0, 1, (n, n))
+    sm = sliding_window_view(
+        np.pad(raw, 2, mode="edge"), (5, 5)
+    ).reshape(n, n, 25).mean(-1)
+    g = ((sm - sm.min()) / (sm.max() - sm.min()) * 130 + 60).astype(np.uint8)
+    return np.stack([g] * 3, axis=2)
+
+
+@pytest.fixture(scope="module")
+def image_corpus(spark, tmp_path_factory):
+    """Images: 0/1 byte-identical, 2 a brightness-shifted copy of 0
+    (pHash-invariant near dup, different bytes), 3.. distinct
+    textures."""
+    from icicle_spark.operators.multimodal import encode_png
+
+    base = _textured(0, 64)
+    shifted = (base.astype(int) + 25).astype(np.uint8)
+    rows = [
+        (0, encode_png(base)),
+        (1, encode_png(base)),
+        (2, encode_png(shifted)),
+    ] + [(i, encode_png(_textured(i, 64))) for i in range(3, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    path = str(tmp_path_factory.mktemp("imgs") / "docs")
+    df.coalesce(2).write.mode("overwrite").parquet(path)
+    return path, df
+
+
+def test_job_phash_fresh(spark, image_corpus, tmp_path):
+    """--method phash: exact byte dup 1 and perceptual near dup 2 both
+    collapse into doc 0's cluster; fingerprint index is persisted."""
+    from jobs.run_dedup import main
+
+    src, _ = image_corpus
+    out = str(tmp_path / "dec")
+    idx = str(tmp_path / "idx")
+    pairs_out = str(tmp_path / "pairs")
+    assert main([
+        "--input", src, "--output", out, "--method", "phash",
+        "--write-index", idx, "--pairs-out", pairs_out,
+    ]) == 0
+    got = _decisions(spark, out)
+    assert not got.loc[1, "keep"] and got.loc[1, "cluster"] == 0
+    assert not got.loc[2, "keep"] and got.loc[2, "cluster"] == 0
+    assert got.loc[3:, "keep"].all()
+    assert (got.groupby("cluster")["keep"].sum() == 1).all()
+    idx_df = spark.read.parquet(idx)
+    assert set(idx_df.columns) == {"doc_id", "phash"}
+    # byte-identical dup 1 was collapsed before hashing: not indexed
+    assert idx_df.count() == 9
+
+
+def test_job_phash_incremental(spark, image_corpus, tmp_path):
+    """--index: the increment (a re-encode of indexed doc 0) decodes
+    alone but still pairs with the indexed fingerprints; the refreshed
+    index unions old + new."""
+    from jobs.run_dedup import main
+
+    src, docs = image_corpus
+    old_path = str(tmp_path / "old")
+    inc_path = str(tmp_path / "inc")
+    docs.where("doc_id <> 2").write.mode("overwrite").parquet(old_path)
+    docs.where("doc_id = 2").write.mode("overwrite").parquet(inc_path)
+    idx1 = str(tmp_path / "idx1")
+    idx2 = str(tmp_path / "idx2")
+    out1 = str(tmp_path / "o1")
+    out2 = str(tmp_path / "o2")
+    assert main([
+        "--input", old_path, "--output", out1, "--method", "phash",
+        "--write-index", idx1,
+    ]) == 0
+    assert main([
+        "--input", inc_path, "--output", out2, "--method", "phash",
+        "--index", idx1, "--write-index", idx2,
+    ]) == 0
+    inc = _decisions(spark, out2)
+    assert not inc.loc[2, "keep"] and inc.loc[2, "cluster"] == 0
+    idx = spark.read.parquet(idx2)
+    assert idx.count() == 9  # 8 old exact-survivors + the increment
+    assert idx.select("doc_id").distinct().count() == 9
