@@ -870,6 +870,73 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 """
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: connected components
+    over the exact n-gram near-dup pair graph, then ONE portable md5
+    gate on the cluster representative — near-duplicates never
+    straddle a split boundary, so an eval document's near-copy can
+    never appear in train. DuckDB replays the components (recursive
+    CTE) and the md5-60bit gate exactly."""
+    from icicle_spark.operators.dedup import ngram_jaccard_pairs
+    from icicle_spark.operators.sampling import leakage_safe_split
+
+    d = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, block_col="lang")
+    return leakage_safe_split(
+        d,
+        pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        hash_fn="md5",
+    )
+
+
+# same recursive-CTE closure as _SURVIVORS_SQL, then the portable
+# md5-60bit gate on the cluster representative: cuts at 800000/900000
+# of 1e6 buckets (train 0.8 / val 0.1 / test 0.1)
+_CLUSTER_SPLIT_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, lang,
+         list_distinct(CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+              ELSE list_transform(generate_series(1, len(words) - 2),
+                                  i -> array_to_string(words[i:i+2], ' ')) END) AS s
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS words
+        FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(id, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
+),
+comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+assigned AS (
+  SELECT d.doc_id,
+         coalesce(c.cluster, d.doc_id) AS cluster,
+         CAST(('0x' || substr(md5(CAST(coalesce(c.cluster, d.doc_id) AS VARCHAR)
+                                  || ':0'), 1, 15)) AS UBIGINT)
+           % 1000000 AS b
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT doc_id, cluster,
+       CASE WHEN b < 800000 THEN 'train'
+            WHEN b < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned
+"""
+
+
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbours for 5 query vectors."""
     emb = _emb(spark, sf_dir).select(
@@ -4406,7 +4473,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": q_quality_buckets,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_top1_encode": q_bpe_top1_encode,
-        "bpe_merges": q_bpe_merges,
+        # (bpe_merges rotated out for ogg_flac_features: bpe_merges
+        # is rows-only by design — the driver's weaker check — while
+        # the Ogg-FLAC container path is oracle-backed and has never
+        # been driver-certified; the merge loop stays pytest-pinned
+        # and its two oracle-backed companions stay in-window)
+        "ogg_flac_features": q_ogg_flac_features,
         "corpus_stats": q_corpus_stats,
         # (latest_repack rotated out end-r4 for png_features:
         # latest_repack is r3-certified and the latest-N machinery
@@ -4421,10 +4493,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_let_bind": q_filter_let_bind,
         "tfidf_terms": q_tfidf_terms,
         "html_strip": q_html_strip,
-        "token_freq": q_token_freq,
+        # (token_freq rotated out for cluster_split: token_freq is
+        # r3-certified and its one-shuffle shape is plan-audited +
+        # pytest-pinned; cluster_split is NEW — leakage-safe
+        # cluster-aware split gating on the component representative,
+        # which also re-certifies the components machinery in-window)
+        "cluster_split": q_cluster_split,
         "source_mix": q_source_mix,
         "corpus_diff": q_corpus_diff,
         # ---- position 51+: driver-certified in r01/r02/r03 ----
+        "token_freq": q_token_freq,
         # (phash_dedup is no_oracle by design — a DCT over decoded
         # pixels isn't SQL-expressible — so the window slot it would
         # occupy is worth more to an oracled query; its exactness is
@@ -4500,9 +4578,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "doc_logprob": q_doc_logprob,
         "decontaminate": q_decontaminate,
-        # outside the 50-window: locally oracle-verified at sf0.01
-        # and sf0.1 (window slots are all never-certified r4 queries)
-        "ogg_flac_features": q_ogg_flac_features,
+        # outside the 50-window: bpe_merges is rows-only by design
+        # (iterative argmax loop, no SQL oracle); pytest pins the
+        # merge-loop parity and its oracle-backed companions
+        # bpe_pair_counts / bpe_top1_encode hold the window slots
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -4544,6 +4624,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_SQL,
         "ngram_jaccard": _NGRAM_SQL,
         "dedup_survivors": _SURVIVORS_SQL,
+        "cluster_split": _CLUSTER_SPLIT_SQL,
         "embed_topk": _EMBED_SQL,
         "source_postcomp": _SOURCE_POSTCOMP_SQL,
         "source_case": _SOURCE_CASE_SQL,

@@ -13,6 +13,9 @@ parallelism, on any rerun, on any cluster:
 * ``split_train_holdout``  — disjoint, exhaustive train/holdout split
   by the same mechanism (a row's side never changes as the corpus
   grows, unlike randomSplit).
+* ``leakage_safe_split``   — cluster-aware splits: near-duplicates
+  (connected components over a pair graph) land wholly in one split,
+  so an eval document's near-copy can never appear in train.
 
 All selections use xxhash64(key, seed): changing the seed redraws
 every decision; keys hash identically forever.
@@ -322,4 +325,73 @@ def cap_per_group(
         df.withColumn("__rank", F.row_number().over(w))
         .where(F.col("__rank") <= max_rows)
         .drop("__rank")
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    seed: int = 0,
+    hash_fn: str = "xx64",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster, split): near-dup-cluster-aware train/val/test
+    assignment. ``split_train_holdout`` hashes each DOCUMENT, so two
+    near-duplicates can land on opposite sides and an eval document's
+    near-copy trains the model — the classic benchmark-leakage bug.
+    This operator first resolves connected components over the
+    near-dup pair graph (``dedup_clusters``: iterative min-label
+    propagation, LSH-scale edges), then gates the CLUSTER
+    representative through one deterministic hash, so every near-dup
+    group lands wholly in one split; documents in no pair are
+    singleton clusters of themselves.
+
+    ``fractions`` is an ordered {split_name: fraction} mapping that
+    must sum to 1; iteration order fixes the bucket ranges, so the
+    same dict always reproduces the same assignment. Growth contract:
+    new documents can only JOIN or MERGE clusters — a merged cluster
+    may move (its representative can change), but it moves whole;
+    no split ever sees a partial cluster.
+
+    Scale shape: the pair graph is LSH output (orders of magnitude
+    smaller than the corpus), so the component loop shuffles narrow
+    int edges; the corpus-side cost is one hash join on ``id_col``
+    plus a codegen projection — no corpus self-join, no window.
+    ``hash_fn="md5"`` makes the gate portable (same hex in DuckDB /
+    Trino / BigQuery) for cross-engine audits."""
+    from icicle_spark.operators.dedup import dedup_clusters
+
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(
+            f"fractions must sum to 1 (got {sum(fractions.values())})"
+        )
+    clusters = dedup_clusters(pairs, id_a, id_b, max_iter)
+    out = docs.select(F.col(id_col)).join(
+        clusters.select(F.col("id").alias(id_col), "cluster"),
+        on=id_col,
+        how="left",
+    )
+    cluster = F.coalesce("cluster", F.col(id_col))
+    b = _bucket(cluster, seed, hash_fn)
+    cuts: list[tuple[str, int]] = []
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        cuts.append((name, int(round(cum * _BUCKETS))))
+    # the last range absorbs float rounding: exhaustive by construction
+    cuts[-1] = (cuts[-1][0], _BUCKETS)
+    expr = None
+    for name, cut in cuts:  # ascending cuts, first match wins
+        cond = b < F.lit(cut)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return out.select(
+        id_col, cluster.alias("cluster"), expr.alias("split")
     )

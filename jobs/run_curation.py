@@ -6,6 +6,7 @@
     signals (word count, Gopher repetition stats, type-token ratio,
     unigram LM log-prob) -> declarative quality policy ->
     [per-domain quota cap] -> [temperature source rebalancing] ->
+    [leakage-safe train/val/test split] ->
     kept / dropped(+reason) parquet + a per-reason summary
 
 This is the composition a training-data refresh actually runs at
@@ -228,6 +229,20 @@ def main(argv: list[str] | None = None) -> int:
                          "its telemetry (one-scan ROLLUP stats; chars "
                          "derived from the cleaned text) as "
                          "kept_stats.parquet + summary['kept_stats']")
+    ap.add_argument("--split", default="",
+                    metavar="NAME=FRAC,...",
+                    help="leakage-safe split of the kept corpus, e.g. "
+                         "train=0.9,val=0.05,test=0.05 — near-dup "
+                         "clusters never straddle a boundary; output "
+                         "is partitioned by the split column")
+    ap.add_argument("--split-pairs", default="",
+                    help="precomputed near-dup pair parquet "
+                         "(id_a,id_b) for --split, e.g. run_dedup.py "
+                         "output; when absent, MinHash+LSH pairs are "
+                         "computed over the kept corpus inline")
+    ap.add_argument("--split-threshold", type=float, default=0.7,
+                    help="Jaccard threshold for the inline MinHash "
+                         "pair pass (ignored with --split-pairs)")
     ap.add_argument("--rule", action="append", default=[],
                     metavar="REASON:PASS_EXPR",
                     help="extra policy rule: boolean Spark-SQL PASS "
@@ -443,7 +458,49 @@ def main(argv: list[str] | None = None) -> int:
             "mix_alpha": args.mix_alpha,
             "mix_rates": {s: t / _BUCKETS for s, t in sorted(rates.items())},
         }
-    kept_df.write.mode("overwrite").parquet(kept_path)
+    split_info = {}
+    if args.split:
+        # 6. leakage-safe splits: near-dup clusters (precomputed pair
+        # graph, or an inline MinHash+LSH pass over the kept corpus)
+        # gate WHOLE through one deterministic hash on the component
+        # representative — an eval doc's near-copy can never train
+        from icicle_spark.operators.dedup import minhash_dedup_pairs
+        from icicle_spark.operators.sampling import leakage_safe_split
+
+        fractions: dict[str, float] = {}
+        for part in args.split.split(","):
+            name, _, frac = part.partition("=")
+            if not name or not frac:
+                raise SystemExit(
+                    f"--split wants NAME=FRAC[,NAME=FRAC...], got "
+                    f"{args.split!r}"
+                )
+            fractions[name.strip()] = float(frac)
+        if args.split_pairs:
+            pairs = spark.read.parquet(args.split_pairs)
+        else:
+            pairs = minhash_dedup_pairs(
+                kept_df, args.text_col, args.id_col,
+                threshold=args.split_threshold,
+            )
+        assigned = leakage_safe_split(
+            kept_df, pairs, fractions, id_col=args.id_col
+        )
+        kept_df = kept_df.join(
+            assigned.select(args.id_col, "split"), on=args.id_col
+        )
+        kept_df.write.mode("overwrite").partitionBy("split").parquet(
+            kept_path
+        )
+        split_info["split_counts"] = {
+            r["split"]: r["n"]
+            for r in spark.read.parquet(kept_path)
+            .groupBy("split")
+            .agg(F.count("*").alias("n"))
+            .collect()  # bounded: one row per split name
+        }
+    else:
+        kept_df.write.mode("overwrite").parquet(kept_path)
     if mix_info:
         mix_info["kept_after_mix"] = spark.read.parquet(kept_path).count()
     out.where("NOT passed").write.mode("overwrite").parquet(dropped_path)
@@ -494,6 +551,7 @@ def main(argv: list[str] | None = None) -> int:
         **({"url_dropped": n_url_dropped} if args.url_col else {}),
         **removal_totals,
         **mix_info,
+        **split_info,
         **report_info,
     }
     os.makedirs(args.output, exist_ok=True)

@@ -326,3 +326,71 @@ def test_curation_url_gate_and_quota(spark, tmp_path):
     assert set(by) == {"example.com"}  # bad.biz gone; domain col rode through
     assert by["example.com"] == 15  # quota applied
     assert summary["kept_after_mix"] == 15
+
+
+def test_curation_leakage_safe_split(spark, tmp_path):
+    """--split assigns kept docs to named splits so near-dup clusters
+    never straddle a boundary; output partitions by the split col."""
+    body = ("many different interesting words covering assorted "
+            "topics like rivers mountains cities music science "
+            "history art cooking travel sports weather dawn %s")
+    rows = []
+    # 20 healthy docs; ids 100/101 are near-duplicates of each other
+    for i in range(20):
+        rows.append((i, body % f"variant number {i} with extras"))
+    near = body % "variant number shared tail"
+    rows.append((100, near))
+    rows.append((101, near + " tiny"))
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    assert main([
+        "--input", src, "--output", out, "--min-words", "5",
+        "--no-logprob", "--split", "train=0.8,holdout=0.2",
+        "--split-threshold", "0.6",
+    ]) == 0
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    kept = spark.read.parquet(os.path.join(out, "kept")).toPandas()
+    assert "split" in kept.columns
+    assert set(kept.split) <= {"train", "holdout"}
+    assert sum(summary["split_counts"].values()) == len(kept)
+    # the near-dup pair always lands on one side
+    sides = kept.set_index("doc_id")["split"].to_dict()
+    assert sides[100] == sides[101]
+
+
+def test_curation_split_with_precomputed_pairs(spark, tmp_path):
+    rows = [(i, f"document number {i} with plenty of distinct words "
+                f"alpha beta gamma delta epsilon zeta eta theta")
+            for i in range(10)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.mode("overwrite").parquet(src)
+    pairs = str(tmp_path / "pairs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 1], "id_b": [1, 2]})
+    ).write.mode("overwrite").parquet(pairs)
+    out = str(tmp_path / "out")
+    assert main([
+        "--input", src, "--output", out, "--min-words", "3",
+        "--no-logprob", "--split", "a=0.5,b=0.5",
+        "--split-pairs", pairs,
+    ]) == 0
+    kept = spark.read.parquet(os.path.join(out, "kept")).toPandas()
+    sides = kept.set_index("doc_id")["split"].to_dict()
+    # the chain 0-1-2 is one cluster: all three on the same side
+    assert sides[0] == sides[1] == sides[2]
+
+
+def test_curation_split_spec_validation(spark, tmp_path):
+    rows = [(1, "hello world of words")]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.mode("overwrite").parquet(src)
+    with pytest.raises(SystemExit):
+        main(["--input", src, "--output", str(tmp_path / "o"),
+              "--min-words", "1", "--no-logprob", "--split", "garbage"])

@@ -300,3 +300,82 @@ def test_cap_per_group(spark):
 
     with _pt.raises(ValueError):
         cap_per_group(df, "domain", 0, key_col="doc_id")
+
+
+# ---------------------------------------------------------------- #
+# leakage_safe_split: near-dup clusters never straddle a split      #
+# ---------------------------------------------------------------- #
+
+
+def _split_fixture(spark):
+    """12 docs, pair graph with a 3-chain {1,2,3}, a ring {5,6,7},
+    a 2-cluster {9,10}; 0,4,8,11 are singletons."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id: bigint"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 7), (7, 5), (9, 10)],
+        "id_a: bigint, id_b: bigint",
+    )
+    return docs, pairs
+
+
+def test_leakage_safe_split_no_pair_straddles(spark):
+    from icicle_spark.operators.sampling import leakage_safe_split
+
+    docs, pairs = _split_fixture(spark)
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.5, "val": 0.25, "test": 0.25}
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    # disjoint + exhaustive: every doc exactly one split
+    assert set(rows) == set(range(12))
+    assert all(r.split in ("train", "val", "test") for r in rows.values())
+    # cluster atomicity: every pair's endpoints share cluster + split
+    for a, b in [(1, 2), (2, 3), (5, 6), (6, 7), (7, 5), (9, 10)]:
+        assert rows[a].cluster == rows[b].cluster
+        assert rows[a].split == rows[b].split
+    # transitivity: 1 and 3 never touched directly, same side via 2
+    assert rows[1].split == rows[3].split
+    # singleton clusters are the doc itself
+    for s in (0, 4, 8, 11):
+        assert rows[s].cluster == s
+
+
+def test_leakage_safe_split_reproducible_and_growth_stable(spark):
+    from icicle_spark.operators.sampling import leakage_safe_split
+
+    docs, pairs = _split_fixture(spark)
+    fr = {"train": 0.8, "holdout": 0.2}
+    a = {r.doc_id: r.split for r in
+         leakage_safe_split(docs, pairs, fr).collect()}
+    b = {r.doc_id: r.split for r in
+         leakage_safe_split(docs.repartition(7), pairs, fr).collect()}
+    assert a == b  # parallelism-invariant
+    # corpus growth that doesn't touch old clusters never moves them
+    grown = docs.union(
+        spark.createDataFrame([(i,) for i in range(100, 120)],
+                              "doc_id: bigint")
+    )
+    g = {r.doc_id: r.split for r in
+         leakage_safe_split(grown, pairs, fr).collect()}
+    assert all(g[k] == v for k, v in a.items())
+    # md5 gate agrees with itself across hash functions structurally:
+    # same clusters, possibly different sides
+    m = {r.doc_id: r.cluster for r in
+         leakage_safe_split(docs, pairs, fr, hash_fn="md5").collect()}
+    x = {r.doc_id: r.cluster for r in
+         leakage_safe_split(docs, pairs, fr).collect()}
+    assert m == x
+
+
+def test_leakage_safe_split_fraction_validation(spark):
+    from icicle_spark.operators.sampling import leakage_safe_split
+
+    docs, pairs = _split_fixture(spark)
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(docs, pairs, {"train": 0.5, "val": 0.4})
+    with pytest.raises(ValueError, match="non-negative"):
+        leakage_safe_split(docs, pairs, {"train": 1.5, "val": -0.5})
+    with pytest.raises(ValueError, match="at least one"):
+        leakage_safe_split(docs, pairs, {})
