@@ -1407,6 +1407,38 @@ FROM c
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic over the events table's user_id: top-10
+    heaviest keys with corpus share and the salt factor a two-stage
+    salted aggregation needs at 500 rows/task (tiny target so the
+    sf-scaled fixture exercises salt_factor > 1). ONE map-side-
+    combined groupBy (shuffle carries distinct keys, not rows) +
+    a distributed TakeOrderedAndProject — never a global window."""
+    from icicle_spark.operators.reporting import key_skew_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return key_skew_report(
+        ev, "user_id", target_rows_per_task=500, top_n=10
+    )
+
+
+_SKEW_REPORT_SQL = """
+WITH c AS (
+  SELECT user_id, count(*)::BIGINT AS n_rows FROM events GROUP BY user_id
+),
+t AS (SELECT sum(n_rows) AS tot FROM c),
+r AS (
+  SELECT user_id, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC, user_id) AS rank
+  FROM c
+)
+SELECT CAST(rank AS INT) AS rank, user_id, n_rows,
+       round(n_rows * 1.0 / (SELECT tot FROM t), 6) AS share,
+       CAST(ceil(n_rows / 500.0) AS BIGINT) AS salt_factor
+FROM r WHERE rank <= 10
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus telemetry report (per-source rows + rolled-up TOTAL) in
     ONE scan and ONE exchange: docs, chars (sum/avg/min/max/exact
@@ -4503,6 +4535,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         # ---- position 51+: driver-certified in r01/r02/r03 ----
         "token_freq": q_token_freq,
+        # skew_report: locally oracle-verified at sf0.01 and sf0.1
+        # (window slots go to never-certified queries; this one is a
+        # groupBy + TakeOrderedAndProject whose DuckDB parity runs in
+        # tools/check_contract.py on demand)
+        "skew_report": q_skew_report,
         # (phash_dedup is no_oracle by design — a DCT over decoded
         # pixels isn't SQL-expressible — so the window slot it would
         # occupy is worth more to an oracled query; its exactness is
@@ -4625,6 +4662,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_SQL,
         "dedup_survivors": _SURVIVORS_SQL,
         "cluster_split": _CLUSTER_SPLIT_SQL,
+        "skew_report": _SKEW_REPORT_SQL,
         "embed_topk": _EMBED_SQL,
         "source_postcomp": _SOURCE_POSTCOMP_SQL,
         "source_case": _SOURCE_CASE_SQL,

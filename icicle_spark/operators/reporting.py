@@ -39,7 +39,7 @@ engine migrations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 TOTAL_LABEL = "TOTAL"
 
@@ -234,4 +234,60 @@ def lang_histogram(
     the report. One groupBy (map-side combined)."""
     return docs.groupBy(group_col, lang_col).agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    target_rows_per_task: int = 1_000_000,
+    top_n: int = 20,
+) -> DataFrame:
+    """Key-skew diagnostic BEFORE a big groupBy/join: the top-N
+    heaviest keys with their row counts, corpus share, and the salt
+    factor a two-stage salted aggregation needs to keep each task at
+    ~``target_rows_per_task`` rows (``ceil(n_rows / target)``) —
+    exactly the split the engine's salted executors apply per bucket.
+
+    Scale shape: ONE map-side-combined groupBy on the key (the
+    shuffle carries one row per DISTINCT key, not per input row),
+    then a rank over that counts frame — tiny relative to the input
+    at any corpus size. Ordering is deterministic: count descending,
+    key ascending as the tiebreak, so the report is reproducible and
+    oracle-checkable cross-engine.
+
+    A plan reader's rule of thumb: ``salt_factor == 1`` for every
+    reported key means a plain groupBy is safe; any key with
+    ``salt_factor > 1`` is a hot key that would stall its reducer
+    task, and either AQE skew handling or the engine's salted
+    two-stage path should carry it."""
+    if target_rows_per_task < 1:
+        raise ValueError("target_rows_per_task must be >= 1")
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    counts = df.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(
+        F.sum("n_rows").alias("__t")
+    )  # one-row frame; crossJoin-broadcast below, never collected
+    # top-N via sort+limit: Spark plans TakeOrderedAndProject — each
+    # task keeps its local top-N, the driver merges N items — NOT a
+    # single-partition global window, which would funnel one row per
+    # DISTINCT key (billions on a high-cardinality column) into one
+    # task. The rank window then runs over <= top_n rows.
+    top = counts.orderBy(F.desc("n_rows"), F.col(key_col)).limit(top_n)
+    w = Window.orderBy(F.desc("n_rows"), F.col(key_col))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            F.col(key_col),
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__t"), 6).alias("share"),
+            F.ceil(
+                F.col("n_rows") / F.lit(target_rows_per_task)
+            ).cast("long").alias("salt_factor"),
+        )
     )

@@ -244,3 +244,34 @@ def test_corpus_report_job(tmp_path, docs):
     assert os.path.exists(os.path.join(out, "top_tokens.parquet"))
     assert rep["top_tokens_support"] == 0.01
     assert rep["n_top_tokens"] > 0
+
+
+def test_key_skew_report(spark):
+    from icicle_spark.operators.reporting import key_skew_report
+
+    import pandas as pd
+    rows = []
+    for k, n in (("hot", 2500), ("warm", 900), ("a", 10), ("b", 10),
+                 ("c", 5)):
+        rows += [(k,)] * n
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k"]))
+    rep = key_skew_report(df, "k", target_rows_per_task=1000, top_n=3)
+    got = {r.k: r for r in rep.collect()}
+    assert set(got) == {"hot", "warm", "a"}  # a beats b on key tiebreak
+    assert got["hot"].rank == 1 and got["hot"].salt_factor == 3
+    assert got["warm"].salt_factor == 1
+    assert abs(got["hot"].share - 2500 / 3425) < 1e-6
+    # deterministic under repartitioning
+    rep2 = key_skew_report(
+        df.repartition(13), "k", target_rows_per_task=1000, top_n=3
+    )
+    assert sorted(map(tuple, rep2.collect())) == sorted(
+        map(tuple, rep.collect())
+    )
+    # plan shape: top-N is TakeOrderedAndProject, not a global window
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError):
+        key_skew_report(df, "k", target_rows_per_task=0)
+    with pytest.raises(ValueError):
+        key_skew_report(df, "k", top_n=0)
