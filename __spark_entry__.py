@@ -2952,6 +2952,63 @@ ORDER BY doc_id
 """
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-split leakage audit: per eval split, the count and
+    fraction of documents sharing a word 8-gram with ANY train
+    document — the release gate after leakage_safe_split +
+    decontaminate. Split synthesized deterministically from doc_id
+    (80/10/10); the oracle rebuilds the same shingle strings."""
+    from icicle_spark.operators.dedup import cross_split_contamination
+
+    d = _docs(spark, sf_dir).withColumn(
+        "split",
+        F.when(F.col("doc_id") % 10 < 8, "train")
+        .when(F.col("doc_id") % 10 == 8, "val")
+        .otherwise("test"),
+    )
+    return cross_split_contamination(d, n=8).orderBy("split")
+
+
+_SPLIT_LEAKAGE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 8 THEN 'train'
+              WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, split,
+         CASE WHEN len(ws) <= 7 THEN [array_to_string(ws, ' ')]
+              ELSE [array_to_string(ws[i+1:i+8], ' ')
+                    FOR i IN range(0, len(ws) - 7)]
+         END gs
+  FROM toks
+),
+g2 AS (SELECT doc_id, split, unnest(gs) AS g FROM grams),
+train AS (SELECT DISTINCT g FROM g2 WHERE split = 'train'),
+hit AS (
+  SELECT DISTINCT g2.split, g2.doc_id
+  FROM g2 JOIN train USING (g) WHERE g2.split != 'train'
+),
+n AS (
+  SELECT split, count(*)::BIGINT AS n_docs
+  FROM toks WHERE split != 'train' GROUP BY split
+),
+h AS (
+  SELECT split, count(*)::BIGINT AS n_contaminated
+  FROM hit GROUP BY split
+)
+SELECT n.split, n.n_docs,
+       coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+       round(coalesce(h.n_contaminated, 0) * 1.0 / n.n_docs, 6)
+         AS contaminated_frac
+FROM n LEFT JOIN h USING (split)
+ORDER BY split
+"""
+
+
 def q_source_group_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`group fold (k, v) = (group e ~> agg)` parsed from source
     (Context.hs:36, repl t09-group-folds): the inner grouped count is
@@ -4540,6 +4597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # groupBy + TakeOrderedAndProject whose DuckDB parity runs in
         # tools/check_contract.py on demand)
         "skew_report": q_skew_report,
+        # split_leakage: locally oracle-verified at sf0.01 and sf0.1
+        # (same out-of-window rationale as skew_report)
+        "split_leakage": q_split_leakage,
         # (phash_dedup is no_oracle by design — a DCT over decoded
         # pixels isn't SQL-expressible — so the window slot it would
         # occupy is worth more to an oracled query; its exactness is
@@ -4663,6 +4723,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": _SURVIVORS_SQL,
         "cluster_split": _CLUSTER_SPLIT_SQL,
         "skew_report": _SKEW_REPORT_SQL,
+        "split_leakage": _SPLIT_LEAKAGE_SQL,
         "embed_topk": _EMBED_SQL,
         "source_postcomp": _SOURCE_POSTCOMP_SQL,
         "source_case": _SOURCE_CASE_SQL,

@@ -643,6 +643,68 @@ def decontaminate(
     return corpus.join(F.broadcast(bad), on=id_col, how="left_anti")
 
 
+def cross_split_contamination(
+    docs: DataFrame,
+    split_col: str = "split",
+    train_split: str = "train",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    broadcast_index: bool = True,
+) -> DataFrame:
+    """Post-split leakage audit — the release gate after
+    :func:`leakage_safe_split` / :func:`decontaminate`: for every
+    non-train split, how many of its documents share a word
+    ``n``-gram with ANY train document. Returns one row per eval
+    split: ``(split, n_docs, n_contaminated, contaminated_frac)``.
+
+    100 TB shape — index the SMALL side: eval splits are benchmark-
+    sized while train is the corpus, so the DISTINCT eval gram set
+    (bounded like a benchmark suite) broadcasts against ONE train
+    scan to find which eval grams occur in train; that matched set
+    (smaller still) broadcasts back against the eval grams to flag
+    documents. Two scans total, both gram explodes narrow flatMaps,
+    no corpus-side shuffle join; the only exchanges are groupBys
+    over per-split counts. ``broadcast_index=False`` falls back to
+    shuffle joins (AQE) when an eval split outgrows broadcast."""
+    eval_docs = docs.where(F.col(split_col) != F.lit(train_split))
+    train = docs.where(F.col(split_col) == F.lit(train_split))
+    egrams = eval_docs.withColumn("__wh", word_hashes(text_col)).select(
+        F.col(split_col),
+        _c(id_col).alias(id_col),
+        F.explode(
+            F.array_distinct(ngram_hashes64(F.col("__wh"), n))
+        ).alias("gram_hash"),
+    )
+    eval_idx = egrams.select("gram_hash").distinct()
+    rhs = F.broadcast(eval_idx) if broadcast_index else eval_idx
+    train_grams = train.withColumn("__wh", word_hashes(text_col)).select(
+        F.explode(
+            F.array_distinct(ngram_hashes64(F.col("__wh"), n))
+        ).alias("gram_hash")
+    )
+    matched = train_grams.join(rhs, on="gram_hash").distinct()
+    mrhs = F.broadcast(matched) if broadcast_index else matched
+    hit = (
+        egrams.join(mrhs, on="gram_hash")
+        .select(split_col, id_col)
+        .distinct()
+    )
+    per_split = eval_docs.groupBy(split_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    hits = hit.groupBy(split_col).agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    nc = F.coalesce("n_contaminated", F.lit(0)).cast("long")
+    return per_split.join(hits, on=split_col, how="left").select(
+        split_col,
+        "n_docs",
+        nc.alias("n_contaminated"),
+        F.round(nc / F.col("n_docs"), 6).alias("contaminated_frac"),
+    )
+
+
 def minhash_signature(
     text_col: str, num_perm: int = 64, shingle_n: int = 3, seed: int = 13
 ):

@@ -243,6 +243,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--split-threshold", type=float, default=0.7,
                     help="Jaccard threshold for the inline MinHash "
                          "pair pass (ignored with --split-pairs)")
+    ap.add_argument("--audit-leakage", type=int, default=0,
+                    metavar="N",
+                    help="with --split: audit word N-gram overlap "
+                         "between each eval split and train; "
+                         "per-split contamination lands in the "
+                         "summary (the release gate)")
     ap.add_argument("--rule", action="append", default=[],
                     metavar="REASON:PASS_EXPR",
                     help="extra policy rule: boolean Spark-SQL PASS "
@@ -499,6 +505,27 @@ def main(argv: list[str] | None = None) -> int:
             .agg(F.count("*").alias("n"))
             .collect()  # bounded: one row per split name
         }
+        if args.audit_leakage:
+            # release gate: word n-gram overlap of each eval split
+            # vs train, over the WRITTEN corpus (two scans, broadcast
+            # gram indexes — see cross_split_contamination)
+            from icicle_spark.operators.dedup import (
+                cross_split_contamination,
+            )
+
+            split_info["split_leakage"] = {
+                r["split"]: {
+                    "n_docs": r["n_docs"],
+                    "n_contaminated": r["n_contaminated"],
+                    "contaminated_frac": r["contaminated_frac"],
+                }
+                for r in cross_split_contamination(
+                    spark.read.parquet(kept_path),
+                    text_col=args.text_col,
+                    id_col=args.id_col,
+                    n=args.audit_leakage,
+                ).collect()  # bounded: one row per eval split
+            }
     else:
         kept_df.write.mode("overwrite").parquet(kept_path)
     if mix_info:

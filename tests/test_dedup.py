@@ -692,3 +692,37 @@ def test_gram_novelty_hand_golden(spark):
     assert got["n2"] == (3, 2, round(2 / 3, 6))
     assert got["n3"] == (2, 2, 1.0)
     assert got["n4"] == (1, 1, 1.0)
+
+
+def test_cross_split_contamination(spark):
+    from icicle_spark.operators.dedup import cross_split_contamination
+
+    import pandas as pd
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu")
+    rows = [
+        (1, "train", base),                       # train doc
+        (2, "val",   base + " extra tail words"), # shares 8-grams
+        (3, "val",   "completely different words about rivers "
+                     "mountains cities music science history art"),
+        (4, "test",  base),                       # exact copy of train
+        (5, "test",  "nothing in common here with anything else "
+                     "whatsoever at all believe me truly"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "split", "text"])
+    )
+    got = {r.split: r for r in
+           cross_split_contamination(df, n=8).collect()}
+    assert set(got) == {"val", "test"}
+    assert got["val"].n_docs == 2 and got["val"].n_contaminated == 1
+    assert got["test"].n_docs == 2 and got["test"].n_contaminated == 1
+    assert abs(got["val"].contaminated_frac - 0.5) < 1e-9
+    # a clean corpus reports zero (and keeps the split rows)
+    clean = spark.createDataFrame(pd.DataFrame(
+        [(1, "train", "one two three four five six seven eight nine"),
+         (2, "val", "ten eleven twelve thirteen fourteen fifteen "
+                    "sixteen seventeen eighteen")],
+        columns=["doc_id", "split", "text"]))
+    r = cross_split_contamination(clean, n=8).collect()
+    assert len(r) == 1 and r[0].n_contaminated == 0

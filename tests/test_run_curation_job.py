@@ -361,6 +361,32 @@ def test_curation_leakage_safe_split(spark, tmp_path):
     assert sides[100] == sides[101]
 
 
+def test_curation_split_leakage_audit(spark, tmp_path):
+    """--audit-leakage publishes per-eval-split n-gram contamination
+    vs train in the summary (zero when near-dups share a side)."""
+    rows = [(i, f"document number {i} alpha beta gamma delta epsilon "
+                f"zeta eta theta iota kappa variant {i}")
+            for i in range(12)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    assert main([
+        "--input", src, "--output", out, "--min-words", "3",
+        "--no-logprob", "--split", "train=0.7,val=0.3",
+        "--audit-leakage", "9",
+    ]) == 0
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    audit = summary.get("split_leakage", {})
+    kept = spark.read.parquet(os.path.join(out, "kept")).toPandas()
+    evals = set(kept.split) - {"train"}
+    assert set(audit) == evals
+    for split, row in audit.items():
+        assert row["n_docs"] == int((kept.split == split).sum())
+        assert 0 <= row["n_contaminated"] <= row["n_docs"]
+
+
 def test_curation_split_with_precomputed_pairs(spark, tmp_path):
     rows = [(i, f"document number {i} with plenty of distinct words "
                 f"alpha beta gamma delta epsilon zeta eta theta")
