@@ -2952,6 +2952,65 @@ ORDER BY doc_id
 """
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): select the 100
+    raw documents most like the src0/src1 'curated seed' by hashed
+    n-gram importance weights + deterministic Gumbel top-k. Every
+    stage (md5 bucket featurization, Laplace models, log-ratio sum,
+    hash-derived Gumbel) replays exactly in the oracle."""
+    from icicle_spark.operators.dsir import dsir_resample
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    return dsir_resample(docs, target, k=100)
+
+
+_DSIR_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, unnest(
+    ws || CASE WHEN len(ws) >= 2
+               THEN [ws[i+1] || ' ' || ws[i+2] FOR i IN range(0, len(ws)-1)]
+               ELSE [] END) AS g
+  FROM toks
+),
+occ AS (
+  SELECT doc_id, source,
+         CAST(CAST(('0x' || substr(md5(g || ':0'), 1, 15)) AS UBIGINT)
+              % 10000 AS BIGINT) AS bucket
+  FROM grams
+),
+tgt AS (SELECT bucket, count(*)::DOUBLE cnt_t FROM occ
+        WHERE source IN ('src0','src1') GROUP BY 1),
+rawm AS (SELECT bucket, count(*)::DOUBLE cnt_r FROM occ GROUP BY 1),
+tot AS (SELECT (SELECT coalesce(sum(cnt_t), 0) FROM tgt) nt,
+               (SELECT sum(cnt_r) FROM rawm) nr),
+ratio AS (
+  SELECT r.bucket,
+         ln((coalesce(t.cnt_t, 0) + 1.0) / (tot.nt + 10000.0))
+       - ln((r.cnt_r + 1.0) / (tot.nr + 10000.0)) AS lr
+  FROM rawm r LEFT JOIN tgt t USING (bucket), tot
+),
+w AS (
+  SELECT occ.doc_id, count(*)::BIGINT n_grams, sum(lr) logw
+  FROM occ JOIN ratio USING (bucket) GROUP BY 1
+),
+keyed AS (
+  SELECT doc_id, n_grams, round(logw, 6) AS logw,
+         round(logw + -ln(-ln(
+           (CAST(('0x' || substr(md5(doc_id || ':g0'), 1, 15)) AS UBIGINT)
+            + 1.0) / (1152921504606846976.0 + 1.0))), 6) AS key
+  FROM w
+)
+SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 100
+"""
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-split leakage audit: per eval split, the count and
     fraction of documents sharing a word 8-gram with ANY train
@@ -4600,6 +4659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # split_leakage: locally oracle-verified at sf0.01 and sf0.1
         # (same out-of-window rationale as skew_report)
         "split_leakage": q_split_leakage,
+        # dsir_select: locally oracle-verified at sf0.01 and sf0.1
+        # (same out-of-window rationale as skew_report)
+        "dsir_select": q_dsir_select,
         # (phash_dedup is no_oracle by design — a DCT over decoded
         # pixels isn't SQL-expressible — so the window slot it would
         # occupy is worth more to an oracled query; its exactness is
@@ -4724,6 +4786,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_split": _CLUSTER_SPLIT_SQL,
         "skew_report": _SKEW_REPORT_SQL,
         "split_leakage": _SPLIT_LEAKAGE_SQL,
+        "dsir_select": _DSIR_SQL,
         "embed_topk": _EMBED_SQL,
         "source_postcomp": _SOURCE_POSTCOMP_SQL,
         "source_case": _SOURCE_CASE_SQL,
