@@ -5,6 +5,7 @@
     [benchmark n-gram decontamination] -> quality
     signals (word count, Gopher repetition stats, type-token ratio,
     unigram LM log-prob) -> declarative quality policy ->
+    [DSIR importance resampling toward a target seed] ->
     [per-domain quota cap] -> [temperature source rebalancing] ->
     [leakage-safe train/val/test split] ->
     kept / dropped(+reason) parquet + a per-reason summary
@@ -249,6 +250,21 @@ def main(argv: list[str] | None = None) -> int:
                          "between each eval split and train; "
                          "per-split contamination lands in the "
                          "summary (the release gate)")
+    ap.add_argument("--dsir-keep", type=int, default=0,
+                    help="DSIR importance resampling of the kept "
+                         "corpus: keep the K docs most like the "
+                         "target seed (Gumbel top-k; 0 = off)")
+    ap.add_argument("--dsir-target", default="",
+                    help="Spark-SQL boolean over kept columns "
+                         "defining the in-corpus target seed, e.g. "
+                         "\"source IN ('wiki','books')\"")
+    ap.add_argument("--dsir-target-path", default="",
+                    help="parquet of an external target seed corpus "
+                         "(same text column) — overrides "
+                         "--dsir-target")
+    ap.add_argument("--dsir-buckets", type=int, default=10_000,
+                    help="hashed n-gram feature buckets")
+    ap.add_argument("--dsir-seed", type=int, default=0)
     ap.add_argument("--rule", action="append", default=[],
                     metavar="REASON:PASS_EXPR",
                     help="extra policy rule: boolean Spark-SQL PASS "
@@ -423,6 +439,31 @@ def main(argv: list[str] | None = None) -> int:
     dropped_path = os.path.join(args.output, "dropped")
     kept_df = out.where("passed").drop("passed", "fail_reason")
     mix_info = {}
+    if args.dsir_keep:
+        # 4.4 DSIR importance resampling: of the policy survivors,
+        # keep the K most target-like by hashed-n-gram importance
+        # weight (deterministic Gumbel top-k). The k-row selection
+        # broadcasts back onto the corpus.
+        from icicle_spark.operators.dsir import dsir_resample
+
+        if args.dsir_target_path:
+            target = spark.read.parquet(args.dsir_target_path)
+        elif args.dsir_target:
+            target = kept_df.where(args.dsir_target)
+        else:
+            raise SystemExit(
+                "--dsir-keep needs --dsir-target or --dsir-target-path"
+            )
+        sel = dsir_resample(
+            kept_df, target, args.dsir_keep,
+            text_col=args.text_col, id_col=args.id_col,
+            buckets=args.dsir_buckets, seed=args.dsir_seed,
+        )
+        kept_df = kept_df.join(
+            F.broadcast(sel.select(args.id_col)), on=args.id_col
+        )
+        mix_info["dsir_keep"] = args.dsir_keep
+        mix_info["dsir_target"] = args.dsir_target_path or args.dsir_target
     if args.cap_group:
         # 4.5 per-group quota (anti-spam): deterministic hash-ranked
         # survivors, one rank-window shuffle

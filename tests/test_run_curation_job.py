@@ -420,3 +420,59 @@ def test_curation_split_spec_validation(spark, tmp_path):
     with pytest.raises(SystemExit):
         main(["--input", src, "--output", str(tmp_path / "o"),
               "--min-words", "1", "--no-logprob", "--split", "garbage"])
+
+
+def test_curation_dsir_stage(spark, tmp_path):
+    """--dsir-keep selects the K policy survivors most like the
+    --dsir-target seed; selection is deterministic and the summary
+    records the stage."""
+    seedish = ("rivers mountains forests lakes valleys meadows "
+               "glaciers canyons deltas estuaries plateaus cliffs "
+               "springs waterfalls ridges summits basins fjords")
+    rows = [(i, f"{seedish} nature essay variant {i}", "wiki")
+            for i in range(4)]
+    rows += [(10 + i,
+              f"{seedish} field notes on nature and terrain {i}",
+              "web") for i in range(4)]
+    rows += [(20 + i,
+              "buy cheap pills casino bonus click subscribe now "
+              "winner prize jackpot offer discount deal promo code "
+              f"limited stock order today spam variant {i}", "web")
+             for i in range(4)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    assert main([
+        "--input", src, "--output", out, "--min-words", "3",
+        "--no-logprob", "--max-dup2", "1.0",
+        "--dsir-keep", "6", "--dsir-target", "source = 'wiki'",
+    ]) == 0
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["dsir_keep"] == 6
+    kept = spark.read.parquet(os.path.join(out, "kept")).toPandas()
+    assert len(kept) == 6
+    # the seed-like docs win over the spam block
+    assert set(kept.doc_id) <= set(range(0, 14))
+    # rerun into a second dir: identical selection (hash-derived Gumbel)
+    out2 = str(tmp_path / "out2")
+    assert main([
+        "--input", src, "--output", out2, "--min-words", "3",
+        "--no-logprob", "--max-dup2", "1.0",
+        "--dsir-keep", "6", "--dsir-target", "source = 'wiki'",
+    ]) == 0
+    kept2 = spark.read.parquet(os.path.join(out2, "kept")).toPandas()
+    assert set(kept2.doc_id) == set(kept.doc_id)
+
+
+def test_curation_dsir_requires_target(spark, tmp_path):
+    rows = [(i, "plain document with enough words to pass the "
+                f"threshold easily variant {i}") for i in range(4)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.mode("overwrite").parquet(src)
+    with pytest.raises(SystemExit):
+        main(["--input", src, "--output", str(tmp_path / "o"),
+              "--min-words", "3", "--no-logprob", "--dsir-keep", "2"])
