@@ -2952,6 +2952,31 @@ ORDER BY doc_id
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/CCNet model-based quality filter: LogisticRegression
+    (distributed JVM L-BFGS) over HashingTF unigram+bigram features,
+    seed = src0/src1, negatives = a deterministic hash sample of the
+    rest; deterministic Pareto keep gate. NO ORACLE BY DESIGN —
+    training is not SQL-expressible; separation/determinism/roundtrip
+    are pinned in tests/test_quality_model.py."""
+    from icicle_spark.operators.quality_model import (
+        pareto_keep,
+        score_quality,
+        train_quality_classifier,
+    )
+    from icicle_spark.operators.sampling import deterministic_sample
+
+    docs = _docs(spark, sf_dir)
+    pos = docs.where(F.col("source").isin("src0", "src1"))
+    neg = deterministic_sample(
+        docs.where(~F.col("source").isin("src0", "src1")),
+        0.2, "doc_id",
+    )
+    model = train_quality_classifier(pos, neg, buckets=1 << 14)
+    scored = score_quality(docs, model, buckets=1 << 14)
+    return pareto_keep(scored).orderBy("doc_id")
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): select the 100
     raw documents most like the src0/src1 'curated seed' by hashed
@@ -4662,6 +4687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dsir_select: locally oracle-verified at sf0.01 and sf0.1
         # (same out-of-window rationale as skew_report)
         "dsir_select": q_dsir_select,
+        # quality_classifier: no_oracle by design (LogisticRegression
+        # training is not SQL-expressible; pytest pins behavior)
+        "quality_classifier": q_quality_classifier,
         # (phash_dedup is no_oracle by design — a DCT over decoded
         # pixels isn't SQL-expressible — so the window slot it would
         # occupy is worth more to an oracled query; its exactness is
