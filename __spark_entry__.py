@@ -2952,6 +2952,84 @@ ORDER BY doc_id
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher (Rae et al. 2021 §A1.1) quality-rule signals + the
+    paper's published gates through the declarative policy — every
+    signal is a pure Column expression replayed exactly in SQL."""
+    from icicle_spark.functions.text import (
+        GOPHER_RULES,
+        gopher_signals,
+        quality_filter,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    sig = gopher_signals(d).drop("text")
+    return quality_filter(sig, GOPHER_RULES).select(
+        "doc_id",
+        "n_ws_words",
+        _r("mean_word_len").alias("mean_word_len"),
+        _r("symbol_word_ratio").alias("symbol_word_ratio"),
+        _r("alpha_word_frac").alias("alpha_word_frac"),
+        "stop_hits",
+        "passed",
+        "fail_reason",
+    ).orderBy("doc_id")
+
+
+_GOPHER_SQL = """
+WITH sig AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     w -> w <> '') AS ws,
+         len(text) - len(replace(text, '#', ''))           AS n_hash,
+         (len(text) - len(replace(text, '...', ''))) / 3   AS n_dots,
+         len(text) - len(replace(text, '…', ''))           AS n_uell
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws)::BIGINT AS n_ws_words,
+         CASE WHEN len(ws) > 0
+              THEN list_sum(list_transform(ws, w -> len(w)))::DOUBLE
+                   / len(ws)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(ws) > 0
+              THEN (n_hash + n_dots + n_uell)::DOUBLE / len(ws)
+              ELSE 0.0 END AS symbol_word_ratio,
+         CASE WHEN len(ws) > 0
+              THEN len(list_filter(ws,
+                       w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+                   / len(ws)
+              ELSE 0.0 END AS alpha_word_frac,
+         len(list_intersect(list_transform(ws, w -> lower(w)),
+             ['the','be','to','of','and','that','have','with']
+         ))::BIGINT AS stop_hits
+  FROM sig
+)
+SELECT doc_id, n_ws_words, round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_word_ratio, 6) AS symbol_word_ratio,
+       round(alpha_word_frac, 6) AS alpha_word_frac, stop_hits,
+       (fail_reason IS NULL) AS passed, fail_reason
+FROM (
+  SELECT *,
+         CASE
+           WHEN NOT coalesce(n_ws_words BETWEEN 50 AND 100000, FALSE)
+             THEN 'gopher_word_count'
+           WHEN NOT coalesce(mean_word_len BETWEEN 3 AND 10, FALSE)
+             THEN 'gopher_mean_word_len'
+           WHEN NOT coalesce(symbol_word_ratio <= 0.1, FALSE)
+             THEN 'gopher_symbol_ratio'
+           WHEN NOT coalesce(alpha_word_frac >= 0.8, FALSE)
+             THEN 'gopher_alpha_words'
+           WHEN NOT coalesce(stop_hits >= 2, FALSE)
+             THEN 'gopher_stop_words'
+         END AS fail_reason
+  FROM m
+)
+ORDER BY doc_id
+"""
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3/CCNet model-based quality filter: LogisticRegression
     (distributed JVM L-BFGS) over HashingTF unigram+bigram features,
@@ -4684,9 +4762,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # split_leakage: locally oracle-verified at sf0.01 and sf0.1
         # (same out-of-window rationale as skew_report)
         "split_leakage": q_split_leakage,
-        # dsir_select: locally oracle-verified at sf0.01 and sf0.1
-        # (same out-of-window rationale as skew_report)
+        # dsir_select / gopher_rules: locally oracle-verified at
+        # sf0.01 and sf0.1 (same out-of-window rationale as
+        # skew_report)
         "dsir_select": q_dsir_select,
+        "gopher_rules": q_gopher_rules,
         # quality_classifier: no_oracle by design (LogisticRegression
         # training is not SQL-expressible; pytest pins behavior)
         "quality_classifier": q_quality_classifier,
@@ -4815,6 +4895,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_report": _SKEW_REPORT_SQL,
         "split_leakage": _SPLIT_LEAKAGE_SQL,
         "dsir_select": _DSIR_SQL,
+        "gopher_rules": _GOPHER_SQL,
         "embed_topk": _EMBED_SQL,
         "source_postcomp": _SOURCE_POSTCOMP_SQL,
         "source_case": _SOURCE_CASE_SQL,

@@ -44,6 +44,7 @@ HEADLINE = [
     "span_dedup",
     "repetition_stats",
     "heavy_hitters",
+    "dsir_select",
     "embed_topk",
     "tpch_q1",
 ]

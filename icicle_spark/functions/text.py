@@ -558,3 +558,109 @@ def quality_filter(docs, rules, keep_only: bool = False):
     if keep_only:
         return out.where("passed").drop("passed", "fail_reason")
     return out
+
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+GOPHER_RULES: list[tuple[str, str]] = [
+    # (reason, PASS predicate) over gopher_signals columns — the
+    # Rae et al. 2021 §A1.1 repetition-free document gates, in the
+    # paper's published bounds, for quality_filter / run_curation
+    ("gopher_word_count", "n_ws_words BETWEEN 50 AND 100000"),
+    ("gopher_mean_word_len", "mean_word_len BETWEEN 3 AND 10"),
+    ("gopher_symbol_ratio", "symbol_word_ratio <= 0.1"),
+    ("gopher_bullet_lines", "bullet_line_frac <= 0.9"),
+    ("gopher_ellipsis_lines", "ellipsis_line_frac <= 0.3"),
+    ("gopher_alpha_words", "alpha_word_frac >= 0.8"),
+    ("gopher_stop_words", "stop_hits >= 2"),
+]
+
+
+def gopher_signals(docs, text_col: str = "text"):
+    """The Gopher (Rae et al. 2021 §A1.1) per-document quality
+    signals, as auditable named columns the declarative policy gates
+    on (``GOPHER_RULES`` carries the paper's bounds):
+
+    * ``n_ws_words`` / ``mean_word_len`` — whitespace words (the
+      paper counts raw words, not normalized tokens);
+    * ``symbol_word_ratio`` — '#' chars + '...'/'…' runs per word;
+    * ``bullet_line_frac`` / ``ellipsis_line_frac`` — lines starting
+      with a bullet glyph / ending in an ellipsis;
+    * ``alpha_word_frac`` — words containing at least one letter;
+    * ``stop_hits`` — how many of the paper's 8 stop words appear.
+
+    Pure Column expressions over one pass of the text — zero
+    shuffle, whole-stage codegen, composes into the curation signal
+    stage. Every signal replays exactly in SQL (contract query
+    ``gopher_rules``). The word/line arrays materialize once as
+    projected columns before the signal expressions reference them
+    (inline HOF subtrees re-evaluate per reference — see
+    ``quality_score``)."""
+    t = F.col(text_col)
+    docs = docs.select(
+        "*",
+        F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "").alias(
+            "__ws"
+        ),
+        F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != "").alias(
+            "__lines"
+        ),
+    )
+    words = F.col("__ws")
+    n_words = F.size(words)
+    nwd = n_words.cast("double")
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0.0), lambda a, w: a + F.length(w))
+        / nwd,
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_dots = (
+        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    ) / 3
+    n_uell = F.length(t) - F.length(F.regexp_replace(t, "…", ""))
+    sym_ratio = F.when(
+        n_words > 0, (n_hash + n_dots + n_uell).cast("double") / nwd
+    ).otherwise(F.lit(0.0))
+    lines = F.col("__lines")
+    n_lines = F.size(lines)
+    nld = n_lines.cast("double")
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[•‣▶*-]"))
+        ).cast("double")
+        / nld,
+    ).otherwise(F.lit(0.0))
+    ell_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")
+            )
+        ).cast("double")
+        / nld,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(
+            F.filter(words, lambda w: w.rlike(r"[a-zA-Z]"))
+        ).cast("double")
+        / nwd,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+        )
+    )
+    return docs.select(
+        "*",
+        n_words.cast("bigint").alias("n_ws_words"),
+        mean_wlen.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+    ).drop("__ws", "__lines")

@@ -153,9 +153,11 @@ def dsir_resample(
     The Gumbel is derived from the md5 hash of the document id —
     ``u = (h60 + 1) / (2^60 + 1)``, ``g = -ln(-ln(u))`` — so the draw
     is a pure function of ``(id, seed)``: reproducible across reruns,
-    partitionings, and engines. Scores round to 6 dp BEFORE ranking
-    (ties then break on id), keeping the selected set bit-identical
-    across engines despite float summation order."""
+    partitionings, and engines. Scores are shifted by an off-grid
+    epsilon (1.37e-8, far larger than any summation-order ulp drift
+    but far smaller than the rounding grid) and rounded to 6 dp
+    BEFORE ranking (ties then break on id), keeping the selected set
+    bit-identical across engines despite float summation order."""
     if k <= 0:
         raise ValueError("k must be positive")
     w = dsir_logweights(
@@ -172,10 +174,11 @@ def dsir_resample(
     ).cast("bigint")
     u = (h.cast("double") + F.lit(1.0)) / F.lit(_U60 + 1.0)
     gumbel = -F.log(-F.log(u))
+    eps = F.lit(1.37e-8)  # off-decimal-grid: >> ulp drift, << 1e-6
     scored = w.select(
         id_col,
         "n_grams",
-        F.round("logw", 6).alias("logw"),
-        F.round(F.col("logw") + gumbel, 6).alias("key"),
+        F.round(F.col("logw") + eps, 6).alias("logw"),
+        F.round(F.col("logw") + gumbel + eps, 6).alias("key"),
     )
     return scored.orderBy(F.desc("key"), F.col(id_col)).limit(k)

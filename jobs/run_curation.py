@@ -51,6 +51,10 @@ def build_rules(args) -> list[tuple[str, str]]:
         if not reason or not expr:
             raise SystemExit(f"--rule wants REASON:PASS_EXPR, got {spec!r}")
         rules.append((reason, expr))
+    if getattr(args, "gopher", False):
+        from icicle_spark.functions.text import GOPHER_RULES
+
+        rules.extend(GOPHER_RULES)
     return rules
 
 
@@ -250,6 +254,10 @@ def main(argv: list[str] | None = None) -> int:
                          "between each eval split and train; "
                          "per-split contamination lands in the "
                          "summary (the release gate)")
+    ap.add_argument("--gopher", action="store_true",
+                    help="add the Gopher (Rae et al. 2021 A1.1) "
+                         "signal set and its published rule bounds "
+                         "to the policy")
     ap.add_argument("--dsir-keep", type=int, default=0,
                     help="DSIR importance resampling of the kept "
                          "corpus: keep the K docs most like the "
@@ -389,6 +397,12 @@ def main(argv: list[str] | None = None) -> int:
     sig = repetition_stats(docs, args.text_col).withColumn(
         "n_words", F.size(_norm_tokens(F.col(args.text_col)))
     )
+    if args.gopher:
+        # named Gopher signals join the same scan-side stage (pure
+        # Column exprs, zero extra passes)
+        from icicle_spark.functions.text import gopher_signals
+
+        sig = gopher_signals(sig, args.text_col)
     if not args.no_logprob:
         freq = word_freq(docs, args.text_col)
         lp = doc_logprob(docs, freq, args.text_col, args.id_col)
