@@ -3030,6 +3030,118 @@ ORDER BY doc_id
 """
 
 
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020 §2.2): line-level terminal-
+    punctuation / 3-word / javascript filters then page gates. Docs
+    are synthesized into line structure deterministically from doc_id
+    (the parquet corpus is single-line) so every rule fires; the
+    REWRITTEN text is certified via md5."""
+    from icicle_spark.functions.text import (
+        C4_RULES,
+        c4_clean,
+        quality_filter,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("short line"),
+            F.lit("alpha beta gamma"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("this has javascript inside it."),
+            ).otherwise(F.lit("a perfectly fine sentence here.")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit("curly { brace here it is."),
+            ).otherwise(F.lit("another good sentence follows.")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit("lorem ipsum dolor sit amet."),
+            ).otherwise(F.lit("closing remarks stand here.")),
+        ).alias("text"),
+    )
+    out = quality_filter(c4_clean(d), C4_RULES)
+    return out.select(
+        "doc_id",
+        "c4_lines_kept",
+        "c4_lines_dropped",
+        "c4_n_sentences",
+        "c4_no_lorem",
+        "c4_no_brace",
+        F.md5("text").alias("clean_md5"),
+        "passed",
+        "fail_reason",
+    ).orderBy("doc_id")
+
+
+_C4_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           text || '.',
+           'short line',
+           'alpha beta gamma',
+           CASE WHEN doc_id % 7 = 0
+                THEN 'this has javascript inside it.'
+                ELSE 'a perfectly fine sentence here.' END,
+           CASE WHEN doc_id % 11 = 0
+                THEN 'curly { brace here it is.'
+                ELSE 'another good sentence follows.' END,
+           CASE WHEN doc_id % 13 = 0
+                THEN 'lorem ipsum dolor sit amet.'
+                ELSE 'closing remarks stand here.' END
+         ) AS text
+  FROM documents
+),
+k AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)),
+                     x -> trim(x) <> '') AS lines,
+         list_filter(string_split(text, chr(10)), x ->
+             trim(x) <> ''
+             AND regexp_matches(rtrim(x), '[.!?"]$')
+             AND len(list_filter(string_split_regex(trim(x), '\s+'),
+                                 w -> w <> '')) >= 3
+             AND NOT regexp_matches(lower(x), '\bjavascript\b')
+         ) AS kept
+  FROM d
+),
+m AS (
+  SELECT doc_id,
+         len(kept)::BIGINT AS c4_lines_kept,
+         (len(lines) - len(kept))::BIGINT AS c4_lines_dropped,
+         len(list_filter(
+             string_split_regex(array_to_string(kept, chr(10)),
+                                '[.!?]+'),
+             s -> trim(s) <> ''))::BIGINT AS c4_n_sentences,
+         NOT contains(lower(array_to_string(kept, chr(10))),
+                      'lorem ipsum') AS c4_no_lorem,
+         NOT contains(array_to_string(kept, chr(10)), '{')
+           AS c4_no_brace,
+         md5(array_to_string(kept, chr(10))) AS clean_md5
+  FROM k
+)
+SELECT doc_id, c4_lines_kept, c4_lines_dropped, c4_n_sentences,
+       c4_no_lorem, c4_no_brace, clean_md5,
+       (fail_reason IS NULL) AS passed, fail_reason
+FROM (
+  SELECT *,
+         CASE
+           WHEN NOT coalesce(c4_n_sentences >= 5, FALSE)
+             THEN 'c4_too_few_sentences'
+           WHEN NOT coalesce(c4_no_brace, FALSE) THEN 'c4_brace'
+           WHEN NOT coalesce(c4_no_lorem, FALSE)
+             THEN 'c4_lorem_ipsum'
+         END AS fail_reason
+  FROM m
+)
+ORDER BY doc_id
+"""
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3/CCNet model-based quality filter: LogisticRegression
     (distributed JVM L-BFGS) over HashingTF unigram+bigram features,
@@ -4767,6 +4879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skew_report)
         "dsir_select": q_dsir_select,
         "gopher_rules": q_gopher_rules,
+        "c4_rules": q_c4_rules,
         # quality_classifier: no_oracle by design (LogisticRegression
         # training is not SQL-expressible; pytest pins behavior)
         "quality_classifier": q_quality_classifier,
@@ -4896,6 +5009,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _SPLIT_LEAKAGE_SQL,
         "dsir_select": _DSIR_SQL,
         "gopher_rules": _GOPHER_SQL,
+        "c4_rules": _C4_SQL,
         "embed_topk": _EMBED_SQL,
         "source_postcomp": _SOURCE_POSTCOMP_SQL,
         "source_case": _SOURCE_CASE_SQL,

@@ -664,3 +664,83 @@ def gopher_signals(docs, text_col: str = "text"):
         alpha_frac.alias("alpha_word_frac"),
         stop_hits.cast("bigint").alias("stop_hits"),
     ).drop("__ws", "__lines")
+
+
+def c4_clean(docs, text_col: str = "text", badwords: list[str] | None = None):
+    """The C4 cleaning pass (Raffel et al. 2020 §2.2) — line-level
+    filters then page-level gates, as one zero-shuffle Column stage:
+
+    * keep only lines ending in terminal punctuation (``. ! ? "``);
+    * keep only lines with >= 3 whitespace words;
+    * drop lines containing the word "javascript" (case-insensitive);
+    * page gates (flags, for the declarative policy): >= 5 sentences
+      in the cleaned text (sentence = terminal-punctuation run, the
+      paper's heuristic), no ``{``, no "lorem ipsum", and none of the
+      optional ``badwords`` (whole-word, case-insensitive).
+
+    Adds ``text`` REWRITTEN to the kept lines (newline-joined),
+    ``c4_lines_kept`` / ``c4_lines_dropped``, ``c4_n_sentences`` and
+    the boolean gate columns ``C4_RULES`` reads. Everything replays
+    exactly in SQL (contract query ``c4_rules``). Span-level
+    three-sentence dedup is the separate ``span_dedup`` stage."""
+    t = F.col(text_col)
+    # materialize each intermediate array/string ONCE per stage
+    # (inline HOF subtrees re-evaluate per reference — see
+    # quality_score)
+    docs = docs.withColumn(
+        "__lines",
+        F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != ""),
+    ).withColumn(
+        "__kept",
+        F.filter(
+            F.col("__lines"),
+            lambda l: F.rtrim(l).rlike(r'[.!?"]$')
+            & (
+                F.size(
+                    F.filter(
+                        F.split(F.trim(l), r"\s+"), lambda w: w != ""
+                    )
+                )
+                >= 3
+            )
+            & ~F.lower(l).rlike(r"\bjavascript\b"),
+        ),
+    ).withColumn(
+        "__clean", F.array_join("__kept", "\n")
+    ).withColumn("__low", F.lower(F.col("__clean")))
+    n_sent = F.size(
+        F.filter(
+            F.split(F.col("__clean"), r"[.!?]+"),
+            lambda s: F.trim(s) != "",
+        )
+    )
+    gates = [
+        (~F.col("__low").contains("lorem ipsum")).alias("c4_no_lorem"),
+        (~F.col("__clean").contains("{")).alias("c4_no_brace"),
+    ]
+    if badwords:
+        pat = "|".join(
+            r"\b" + w.lower().replace(" ", r"\s+") + r"\b"
+            for w in badwords
+        )
+        gates.append((~F.col("__low").rlike(pat)).alias("c4_no_badword"))
+    return (
+        docs.select(
+            "*",
+            F.size("__kept").cast("bigint").alias("c4_lines_kept"),
+            (F.size("__lines") - F.size("__kept"))
+            .cast("bigint")
+            .alias("c4_lines_dropped"),
+            n_sent.cast("bigint").alias("c4_n_sentences"),
+            *gates,
+        )
+        .drop(text_col, "__lines", "__kept", "__low")
+        .withColumnRenamed("__clean", text_col)
+    )
+
+
+C4_RULES: list[tuple[str, str]] = [
+    ("c4_too_few_sentences", "c4_n_sentences >= 5"),
+    ("c4_brace", "c4_no_brace"),
+    ("c4_lorem_ipsum", "c4_no_lorem"),
+]

@@ -2,6 +2,7 @@
 
     [URL canonicalize + blocklist gate] -> exact dedup ->
     [line-level / substring boilerplate removal] ->
+    [C4 line-level cleaning rewrite] ->
     [benchmark n-gram decontamination] -> quality
     signals (word count, Gopher repetition stats, type-token ratio,
     unigram LM log-prob) -> declarative quality policy ->
@@ -55,6 +56,10 @@ def build_rules(args) -> list[tuple[str, str]]:
         from icicle_spark.functions.text import GOPHER_RULES
 
         rules.extend(GOPHER_RULES)
+    if getattr(args, "c4", False):
+        from icicle_spark.functions.text import C4_RULES
+
+        rules.extend(C4_RULES)
     return rules
 
 
@@ -254,6 +259,10 @@ def main(argv: list[str] | None = None) -> int:
                          "between each eval split and train; "
                          "per-split contamination lands in the "
                          "summary (the release gate)")
+    ap.add_argument("--c4", action="store_true",
+                    help="apply the C4 (Raffel et al. 2020 2.2) "
+                         "line-level cleaning rewrite and add its "
+                         "page gates to the policy")
     ap.add_argument("--gopher", action="store_true",
                     help="add the Gopher (Rae et al. 2021 A1.1) "
                          "signal set and its published rule bounds "
@@ -354,6 +363,14 @@ def main(argv: list[str] | None = None) -> int:
         docs = docs.drop(args.text_col).join(
             cleaned, on=args.id_col, how="inner"
         )
+    if args.c4:
+        # C4 line-level cleaning REWRITES the text (terminal-punct /
+        # 3-word / javascript line filters); its page-gate columns
+        # ride into the signal stage for C4_RULES
+        from icicle_spark.functions.text import c4_clean
+
+        docs = c4_clean(docs, args.text_col)
+        docs = docs.withColumnRenamed("c4_lines_dropped", "__c4_lines_rm")
 
     # 2. benchmark decontamination (broadcast gram index), optionally
     # followed by embedding-space decontamination (paraphrases share
@@ -385,7 +402,8 @@ def main(argv: list[str] | None = None) -> int:
     n_clean = docs.count()
     for col, key in (("__lines_rm", "lines_removed"),
                      ("__tokens_rm", "tokens_removed"),
-                     ("__span_tokens_rm", "span_tokens_removed")):
+                     ("__span_tokens_rm", "span_tokens_removed"),
+                     ("__c4_lines_rm", "c4_lines_removed")):
         if col in docs.columns:
             removal_totals[key] = int(
                 docs.agg(F.sum(col)).first()[0] or 0

@@ -103,3 +103,91 @@ def test_curation_gopher_preset(spark, tmp_path):
     kept = spark.read.parquet(os.path.join(out, "kept")).toPandas()
     assert list(kept.doc_id) == [1]
     assert "stop_hits" in kept.columns
+
+
+def _py_c4(text):
+    lines = [l for l in text.split("\n") if l.strip()]
+    kept = [l for l in lines
+            if l.rstrip()[-1:] in '.!?"'
+            and len(l.split()) >= 3
+            and "javascript" not in l.lower()]
+    clean = "\n".join(kept)
+    import re
+    sents = [s for s in re.split(r"[.!?]+", clean) if s.strip()]
+    return (clean, len(kept), len(lines) - len(kept), len(sents),
+            "lorem ipsum" not in clean.lower(), "{" not in clean)
+
+
+def test_c4_clean_python_parity(spark):
+    from icicle_spark.functions.text import c4_clean
+
+    rows = [
+        (1, "A good long sentence here.\nshort one\n"
+            "no terminal punctuation line\n"
+            "Another solid sentence stands here!\n"
+            "Uses javascript for menus.\n"
+            "Is this a question? Yes it is.\n"
+            "The final full sentence closes things.\n"
+            "And one more for good measure.\n"
+            "Plus another sentence to clear five."),
+        (2, "Contains a { curly brace here.\nAlso lorem ipsum text "
+            "filler sentence.\nGood sentence number one stands.\n"
+            "Good sentence number two stands.\nGood sentence number "
+            "three stands.\nGood sentence number four stands.\nGood "
+            "sentence number five stands."),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in c4_clean(df).collect()}
+    for i, t in rows:
+        clean, nk, nd, ns, nolorem, nobrace = _py_c4(t)
+        r = got[i]
+        assert r.text == clean, i
+        assert r.c4_lines_kept == nk
+        assert r.c4_lines_dropped == nd
+        assert r.c4_n_sentences == ns
+        assert r.c4_no_lorem == nolorem
+        assert r.c4_no_brace == nobrace
+
+
+def test_c4_badwords_gate(spark):
+    from icicle_spark.functions.text import c4_clean
+
+    df = spark.createDataFrame(
+        [(1, "A perfectly clean sentence stands here."),
+         (2, "A very naughtyword sentence stands here.")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.c4_no_badword
+           for r in c4_clean(df, badwords=["naughtyword"]).collect()}
+    assert out == {1: True, 2: False}
+
+
+def test_curation_c4_preset(spark, tmp_path):
+    import json
+    import os
+
+    import pandas as pd
+
+    from jobs.run_curation import main
+
+    good = "\n".join(
+        f"This is a complete factual sentence number {i} here."
+        for i in range(8))
+    brace = good + "\nA stray { brace lives in this sentence."
+    rows = [(1, good), (2, brace)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    assert main([
+        "--input", src, "--output", out, "--min-words", "3",
+        "--no-logprob", "--max-dup2", "1.0",
+        "--min-distinct-ratio", "0.0", "--c4",
+    ]) == 0
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["dropped_by_reason"] == {"c4_brace": 1}
+    assert "c4_lines_removed" in summary
+    kept = spark.read.parquet(os.path.join(out, "kept")).toPandas()
+    assert list(kept.doc_id) == [1]
