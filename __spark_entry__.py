@@ -3030,6 +3030,40 @@ ORDER BY doc_id
 """
 
 
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training shuffle + balanced sharding
+    (post-packing dataloader layout): shard and within-shard order
+    are pure md5 functions of the id, replayed exactly — including
+    each row's final position in its shard file."""
+    from pyspark.sql import Window as W
+
+    from icicle_spark.operators.packing import assign_shards
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    s = assign_shards(d, 16, id_col="doc_id")
+    w = W.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return s.select(
+        "doc_id", "shard", "shuffle_key",
+        F.row_number().over(w).cast("bigint").alias("position"),
+    ).orderBy("doc_id")
+
+
+_SHARD_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(doc_id || ':s0'), 1, 15)) AS UBIGINT)
+           ::BIGINT AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key % 16 AS shard, shuffle_key,
+       row_number() OVER (PARTITION BY shuffle_key % 16
+                          ORDER BY shuffle_key, doc_id)::BIGINT
+         AS position
+FROM s
+ORDER BY doc_id
+"""
+
+
 def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning (Raffel et al. 2020 §2.2): line-level terminal-
     punctuation / 3-word / javascript filters then page gates. Docs
@@ -4880,6 +4914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "gopher_rules": q_gopher_rules,
         "c4_rules": q_c4_rules,
+        "shard_assign": q_shard_assign,
         # quality_classifier: no_oracle by design (LogisticRegression
         # training is not SQL-expressible; pytest pins behavior)
         "quality_classifier": q_quality_classifier,
@@ -5010,6 +5045,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _DSIR_SQL,
         "gopher_rules": _GOPHER_SQL,
         "c4_rules": _C4_SQL,
+        "shard_assign": _SHARD_SQL,
         "embed_topk": _EMBED_SQL,
         "source_postcomp": _SOURCE_POSTCOMP_SQL,
         "source_case": _SOURCE_CASE_SQL,

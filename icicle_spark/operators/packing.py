@@ -159,3 +159,72 @@ def pack_token_sequences(
             F.col("n_docs").cast("bigint").alias("n_docs"),
         )
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "seq_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global training shuffle + balanced sharding: the
+    step after packing, where the sequence stream is randomized (so a
+    dataloader reading shards in order sees an i.i.d.-looking stream)
+    and split into equal shards for parallel consumption.
+
+    ``shard`` and ``shuffle_key`` are pure functions of
+    ``(id, seed)`` via the portable md5 60-bit hash — the same rows
+    land in the same shard, in the same within-shard order, at any
+    parallelism, on any rerun, in any engine (``Dataset.shuffle`` /
+    ``rand()`` give none of these). Hash-mod sharding balances shard
+    sizes to within sampling noise regardless of input order or skew.
+
+    Write pattern (see ``jobs/run_tokenize.py --shards``): repartition
+    on ``shard``, sort within partitions by ``(shard, shuffle_key)``,
+    ``partitionBy("shard")`` — one exchange, shard files internally
+    ordered, no global sort."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col(id_col).cast("string"), F.lit(f":s{seed}"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return df.withColumn("shard", F.pmod(h, F.lit(n_shards))).withColumn(
+        "shuffle_key", h
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "seq_id",
+    seed: int = 0,
+    token_col: str | None = "tokens",
+) -> list[dict]:
+    """Materialize :func:`assign_shards` as ``shard=N/`` parquet
+    directories, each internally ordered by the shuffle key, and
+    return the per-shard manifest (rows + tokens; ``n_shards`` rows —
+    bounded driver collect). ONE exchange: the repartition on
+    ``shard`` feeds both the write and nothing else."""
+    sharded = (
+        assign_shards(df, n_shards, id_col, seed)
+        .repartition("shard")
+        .sortWithinPartitions("shard", "shuffle_key")
+    )
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+    out = df.sparkSession.read.parquet(path)
+    aggs = [F.count("*").alias("rows")]
+    if token_col and token_col in df.columns:
+        aggs.append(F.sum(F.size(token_col)).alias("tokens"))
+    return [
+        {k: int(v) for k, v in r.asDict().items()}
+        for r in out.groupBy("shard").agg(*aggs).orderBy("shard").collect()
+    ]

@@ -58,6 +58,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-eos", action="store_true")
     ap.add_argument("--no-pack", action="store_true",
                     help="stop after remap; write tokenized docs only")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="after packing: deterministic global shuffle "
+                    "+ write N balanced shard=K/ dirs with a per-shard "
+                    "manifest (0 = single packed.parquet)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -159,10 +163,23 @@ def main(argv: list[str] | None = None) -> int:
         packed = pack_token_sequences(
             dense, "tokens", order_cols=order, seq_len=args.seq_len, eos=eos
         )
-        packed.write.mode("overwrite").parquet(
-            os.path.join(args.output, "packed.parquet")
-        )
-        packed_rows = packed.count()
+        if args.shards:
+            from icicle_spark.operators.packing import write_shards
+
+            manifest = write_shards(
+                packed, os.path.join(args.output, "packed_shards"),
+                args.shards, id_col="seq_id", seed=args.seed,
+            )
+            with open(
+                os.path.join(args.output, "shard_manifest.json"), "w"
+            ) as f:
+                json.dump(manifest, f, indent=2)
+            packed_rows = sum(m["rows"] for m in manifest)
+        else:
+            packed.write.mode("overwrite").parquet(
+                os.path.join(args.output, "packed.parquet")
+            )
+            packed_rows = packed.count()
 
     summary = {
         "n_docs": n_docs,

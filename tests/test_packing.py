@@ -154,3 +154,55 @@ def test_remap_plan_broadcasts_vocab(spark):
     vocab = spark.createDataFrame([(1, 10)], "token int, new_id int")
     plan = remap_tokens(docs, vocab)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_assign_shards_balanced_and_deterministic(spark):
+    from icicle_spark.operators.packing import assign_shards
+
+    import pytest as _pt
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "seq_id")
+    a = assign_shards(df, 8).toPandas().set_index("seq_id").sort_index()
+    b = (
+        assign_shards(df.repartition(13), 8)
+        .toPandas()
+        .set_index("seq_id")
+        .sort_index()
+    )
+    assert (a.shard == b.shard).all() and (
+        a.shuffle_key == b.shuffle_key
+    ).all()
+    sizes = a.groupby("shard").size()
+    assert len(sizes) == 8
+    assert sizes.min() > 0.7 * sizes.max()  # hash-balanced
+    c = assign_shards(df, 8, seed=1).toPandas().set_index("seq_id")
+    assert (a.shard != c.sort_index().shard).any()  # seed redraws
+    with _pt.raises(ValueError):
+        assign_shards(df, 0)
+
+
+def test_write_shards_manifest_and_order(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from icicle_spark.operators.packing import (
+        assign_shards,
+        write_shards,
+    )
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("seq_id"),
+        F.array_repeat((F.col("id") % 7).cast("int"), 3).alias("tokens"),
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_shards(df, path, 4)
+    assert [m["shard"] for m in manifest] == [0, 1, 2, 3]
+    assert sum(m["rows"] for m in manifest) == 500
+    assert all(m["tokens"] == m["rows"] * 3 for m in manifest)
+    # each shard file is internally ordered by the shuffle key and
+    # holds exactly the hash-assigned ids
+    want = assign_shards(df, 4).toPandas()
+    got = spark.read.parquet(path).toPandas()
+    for s in range(4):
+        w = want[want.shard == s]
+        g = got[got.shard == s]
+        assert set(g.seq_id) == set(w.seq_id)
