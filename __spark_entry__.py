@@ -4852,9 +4852,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and their function bodies are unchanged since their r3
         # creation commits — git -S verified)
         "bigram_logprob": q_bigram_logprob,
-        "source_group_fold": q_source_group_fold,
+        # (source_group_fold rotated out end-r4 for c4_rules: the
+        # source grammar keeps FIVE in-window certificates
+        # (source_scan/tuple/case/circular/postcomp) plus the
+        # golden-corpus replay; c4_clean is NEW end-r4 code — the
+        # md5-certified line-rewrite + page-gate cascade)
+        "c4_rules": q_c4_rules,
         "span_dedup": q_span_dedup,
-        "quality_filter": q_quality_filter,
+        # (quality_filter rotated out end-r4 for gopher_rules, which
+        # runs the SAME quality_filter cascade end-to-end over the
+        # new Gopher signal set — a strict superset certificate)
+        "gopher_rules": q_gopher_rules,
         "temperature_mix": q_temperature_mix,
         # (decontaminate rotated out late-r4 for the NEW MPEG-1
         # motion-compensated codec certificate: decontaminate is
@@ -4900,6 +4908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         # ---- position 51+: driver-certified in r01/r02/r03 ----
         "token_freq": q_token_freq,
+        "quality_filter": q_quality_filter,
+        "source_group_fold": q_source_group_fold,
         # skew_report: locally oracle-verified at sf0.01 and sf0.1
         # (window slots go to never-certified queries; this one is a
         # groupBy + TakeOrderedAndProject whose DuckDB parity runs in
@@ -4908,12 +4918,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # split_leakage: locally oracle-verified at sf0.01 and sf0.1
         # (same out-of-window rationale as skew_report)
         "split_leakage": q_split_leakage,
-        # dsir_select / gopher_rules: locally oracle-verified at
+        # dsir_select / shard_assign: locally oracle-verified at
         # sf0.01 and sf0.1 (same out-of-window rationale as
         # skew_report)
         "dsir_select": q_dsir_select,
-        "gopher_rules": q_gopher_rules,
-        "c4_rules": q_c4_rules,
         "shard_assign": q_shard_assign,
         # quality_classifier: no_oracle by design (LogisticRegression
         # training is not SQL-expressible; pytest pins behavior)
