@@ -54,13 +54,35 @@ def _gram_strings(text_col):
 
 
 def _featurize(docs: DataFrame, text_col: str, buckets: int) -> DataFrame:
-    from pyspark.ml.feature import HashingTF
+    """Term-frequency SparseVectors over ``pmod(hash(term), buckets)``
+    — the ONE bucket definition shared by training and the
+    MLlib-free serving path (:func:`score_exported`). The term hash
+    stays JVM-side (``F.hash`` = murmur3; HashingTF's variant is not
+    expressible as a Column, so we standardize on this one); the only
+    Python is the assembly of int bucket lists into SparseVectors
+    (VectorUDT is not Arrow-transferable, so this is a plain UDF),
+    paid on the (small) training/model-scoring frames — the
+    corpus-scale serving path (:func:`score_exported`) has no UDF at
+    all."""
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+    from pyspark.sql.functions import udf
 
-    g = docs.withColumn("__grams", _gram_strings(F.col(text_col)))
-    tf = HashingTF(
-        inputCol="__grams", outputCol="features", numFeatures=buckets
+    @udf(VectorUDT())
+    def _assemble(b):  # list[int] -> SparseVector
+        from collections import Counter
+
+        c = Counter(b or [])
+        idx = sorted(c)
+        return SparseVector(buckets, idx, [float(c[i]) for i in idx])
+
+    g = docs.withColumn(
+        "__b",
+        F.transform(
+            _gram_strings(F.col(text_col)),
+            lambda t: F.pmod(F.hash(t), F.lit(buckets)),
+        ),
     )
-    return tf.transform(g).drop("__grams")
+    return g.withColumn("features", _assemble("__b")).drop("__b")
 
 
 def train_quality_classifier(
@@ -139,4 +161,71 @@ def pareto_keep(
     pareto = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
     return scored.withColumn(
         "kept", F.col(score_col) > (F.lit(1.0) - pareto)
+    )
+
+
+def export_weights(model, spark=None):
+    """Export the fitted model as ``(weights_df, intercept)`` where
+    ``weights_df`` holds the NONZERO coefficients as ``(bucket:int,
+    weight:double)`` — the persisted, engine-agnostic form a 100 TB
+    deployment scores with (train once here; every later refresh
+    needs only this parquet + :func:`score_exported`, no MLlib on
+    the scoring path). Regularized models are sparse, so the table
+    is far below the ``buckets`` bound and always broadcastable."""
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    coef = model.coefficients
+    idx = getattr(coef, "indices", None)
+    if idx is not None:
+        pairs = [
+            (int(i), float(v)) for i, v in zip(coef.indices, coef.values)
+            if v != 0.0
+        ]
+    else:
+        pairs = [(i, float(v)) for i, v in enumerate(coef) if v != 0.0]
+    w = spark.createDataFrame(pairs, "bucket bigint, weight double")
+    return w, float(model.intercept)
+
+
+def score_exported(
+    docs: DataFrame,
+    weights: DataFrame,
+    intercept: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = _B_DEFAULT,
+) -> DataFrame:
+    """LR inference from an exported weight table, no MLlib: explode
+    the uni+bigram terms, reproduce ``HashingTF``'s bucket as
+    ``pmod(hash(term), buckets)`` (Spark's ``hash`` IS the murmur3
+    seed-42 HashingTF uses on strings), broadcast-join the weight
+    table, ``sigmoid(intercept + sum(w))`` per doc. One corpus scan,
+    one per-doc groupBy — bit-identical to
+    :func:`score_quality` on the same model (pinned in
+    tests/test_quality_model.py).
+
+    Docs with no terms keep their spine row and score
+    ``sigmoid(intercept)``."""
+    spine = docs.select(id_col)
+    toks = docs.select(
+        id_col,
+        F.explode(_gram_strings(F.col(text_col))).alias("__g"),
+    ).withColumn("__b", F.pmod(F.hash("__g"), F.lit(buckets)))
+    w = weights.select(
+        F.col("bucket").alias("__b"), F.col("weight").alias("__wt")
+    )
+    per_doc = (
+        toks.join(F.broadcast(w), "__b", "left")
+        .fillna({"__wt": 0.0})
+        .groupBy(id_col)
+        .agg(F.sum("__wt").alias("__s"))
+    )
+    scored = spine.join(per_doc, id_col, "left").fillna({"__s": 0.0})
+    return scored.select(
+        id_col,
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.lit(float(intercept)) + F.col("__s"))))
+        ).alias("quality_prob"),
     )

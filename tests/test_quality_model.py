@@ -106,3 +106,28 @@ def test_model_roundtrip(tmp_path, corpora, model):
         for r in score_quality(mixed, loaded, buckets=B).collect()
     }
     assert a == b
+
+
+def test_exported_weights_score_parity(corpora, model):
+    """Train once, score forever without MLlib: the exported
+    (bucket, weight) table + pmod(hash(term), B) reproduces the
+    model's probabilities (HashingTF's murmur3 replicated as a
+    Column expression)."""
+    from icicle_spark.operators.quality_model import (
+        export_weights,
+        score_exported,
+    )
+
+    _, _, mixed = corpora
+    w, b = export_weights(model)
+    a = {
+        r.doc_id: r.quality_prob
+        for r in score_quality(mixed, model, buckets=B).collect()
+    }
+    c = {
+        r.doc_id: r.quality_prob
+        for r in score_exported(mixed, w, b, buckets=B).collect()
+    }
+    assert set(a) == set(c)
+    for i in a:
+        assert a[i] == pytest.approx(c[i], rel=1e-9, abs=1e-12)
