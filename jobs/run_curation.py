@@ -7,6 +7,7 @@
     signals (word count, Gopher repetition stats, type-token ratio,
     unigram LM log-prob) -> declarative quality policy ->
     [DSIR importance resampling toward a target seed] ->
+    [trained quality-classifier Pareto gate] ->
     [per-domain quota cap] -> [temperature source rebalancing] ->
     [leakage-safe train/val/test split] ->
     kept / dropped(+reason) parquet + a per-reason summary
@@ -282,6 +283,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dsir-buckets", type=int, default=10_000,
                     help="hashed n-gram feature buckets")
     ap.add_argument("--dsir-seed", type=int, default=0)
+    ap.add_argument("--qmodel-target", default="",
+                    help="train a seed-vs-crawl logistic quality "
+                         "classifier on this Spark-SQL boolean seed "
+                         "definition and gate the kept corpus with "
+                         "the deterministic Pareto rule")
+    ap.add_argument("--qmodel-path", default="",
+                    help="score with a PRETRAINED LogisticRegression"
+                         "Model directory instead of training")
+    ap.add_argument("--qmodel-alpha", type=float, default=9.0,
+                    help="Pareto shape of the keep gate (GPT-3 uses "
+                         "9); larger = closer to a hard threshold")
+    ap.add_argument("--qmodel-buckets", type=int, default=1 << 18)
     ap.add_argument("--rule", action="append", default=[],
                     metavar="REASON:PASS_EXPR",
                     help="extra policy rule: boolean Spark-SQL PASS "
@@ -496,6 +509,45 @@ def main(argv: list[str] | None = None) -> int:
         )
         mix_info["dsir_keep"] = args.dsir_keep
         mix_info["dsir_target"] = args.dsir_target_path or args.dsir_target
+    if args.qmodel_target or args.qmodel_path:
+        # 4.45 model-based quality gate (GPT-3/CCNet classifier):
+        # train on the declared seed (or load a persisted model),
+        # score every kept doc (one scan, broadcast coefficients),
+        # keep via the deterministic Pareto rule
+        from icicle_spark.operators.quality_model import (
+            pareto_keep,
+            score_quality,
+            train_quality_classifier,
+        )
+        from icicle_spark.operators.sampling import deterministic_sample
+
+        if args.qmodel_path:
+            from pyspark.ml.classification import LogisticRegressionModel
+
+            qmodel = LogisticRegressionModel.load(args.qmodel_path)
+        else:
+            pos = kept_df.where(args.qmodel_target)
+            neg = deterministic_sample(
+                kept_df.where(f"NOT ({args.qmodel_target})"), 0.5,
+                args.id_col,
+            )
+            qmodel = train_quality_classifier(
+                pos, neg, text_col=args.text_col,
+                buckets=args.qmodel_buckets,
+            )
+        scored = score_quality(
+            kept_df, qmodel, text_col=args.text_col,
+            id_col=args.id_col, buckets=args.qmodel_buckets,
+        )
+        keep_ids = (
+            pareto_keep(scored, id_col=args.id_col,
+                        alpha=args.qmodel_alpha)
+            .where("kept")
+            .select(args.id_col)
+        )
+        kept_df = kept_df.join(keep_ids, on=args.id_col)
+        mix_info["qmodel"] = args.qmodel_path or args.qmodel_target
+        mix_info["qmodel_alpha"] = args.qmodel_alpha
     if args.cap_group:
         # 4.5 per-group quota (anti-spam): deterministic hash-ranked
         # survivors, one rank-window shuffle

@@ -131,3 +131,41 @@ def test_exported_weights_score_parity(corpora, model):
     assert set(a) == set(c)
     for i in a:
         assert a[i] == pytest.approx(c[i], rel=1e-9, abs=1e-12)
+
+
+def test_curation_qmodel_stage(spark, tmp_path):
+    import json
+    import os
+
+    import pandas as pd
+
+    from jobs.run_curation import main
+
+    seedish = ("the history of science shows careful empirical "
+               "reasoning about nature experiments evidence and "
+               "theory revision across centuries of scholarship")
+    spammy = ("buy cheap pills casino bonus click subscribe winner "
+              "prize jackpot offer discount promo code limited stock "
+              "order now today only")
+    rows = [(i, f"{seedish} topic {i}", "wiki") for i in range(6)]
+    rows += [(10 + i, f"{seedish} field notes on experiments {i}",
+              "web") for i in range(3)]
+    rows += [(20 + i, f"{spammy} variant {i}", "web") for i in range(6)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    assert main([
+        "--input", src, "--output", out, "--min-words", "3",
+        "--no-logprob", "--max-dup2", "1.0",
+        "--qmodel-target", "source = 'wiki'",
+        "--qmodel-alpha", "200",  # ~hard gate for a tiny corpus
+        "--qmodel-buckets", "4096",
+    ]) == 0
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["qmodel"] == "source = 'wiki'"
+    kept = spark.read.parquet(os.path.join(out, "kept")).toPandas()
+    # seed-like docs survive; the spam block is gated out
+    assert set(kept.doc_id) <= set(range(0, 14))
+    assert len(kept) >= 6
