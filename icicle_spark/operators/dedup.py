@@ -973,24 +973,34 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs. All-pairs within optional
     blocking column (e.g. ``lang``) — the exact (small-scale /
-    verification) counterpart of :func:`minhash_dedup_pairs`."""
+    verification) counterpart of :func:`minhash_dedup_pairs`.
+
+    Each side's DISTINCT shingle set materializes ONCE before the
+    self-join (same lesson as the MinHash gram-set verify: scoring
+    per pair over pre-shingled arrays, never re-tokenizing text per
+    partner — a doc in a b-doc block would otherwise shingle b
+    times)."""
     sel = [F.col(id_col), F.col(text_col)]
     on = []
     if block_col:
         sel.append(F.col(block_col))
         on = [block_col]
-    base = docs.select(*sel)
+    base = docs.select(*sel).withColumn(
+        "__sh", F.array_distinct(shingles(F.col(text_col), shingle_n))
+    )
     a = base.select(
-        *on, F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
+        *on, F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa")
     )
     b = base.select(
-        *on, F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")
+        *on, F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb")
     )
     cand = (a.join(b, on=on) if on else a.crossJoin(b)).where(
         F.col("id_a") < F.col("id_b")
     )
     return (
-        cand.withColumn("jaccard", jaccard(F.col("__ta"), F.col("__tb"), shingle_n))
+        cand.withColumn(
+            "jaccard", _jaccard_grams(F.col("__sa"), F.col("__sb"))
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
