@@ -365,6 +365,72 @@ def main() -> int:
         ],
     )
 
+    # Fingerprint near-dup (phash/afp/vhash share this join): the
+    # banded candidate generation must stay an equi-join on
+    # (band, key) over DISTINCT hash values — never a cartesian or
+    # nested-loop pass — and popcount/bands are JVM expressions.
+    from icicle_spark.operators.phash import hamming_pairs
+
+    fps = spark.createDataFrame(
+        [(i, (i * 2654435761) & ((1 << 64) - 1) - (1 << 63))
+         for i in range(500)],
+        "doc_id bigint, fp bigint",
+    )
+    t12 = plan_text(hamming_pairs(fps, hash_col="fp", max_distance=3))
+    check(
+        "banded hamming fingerprint join",
+        t12,
+        [
+            ("candidates via equi-join, never cartesian/nested-loop",
+             "CartesianProduct" not in t12
+             and "BroadcastNestedLoopJoin" not in t12),
+            ("band keys + popcount are JVM exprs (no Python eval)",
+             "BatchEvalPython" not in t12 and "ArrowEvalPython" not in t12),
+        ],
+    )
+
+    # DSIR scoring: the per-bucket log-ratio table broadcasts into the
+    # single corpus scan; raw text never rides an exchange (only
+    # (id, bucket) pairs reach the per-doc groupBy).
+    from icicle_spark.operators.dsir import dsir_logweights
+
+    t13 = plan_text(
+        dsir_logweights(docs, docs.where("doc_id < 20"), buckets=1 << 12)
+    )
+    check(
+        "dsir importance weights",
+        t13,
+        [
+            ("log-ratio table broadcast into the scoring scan",
+             "BroadcastHashJoin" in t13),
+            ("raw text never reaches an exchange",
+             "text" not in _exchange_payloads(t13)),
+        ],
+    )
+
+    # Quality-classifier serving: exported weight table broadcast,
+    # text stays out of every shuffle, sigmoid is a JVM expression.
+    from icicle_spark.operators.quality_model import score_exported
+
+    wtab = spark.createDataFrame(
+        [(b, 0.01 * b) for b in range(64)], "bucket int, weight double"
+    )
+    t14 = plan_text(
+        score_exported(docs, wtab, intercept=-0.5, buckets=1 << 12)
+    )
+    check(
+        "quality classifier serving",
+        t14,
+        [
+            ("weight table broadcast (no vocab-wide shuffle join)",
+             "BroadcastHashJoin" in t14),
+            ("text never reaches an exchange",
+             "text" not in _exchange_payloads(t14)),
+            ("inference is pure JVM (no Python eval in the plan)",
+             "BatchEvalPython" not in t14 and "ArrowEvalPython" not in t14),
+        ],
+    )
+
     print("=====")
     if failures:
         print("PLAN AUDIT FAILURES:", *failures, sep="\n  ")
