@@ -2367,6 +2367,42 @@ GROUP BY 1
 """
 
 
+def q_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split bin packing (the cross-doc-attention-free sibling of
+    pack_sequences): whole documents assigned to 1024-token bins by
+    harmonic class packing — class ``c = floor(1024/len)`` holds
+    exactly ``c`` docs per bin, numbered by a distributed per-class
+    prefix sum (window per (class, source) cell + a bounded
+    broadcast offset table; no single-partition global sort,
+    plan-asserted in tests). Oracle: the whole assignment replays as
+    ONE ANSI window function. Oversize docs route to the chunker
+    (dropped here)."""
+    from icicle_spark.operators.packing import bin_pack_documents
+
+    return bin_pack_documents(
+        _docs(spark, sf_dir),
+        length_col="n_chars",
+        order_cols=("source", "doc_id"),
+        seq_len=1024,
+        oversize="drop",
+    )
+
+
+_BIN_PACK_SQL = """
+WITH d AS (
+  SELECT doc_id, source, n_chars AS doc_len,
+         CAST(FLOOR(1024.0 / n_chars) AS BIGINT) AS cls
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0 AND n_chars <= 1024
+)
+SELECT source, doc_id, doc_len, cls,
+       CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY cls
+                                      ORDER BY source, doc_id) - 1)
+                  / CAST(cls AS DOUBLE)) AS BIGINT) AS bin_seq
+FROM d
+"""
+
+
 def q_vocab_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary remapping + OOV accounting: top-100 corpus tokens
     (freq desc, token asc) become ids 1..100; every document's token
@@ -4876,7 +4912,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "token_budget_mix": q_token_budget_mix,
         "quality_buckets": q_quality_buckets,
-        "bpe_pair_counts": q_bpe_pair_counts,
+        # (bpe_pair_counts rotated out end-r4 for bin_pack:
+        # bpe_top1_encode stays in-window and its top_pair step CALLS
+        # pair_counts — a strict-superset certificate, the same
+        # rationale as gopher_rules/quality_filter; bin_pack is NEW —
+        # no-split harmonic-class bin packing whose whole assignment
+        # replays as one ANSI window function)
+        "bin_pack": q_bin_pack,
         "bpe_top1_encode": q_bpe_top1_encode,
         # (bpe_merges rotated out for ogg_flac_features: bpe_merges
         # is rows-only by design — the driver's weaker check — while
@@ -4906,7 +4948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split": q_cluster_split,
         "source_mix": q_source_mix,
         "corpus_diff": q_corpus_diff,
-        # ---- position 51+: driver-certified in r01/r02/r03 ----
+        # ---- position 51+: driver-certified in r01/r02/r03, or
+        # covered by an in-window strict-superset certificate ----
+        "bpe_pair_counts": q_bpe_pair_counts,
         "token_freq": q_token_freq,
         "quality_filter": q_quality_filter,
         "source_group_fold": q_source_group_fold,
@@ -5103,6 +5147,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _REDACT_SQL,
         "unicode_norm": _UNICODE_NORM_SQL,
         "pack_sequences": _PACK_SEQ_SQL,
+        "bin_pack": _BIN_PACK_SQL,
         "vocab_remap": _VOCAB_REMAP_SQL,
         "chunk_docs": _CHUNK_SQL,
         "classifier_score": _CLASSIFIER_SQL,

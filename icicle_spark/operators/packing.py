@@ -228,3 +228,205 @@ def write_shards(
         {k: int(v) for k, v in r.asDict().items()}
         for r in out.groupBy("shard").agg(*aggs).orderBy("shard").collect()
     ]
+
+
+def bin_pack_documents(
+    df: DataFrame,
+    length_col: str = "n_tok",
+    order_cols: tuple[str, ...] = ("source", "doc_id"),
+    seq_len: int = 2048,
+    oversize: str = "error",
+    strategy: str = "class",
+) -> DataFrame:
+    """No-split bin packing: assign whole documents to fixed-capacity
+    training bins of ``seq_len`` tokens WITHOUT ever splitting a
+    document across bins (the cross-doc-attention-free alternative to
+    :func:`pack_token_sequences`; modern pretraining pipelines pack
+    this way so no window mixes unrelated documents).
+
+    Engine extension — no reference counterpart (the reference's array
+    surface stops at sort/index, SURVEY §2.7).
+
+    Returns one row per surviving document:
+    ``(*order_cols, doc_len, cls, bin_seq)`` — a document's bin is the
+    ``(cls, bin_seq)`` pair. Documents with ``length <= 0`` or a null
+    length are dropped; documents longer than ``seq_len`` cannot be
+    packed whole and follow ``oversize``: ``"error"`` (loud executor
+    raise, default) or ``"drop"`` (route them to the chunker first if
+    you want them kept).
+
+    ``strategy="class"`` (default, exact-oracle): harmonic class
+    packing. A document of length ``n`` falls in class
+    ``c = floor(seq_len / n)`` — i.e. ``seq_len/(c+1) < n <=
+    seq_len/c`` — so exactly ``c`` class-``c`` documents are
+    GUARANTEED to fit one bin, and every full bin is more than
+    ``c/(c+1)`` full. Within a class, documents are numbered in
+    ``order_cols`` order and chunked ``c``-at-a-time:
+    ``bin_seq = floor((ordinal - 1) / c)``. The global per-class
+    ordinal is a two-level distributed prefix sum exactly like
+    :func:`pack_token_sequences`: a row_number windowed per
+    ``(class, segment)`` cell (parallelism = classes x segments,
+    never a single-task global sort), plus a per-cell count table
+    (bounded: <= distinct classes x segments rows) cumulated on the
+    driver and broadcast-joined back. Deterministic at any
+    parallelism, and replayable in ANSI SQL as one window function —
+    the contract oracle.
+
+    ``strategy="ffd"``: first-fit-decreasing refinement (classes are
+    not used — ``cls`` is reported as -1). Each SEGMENT's documents
+    are packed by the classic FFD heuristic
+    (sort by length desc, place each doc into the lowest-numbered bin
+    with room, new bin otherwise) via one ``applyInPandas`` per
+    segment. Strictly tighter fill than
+    class packing on mixed-length corpora (FFD uses <= 11/9 OPT + 1
+    bins per segment), still deterministic, but sequential per
+    segment — size segments accordingly. Not SQL-replayable
+    (rows-only in the driver gate); fill superiority and bin validity
+    are pytest-pinned instead.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if len(order_cols) < 1:
+        raise ValueError("order_cols must name at least one column")
+    if oversize not in ("error", "drop"):
+        raise ValueError(f"oversize must be error|drop: {oversize!r}")
+    if strategy not in ("class", "ffd"):
+        raise ValueError(f"strategy must be class|ffd: {strategy!r}")
+    segment_col = order_cols[0]
+
+    n = F.col(length_col).cast("bigint")
+    d = df.select(*order_cols, n.alias("doc_len")).where(
+        F.col("doc_len").isNotNull() & (F.col("doc_len") > 0)
+    )
+    if oversize == "error":
+        d = d.withColumn(
+            "doc_len",
+            F.when(
+                F.col("doc_len") > seq_len,
+                F.raise_error(
+                    F.format_string(
+                        "bin_pack_documents: document longer than "
+                        f"seq_len={seq_len} (len=%s) — chunk it first "
+                        "or pass oversize='drop'",
+                        F.col("doc_len").cast("string"),
+                    )
+                ).cast("bigint"),
+            ).otherwise(F.col("doc_len")),
+        )
+    else:
+        d = d.where(F.col("doc_len") <= seq_len)
+
+    if strategy == "ffd":
+        return _ffd_pack(d, segment_col, order_cols, seq_len)
+
+    d = d.withColumn(
+        "cls", F.floor(F.lit(int(seq_len)) / F.col("doc_len"))
+    )
+
+    within = [F.col(c) for c in order_cols[1:]] or [F.lit(1)]
+    w = Window.partitionBy("cls", segment_col).orderBy(*within)
+    d = d.withColumn("__rn", F.row_number().over(w))
+
+    # per-(class, segment) counts -> driver cumsum per class in
+    # segment order -> broadcast offset table (a literal map would
+    # need classes x segments entries; the broadcast join scales)
+    cells = (
+        d.groupBy("cls", segment_col).agg(F.count("*").alias("__cnt"))
+    ).collect()
+    if any(r[segment_col] is None for r in cells):
+        raise ValueError(
+            f"bin_pack_documents: null value in segment column "
+            f"{segment_col!r} — order_cols must be a non-null unique key"
+        )
+    cells.sort(key=lambda r: (r["cls"], r[segment_col]))
+    rows, acc, prev_cls = [], 0, None
+    for r in cells:
+        if r["cls"] != prev_cls:
+            acc, prev_cls = 0, r["cls"]
+        rows.append((r["cls"], r[segment_col], acc))
+        acc += r["__cnt"]
+    spark = df.sparkSession
+    seg_ty = d.schema[segment_col].dataType.simpleString()
+    if not rows:
+        off = spark.createDataFrame(
+            [], f"cls bigint, {segment_col} {seg_ty}, __off bigint"
+        )
+    else:
+        off = spark.createDataFrame(
+            rows, f"cls bigint, {segment_col} {seg_ty}, __off bigint"
+        )
+    d = d.join(F.broadcast(off), ["cls", segment_col])
+    return d.select(
+        *order_cols,
+        "doc_len",
+        "cls",
+        F.floor((F.col("__off") + F.col("__rn") - 1) / F.col("cls")).alias(
+            "bin_seq"
+        ),
+    )
+
+
+def _ffd_pack(
+    d: DataFrame,
+    segment_col: str,
+    order_cols: tuple[str, ...],
+    seq_len: int,
+) -> DataFrame:
+    """Per-segment first-fit-decreasing packing (see
+    :func:`bin_pack_documents` ``strategy="ffd"``)."""
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in d.schema.fields
+    ) + ", cls bigint, bin_seq bigint"
+    tie = list(order_cols[1:])
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["doc_len", *tie], ascending=[False] + [True] * len(tie)
+        ).reset_index(drop=True)
+        # bins as a parallel pair of arrays (id -> remaining); FFD
+        # scans for the FIRST bin with room. A linear scan per doc is
+        # O(bins) worst case; keep a running max-remaining to skip the
+        # scan when nothing fits (the common new-bin case is O(1)).
+        remaining: list[int] = []
+        max_rem = -1
+        assign = []
+        for n_ in pdf["doc_len"].to_numpy():
+            n_ = int(n_)
+            if n_ <= max_rem:
+                for b, r in enumerate(remaining):
+                    if r >= n_:
+                        remaining[b] = r - n_
+                        assign.append(b)
+                        break
+            else:
+                remaining.append(seq_len - n_)
+                assign.append(len(remaining) - 1)
+            max_rem = max(remaining)
+        pdf["cls"] = -1
+        pdf["bin_seq"] = pd.Series(assign, dtype="int64")
+        return pdf
+
+    return d.repartition(segment_col).groupBy(segment_col).applyInPandas(
+        pack, out_schema
+    )
+
+
+def bin_fill_stats(
+    assigned: DataFrame,
+    seq_len: int,
+    segment_col: str | None = None,
+) -> DataFrame:
+    """Per-bin fill statistics over a :func:`bin_pack_documents`
+    result: ``(cls, bin_seq [, segment], n_docs, fill_tokens,
+    fill_ratio)`` — one map-side-combined groupBy, no other shuffle.
+    ``segment_col`` must be passed for ``strategy="ffd"`` output
+    (bin_seq is per-segment there)."""
+    keys = ["cls", "bin_seq"] + ([segment_col] if segment_col else [])
+    return assigned.groupBy(*keys).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_len").alias("fill_tokens"),
+        (F.sum("doc_len") / F.lit(float(seq_len))).alias("fill_ratio"),
+    )

@@ -206,3 +206,146 @@ def test_write_shards_manifest_and_order(spark, tmp_path):
         w = want[want.shard == s]
         g = got[got.shard == s]
         assert set(g.seq_id) == set(w.seq_id)
+
+
+# ---------------------------------------------------------------- bin packing
+
+
+def _bp_docs(spark, rng, n=200, max_len=40):
+    rows = [
+        (f"src{rng.randrange(4)}", f"d{i:04d}", rng.randrange(1, max_len + 1))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "source string, doc_id string, n_tok bigint"
+    ), rows
+
+
+def test_bin_pack_class_valid_and_exact(spark):
+    """Class packing: every bin holds <= cls docs and <= seq_len
+    tokens; full bins exceed the c/(c+1) harmonic fill bound; the
+    assignment equals a pure-Python replay of the same numbering."""
+    from icicle_spark.operators.packing import (
+        bin_fill_stats,
+        bin_pack_documents,
+    )
+
+    rng = random.Random(7)
+    df, rows = _bp_docs(spark, rng)
+    L = 32
+    got = {
+        (r["source"], r["doc_id"]): (r["cls"], r["bin_seq"])
+        for r in bin_pack_documents(
+            df, length_col="n_tok", seq_len=L, oversize="drop"
+        ).collect()
+    }
+    # python replay: ordinal within class over (source, doc_id) order
+    by_cls: dict = {}
+    for src, did, n in sorted(rows):
+        if not 0 < n <= L:
+            continue
+        c = L // n
+        by_cls.setdefault(c, []).append((src, did))
+    want = {}
+    for c, members in by_cls.items():
+        for i, k in enumerate(members):
+            want[k] = (c, i // c)
+    assert got == want
+
+    st = bin_fill_stats(
+        bin_pack_documents(df, length_col="n_tok", seq_len=L,
+                           oversize="drop"), L
+    )
+    bad = st.where(
+        (F.col("fill_tokens") > L) | (F.col("n_docs") > F.col("cls"))
+    ).count()
+    assert bad == 0
+    # harmonic bound on FULL bins (n_docs == cls)
+    full = st.where(F.col("n_docs") == F.col("cls")).collect()
+    assert full, "expected at least one full bin"
+    for r in full:
+        assert r["fill_ratio"] > r["cls"] / (r["cls"] + 1.0)
+
+
+def test_bin_pack_deterministic_under_repartition(spark):
+    from icicle_spark.operators.packing import bin_pack_documents
+
+    rng = random.Random(11)
+    df, _ = _bp_docs(spark, rng, n=300)
+    a = sorted(
+        map(tuple, bin_pack_documents(df, length_col="n_tok",
+                                      seq_len=64).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            bin_pack_documents(
+                df.repartition(13), length_col="n_tok", seq_len=64
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_bin_pack_oversize_error_and_drop(spark):
+    from icicle_spark.operators.packing import bin_pack_documents
+
+    df = spark.createDataFrame(
+        [("s", "a", 10), ("s", "b", 99)],
+        "source string, doc_id string, n_tok bigint",
+    )
+    with pytest.raises(Exception, match="longer than seq_len"):
+        bin_pack_documents(df, length_col="n_tok", seq_len=32).collect()
+    kept = bin_pack_documents(
+        df, length_col="n_tok", seq_len=32, oversize="drop"
+    ).collect()
+    assert [r["doc_id"] for r in kept] == ["a"]
+
+
+def test_bin_pack_ffd_tighter_and_valid(spark):
+    """FFD never overflows a bin, is deterministic, and uses no more
+    bins than class packing on the same corpus (strictly fewer on
+    mixed-length corpora like this one)."""
+    from icicle_spark.operators.packing import (
+        bin_fill_stats,
+        bin_pack_documents,
+    )
+
+    rng = random.Random(3)
+    df, _ = _bp_docs(spark, rng, n=400, max_len=60)
+    L = 64
+    ffd = bin_pack_documents(
+        df, length_col="n_tok", seq_len=L, strategy="ffd"
+    )
+    stf = bin_fill_stats(ffd, L, segment_col="source")
+    assert stf.where(F.col("fill_tokens") > L).count() == 0
+    n_ffd = stf.count()
+    n_cls = bin_fill_stats(
+        bin_pack_documents(df, length_col="n_tok", seq_len=L), L
+    ).count()
+    assert n_ffd <= n_cls
+    # determinism under repartition
+    a = sorted(map(tuple, ffd.collect()))
+    b = sorted(
+        map(
+            tuple,
+            bin_pack_documents(
+                df.repartition(17), length_col="n_tok", seq_len=L,
+                strategy="ffd",
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_bin_pack_class_no_global_single_partition_window(spark):
+    """The class numbering must window per (cls, segment), never a
+    one-partition global sort."""
+    from icicle_spark.operators.packing import bin_pack_documents
+
+    rng = random.Random(5)
+    df, _ = _bp_docs(spark, rng)
+    plan = bin_pack_documents(
+        df, length_col="n_tok", seq_len=64
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

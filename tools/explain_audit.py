@@ -431,6 +431,31 @@ def main() -> int:
         ],
     )
 
+    # No-split bin packing (class strategy): the per-class numbering
+    # must window per (cls, segment) — never a single-partition global
+    # sort — with the offset table arriving broadcast.
+    from icicle_spark.operators.packing import bin_pack_documents
+
+    ldocs = spark.createDataFrame(
+        [(f"s{i % 5}", i, 1 + (i * 37) % 64) for i in range(400)],
+        "source string, doc_id bigint, n_tok bigint",
+    )
+    binned = bin_pack_documents(ldocs, length_col="n_tok", seq_len=64)
+    t15 = plan_text(binned)
+    t15_exec = binned._jdf.queryExecution().executedPlan().toString()
+    check(
+        "bin packing (class strategy)",
+        t15,
+        [
+            ("no single-partition global window",
+             "SinglePartition" not in t15_exec),
+            ("offset table joins back broadcast",
+             "BroadcastHashJoin" in t15),
+            ("assignment is pure JVM (no Python eval)",
+             "BatchEvalPython" not in t15 and "ArrowEvalPython" not in t15),
+        ],
+    )
+
     print("=====")
     if failures:
         print("PLAN AUDIT FAILURES:", *failures, sep="\n  ")
