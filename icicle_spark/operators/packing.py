@@ -237,6 +237,7 @@ def bin_pack_documents(
     seq_len: int = 2048,
     oversize: str = "error",
     strategy: str = "class",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """No-split bin packing: assign whole documents to fixed-capacity
     training bins of ``seq_len`` tokens WITHOUT ever splitting a
@@ -248,8 +249,10 @@ def bin_pack_documents(
     surface stops at sort/index, SURVEY §2.7).
 
     Returns one row per surviving document:
-    ``(*order_cols, doc_len, cls, bin_seq)`` — a document's bin is the
-    ``(cls, bin_seq)`` pair. Documents with ``length <= 0`` or a null
+    ``(*order_cols, *extra_cols, doc_len, cls, bin_seq)`` — a
+    document's bin is the ``(cls, bin_seq)`` pair (``extra_cols``
+    ride through untouched, e.g. the token arrays
+    :func:`materialize_bins` concatenates). Documents with ``length <= 0`` or a null
     length are dropped; documents longer than ``seq_len`` cannot be
     packed whole and follow ``oversize``: ``"error"`` (loud executor
     raise, default) or ``"drop"`` (route them to the chunker first if
@@ -295,7 +298,7 @@ def bin_pack_documents(
     segment_col = order_cols[0]
 
     n = F.col(length_col).cast("bigint")
-    d = df.select(*order_cols, n.alias("doc_len")).where(
+    d = df.select(*order_cols, *extra_cols, n.alias("doc_len")).where(
         F.col("doc_len").isNotNull() & (F.col("doc_len") > 0)
     )
     if oversize == "error":
@@ -358,6 +361,7 @@ def bin_pack_documents(
     d = d.join(F.broadcast(off), ["cls", segment_col])
     return d.select(
         *order_cols,
+        *extra_cols,
         "doc_len",
         "cls",
         F.floor((F.col("__off") + F.col("__rn") - 1) / F.col("cls")).alias(
@@ -430,3 +434,116 @@ def bin_fill_stats(
         F.sum("doc_len").alias("fill_tokens"),
         (F.sum("doc_len") / F.lit(float(seq_len))).alias("fill_ratio"),
     )
+
+
+def materialize_bins(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    order_cols: tuple[str, ...] = ("source", "doc_id"),
+    seq_len: int = 2048,
+    strategy: str = "class",
+    eos: int | None = None,
+    pad: int | None = None,
+    split_oversize: bool = True,
+) -> DataFrame:
+    """Turn a token corpus into no-split training windows: the
+    end-to-end form of :func:`bin_pack_documents` (which only assigns)
+    — returns ``(bin_id string, tokens array, n_tok int, n_docs
+    bigint)`` with every window holding whole documents only.
+
+    Documents longer than ``seq_len`` are first split into
+    ``seq_len``-sized pieces (``split_oversize=True``, a narrow JVM
+    explode — the only place a document may cross windows, as it must)
+    or raise loudly (``False``). ``eos`` appends one end-of-document
+    marker per document BEFORE length accounting; ``pad`` right-pads
+    every window to exactly ``seq_len`` (dataloader-ready fixed
+    shapes) — leave ``None`` for variable-length windows.
+
+    Scale shape: the assignment is :func:`bin_pack_documents` (see its
+    docstring); materialization is ONE groupBy on the bin key where
+    every group is bounded by construction (``<= seq_len`` tokens), so
+    the final shuffle is perfectly balanced regardless of input skew.
+    """
+    if pad is not None and pad < 0:
+        raise ValueError("pad must be a valid token id")
+    segment_col = order_cols[0]
+    toks = F.col(tokens_col)
+    if eos is not None:
+        elem_ty = df.schema[tokens_col].dataType.elementType.simpleString()
+        toks = F.concat(toks, F.array(F.lit(int(eos)).cast(elem_ty)))
+    d = df.select(*order_cols, toks.alias("__t")).withColumn(
+        "__n", F.size("__t").cast("bigint")
+    ).where(F.col("__n") > 0)
+
+    if split_oversize:
+        L = F.lit(int(seq_len))
+        piece = F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.col("__n") / L).cast("int") - 1,
+                ),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("piece"),
+                    F.slice(
+                        F.col("__t"), (i * L + 1).cast("int"), seq_len
+                    ).alias("t"),
+                ),
+            )
+        )
+        d = d.select(*order_cols, piece.alias("__p")).select(
+            *order_cols,
+            F.col("__p.piece").alias("__piece"),
+            F.col("__p.t").alias("__t"),
+        ).withColumn("__n", F.size("__t").cast("bigint"))
+        inner = tuple(order_cols[1:]) + ("__piece",)
+        oversize = "drop"  # nothing oversize survives the split
+    else:
+        d = d.withColumn("__piece", F.lit(0).cast("bigint"))
+        inner = tuple(order_cols[1:]) + ("__piece",)
+        oversize = "error"
+
+    assigned = bin_pack_documents(
+        d,
+        length_col="__n",
+        order_cols=(segment_col, *inner),
+        seq_len=seq_len,
+        oversize=oversize,
+        strategy=strategy,
+        extra_cols=("__t",),
+    )
+    # bin key: (cls, bin_seq) for class packing (global), plus the
+    # segment for FFD (bin_seq is per-segment there)
+    key = ["cls", "bin_seq"] + ([segment_col] if strategy == "ffd" else [])
+    bin_id = F.concat_ws(
+        "#", *[F.col(k).cast("string") for k in key]
+    ).alias("bin_id")
+    ordered = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(*[F.col(c) for c in (segment_col, *inner)], "__t")
+            )
+        ),
+        lambda s: s["__t"],
+    )
+    out = (
+        assigned.groupBy(*key)
+        .agg(
+            F.flatten(ordered).alias("tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            bin_id,
+            "tokens",
+            F.size("tokens").alias("n_tok"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+    )
+    if pad is not None:
+        elem_ty = df.schema[tokens_col].dataType.elementType.simpleString()
+        fill = F.array_repeat(
+            F.lit(int(pad)).cast(elem_ty),
+            (F.lit(int(seq_len)) - F.col("n_tok")).cast("int"),
+        )
+        out = out.withColumn("tokens", F.concat("tokens", fill))
+    return out

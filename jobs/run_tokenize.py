@@ -58,6 +58,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-eos", action="store_true")
     ap.add_argument("--no-pack", action="store_true",
                     help="stop after remap; write tokenized docs only")
+    ap.add_argument("--pack-mode", default="concat",
+                    choices=["concat", "bin", "bin-ffd"],
+                    help="concat = GPT concat-then-chunk "
+                    "(pack_token_sequences); bin / bin-ffd = no-split "
+                    "whole-doc bin packing (materialize_bins, "
+                    "class / first-fit-decreasing), right-padded to "
+                    "seq_len with a fresh pad id")
     ap.add_argument("--shards", type=int, default=0,
                     help="after packing: deterministic global shuffle "
                     "+ write N balanced shard=K/ dirs with a per-shard "
@@ -160,15 +167,30 @@ def main(argv: list[str] | None = None) -> int:
         order = ("source", "doc_id") if "source" in dense.columns else (
             "doc_id",
         )
-        packed = pack_token_sequences(
-            dense, "tokens", order_cols=order, seq_len=args.seq_len, eos=eos
-        )
+        if args.pack_mode == "concat":
+            packed = pack_token_sequences(
+                dense, "tokens", order_cols=order, seq_len=args.seq_len,
+                eos=eos,
+            )
+            id_col = "seq_id"
+        else:
+            from icicle_spark.operators.packing import materialize_bins
+
+            # pad id: one past the eos marker (or one past the vocab
+            # when eos is disabled) — always a fresh id
+            pad = (eos + 1) if eos is not None else vocab_size
+            packed = materialize_bins(
+                dense, "tokens", order_cols=order, seq_len=args.seq_len,
+                strategy="class" if args.pack_mode == "bin" else "ffd",
+                eos=eos, pad=pad,
+            )
+            id_col = "bin_id"
         if args.shards:
             from icicle_spark.operators.packing import write_shards
 
             manifest = write_shards(
                 packed, os.path.join(args.output, "packed_shards"),
-                args.shards, id_col="seq_id", seed=args.seed,
+                args.shards, id_col=id_col, seed=args.seed,
             )
             with open(
                 os.path.join(args.output, "shard_manifest.json"), "w"
@@ -189,6 +211,7 @@ def main(argv: list[str] | None = None) -> int:
         "n_oov": int(stats["n_oov"] or 0),
         "packed_sequences": packed_rows,
         "seq_len": None if args.no_pack else args.seq_len,
+        "pack_mode": None if args.no_pack else args.pack_mode,
     }
     with open(os.path.join(args.output, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

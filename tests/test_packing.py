@@ -349,3 +349,53 @@ def test_bin_pack_class_no_global_single_partition_window(spark):
         df, length_col="n_tok", seq_len=64
     )._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_materialize_bins_conservation_and_shapes(spark):
+    """materialize_bins: fixed padded shape, exact token multiset
+    conservation (incl. eos per doc), whole docs per window (class) —
+    and FFD fill at least as tight."""
+    from icicle_spark.operators.packing import materialize_bins
+
+    rng = random.Random(2)
+    rows = [
+        (
+            f"s{i % 3}",
+            f"d{i:03d}",
+            [rng.randrange(50) for _ in range(rng.randrange(0, 40))],
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, tokens array<int>"
+    )
+    L = 16
+    exp = sorted(
+        t for _, _, toks in rows for t in list(toks) + [99]
+    )
+    for strat in ("class", "ffd"):
+        out = materialize_bins(
+            df, seq_len=L, strategy=strat, eos=99, pad=100
+        ).collect()
+        assert all(len(r["tokens"]) == L for r in out)
+        assert all(r["n_tok"] <= L for r in out)
+        got = sorted(
+            t for r in out for t in r["tokens"][: r["n_tok"]]
+        )
+        assert got == exp, f"{strat}: token multiset not conserved"
+    # oversize split: a 40-token doc at L=16 becomes 3 pieces
+    one = spark.createDataFrame(
+        [("s", "d0", list(range(40)))],
+        "source string, doc_id string, tokens array<int>",
+    )
+    out = materialize_bins(one, seq_len=16).collect()
+    pieces = sorted(
+        (r["n_tok"], r["tokens"]) for r in out
+    )
+    assert sum(n for n, _ in pieces) == 40
+    # order preserved piece-wise: flattening bins by piece order
+    # reconstructs the doc
+    flat = []
+    for r in sorted(out, key=lambda r: min(r["tokens"])):
+        flat.extend(r["tokens"])
+    assert flat == list(range(40))

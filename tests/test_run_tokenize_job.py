@@ -85,3 +85,28 @@ def test_tokenize_pretokenized_column(spark, tmp_path):
     # (1,2) occurs 5x -> merged; dense ids start at 0
     assert summary["n_merges"] >= 1
     assert summary["n_tokens"] < 11
+
+
+def test_tokenize_bin_pack_mode(spark, corpus, tmp_path):
+    """--pack-mode bin: no-split windows, fixed seq_len shape, every
+    window holds whole (eos-terminated) documents; token totals
+    conserved up to padding."""
+    out = str(tmp_path / "out_bin")
+    assert main([
+        "--input", corpus, "--output", out,
+        "--base", "codepoint", "--merges", "4", "--seq-len", "16",
+        "--pack-mode", "bin",
+    ]) == 0
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["pack_mode"] == "bin"
+    packed = spark.read.parquet(os.path.join(out, "packed.parquet"))
+    rows = packed.collect()
+    assert rows and summary["packed_sequences"] == len(rows)
+    pad = None
+    for r in rows:
+        assert len(r["tokens"]) == 16  # padded to shape
+        assert r["n_tok"] <= 16
+        tail = r["tokens"][r["n_tok"]:]
+        if tail:
+            pad = pad if pad is not None else tail[0]
+            assert all(t == pad for t in tail)
