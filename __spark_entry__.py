@@ -2403,6 +2403,58 @@ FROM d
 """
 
 
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle pretraining transform (PSM): a deterministic
+    half of the corpus is rearranged ``<PRE> P <SUF> S <MID> M`` with
+    gate AND split points pure md5 functions of (doc_id, seed) — the
+    WHOLE transform (which docs, which splits, the rearranged arrays)
+    replays in ANSI SQL. Zero-shuffle narrow map stage
+    (plan-asserted in tests)."""
+    from icicle_spark.operators.tokens import char_token_ids, fim_transform
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", char_token_ids("text").alias("tokens")
+    )
+    return fim_transform(d, rate=0.5, seed=0, mode="psm")
+
+
+_FIM_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+                        w -> ascii(w[1:1]) * 32 + least(length(w), 31))
+           AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS n,
+    CAST(('0x' || substr(md5(doc_id || ':f0'), 1, 15)) AS UBIGINT)::BIGINT
+      % 1000000 AS g,
+    CAST(('0x' || substr(md5(doc_id || ':a0'), 1, 15)) AS UBIGINT)::BIGINT
+      AS ha,
+    CAST(('0x' || substr(md5(doc_id || ':b0'), 1, 15)) AS UBIGINT)::BIGINT
+      AS hb
+  FROM t
+),
+s AS (
+  SELECT doc_id, toks, n, (g < 500000 AND n >= 2) AS fim,
+         ha % (n + 1) AS a, hb AS hb
+  FROM h
+),
+s2 AS (
+  SELECT doc_id, toks, n, fim, a, a + hb % (n - a + 1) AS b FROM s
+)
+SELECT doc_id,
+  CASE WHEN fim THEN
+    [-101] || toks[1:a] || [-103] || toks[b+1:n] || [-102] || toks[a+1:b]
+  ELSE toks END AS tokens,
+  fim,
+  CASE WHEN fim THEN a END AS fim_a,
+  CASE WHEN fim THEN b END AS fim_b
+FROM s2
+"""
+
+
 def q_vocab_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary remapping + OOV accounting: top-100 corpus tokens
     (freq desc, token asc) become ids 1..100; every document's token
@@ -4951,6 +5003,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: driver-certified in r01/r02/r03, or
         # covered by an in-window strict-superset certificate ----
         "bpe_pair_counts": q_bpe_pair_counts,
+        # fim_transform: locally oracle-verified at sf0.01 and sf0.1
+        # (same out-of-window rationale as skew_report: window slots
+        # go to never-certified queries; the full md5-split replay
+        # runs in tools/check_contract.py on demand)
+        "fim_transform": q_fim_transform,
         "token_freq": q_token_freq,
         "quality_filter": q_quality_filter,
         "source_group_fold": q_source_group_fold,
@@ -5148,6 +5205,7 @@ def oracle_sql() -> dict[str, str]:
         "unicode_norm": _UNICODE_NORM_SQL,
         "pack_sequences": _PACK_SEQ_SQL,
         "bin_pack": _BIN_PACK_SQL,
+        "fim_transform": _FIM_SQL,
         "vocab_remap": _VOCAB_REMAP_SQL,
         "chunk_docs": _CHUNK_SQL,
         "classifier_score": _CLASSIFIER_SQL,

@@ -402,3 +402,86 @@ def heavy_hitters(
         .where(F.col("freq") >= F.ceil(F.lit(support) * F.col("n_total")))
         .select("token", "freq")
     )
+
+
+def _md5_mod(key: Column, salt: str, m: Column | int) -> Column:
+    """Portable 60-bit md5 hash of ``key`` mod ``m`` (same hex in
+    DuckDB/Trino/BigQuery — the engine's cross-engine determinism
+    recipe, see operators/sampling.py and assign_shards)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return h % (F.lit(m) if isinstance(m, int) else m)
+
+
+def fim_transform(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    rate: float = 0.5,
+    seed: int = 0,
+    mode: str = "psm",
+    pre_tok: int = -101,
+    mid_tok: int = -102,
+    suf_tok: int = -103,
+) -> DataFrame:
+    """Fill-in-the-middle pretraining transform (Bavarian et al. 2022):
+    a deterministic ``rate`` fraction of sequences is rearranged so the
+    model learns infilling —
+
+    * ``psm``:  ``<PRE> P <SUF> S <MID> M``
+    * ``spm``:  ``<PRE> <SUF> S <MID> P M`` (joined-sentinel variant)
+
+    where ``(P, M, S)`` split the sequence at positions ``a <= b``.
+    The gate AND both split points are pure md5 functions of
+    ``(id, seed)`` — the same sequences transform, with the same
+    splits, at any parallelism, on any engine (the whole transform
+    replays in ANSI SQL, which the ``fim_transform`` contract query's
+    DuckDB oracle does). Sequences shorter than 2 tokens pass through.
+
+    Engine extension for LLM pipelines — no reference counterpart.
+    Pure Column expressions (slice/concat): a zero-shuffle narrow map
+    stage at any scale. Returns ``(id_col, tokens, fim, fim_a,
+    fim_b)`` with the original column order of splits recoverable
+    from ``(fim_a, fim_b)`` (null when untransformed).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1]: {rate}")
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"mode must be psm|spm: {mode!r}")
+    t = _c(tokens_col)
+    key = _c(id_col)
+    elem_ty = df.schema[tokens_col].dataType.elementType.simpleString()
+    sent = {
+        k: F.lit(v).cast(elem_ty)
+        for k, v in (("pre", pre_tok), ("mid", mid_tok), ("suf", suf_tok))
+    }
+    n = F.size(t).cast("bigint")
+    gate = (
+        (_md5_mod(key, f":f{seed}", 1_000_000) < int(rate * 1_000_000))
+        & (n >= 2)
+    )
+    a = _md5_mod(key, f":a{seed}", n + 1)
+    b = a + _md5_mod(key, f":b{seed}", n - a + 1)
+    p = F.slice(t, 1, a.cast("int"))
+    m = F.slice(t, (a + 1).cast("int"), (b - a).cast("int"))
+    s = F.slice(t, (b + 1).cast("int"), (n - b).cast("int"))
+    if mode == "psm":
+        fim = F.concat(
+            F.array(sent["pre"]), p, F.array(sent["suf"]), s,
+            F.array(sent["mid"]), m,
+        )
+    else:
+        fim = F.concat(
+            F.array(sent["pre"], sent["suf"]), s,
+            F.array(sent["mid"]), p, m,
+        )
+    return df.select(
+        key.alias(id_col) if isinstance(id_col, str) else key,
+        F.when(gate, fim).otherwise(t).alias("tokens"),
+        gate.alias("fim"),
+        F.when(gate, a).alias("fim_a"),
+        F.when(gate, b).alias("fim_b"),
+    )

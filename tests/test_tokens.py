@@ -228,3 +228,62 @@ def test_mg_candidates_bounded_state(spark):
         .collect()
     )
     assert per_part and all(r["count"] <= k for r in per_part)
+
+
+def test_fim_transform_python_replay(spark):
+    """PSM and SPM rearrangements replay exactly from (fim_a, fim_b);
+    non-sentinel token multiset is conserved; short/ungated docs pass
+    through; deterministic under repartition."""
+    import random
+
+    from icicle_spark.operators.tokens import fim_transform
+
+    rng = random.Random(4)
+    rows = [
+        (i, [rng.randrange(100) for _ in range(rng.randrange(0, 12))])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, tokens array<int>")
+    src = dict((i, t) for i, t in rows)
+    for mode in ("psm", "spm"):
+        out = fim_transform(df, rate=0.6, seed=1, mode=mode).collect()
+        n_fim = 0
+        for r in out:
+            t = src[r["doc_id"]]
+            if not r["fim"]:
+                assert list(r["tokens"]) == t
+                assert r["fim_a"] is None and r["fim_b"] is None
+                continue
+            n_fim += 1
+            a, b = r["fim_a"], r["fim_b"]
+            assert 0 <= a <= b <= len(t) and len(t) >= 2
+            p, m, s = t[:a], t[a:b], t[b:]
+            if mode == "psm":
+                want = [-101] + p + [-103] + s + [-102] + m
+            else:
+                want = [-101, -103] + s + [-102] + p + m
+            assert list(r["tokens"]) == want
+        assert 0 < n_fim < len(out)
+    # rate bounds
+    all_off = fim_transform(df, rate=0.0).collect()
+    assert not any(r["fim"] for r in all_off)
+    on = fim_transform(df, rate=1.0).collect()
+    assert all(r["fim"] for r in on if len(src[r["doc_id"]]) >= 2)
+    # repartition determinism
+    a1 = sorted((r["doc_id"], list(r["tokens"])) for r in on)
+    a2 = sorted(
+        (r["doc_id"], list(r["tokens"]))
+        for r in fim_transform(df.repartition(7), rate=1.0).collect()
+    )
+    assert a1 == a2
+
+
+def test_fim_transform_zero_shuffle_plan(spark):
+    from icicle_spark.operators.tokens import fim_transform
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3])], "doc_id bigint, tokens array<int>"
+    )
+    plan = fim_transform(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
