@@ -443,9 +443,10 @@ def fim_transform(
 
     Engine extension for LLM pipelines — no reference counterpart.
     Pure Column expressions (slice/concat): a zero-shuffle narrow map
-    stage at any scale. Returns ``(id_col, tokens, fim, fim_a,
-    fim_b)`` with the original column order of splits recoverable
-    from ``(fim_a, fim_b)`` (null when untransformed).
+    stage at any scale. Returns the input frame with ``tokens_col``
+    replaced (under the name ``tokens``) plus ``(fim, fim_a, fim_b)``
+    — splits null when untransformed; every other column rides
+    through untouched.
     """
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1]: {rate}")
@@ -478,8 +479,13 @@ def fim_transform(
             F.array(sent["pre"], sent["suf"]), s,
             F.array(sent["mid"]), p, m,
         )
+    passengers = [
+        F.col(c)
+        for c in df.columns
+        if not (isinstance(tokens_col, str) and c == tokens_col)
+    ]
     return df.select(
-        key.alias(id_col) if isinstance(id_col, str) else key,
+        *passengers,
         F.when(gate, fim).otherwise(t).alias("tokens"),
         gate.alias("fim"),
         F.when(gate, a).alias("fim_a"),

@@ -58,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-eos", action="store_true")
     ap.add_argument("--no-pack", action="store_true",
                     help="stop after remap; write tokenized docs only")
+    ap.add_argument("--fim-rate", type=float, default=0.0,
+                    help="fill-in-the-middle: rearrange this "
+                    "md5-deterministic fraction of documents "
+                    "(PSM/SPM) after remap, before packing; "
+                    "sentinels take the three ids after the pad id")
+    ap.add_argument("--fim-mode", default="psm", choices=["psm", "spm"])
     ap.add_argument("--pack-mode", default="concat",
                     choices=["concat", "bin", "bin-ffd"],
                     help="concat = GPT concat-then-chunk "
@@ -155,6 +161,23 @@ def main(argv: list[str] | None = None) -> int:
         F.sum("n_oov").alias("n_oov"),
     ).collect()[0]
 
+    if args.fim_rate > 0:
+        from icicle_spark.operators.tokens import fim_transform
+
+        # sentinel ids after eos (vocab_size) and pad (vocab_size+1)
+        s0 = vocab_size + 2
+        dense = fim_transform(
+            dense,
+            "tokens",
+            "doc_id",
+            rate=args.fim_rate,
+            seed=args.seed,
+            mode=args.fim_mode,
+            pre_tok=s0,
+            mid_tok=s0 + 1,
+            suf_tok=s0 + 2,
+        ).drop("fim", "fim_a", "fim_b")
+
     if args.no_pack:
         dense.write.mode("overwrite").parquet(
             os.path.join(args.output, "tokenized.parquet")
@@ -212,6 +235,9 @@ def main(argv: list[str] | None = None) -> int:
         "packed_sequences": packed_rows,
         "seq_len": None if args.no_pack else args.seq_len,
         "pack_mode": None if args.no_pack else args.pack_mode,
+        "fim": None if not args.fim_rate else {
+            "rate": args.fim_rate, "mode": args.fim_mode,
+        },
     }
     with open(os.path.join(args.output, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

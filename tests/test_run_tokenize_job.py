@@ -110,3 +110,34 @@ def test_tokenize_bin_pack_mode(spark, corpus, tmp_path):
         if tail:
             pad = pad if pad is not None else tail[0]
             assert all(t == pad for t in tail)
+
+
+def test_tokenize_fim_mode(spark, corpus, tmp_path):
+    """--fim-rate: sentinels (vocab+2..vocab+4) appear in transformed
+    docs; token multiset minus sentinels is conserved vs a fim-less
+    run of the same pipeline."""
+    out = str(tmp_path / "out_fim")
+    base = str(tmp_path / "out_nofim")
+    common = [
+        "--input", corpus, "--base", "codepoint", "--merges", "4",
+        "--seq-len", "16", "--no-pack",
+    ]
+    assert main(common + ["--output", base]) == 0
+    assert main(common + ["--output", out, "--fim-rate", "1.0"]) == 0
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["fim"] == {"rate": 1.0, "mode": "psm"}
+    v = summary["vocab_size"]
+    sents = {v + 2, v + 3, v + 4}
+    a = spark.read.parquet(os.path.join(base, "tokenized.parquet"))
+    b = spark.read.parquet(os.path.join(out, "tokenized.parquet"))
+    pa = {r["doc_id"]: list(r["tokens"]) for r in a.collect()}
+    pb = {r["doc_id"]: list(r["tokens"]) for r in b.collect()}
+    assert set(pa) == set(pb)
+    n_fim = 0
+    for k in pa:
+        body = [t for t in pb[k] if t not in sents]
+        assert sorted(body) == sorted(pa[k])
+        if len(pa[k]) >= 2:
+            n_fim += 1
+            assert len(pb[k]) == len(pa[k]) + 3
+    assert n_fim
