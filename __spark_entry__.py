@@ -2455,6 +2455,72 @@ FROM s2
 """
 
 
+def q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning rendering with loss masks: documents are
+    deterministically dialogued (5-word turns alternating
+    user/assistant), then flattened to ``[role] content [eot]`` token
+    sequences with ``loss_mask = 1`` exactly on assistant content+eot
+    (the standard SFT loss span). All nested JVM HOFs — zero-shuffle
+    map stage, and the WHOLE rendering replays in ANSI SQL."""
+    from icicle_spark.operators.tokens import render_dialog
+
+    d = _docs(spark, sf_dir)
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    turns = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(
+                F.ceil(F.size(ws) / F.lit(5)).cast("int") - 1, F.lit(0)
+            ),
+        ),
+        lambda i: F.struct(
+            F.when(i % 2 == 0, "user").otherwise("assistant").alias("role"),
+            F.array_join(F.slice(ws, i * 5 + 1, 5), " ").alias("content"),
+        ),
+    )
+    return render_dialog(d.select("doc_id", turns.alias("turns")))
+
+
+_SFT_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+t AS (
+  SELECT doc_id, ws,
+         greatest(CAST(ceil(len(ws) / 5.0) AS BIGINT) - 1, 0) AS mx
+  FROM w
+),
+turns AS (
+  SELECT doc_id, s.i AS i,
+         CASE WHEN s.i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         ws[s.i*5+1 : s.i*5+5] AS chunk
+  FROM t, unnest(generate_series(0, mx)) AS s(i)
+),
+tok AS (
+  SELECT doc_id, i,
+    [CASE WHEN role = 'user' THEN -202 ELSE -203 END]
+      || list_transform(chunk,
+                        x -> ascii(x[1:1]) * 32 + least(length(x), 31))
+      || [-200] AS toks,
+    CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS m
+  FROM turns
+),
+msk AS (
+  SELECT doc_id, i, toks,
+         [0] || list_transform(range(1, len(toks)), x -> m) AS mask
+  FROM tok
+)
+SELECT doc_id,
+       flatten(list(toks ORDER BY i)) AS tokens,
+       flatten(list(mask ORDER BY i)) AS loss_mask,
+       count(*)::INT AS n_turns
+FROM msk
+GROUP BY doc_id
+"""
+
+
 def q_vocab_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary remapping + OOV accounting: top-100 corpus tokens
     (freq desc, token asc) become ids 1..100; every document's token
@@ -5008,6 +5074,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # go to never-certified queries; the full md5-split replay
         # runs in tools/check_contract.py on demand)
         "fim_transform": q_fim_transform,
+        # sft_render: locally oracle-verified at sf0.01 and sf0.1
+        # (same out-of-window rationale as fim_transform)
+        "sft_render": q_sft_render,
         "token_freq": q_token_freq,
         "quality_filter": q_quality_filter,
         "source_group_fold": q_source_group_fold,
@@ -5206,6 +5275,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _PACK_SEQ_SQL,
         "bin_pack": _BIN_PACK_SQL,
         "fim_transform": _FIM_SQL,
+        "sft_render": _SFT_SQL,
         "vocab_remap": _VOCAB_REMAP_SQL,
         "chunk_docs": _CHUNK_SQL,
         "classifier_score": _CLASSIFIER_SQL,

@@ -491,3 +491,81 @@ def fim_transform(
         F.when(gate, a).alias("fim_a"),
         F.when(gate, b).alias("fim_b"),
     )
+
+
+def render_dialog(
+    df: DataFrame,
+    turns_col: str = "turns",
+    id_col: str = "doc_id",
+    tokenize=None,
+    role_ids: dict[str, int] | None = None,
+    eot: int = -200,
+    mask_roles: tuple[str, ...] = ("assistant",),
+) -> DataFrame:
+    """Instruction-tuning (SFT) rendering: flatten a conversation
+    column ``array<struct<role:string, content:string>>`` into one
+    token sequence with per-token loss masks —
+
+        [role_id] content-tokens [eot]  per turn, concatenated,
+
+    ``loss_mask[i] = 1`` exactly where token ``i`` belongs to a
+    ``mask_roles`` turn's content or its ``eot`` (the spans the model
+    trains on; role headers and other roles mask 0 — the standard
+    assistant-only SFT loss).
+
+    Engine extension for LLM pipelines — no reference counterpart.
+    Everything is nested JVM higher-order functions (transform /
+    flatten / array_repeat) over the turns array: a zero-shuffle
+    narrow map stage, no Python, and the whole rendering replays in
+    ANSI SQL (the ``sft_render`` contract query's DuckDB oracle).
+    Unknown roles raise loudly. Returns ``(id_col, tokens,
+    loss_mask, n_turns)``.
+    """
+    tokenize = tokenize or char_token_ids
+    role_ids = role_ids or {"system": -201, "user": -202,
+                            "assistant": -203}
+
+    def role_tok(t):
+        expr = F.raise_error(
+            F.concat(F.lit("render_dialog: unknown role "), t["role"])
+        ).cast("long")
+        for r, rid in sorted(role_ids.items()):
+            expr = F.when(t["role"] == r, F.lit(rid).cast("long")).otherwise(
+                expr
+            )
+        return expr
+
+    def masked(t):
+        m = F.lit(False)
+        for r in mask_roles:
+            m = m | (t["role"] == r)
+        return m
+
+    per_turn = F.transform(
+        _c(turns_col),
+        lambda t: F.struct(
+            F.concat(
+                F.array(role_tok(t)),
+                tokenize(t["content"]),
+                F.array(F.lit(int(eot)).cast("long")),
+            ).alias("toks"),
+            masked(t).cast("int").alias("m"),
+        ),
+    )
+    d = df.withColumn("__pt", per_turn)
+    return d.select(
+        _c(id_col).alias(id_col) if isinstance(id_col, str) else _c(id_col),
+        F.flatten(
+            F.transform(F.col("__pt"), lambda s: s["toks"])
+        ).alias("tokens"),
+        F.flatten(
+            F.transform(
+                F.col("__pt"),
+                lambda s: F.concat(
+                    F.array(F.lit(0)),
+                    F.array_repeat(s["m"], F.size(s["toks"]) - 1),
+                ),
+            )
+        ).alias("loss_mask"),
+        F.size(F.col("__pt")).alias("n_turns"),
+    )

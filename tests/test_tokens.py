@@ -287,3 +287,50 @@ def test_fim_transform_zero_shuffle_plan(spark):
     plan = fim_transform(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_render_dialog_golden_and_plan(spark):
+    """Role sentinels + eot per turn; loss mask 1 exactly on masked
+    roles' content+eot; unknown role raises; zero-shuffle plan."""
+    import pytest as _pt
+
+    from icicle_spark.operators.tokens import render_dialog
+
+    df = spark.createDataFrame(
+        [
+            (1, [("user", "hi there"), ("assistant", "hello friend ok")]),
+            (2, [("system", "be nice"), ("user", "x"), ("assistant", "")]),
+        ],
+        "doc_id bigint, turns array<struct<role:string,content:string>>",
+    )
+    got = {r["doc_id"]: r for r in render_dialog(df).collect()}
+
+    def tok(w):
+        return ord(w[0]) * 32 + min(len(w), 31)
+
+    t1 = [-202, tok("hi"), tok("there"), -200,
+          -203, tok("hello"), tok("friend"), tok("ok"), -200]
+    m1 = [0, 0, 0, 0, 0, 1, 1, 1, 1]
+    assert list(got[1]["tokens"]) == t1
+    assert list(got[1]["loss_mask"]) == m1
+    assert got[1]["n_turns"] == 2
+    t2 = [-201, tok("be"), tok("nice"), -200, -202, tok("x"), -200,
+          -203, -200]
+    m2 = [0, 0, 0, 0, 0, 0, 0, 0, 1]
+    assert list(got[2]["tokens"]) == t2
+    assert list(got[2]["loss_mask"]) == m2
+    # mask/token lengths always agree
+    assert all(
+        len(r["tokens"]) == len(r["loss_mask"]) for r in got.values()
+    )
+    # unknown role raises loudly
+    bad = spark.createDataFrame(
+        [(1, [("robot", "beep")])],
+        "doc_id bigint, turns array<struct<role:string,content:string>>",
+    )
+    with _pt.raises(Exception, match="unknown role"):
+        render_dialog(bad).collect()
+    # zero-shuffle, no Python
+    plan = render_dialog(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
