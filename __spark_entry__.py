@@ -2521,6 +2521,48 @@ GROUP BY doc_id
 """
 
 
+def q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch mixture materialization: per-source fractional
+    epoch rates (0.5..2.75, derived from the source index) expand
+    every document into floor(e) labelled epochs plus one md5-gated
+    extra for the fractional part — upsampling AND downsampling in
+    one deterministic, zero-shuffle explode. The whole expansion
+    (rates, gates, epoch labels) replays in ANSI SQL."""
+    from icicle_spark.operators.sampling import epoch_upsample
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    rates = {f"src{i}": 0.5 + (i % 4) * 0.75 for i in range(20)}
+    return epoch_upsample(d, rates, hash_fn="md5")
+
+
+_EPOCH_MIX_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         -- 3-arg substr: the 2-arg form's ", 4)" collides with
+         -- _stab's round-epsilon rewrite
+         0.5 + (CAST(substr(source, 4, 10) AS INT) % 4) * 0.75 AS rate
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source, rate,
+    CAST(FLOOR(rate) AS INT) AS nf,
+    rate - FLOOR(rate) AS frac,
+    CAST(('0x' || substr(md5(doc_id || ':0'), 1, 15)) AS UBIGINT)::BIGINT
+      % 1000000 AS h
+  FROM r
+),
+c AS (
+  SELECT doc_id, source,
+    nf + CASE WHEN h < CAST(FLOOR(frac * 1000000) AS BIGINT)
+         THEN 1 ELSE 0 END AS n
+  FROM g
+)
+SELECT doc_id, source, s.e AS epoch
+FROM c, unnest(generate_series(0, n - 1)) AS s(e)
+WHERE n > 0
+"""
+
+
 def q_vocab_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary remapping + OOV accounting: top-100 corpus tokens
     (freq desc, token asc) become ids 1..100; every document's token
@@ -5077,6 +5119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sft_render: locally oracle-verified at sf0.01 and sf0.1
         # (same out-of-window rationale as fim_transform)
         "sft_render": q_sft_render,
+        # epoch_mix: locally oracle-verified at sf0.01 and sf0.1
+        # (same out-of-window rationale as fim_transform)
+        "epoch_mix": q_epoch_mix,
         "token_freq": q_token_freq,
         "quality_filter": q_quality_filter,
         "source_group_fold": q_source_group_fold,
@@ -5276,6 +5321,7 @@ def oracle_sql() -> dict[str, str]:
         "bin_pack": _BIN_PACK_SQL,
         "fim_transform": _FIM_SQL,
         "sft_render": _SFT_SQL,
+        "epoch_mix": _EPOCH_MIX_SQL,
         "vocab_remap": _VOCAB_REMAP_SQL,
         "chunk_docs": _CHUNK_SQL,
         "classifier_score": _CLASSIFIER_SQL,

@@ -45,6 +45,8 @@ HEADLINE = [
     "repetition_stats",
     "heavy_hitters",
     "dsir_select",
+    "bin_pack",
+    "fim_transform",
     "embed_topk",
     "tpch_q1",
 ]

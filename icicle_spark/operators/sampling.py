@@ -395,3 +395,114 @@ def leakage_safe_split(
     return out.select(
         id_col, cluster.alias("cluster"), expr.alias("split")
     )
+
+
+def plan_source_epochs(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    tok_col: str = "n_tok",
+    source_col: str = "source",
+    max_epochs: float = 4.0,
+) -> list[dict]:
+    """Multi-epoch mixture planning (the LLaMA/Chinchilla-style "how
+    many epochs of each source" table): given target mixture
+    ``weights`` (normalized over the sources present), a total token
+    budget, and an over-repetition cap, return one row per source —
+
+        {source, tokens, target_tokens, epochs}
+
+    where ``epochs = min(target / tokens, max_epochs)`` (fractional;
+    >1 means upsampling across epochs, <1 downsampling). ONE
+    map-side-combined aggregate (rows = distinct sources, a bounded
+    driver collect); the plan itself is closed-form arithmetic, so
+    downstream materialization (:func:`epoch_upsample`) replays
+    exactly in any engine."""
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be positive")
+    counts = {
+        r[source_col]: int(r["__t"])
+        for r in df.groupBy(source_col)
+        .agg(F.sum(F.col(tok_col).cast("bigint")).alias("__t"))
+        .collect()
+    }
+    missing = set(counts) - set(weights)
+    if missing:
+        raise ValueError(
+            f"plan_source_epochs: no weight for sources {sorted(missing)}"
+        )
+    present = {s: w for s, w in weights.items() if s in counts and w > 0}
+    tot_w = sum(present.values())
+    if tot_w <= 0:
+        raise ValueError("no positive weight overlaps the corpus")
+    plan = []
+    for s in sorted(counts):
+        w = present.get(s, 0.0) / tot_w
+        target = w * token_budget
+        epochs = min(target / counts[s], max_epochs) if counts[s] else 0.0
+        plan.append(
+            {
+                "source": s,
+                "tokens": counts[s],
+                "target_tokens": int(target),
+                "epochs": epochs,
+            }
+        )
+    return plan
+
+
+def epoch_upsample(
+    df: DataFrame,
+    epochs: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Materialize a fractional-epoch mixture plan: every document of
+    source ``s`` appears ``floor(epochs[s])`` times plus one more for
+    a deterministic hash-gated ``frac(epochs[s])`` fraction of ids —
+    so the EXPECTED per-source token mass is ``epochs[s] × tokens[s]``
+    and every repetition is labelled with an ``epoch`` column (0-based
+    — dataloaders can interleave or schedule epochs explicitly).
+
+    ``epochs < 1`` downsamples (some docs appear zero times),
+    ``epochs > 1`` upsamples. Membership of the final partial epoch is
+    a pure function of ``(id, seed)`` via the portable md5 gate
+    (``hash_fn="md5"``, default — replays exactly in DuckDB/Trino;
+    ``"xx64"`` for the cheaper JVM hash). The repetition is a narrow
+    JVM ``explode`` over a per-row ``sequence`` — zero shuffle, and
+    output size is exactly the planned blow-up, never a join."""
+    if not epochs:
+        raise ValueError("epochs plan is empty")
+    for s, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"negative epochs for {s!r}: {e}")
+    # build as a when-chain (sources are bounded); unknown sources
+    # raise loudly rather than silently dropping or keeping
+    expr = F.raise_error(
+        F.concat(
+            F.lit("epoch_upsample: source without an epoch plan: "),
+            F.col(source_col),
+        )
+    ).cast("double")
+    for s, e in sorted(epochs.items()):
+        expr = F.when(F.col(source_col) == s, F.lit(float(e))).otherwise(expr)
+    rate = expr
+    n_full = F.floor(rate).cast("int")
+    frac = rate - F.floor(rate)
+    # floor() the threshold explicitly: Spark's double->bigint cast
+    # truncates but DuckDB's ROUNDS — floor is the cross-engine form
+    gate = _bucket_n(id_col, seed, 1_000_000, hash_fn) < F.floor(
+        frac * 1_000_000
+    ).cast("bigint")
+    n_copies = n_full + F.when(gate, 1).otherwise(0)
+    d = df.withColumn("__n_copies", n_copies).where(F.col("__n_copies") > 0)
+    return d.select(
+        *df.columns,
+        F.explode(
+            F.sequence(F.lit(0), F.col("__n_copies") - 1)
+        ).alias("epoch"),
+    )

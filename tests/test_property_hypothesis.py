@@ -122,3 +122,100 @@ def test_chord_executors_commute(spark, data):
             av.astype(float), bv.astype(float), atol=1e-9, equal_nan=True
         )
         assert ok.all(), (f, a.loc[~ok, key + [f.name]].head(3), b.loc[~ok, f.name].head(3))
+
+
+# ------------------------------------------------------------- bin packing
+
+
+@st.composite
+def _bp_corpus(draw):
+    n = draw(st.integers(10, 150))
+    seq_len = draw(st.sampled_from([8, 16, 32, 64]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(1, seq_len + 1, n)
+    return (
+        pd.DataFrame(
+            {
+                "source": [f"s{i}" for i in rng.integers(0, 4, n)],
+                "doc_id": [f"d{i:04d}" for i in range(n)],
+                "n_tok": lens.astype("int64"),
+            }
+        ),
+        seq_len,
+    )
+
+
+@given(data=_bp_corpus())
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bin_pack_properties(spark, data):
+    """For random corpora and capacities, BOTH strategies: every doc
+    assigned exactly once, no bin overflows, class bins never exceed
+    their class count, and FFD never uses more bins than class
+    packing."""
+    from icicle_spark.operators.packing import (
+        bin_fill_stats,
+        bin_pack_documents,
+    )
+
+    pdf, L = data
+    df = spark.createDataFrame(pdf)
+    cls_assign = bin_pack_documents(df, length_col="n_tok", seq_len=L)
+    ffd_assign = bin_pack_documents(
+        df, length_col="n_tok", seq_len=L, strategy="ffd"
+    )
+    cp = cls_assign.toPandas()
+    fp = ffd_assign.toPandas()
+    assert sorted(cp.doc_id) == sorted(pdf.doc_id)
+    assert sorted(fp.doc_id) == sorted(pdf.doc_id)
+    st_c = bin_fill_stats(cls_assign, L).toPandas()
+    assert (st_c.fill_tokens <= L).all()
+    assert (st_c.n_docs <= st_c.cls).all()
+    st_f = bin_fill_stats(ffd_assign, L, segment_col="source").toPandas()
+    assert (st_f.fill_tokens <= L).all()
+    assert len(st_f) <= len(st_c)
+
+
+# ------------------------------------------------------- fim transform
+
+
+@given(
+    seed=st.integers(0, 50),
+    rate=st.floats(0.0, 1.0),
+    mode=st.sampled_from(["psm", "spm"]),
+    corpus_seed=st.integers(0, 2**31 - 1),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fim_properties(spark, seed, rate, mode, corpus_seed):
+    """Length grows by exactly 3 sentinels on transformed rows, the
+    non-sentinel multiset is conserved, splits are in-bounds, and
+    untransformed rows pass through bit-identically."""
+    from icicle_spark.operators.tokens import fim_transform
+
+    rng = np.random.default_rng(corpus_seed)
+    rows = [
+        (int(i), [int(x) for x in rng.integers(0, 90, rng.integers(0, 9))])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, tokens array<int>")
+    src = dict(rows)
+    for r in fim_transform(
+        df, rate=rate, seed=seed, mode=mode
+    ).collect():
+        t = src[r["doc_id"]]
+        got = list(r["tokens"])
+        if r["fim"]:
+            assert len(got) == len(t) + 3
+            assert 0 <= r["fim_a"] <= r["fim_b"] <= len(t)
+            assert sorted(x for x in got if x >= 0) == sorted(t)
+            assert sorted(x for x in got if x < 0) == [-103, -102, -101]
+        else:
+            assert got == t

@@ -379,3 +379,95 @@ def test_leakage_safe_split_fraction_validation(spark):
         leakage_safe_split(docs, pairs, {"train": 1.5, "val": -0.5})
     with pytest.raises(ValueError, match="at least one"):
         leakage_safe_split(docs, pairs, {})
+
+
+# ------------------------------------------------------- epoch mixing
+
+
+def test_plan_source_epochs_math(spark):
+    from icicle_spark.operators.sampling import plan_source_epochs
+
+    df = spark.createDataFrame(
+        [("web", 100), ("web", 100), ("books", 50), ("code", 25)],
+        "source string, n_tok bigint",
+    )
+    plan = plan_source_epochs(
+        df, {"web": 2.0, "books": 1.0, "code": 1.0}, token_budget=1000,
+        max_epochs=4.0,
+    )
+    got = {p["source"]: p for p in plan}
+    assert got["web"]["tokens"] == 200
+    assert got["web"]["target_tokens"] == 500
+    assert got["web"]["epochs"] == 2.5
+    assert got["books"]["epochs"] == 250 / 50 * 0 + 4.0  # capped (250/50=5)
+    assert got["code"]["epochs"] == 4.0  # 250/25 = 10 -> capped
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no weight"):
+        plan_source_epochs(df, {"web": 1.0}, token_budget=100)
+
+
+def test_epoch_upsample_counts_and_determinism(spark):
+    """floor(e) copies always; the extra epoch hits ~frac of ids;
+    epoch labels are 0..copies-1; repartition-invariant; unknown
+    source raises."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from icicle_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(f"d{i:04d}", "web" if i % 2 else "books", i)
+         for i in range(2000)],
+        "doc_id string, source string, n_tok bigint",
+    )
+    out = epoch_upsample(df, {"web": 2.25, "books": 0.5}).cache()
+    per = {
+        (r["source"], r["doc_id"]): r["cnt"]
+        for r in out.groupBy("source", "doc_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    web = [v for (s, _), v in per.items() if s == "web"]
+    books = [v for (s, _), v in per.items() if s == "books"]
+    assert set(web) <= {2, 3} and len(web) == 1000
+    extra = sum(1 for v in web if v == 3)
+    assert 0.15 < extra / 1000 < 0.35  # ~0.25
+    assert set(books) == {1}
+    assert 0.35 < len(books) / 1000 < 0.65  # ~0.5 kept once
+    # epoch labels are a dense 0..n-1 per doc
+    eps = out.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("epoch")).alias("e"),
+        F.count("*").alias("n"),
+    )
+    for r in eps.collect():
+        assert list(r["e"]) == list(range(r["n"]))
+    a = sorted(map(tuple, out.select("doc_id", "epoch").collect()))
+    b = sorted(
+        map(
+            tuple,
+            epoch_upsample(df.repartition(17), {"web": 2.25, "books": 0.5})
+            .select("doc_id", "epoch")
+            .collect(),
+        )
+    )
+    assert a == b
+    out.unpersist()
+    with _pt.raises(Exception, match="without an epoch plan"):
+        epoch_upsample(df, {"web": 1.0}).collect()
+
+
+def test_epoch_upsample_zero_shuffle_plan(spark):
+    from icicle_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [("d0", "web", 5)], "doc_id string, source string, n_tok bigint"
+    )
+    plan = (
+        epoch_upsample(df, {"web": 1.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
