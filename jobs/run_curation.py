@@ -295,6 +295,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="Pareto shape of the keep gate (GPT-3 uses "
                          "9); larger = closer to a hard threshold")
     ap.add_argument("--qmodel-buckets", type=int, default=1 << 18)
+    ap.add_argument("--epoch-budget", type=int, default=0,
+                    help="multi-epoch mixture: total token budget; "
+                    "plans epochs-per-source (weights from "
+                    "--epoch-weight, uniform otherwise) and emits "
+                    "labelled epoch copies of the kept corpus")
+    ap.add_argument("--epoch-weight", action="append", default=[],
+                    help="SRC=W target mixture weight (repeatable)")
+    ap.add_argument("--epoch-cap", type=float, default=4.0,
+                    help="max epochs any source may repeat")
     ap.add_argument("--rule", action="append", default=[],
                     metavar="REASON:PASS_EXPR",
                     help="extra policy rule: boolean Spark-SQL PASS "
@@ -589,6 +598,52 @@ def main(argv: list[str] | None = None) -> int:
             "mix_alpha": args.mix_alpha,
             "mix_rates": {s: t / _BUCKETS for s, t in sorted(rates.items())},
         }
+    if args.epoch_budget:
+        # 5b. multi-epoch mixture: plan epochs-per-source against the
+        # token budget, then materialize labelled epoch copies
+        # (md5-gated fractional epoch) — deterministic, zero shuffle
+        from icicle_spark.operators.sampling import (
+            epoch_upsample,
+            plan_source_epochs,
+        )
+
+        src_col = args.mix_source_col
+        if src_col not in kept_df.columns:
+            raise SystemExit(
+                f"--epoch-budget needs a {src_col!r} column "
+                f"(set --mix-source-col); input has {kept_df.columns}"
+            )
+        counted = kept_df.withColumn(
+            "__epoch_tok",
+            F.size(F.split(F.col(args.text_col), r"\s+")),
+        )
+        if args.epoch_weight:
+            weights = {}
+            for part in args.epoch_weight:
+                name, _, w = part.partition("=")
+                if not name or not w:
+                    raise SystemExit(
+                        f"--epoch-weight wants SRC=W, got {part!r}"
+                    )
+                weights[name.strip()] = float(w)
+        else:
+            weights = {
+                r[src_col]: 1.0
+                for r in kept_df.select(src_col).distinct().collect()
+            }
+        plan = plan_source_epochs(
+            counted, weights, args.epoch_budget,
+            tok_col="__epoch_tok", source_col=src_col,
+            max_epochs=args.epoch_cap,
+        )
+        kept_df = epoch_upsample(
+            kept_df,
+            {p["source"]: p["epochs"] for p in plan},
+            source_col=src_col, id_col=args.id_col,
+        )
+        mix_info["epoch_plan"] = [
+            {**p, "epochs": round(p["epochs"], 6)} for p in plan
+        ]
     split_info = {}
     if args.split:
         # 6. leakage-safe splits: near-dup clusters (precomputed pair

@@ -476,3 +476,48 @@ def test_curation_dsir_requires_target(spark, tmp_path):
     with pytest.raises(SystemExit):
         main(["--input", src, "--output", str(tmp_path / "o"),
               "--min-words", "3", "--no-logprob", "--dsir-keep", "2"])
+
+
+def test_curation_epoch_mix(spark, tmp_path):
+    """--epoch-budget: the plan lands in summary.json, the kept corpus
+    carries labelled epoch copies, per-source copy counts obey
+    floor(e)/ceil(e), and the cap binds."""
+    rows = [
+        (
+            i,
+            f"varied document number {i} with plenty of different "
+            f"interesting words covering rivers mountains cities music "
+            f"science history art cooking travel sports weather item{i}",
+            "web" if i % 10 else "books",
+        )
+        for i in range(1, 201)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    assert main([
+        "--input", src, "--output", out, "--min-words", "5",
+        "--no-logprob", "--epoch-budget", "20000",
+        "--epoch-weight", "web=1", "--epoch-weight", "books=1",
+        "--epoch-cap", "3.0",
+    ]) == 0
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    plan = {p["source"]: p for p in summary["epoch_plan"]}
+    # books is tiny -> its 10k-token target way exceeds its mass: cap
+    assert plan["books"]["epochs"] == 3.0
+    assert 0 < plan["web"]["epochs"] < 3.0
+    kept = spark.read.parquet(os.path.join(out, "kept"))
+    assert "epoch" in kept.columns
+    per = {
+        (r["source"], r["doc_id"]): r["n"]
+        for r in kept.groupBy("source", "doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    import math
+
+    for (s, _), n in per.items():
+        e = plan[s]["epochs"]
+        assert math.floor(e) <= n <= math.ceil(e)
