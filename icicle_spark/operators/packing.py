@@ -270,10 +270,11 @@ def bin_pack_documents(
     :func:`pack_token_sequences`: a row_number windowed per
     ``(class, segment)`` cell (parallelism = classes x segments,
     never a single-task global sort), plus a per-cell count table
-    (bounded: <= distinct classes x segments rows) cumulated on the
-    driver and broadcast-joined back. Deterministic at any
-    parallelism, and replayable in ANSI SQL as one window function —
-    the contract oracle.
+    (<= distinct classes x segments rows) whose exclusive cumsum runs
+    DISTRIBUTED on that tiny frame and broadcast-joins back — no
+    driver collect anywhere, so a fine-grained segment column cannot
+    blow the driver. Deterministic at any parallelism, and replayable
+    in ANSI SQL as one window function — the contract oracle.
 
     ``strategy="ffd"``: first-fit-decreasing refinement (classes are
     not used — ``cls`` is reported as -1). Each SEGMENT's documents
@@ -298,9 +299,24 @@ def bin_pack_documents(
     segment_col = order_cols[0]
 
     n = F.col(length_col).cast("bigint")
-    d = df.select(*order_cols, *extra_cols, n.alias("doc_len")).where(
-        F.col("doc_len").isNotNull() & (F.col("doc_len") > 0)
-    )
+    # loud executor-side guard: a null segment would silently sort
+    # first in both the window and the oracle's ORDER BY — refuse it
+    seg_guarded = F.when(
+        F.col(segment_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"bin_pack_documents: null value in segment column "
+                f"{segment_col!r} — order_cols must be a non-null "
+                f"unique key"
+            )
+        ).cast(df.schema[segment_col].dataType),
+    ).otherwise(F.col(segment_col))
+    d = df.select(
+        seg_guarded.alias(segment_col),
+        *order_cols[1:],
+        *extra_cols,
+        n.alias("doc_len"),
+    ).where(F.col("doc_len").isNotNull() & (F.col("doc_len") > 0))
     if oversize == "error":
         d = d.withColumn(
             "doc_len",
@@ -330,34 +346,21 @@ def bin_pack_documents(
     w = Window.partitionBy("cls", segment_col).orderBy(*within)
     d = d.withColumn("__rn", F.row_number().over(w))
 
-    # per-(class, segment) counts -> driver cumsum per class in
-    # segment order -> broadcast offset table (a literal map would
-    # need classes x segments entries; the broadcast join scales)
-    cells = (
-        d.groupBy("cls", segment_col).agg(F.count("*").alias("__cnt"))
-    ).collect()
-    if any(r[segment_col] is None for r in cells):
-        raise ValueError(
-            f"bin_pack_documents: null value in segment column "
-            f"{segment_col!r} — order_cols must be a non-null unique key"
-        )
-    cells.sort(key=lambda r: (r["cls"], r[segment_col]))
-    rows, acc, prev_cls = [], 0, None
-    for r in cells:
-        if r["cls"] != prev_cls:
-            acc, prev_cls = 0, r["cls"]
-        rows.append((r["cls"], r[segment_col], acc))
-        acc += r["__cnt"]
-    spark = df.sparkSession
-    seg_ty = d.schema[segment_col].dataType.simpleString()
-    if not rows:
-        off = spark.createDataFrame(
-            [], f"cls bigint, {segment_col} {seg_ty}, __off bigint"
-        )
-    else:
-        off = spark.createDataFrame(
-            rows, f"cls bigint, {segment_col} {seg_ty}, __off bigint"
-        )
+    # per-(class, segment) counts -> exclusive per-class cumsum in
+    # segment order, computed DISTRIBUTED on the tiny cells frame
+    # (<= classes x segments rows — never a driver collect, so a
+    # fine-grained segment column can't blow the driver) -> broadcast
+    # offset join back (a literal map would need classes x segments
+    # entries; the broadcast join scales)
+    cells = d.groupBy("cls", segment_col).agg(F.count("*").alias("__cnt"))
+    w_off = (
+        Window.partitionBy("cls")
+        .orderBy(segment_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = cells.withColumn(
+        "__off", F.sum("__cnt").over(w_off) - F.col("__cnt")
+    ).select("cls", segment_col, "__off")
     d = d.join(F.broadcast(off), ["cls", segment_col])
     return d.select(
         *order_cols,
