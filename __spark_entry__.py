@@ -2521,6 +2521,91 @@ GROUP BY doc_id
 """
 
 
+def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability (PSI) drift report between two snapshots
+    (even vs odd doc_ids) over two features: REF-quantile binning
+    (exact interpolated percentiles — the `quantiles` parity), one
+    melt scan + one (feature, bin) count aggregate per side, smoothed
+    PSI terms. Engine-stabilized rounding on values, edges, and
+    outputs makes the whole report replay exactly in DuckDB."""
+    from icicle_spark.operators.reporting import feature_drift
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+            "n_words"
+        ),
+    )
+    return feature_drift(
+        d.where("doc_id % 2 = 0"),
+        d.where("doc_id % 2 = 1"),
+        ["n_chars", "n_words"],
+    )
+
+
+_DRIFT_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS DOUBLE) AS n_words
+  FROM documents
+),
+m AS (
+  SELECT doc_id, 'n_chars' AS feature, round(n_chars, 6) AS value FROM d
+  UNION ALL
+  SELECT doc_id, 'n_words' AS feature, round(n_words, 6) AS value FROM d
+),
+mr AS (SELECT feature, value FROM m WHERE doc_id % 2 = 0
+                                      AND value IS NOT NULL),
+mc AS (SELECT feature, value FROM m WHERE doc_id % 2 = 1
+                                      AND value IS NOT NULL),
+thr AS (
+  SELECT feature,
+         list_transform(
+           quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]),
+           t -> round(t, 6)) AS thr
+  FROM mr GROUP BY feature
+),
+br AS (
+  SELECT mr.feature,
+         1 + len(list_filter(thr.thr, t -> mr.value > t)) AS bin
+  FROM mr JOIN thr USING (feature)
+),
+bc AS (
+  SELECT mc.feature,
+         1 + len(list_filter(thr.thr, t -> mc.value > t)) AS bin
+  FROM mc JOIN thr USING (feature)
+),
+cr AS (SELECT feature, bin, count(*)::BIGINT AS ref_n
+       FROM br GROUP BY feature, bin),
+cc AS (SELECT feature, bin, count(*)::BIGINT AS cur_n
+       FROM bc GROUP BY feature, bin),
+j AS (
+  SELECT coalesce(cr.feature, cc.feature) AS feature,
+         coalesce(cr.bin, cc.bin) AS bin,
+         coalesce(ref_n, 0) AS ref_n,
+         coalesce(cur_n, 0) AS cur_n
+  FROM cr FULL OUTER JOIN cc
+    ON cr.feature = cc.feature AND cr.bin = cc.bin
+),
+fr AS (
+  SELECT feature, bin, ref_n, cur_n,
+         greatest(ref_n / CAST(sum(ref_n) OVER (PARTITION BY feature)
+                               AS DOUBLE), 1e-6) AS rf,
+         greatest(cur_n / CAST(sum(cur_n) OVER (PARTITION BY feature)
+                               AS DOUBLE), 1e-6) AS cf
+  FROM j
+)
+SELECT feature, CAST(bin AS INT) AS bin, ref_n, cur_n,
+       round(rf, 6) AS ref_frac,
+       round(cf, 6) AS cur_frac,
+       round((cf - rf) * ln(cf / rf), 6) AS psi_term
+FROM fr
+"""
+
+
 def q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-epoch mixture materialization: per-source fractional
     epoch rates (0.5..2.75, derived from the source index) expand
@@ -5122,6 +5207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # epoch_mix: locally oracle-verified at sf0.01 and sf0.1
         # (same out-of-window rationale as fim_transform)
         "epoch_mix": q_epoch_mix,
+        # feature_drift: locally oracle-verified at sf0.01 and sf0.1
+        # (same out-of-window rationale as fim_transform)
+        "feature_drift": q_feature_drift,
         "token_freq": q_token_freq,
         "quality_filter": q_quality_filter,
         "source_group_fold": q_source_group_fold,
@@ -5322,6 +5410,7 @@ def oracle_sql() -> dict[str, str]:
         "fim_transform": _FIM_SQL,
         "sft_render": _SFT_SQL,
         "epoch_mix": _EPOCH_MIX_SQL,
+        "feature_drift": _DRIFT_SQL,
         "vocab_remap": _VOCAB_REMAP_SQL,
         "chunk_docs": _CHUNK_SQL,
         "classifier_score": _CLASSIFIER_SQL,

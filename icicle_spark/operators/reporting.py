@@ -291,3 +291,113 @@ def key_skew_report(
             ).cast("long").alias("salt_factor"),
         )
     )
+
+
+def feature_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+    n_bins: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Population-stability drift report between two snapshots of the
+    same feature frame (train-vs-serve skew, refresh-vs-refresh
+    drift): per ``(feature, bin)`` —
+
+        (feature, bin, ref_n, cur_n, ref_frac, cur_frac, psi_term)
+
+    with bins = ``n_bins`` REF-quantile buckets (PSI convention: the
+    reference distribution defines the binning; ``Σ psi_term`` per
+    feature is the PSI — < 0.1 stable, > 0.25 drifted by the usual
+    rule of thumb). Empty-side fractions are epsilon-smoothed (1e-6)
+    so terms stay finite.
+
+    Scale shape: each side is ONE narrow melt scan (explode over the
+    bounded ``cols`` list) + one map-side-combined count aggregate on
+    ``(feature, bin)`` — the shuffle carries ≤ features × bins rows
+    per partition. Bin edges come from ONE exact-percentile aggregate
+    on the reference melt (per-group state bounded by distinct
+    values, as ``corpus_stats``' median) collected as ``len(cols)``
+    rows — the parameter list, not data. Values and edges are rounded
+    (engine-stabilized, ``round_digits``) before comparison so the
+    binning replays EXACTLY in any engine with ``quantile_cont`` —
+    the ``feature_drift`` contract oracle.
+    """
+    if not cols:
+        raise ValueError("cols must name at least one feature")
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    eps = 1.37 * 10.0 ** -(round_digits + 2)
+
+    def melt(df):
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("feature"),
+                    F.round(F.col(c).cast("double") + eps, round_digits)
+                    .alias("value"),
+                )
+                for c in cols
+            ]
+        )
+        return (
+            df.select(F.explode(pairs).alias("p"))
+            .select("p.feature", "p.value")
+            .where(F.col("value").isNotNull())
+        )
+
+    mref, mcur = melt(ref), melt(cur)
+    qs = [i / n_bins for i in range(1, n_bins)]
+    thr_rows = (
+        mref.groupBy("feature")
+        .agg(
+            F.expr(
+                f"percentile(value, array({', '.join(map(str, qs))}))"
+            ).alias("thr")
+        )
+        .collect()
+    )
+    thresholds = {
+        r["feature"]: [
+            round(t + eps, round_digits) for t in r["thr"]
+        ]
+        for r in thr_rows
+    }
+
+    def bin_expr():
+        expr = F.lit(None).cast("int")
+        for c, thr in sorted(thresholds.items()):
+            b = F.lit(1)
+            for t in thr:
+                b = b + F.when(F.col("value") > t, 1).otherwise(0)
+            expr = F.when(F.col("feature") == c, b).otherwise(expr)
+        return expr.alias("bin")
+
+    def counts(m, name):
+        return m.select("feature", bin_expr()).groupBy(
+            "feature", "bin"
+        ).agg(F.count("*").alias(name))
+
+    cr = counts(mref, "ref_n")
+    cc = counts(mcur, "cur_n")
+    j = cr.join(cc, ["feature", "bin"], "full_outer").fillna(
+        {"ref_n": 0, "cur_n": 0}
+    )
+    w = Window.partitionBy("feature")
+    rf = F.greatest(
+        F.col("ref_n") / F.sum("ref_n").over(w), F.lit(1e-6)
+    )
+    cf = F.greatest(
+        F.col("cur_n") / F.sum("cur_n").over(w), F.lit(1e-6)
+    )
+    return j.select(
+        "feature",
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.round(rf + eps, round_digits).alias("ref_frac"),
+        F.round(cf + eps, round_digits).alias("cur_frac"),
+        F.round((cf - rf) * F.log(cf / rf) + eps, round_digits).alias(
+            "psi_term"
+        ),
+    )

@@ -275,3 +275,36 @@ def test_key_skew_report(spark):
         key_skew_report(df, "k", target_rows_per_task=0)
     with pytest.raises(ValueError):
         key_skew_report(df, "k", top_n=0)
+
+
+def test_feature_drift_psi(spark):
+    """Identical frames -> PSI ~ 0 everywhere; a shifted feature
+    shows PSI mass; bins cover n_bins; fractions sum to ~1; empty
+    bins smooth instead of inf; validation raises."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from icicle_spark.operators.reporting import feature_drift
+
+    ref = spark.range(0, 2000).select(
+        (F.col("id") % 97).cast("double").alias("x"),
+        (F.col("id") % 13).cast("double").alias("y"),
+    )
+    same = feature_drift(ref, ref, ["x", "y"]).toPandas()
+    psi = same.groupby("feature").psi_term.sum()
+    assert (psi.abs() < 1e-4).all()
+    frac = same.groupby("feature").ref_frac.sum()
+    assert ((frac - 1.0).abs() < 1e-3).all()
+    # shift x by +50: drift concentrates there
+    cur = ref.select((F.col("x") + 50).alias("x"), "y")
+    d = feature_drift(ref, cur, ["x", "y"]).toPandas()
+    psi2 = d.groupby("feature").psi_term.sum()
+    assert psi2["x"] > 0.25
+    assert abs(psi2["y"]) < 1e-4
+    assert d[d.feature == "x"].bin.nunique() == 10
+    # a bin emptied on one side stays finite (smoothed)
+    assert d.psi_term.notna().all()
+    with _pt.raises(ValueError):
+        feature_drift(ref, ref, [])
+    with _pt.raises(ValueError):
+        feature_drift(ref, ref, ["x"], n_bins=1)
