@@ -327,29 +327,50 @@ def feature_drift(
         raise ValueError("cols must name at least one feature")
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
+    edges = drift_edges(ref, cols, n_bins, round_digits)
+    cr = drift_bin_counts(ref, cols, edges, "ref_n", round_digits)
+    cc = drift_bin_counts(cur, cols, edges, "cur_n", round_digits)
+    return drift_psi(cr, cc, round_digits)
+
+
+def _melt_features(df: DataFrame, cols: list[str],
+                   round_digits: int) -> DataFrame:
+    """One narrow melt scan: (feature, value) with engine-stabilized
+    rounding; nulls dropped."""
     eps = 1.37 * 10.0 ** -(round_digits + 2)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("feature"),
+                F.round(F.col(c).cast("double") + eps, round_digits)
+                .alias("value"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.feature", "p.value")
+        .where(F.col("value").isNotNull())
+    )
 
-    def melt(df):
-        pairs = F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("feature"),
-                    F.round(F.col(c).cast("double") + eps, round_digits)
-                    .alias("value"),
-                )
-                for c in cols
-            ]
-        )
-        return (
-            df.select(F.explode(pairs).alias("p"))
-            .select("p.feature", "p.value")
-            .where(F.col("value").isNotNull())
-        )
 
-    mref, mcur = melt(ref), melt(cur)
+def drift_edges(
+    ref: DataFrame,
+    cols: list[str],
+    n_bins: int = 10,
+    round_digits: int = 6,
+) -> dict[str, list[float]]:
+    """Reference-quantile bin edges per feature: ONE exact-percentile
+    aggregate over the melt (per-group state bounded by distinct
+    values), collected as ``len(cols)`` rows — the parameter list,
+    not data. Freeze these once (e.g. persist beside a streaming
+    histogram) and every later binning is a pure function."""
+    eps = 1.37 * 10.0 ** -(round_digits + 2)
     qs = [i / n_bins for i in range(1, n_bins)]
-    thr_rows = (
-        mref.groupBy("feature")
+    rows = (
+        _melt_features(ref, cols, round_digits)
+        .groupBy("feature")
         .agg(
             F.expr(
                 f"percentile(value, array({', '.join(map(str, qs))}))"
@@ -357,39 +378,56 @@ def feature_drift(
         )
         .collect()
     )
-    thresholds = {
-        r["feature"]: [
-            round(t + eps, round_digits) for t in r["thr"]
-        ]
-        for r in thr_rows
+    return {
+        r["feature"]: [round(t + eps, round_digits) for t in r["thr"]]
+        for r in rows
     }
+
+
+def drift_bin_counts(
+    df: DataFrame,
+    cols: list[str],
+    edges: dict[str, list[float]],
+    name: str = "n",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(feature, bin, <name>) counts of ``df`` under FIXED bin edges —
+    a pure zero-state function of the rows, so counts from disjoint
+    slices (micro-batches, partitions, days) ADD to the full-corpus
+    counts exactly. One melt scan + one map-side-combined count."""
+    m = _melt_features(df, list(edges), round_digits)
 
     def bin_expr():
         expr = F.lit(None).cast("int")
-        for c, thr in sorted(thresholds.items()):
+        for c, thr in sorted(edges.items()):
             b = F.lit(1)
             for t in thr:
                 b = b + F.when(F.col("value") > t, 1).otherwise(0)
             expr = F.when(F.col("feature") == c, b).otherwise(expr)
         return expr.alias("bin")
 
-    def counts(m, name):
-        return m.select("feature", bin_expr()).groupBy(
-            "feature", "bin"
-        ).agg(F.count("*").alias(name))
+    return (
+        m.select("feature", bin_expr())
+        .groupBy("feature", "bin")
+        .agg(F.count("*").alias(name))
+    )
 
-    cr = counts(mref, "ref_n")
-    cc = counts(mcur, "cur_n")
-    j = cr.join(cc, ["feature", "bin"], "full_outer").fillna(
-        {"ref_n": 0, "cur_n": 0}
-    )
+
+def drift_psi(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    round_digits: int = 6,
+) -> DataFrame:
+    """PSI tail over two (feature, bin, n) count frames (columns
+    ``ref_n`` / ``cur_n``): full-outer align, epsilon-smoothed
+    fractions, per-bin psi_term. Inputs are tiny (features x bins)."""
+    eps = 1.37 * 10.0 ** -(round_digits + 2)
+    j = ref_counts.join(
+        cur_counts, ["feature", "bin"], "full_outer"
+    ).fillna({"ref_n": 0, "cur_n": 0})
     w = Window.partitionBy("feature")
-    rf = F.greatest(
-        F.col("ref_n") / F.sum("ref_n").over(w), F.lit(1e-6)
-    )
-    cf = F.greatest(
-        F.col("cur_n") / F.sum("cur_n").over(w), F.lit(1e-6)
-    )
+    rf = F.greatest(F.col("ref_n") / F.sum("ref_n").over(w), F.lit(1e-6))
+    cf = F.greatest(F.col("cur_n") / F.sum("cur_n").over(w), F.lit(1e-6))
     return j.select(
         "feature",
         "bin",

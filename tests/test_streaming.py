@@ -459,3 +459,66 @@ def test_stream_fact_store_ingest(spark, tmp_path):
     assert meta["runs"] == [] and meta["batches"] == [0, 1, 2, 3]
     merged, _ = read_fact_store(spark, store)
     assert merged.count() == facts.count() + 7
+
+
+def test_streaming_drift_matches_batch(spark, tmp_path):
+    """The streaming drift monitor accumulated over micro-batches
+    equals the batch feature_drift on the same data exactly (fixed
+    reference edges make per-batch counts additive)."""
+    import numpy as np
+
+    from icicle_spark.operators.reporting import feature_drift
+    from icicle_spark.streaming.drift_stream import (
+        drift_report,
+        drift_sink,
+        write_drift_reference,
+    )
+
+    rng = np.random.default_rng(8)
+    ref_pdf = pd.DataFrame(
+        {
+            "x": rng.normal(10, 3, 600).round(3),
+            "y": rng.integers(0, 40, 600).astype("float64"),
+        }
+    )
+    cur_pdf = pd.DataFrame(
+        {
+            "x": rng.normal(13, 3, 500).round(3),  # shifted
+            "y": rng.integers(0, 40, 500).astype("float64"),
+        }
+    )
+    ref = spark.createDataFrame(ref_pdf)
+    cur = spark.createDataFrame(cur_pdf)
+    ref_path = str(tmp_path / "ref")
+    hist_path = str(tmp_path / "hist.parquet")
+    write_drift_reference(ref, ["x", "y"], ref_path)
+
+    src = str(tmp_path / "src")
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    for i in range(3):
+        spark.createDataFrame(
+            cur_pdf.iloc[i::3]
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(drift_sink(ref_path, hist_path))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = drift_report(spark, ref_path, hist_path).toPandas()
+    want = feature_drift(ref, cur, ["x", "y"]).toPandas()
+    key = ["feature", "bin"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w)
+    for c in ["ref_n", "cur_n", "ref_frac", "cur_frac", "psi_term"]:
+        assert (g[c].values == w[c].values).all(), c
+    # the shift registers
+    assert got[got.feature == "x"].psi_term.sum() > 0.25
