@@ -308,3 +308,46 @@ def test_feature_drift_psi(spark):
         feature_drift(ref, ref, [])
     with _pt.raises(ValueError):
         feature_drift(ref, ref, ["x"], n_bins=1)
+
+
+def test_run_drift_job(spark, tmp_path):
+    """Job entry: batch mode writes report + summary; freeze + hist
+    mode replays the same report through the streaming pieces."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from icicle_spark.operators.reporting import drift_bin_counts
+    from icicle_spark.streaming.drift_stream import read_drift_reference
+    from jobs.run_drift import main as drift_main
+
+    ref = spark.range(0, 1500).select(
+        (F.col("id") % 89).cast("double").alias("x")
+    )
+    cur = spark.range(0, 1200).select(
+        ((F.col("id") % 89) + 30).cast("double").alias("x")
+    )
+    rp, cp = str(tmp_path / "ref.parquet"), str(tmp_path / "cur.parquet")
+    ref.write.parquet(rp)
+    cur.write.parquet(cp)
+    out = str(tmp_path / "out")
+    assert drift_main(
+        ["--ref", rp, "--cur", cp, "--cols", "x", "--output", out]
+    ) == 0
+    summary = _json.load(open(_os.path.join(out, "summary.json")))
+    assert summary["verdict"]["x"] == "drifted"
+    # freeze + histogram path agrees
+    fz = str(tmp_path / "frozen")
+    assert drift_main(
+        ["--ref", rp, "--cols", "x", "--output", out, "--freeze-ref", fz]
+    ) == 0
+    edges, digits = read_drift_reference(fz)
+    hist = str(tmp_path / "hist.parquet")
+    drift_bin_counts(cur, ["x"], edges, "cur_n", digits).write.parquet(hist)
+    out2 = str(tmp_path / "out2")
+    assert drift_main(
+        ["--ref-frozen", fz, "--hist", hist, "--output", out2]
+    ) == 0
+    s2 = _json.load(open(_os.path.join(out2, "summary.json")))
+    assert s2["psi"]["x"] == summary["psi"]["x"]
