@@ -185,17 +185,9 @@ def assign_shards(
     ordered, no global sort."""
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(F.col(id_col).cast("string"), F.lit(f":s{seed}"))
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    from icicle_spark.operators.sampling import md5_mod
+
+    h = md5_mod(id_col, f":s{seed}")
     return df.withColumn("shard", F.pmod(h, F.lit(n_shards))).withColumn(
         "shuffle_key", h
     )
@@ -506,15 +498,32 @@ def materialize_bins(
         inner = tuple(order_cols[1:]) + ("__piece",)
         oversize = "error"
 
-    assigned = bin_pack_documents(
-        d,
-        length_col="__n",
-        order_cols=(segment_col, *inner),
-        seq_len=seq_len,
-        oversize=oversize,
-        strategy=strategy,
-        extra_cols=("__t",),
-    )
+    if strategy == "class":
+        # tokens ride the one (cls, segment)-window exchange — a
+        # join-back would cost a second corpus shuffle
+        assigned = bin_pack_documents(
+            d,
+            length_col="__n",
+            order_cols=(segment_col, *inner),
+            seq_len=seq_len,
+            oversize=oversize,
+            strategy=strategy,
+            extra_cols=("__t",),
+        )
+    else:
+        # FFD's per-segment applyInPandas must see ONLY (keys, len) —
+        # shipping every segment's full token corpus into one pandas
+        # group is an executor-OOM at scale — so assign on lengths
+        # and join the arrays back (one co-partitioned shuffle join)
+        assigned = bin_pack_documents(
+            d.select(segment_col, *inner, "__n"),
+            length_col="__n",
+            order_cols=(segment_col, *inner),
+            seq_len=seq_len,
+            oversize=oversize,
+            strategy=strategy,
+        ).join(d.select(segment_col, *inner, "__t"),
+               [segment_col, *inner])
     # bin key: (cls, bin_seq) for class packing (global), plus the
     # segment for FFD (bin_seq is per-segment there)
     key = ["cls", "bin_seq"] + ([segment_col] if strategy == "ffd" else [])

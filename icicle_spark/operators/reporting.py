@@ -378,10 +378,17 @@ def drift_edges(
         )
         .collect()
     )
-    return {
+    edges = {
         r["feature"]: [round(t + eps, round_digits) for t in r["thr"]]
         for r in rows
     }
+    missing = sorted(set(cols) - set(edges))
+    if missing:
+        raise ValueError(
+            f"drift_edges: no non-null reference values for features "
+            f"{missing} — cannot bin them"
+        )
+    return edges
 
 
 def drift_bin_counts(
@@ -395,7 +402,12 @@ def drift_bin_counts(
     a pure zero-state function of the rows, so counts from disjoint
     slices (micro-batches, partitions, days) ADD to the full-corpus
     counts exactly. One melt scan + one map-side-combined count."""
-    m = _melt_features(df, list(edges), round_digits)
+    missing = sorted(set(cols) - set(edges))
+    if missing:
+        raise ValueError(
+            f"drift_bin_counts: no edges for features {missing}"
+        )
+    m = _melt_features(df, cols, round_digits)
 
     def bin_expr():
         expr = F.lit(None).cast("int")

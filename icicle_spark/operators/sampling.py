@@ -28,14 +28,28 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 _BUCKETS = 1_000_000
 
 
+def md5_mod(key_col, salt: str, m: int | Column | None = None) -> Column:
+    """THE engine's portable deterministic hash (single definition —
+    tokens.py and the shard writer delegate here): md5 hex is
+    identical in every engine (DuckDB, Trino, BigQuery...), so
+    membership/splits derived from it are oracle-checkable
+    cross-engine. 15 hex digits = 60 bits, fits a signed int64.
+    ``m=None`` returns the raw non-negative hash."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    if m is None:
+        return h
+    return h % (F.lit(m) if isinstance(m, int) else m)
+
+
 def _bucket_n(key_col, seed: int, n: int, hash_fn: str = "xx64") -> Column:
     c = F.col(key_col) if isinstance(key_col, str) else key_col
     if hash_fn == "md5":
-        # portable gate: md5 hex is identical in every engine (DuckDB,
-        # Trino, BigQuery...), so membership is oracle-checkable
-        # cross-engine. 15 hex digits = 60 bits, fits a signed int64.
-        h = F.md5(F.concat(c.cast("string"), F.lit(f":{seed}")))
-        return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % F.lit(n)
+        return md5_mod(c, f":{seed}", n)
     if hash_fn != "xx64":
         raise ValueError(f"unknown hash_fn {hash_fn!r} (xx64 | md5)")
     return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(n))

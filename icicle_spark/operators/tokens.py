@@ -405,15 +405,11 @@ def heavy_hitters(
 
 
 def _md5_mod(key: Column, salt: str, m: Column | int) -> Column:
-    """Portable 60-bit md5 hash of ``key`` mod ``m`` (same hex in
-    DuckDB/Trino/BigQuery — the engine's cross-engine determinism
-    recipe, see operators/sampling.py and assign_shards)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 15),
-        16,
-        10,
-    ).cast("bigint")
-    return h % (F.lit(m) if isinstance(m, int) else m)
+    """Portable 60-bit md5 hash mod m — delegates to the single
+    definition in operators/sampling.py (md5_mod)."""
+    from icicle_spark.operators.sampling import md5_mod
+
+    return md5_mod(key, salt, m)
 
 
 def fim_transform(

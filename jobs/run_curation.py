@@ -594,14 +594,18 @@ def main(argv: list[str] | None = None) -> int:
             kept_df, args.mix_alpha, args.mix_source_col,
             key_col=args.id_col, rates=rates,
         )
-        mix_info = {
+        mix_info.update({
             "mix_alpha": args.mix_alpha,
             "mix_rates": {s: t / _BUCKETS for s, t in sorted(rates.items())},
-        }
+        })
+    apply_epochs = None
     if args.epoch_budget:
         # 5b. multi-epoch mixture: plan epochs-per-source against the
-        # token budget, then materialize labelled epoch copies
-        # (md5-gated fractional epoch) — deterministic, zero shuffle
+        # token budget on the UNIQUE kept corpus now; the labelled
+        # epoch copies materialize only after the split stage (an
+        # epoch-duplicated corpus fed into the split join would fan
+        # out e x e rows) — deterministic, zero shuffle
+        from icicle_spark.functions.text import token_count
         from icicle_spark.operators.sampling import (
             epoch_upsample,
             plan_source_epochs,
@@ -614,8 +618,7 @@ def main(argv: list[str] | None = None) -> int:
                 f"(set --mix-source-col); input has {kept_df.columns}"
             )
         counted = kept_df.withColumn(
-            "__epoch_tok",
-            F.size(F.split(F.col(args.text_col), r"\s+")),
+            "__epoch_tok", token_count(F.col(args.text_col))
         )
         if args.epoch_weight:
             weights = {}
@@ -636,11 +639,13 @@ def main(argv: list[str] | None = None) -> int:
             tok_col="__epoch_tok", source_col=src_col,
             max_epochs=args.epoch_cap,
         )
-        kept_df = epoch_upsample(
-            kept_df,
-            {p["source"]: p["epochs"] for p in plan},
-            source_col=src_col, id_col=args.id_col,
-        )
+        rates = {p["source"]: p["epochs"] for p in plan}
+
+        def apply_epochs(df, _rates=rates, _src=src_col):
+            return epoch_upsample(
+                df, _rates, source_col=_src, id_col=args.id_col
+            )
+
         mix_info["epoch_plan"] = [
             {**p, "epochs": round(p["epochs"], 6)} for p in plan
         ]
@@ -675,6 +680,8 @@ def main(argv: list[str] | None = None) -> int:
         kept_df = kept_df.join(
             assigned.select(args.id_col, "split"), on=args.id_col
         )
+        if apply_epochs is not None:
+            kept_df = apply_epochs(kept_df)
         kept_df.write.mode("overwrite").partitionBy("split").parquet(
             kept_path
         )
@@ -707,6 +714,8 @@ def main(argv: list[str] | None = None) -> int:
                 ).collect()  # bounded: one row per eval split
             }
     else:
+        if apply_epochs is not None:
+            kept_df = apply_epochs(kept_df)
         kept_df.write.mode("overwrite").parquet(kept_path)
     if mix_info:
         mix_info["kept_after_mix"] = spark.read.parquet(kept_path).count()

@@ -156,11 +156,6 @@ def main(argv: list[str] | None = None) -> int:
     dense = remap_tokens(enc, vocab, "bpe").drop("bpe").withColumnRenamed(
         "remapped", "tokens"
     )
-    stats = dense.agg(
-        F.sum(F.size("tokens")).alias("n_tok"),
-        F.sum("n_oov").alias("n_oov"),
-    ).collect()[0]
-
     if args.fim_rate > 0:
         from icicle_spark.operators.tokens import fim_transform
 
@@ -177,6 +172,13 @@ def main(argv: list[str] | None = None) -> int:
             mid_tok=s0 + 1,
             suf_tok=s0 + 2,
         ).drop("fim", "fim_a", "fim_b")
+
+    # token accounting AFTER any FIM stage so summary.json matches the
+    # corpus actually written (FIM adds 3 sentinels per transformed doc)
+    stats = dense.agg(
+        F.sum(F.size("tokens")).alias("n_tok"),
+        F.sum("n_oov").alias("n_oov"),
+    ).collect()[0]
 
     if args.no_pack:
         dense.write.mode("overwrite").parquet(
