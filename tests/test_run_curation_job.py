@@ -521,3 +521,42 @@ def test_curation_epoch_mix(spark, tmp_path):
     for (s, _), n in per.items():
         e = plan[s]["epochs"]
         assert math.floor(e) <= n <= math.ceil(e)
+
+
+def test_curation_epoch_with_split_no_fanout(spark, tmp_path):
+    """--epoch-budget + --split: epochs materialize AFTER the split
+    join, so copies stay floor(e)/ceil(e) (the pre-fix bug fanned out
+    e x e) and every copy of a doc shares one split."""
+    rows = [
+        (
+            i,
+            f"varied document number {i} plus distinct words rivers "
+            f"mountains cities music science history art cooking "
+            f"travel sports weather item{i} extra{i*7} token{i*13}",
+            "web",
+        )
+        for i in range(1, 121)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    assert main([
+        "--input", src, "--output", out, "--min-words", "5",
+        "--no-logprob", "--epoch-budget", "100000",
+        "--epoch-cap", "3.0", "--split", "train=0.8,val=0.2",
+    ]) == 0
+    kept = spark.read.parquet(os.path.join(out, "kept"))
+    per = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("split").alias("nsplit"),
+        )
+        .collect()
+    )
+    assert per
+    for r in per:
+        assert r["n"] <= 3  # never e x e (9)
+        assert r["nsplit"] == 1
