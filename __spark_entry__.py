@@ -2606,6 +2606,43 @@ FROM fr
 """
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility table (tokens spent per char/byte, by
+    source + rolled-up TOTAL): ONE scan, ONE ROLLUP hash aggregate —
+    the corpus_stats shape over the tokenize pipeline's output."""
+    from icicle_spark.operators.reporting import tokenizer_fertility
+    from icicle_spark.operators.tokens import char_token_ids
+
+    d = _docs(spark, sf_dir).select(
+        "source", "text", char_token_ids("text").alias("tokens")
+    )
+    return tokenizer_fertility(d)
+
+
+_FERTILITY_SQL = """
+WITH d AS (
+  SELECT coalesce(source, '<null>') AS g,
+         len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT
+           AS nt,
+         length(text)::BIGINT AS nc,
+         octet_length(CAST(text AS BLOB))::BIGINT AS nb
+  FROM documents
+)
+SELECT coalesce(g, 'TOTAL') AS source,
+       count(*)::BIGINT AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
+       CAST(sum(nb) AS BIGINT) AS n_bytes,
+       round(sum(nt) / CAST(count(*) AS DOUBLE), 6) AS tokens_per_doc,
+       round(sum(nc) / CAST(nullif(sum(nt), 0) AS DOUBLE), 6)
+         AS chars_per_token,
+       round(sum(nb) / CAST(nullif(sum(nt), 0) AS DOUBLE), 6)
+         AS bytes_per_token
+FROM d
+GROUP BY ROLLUP (g)
+"""
+
+
 def q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-epoch mixture materialization: per-source fractional
     epoch rates (0.5..2.75, derived from the source index) expand
@@ -5210,6 +5247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # feature_drift: locally oracle-verified at sf0.01 and sf0.1
         # (same out-of-window rationale as fim_transform)
         "feature_drift": q_feature_drift,
+        # tokenizer_fertility: locally oracle-verified at sf0.01 and
+        # sf0.1 (same out-of-window rationale as fim_transform)
+        "tokenizer_fertility": q_tokenizer_fertility,
         "token_freq": q_token_freq,
         "quality_filter": q_quality_filter,
         "source_group_fold": q_source_group_fold,
@@ -5411,6 +5451,7 @@ def oracle_sql() -> dict[str, str]:
         "sft_render": _SFT_SQL,
         "epoch_mix": _EPOCH_MIX_SQL,
         "feature_drift": _DRIFT_SQL,
+        "tokenizer_fertility": _FERTILITY_SQL,
         "vocab_remap": _VOCAB_REMAP_SQL,
         "chunk_docs": _CHUNK_SQL,
         "classifier_score": _CLASSIFIER_SQL,

@@ -451,3 +451,60 @@ def drift_psi(
             "psi_term"
         ),
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    text_col: str = "text",
+    group_col: str = "source",
+    round_digits: int = 6,
+    round_eps: float = 0.0,
+) -> DataFrame:
+    """Tokenizer fertility report — the standard tokenizer-evaluation
+    table (how many tokens the tokenizer spends per unit of text, by
+    corpus slice): per ``group_col`` plus a rolled-up TOTAL row —
+
+        (group, n_docs, n_tokens, n_chars, n_bytes,
+         tokens_per_doc, chars_per_token, bytes_per_token)
+
+    High ``bytes_per_token`` = compressive (good for that slice);
+    a slice whose fertility is far off corpus TOTAL signals vocab
+    mismatch (e.g. a script the merges never saw). ONE scan, ONE
+    ROLLUP hash aggregate with map-side partials — same shape as
+    :func:`corpus_stats`; ratios are null for empty denominators.
+    ``round_eps`` as in :func:`corpus_stats` (cross-engine tie
+    stabilization)."""
+
+    def _r(c):
+        return F.round(c + F.lit(round_eps), round_digits)
+
+    d = docs.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("<null>"))
+        .alias("__g"),
+        F.size(F.col(tokens_col)).cast("bigint").alias("__nt"),
+        F.length(F.col(text_col)).cast("bigint").alias("__nc"),
+        F.octet_length(F.col(text_col)).cast("bigint").alias("__nb"),
+    )
+    agg = (
+        d.rollup("__g")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+            F.sum("__nc").alias("n_chars"),
+            F.sum("__nb").alias("n_bytes"),
+        )
+        .select(
+            F.coalesce(F.col("__g"), F.lit(TOTAL_LABEL)).alias(group_col),
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_bytes",
+            _r(F.col("n_tokens") / F.col("n_docs")).alias("tokens_per_doc"),
+            _r(F.col("n_chars") / F.nullif(F.col("n_tokens"), F.lit(0)))
+            .alias("chars_per_token"),
+            _r(F.col("n_bytes") / F.nullif(F.col("n_tokens"), F.lit(0)))
+            .alias("bytes_per_token"),
+        )
+    )
+    return agg

@@ -351,3 +351,41 @@ def test_run_drift_job(spark, tmp_path):
     ) == 0
     s2 = _json.load(open(_os.path.join(out2, "summary.json")))
     assert s2["psi"]["x"] == summary["psi"]["x"]
+
+
+def test_tokenizer_fertility(spark):
+    """TOTAL row equals the sum of per-source rows; ratios match
+    hand math; empty-token groups get null per-token ratios; one
+    hash aggregate (no second scan)."""
+    from pyspark.sql import functions as F
+
+    from icicle_spark.operators.reporting import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [
+            ("web", "ab cd", [1, 2]),
+            ("web", "é", [5]),          # 1 char, 2 utf-8 bytes
+            ("books", "xyz", [7, 8, 9]),
+            ("empty", "", []),
+        ],
+        "source string, text string, tokens array<int>",
+    )
+    got = {
+        r["source"]: r for r in tokenizer_fertility(df).collect()
+    }
+    assert got["web"]["n_tokens"] == 3
+    assert got["web"]["n_chars"] == 6
+    assert got["web"]["n_bytes"] == 7
+    assert got["web"]["chars_per_token"] == 2.0
+    assert got["books"]["tokens_per_doc"] == 3.0
+    assert got["empty"]["chars_per_token"] is None
+    t = got["TOTAL"]
+    assert t["n_docs"] == 4 and t["n_tokens"] == 6
+    assert t["n_bytes"] == 7 + 3  # web 7 + books 3 + empty 0
+    plan = (
+        tokenizer_fertility(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") <= 1
