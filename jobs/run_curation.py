@@ -264,6 +264,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="apply the C4 (Raffel et al. 2020 2.2) "
                          "line-level cleaning rewrite and add its "
                          "page gates to the policy")
+    ap.add_argument("--compression", action="store_true",
+                    help="add the zlib compression_ratio signal "
+                    "(Dolma-style; pair with --rule gates)")
     ap.add_argument("--gopher", action="store_true",
                     help="add the Gopher (Rae et al. 2021 A1.1) "
                          "signal set and its published rule bounds "
@@ -443,6 +446,13 @@ def main(argv: list[str] | None = None) -> int:
         from icicle_spark.functions.text import gopher_signals
 
         sig = gopher_signals(sig, args.text_col)
+    if args.compression:
+        # Dolma-style zlib ratio (Arrow-batched mapInPandas; gate the
+        # tails with e.g. --rule "too_compressible:compression_ratio
+        # >= 0.25" --rule "gibberish_entropy:compression_ratio <= 1.0")
+        from icicle_spark.functions.text import compression_ratio
+
+        sig = compression_ratio(sig, args.text_col)
     if not args.no_logprob:
         freq = word_freq(docs, args.text_col)
         lp = doc_logprob(docs, freq, args.text_col, args.id_col)

@@ -560,3 +560,32 @@ def test_curation_epoch_with_split_no_fanout(spark, tmp_path):
     for r in per:
         assert r["n"] <= 3  # never e x e (9)
         assert r["nsplit"] == 1
+
+
+def test_curation_compression_signal(spark, tmp_path):
+    """--compression + a rule gate: the heavily repetitive doc fails
+    on compression_ratio while varied docs survive."""
+    rows = [
+        (1, "spam ham eggs " * 120, "web"),
+        (2, "a genuinely varied document with many different words "
+            "covering rivers mountains cities music science history "
+            "art cooking travel sports weather galaxies chemistry "
+            "poetry economics farming sailing painting running "
+            "climbing mathematics geography", "web"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    assert main([
+        "--input", src, "--output", out, "--min-words", "5",
+        "--no-logprob", "--compression", "--max-dup2", "1.0",
+        "--min-distinct-ratio", "0.0",
+        "--rule", "too_compressible:compression_ratio >= 0.25",
+    ]) == 0
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(os.path.join(out, "kept")).collect()}
+    assert kept == {2}
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["dropped_by_reason"].get("too_compressible") == 1
