@@ -255,3 +255,31 @@ def test_bigram_freq_one_shuffle_plan(spark):
     )
     plan = bigram_freq(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_compression_ratio_zlib_parity(spark):
+    import zlib
+
+    from icicle_spark.functions.text import compression_ratio
+
+    rows = [
+        (1, "spam ham eggs " * 150),
+        (2, "k9#pQ!zR@7vX$eW2&mN*bT5^cY8(jU3)"),
+        (3, ""),
+        (4, None),
+        (5, "ünïcödé ünïcödé ünïcödé"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in compression_ratio(df).collect()
+    }
+    for i, t in rows:
+        if not t:
+            assert got[i] is None
+            continue
+        raw = t.encode("utf-8")
+        assert abs(got[i] - len(zlib.compress(raw, 6)) / len(raw)) < 1e-12
+    # the repetitive doc compresses an order of magnitude below the
+    # high-entropy one
+    assert got[1] < 0.1 < got[2]
