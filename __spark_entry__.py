@@ -2592,10 +2592,10 @@ j AS (
 ),
 fr AS (
   SELECT feature, bin, ref_n, cur_n,
-         greatest(ref_n / CAST(sum(ref_n) OVER (PARTITION BY feature)
-                               AS DOUBLE), 1e-6) AS rf,
-         greatest(cur_n / CAST(sum(cur_n) OVER (PARTITION BY feature)
-                               AS DOUBLE), 1e-6) AS cf
+         greatest(ref_n / greatest(CAST(sum(ref_n) OVER
+                  (PARTITION BY feature) AS DOUBLE), 1), 1e-6) AS rf,
+         greatest(cur_n / greatest(CAST(sum(cur_n) OVER
+                  (PARTITION BY feature) AS DOUBLE), 1), 1e-6) AS cf
   FROM j
 )
 SELECT feature, CAST(bin AS INT) AS bin, ref_n, cur_n,
@@ -2616,7 +2616,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "source", "text", char_token_ids("text").alias("tokens")
     )
-    return tokenizer_fertility(d)
+    return tokenizer_fertility(d, round_eps=1.37e-8)
 
 
 _FERTILITY_SQL = """

@@ -470,6 +470,7 @@ def materialize_bins(
         "__n", F.size("__t").cast("bigint")
     ).where(F.col("__n") > 0)
 
+    pre = d
     if split_oversize:
         L = F.lit(int(seq_len))
         piece = F.explode(
@@ -486,15 +487,36 @@ def materialize_bins(
                 ),
             )
         )
-        d = d.select(*order_cols, piece.alias("__p")).select(
+        d = pre.select(*order_cols, piece.alias("__p")).select(
             *order_cols,
             F.col("__p.piece").alias("__piece"),
             F.col("__p.t").alias("__t"),
         ).withColumn("__n", F.size("__t").cast("bigint"))
+        # FFD's lengths-only branch: piece lengths are pure ARITHMETIC
+        # on the original count — no array slicing on this lineage, so
+        # the double evaluation the join-back costs touches no arrays
+        lens = pre.select(
+            *order_cols,
+            F.col("__n").alias("__n0"),
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.ceil(F.col("__n") / L).cast("int") - 1
+                )
+            ).alias("__p0"),
+        ).select(
+            *order_cols,
+            F.col("__p0").cast("bigint").alias("__piece"),
+            F.least(
+                L.cast("bigint"),
+                F.col("__n0") - F.col("__p0").cast("bigint")
+                * L.cast("bigint"),
+            ).alias("__n"),
+        )
         inner = tuple(order_cols[1:]) + ("__piece",)
         oversize = "drop"  # nothing oversize survives the split
     else:
         d = d.withColumn("__piece", F.lit(0).cast("bigint"))
+        lens = d.select(*order_cols, "__piece", "__n")
         inner = tuple(order_cols[1:]) + ("__piece",)
         oversize = "error"
 
@@ -513,17 +535,42 @@ def materialize_bins(
     else:
         # FFD's per-segment applyInPandas must see ONLY (keys, len) —
         # shipping every segment's full token corpus into one pandas
-        # group is an executor-OOM at scale — so assign on lengths
-        # and join the arrays back (one co-partitioned shuffle join)
+        # group is an executor-OOM at scale — so assign on the
+        # arithmetic lengths and join the arrays back. The join side
+        # pre-aggregates per key, which makes the join 1:1 AND raises
+        # loudly on duplicate order keys (the documented unique-key
+        # contract; a plain join would fan duplicates out e x e and
+        # silently overflow bins — e.g. an epoch-upsampled corpus
+        # packed without the epoch column in order_cols).
+        toks = d.groupBy(segment_col, *inner).agg(
+            F.first("__t").alias("__t"),
+            F.count("*").alias("__dup"),
+        )
+        toks = toks.select(
+            segment_col,
+            *inner,
+            F.when(
+                F.col("__dup") > 1,
+                F.raise_error(
+                    F.lit(
+                        "materialize_bins: duplicate order key — "
+                        f"order_cols={order_cols!r} must be a unique "
+                        "key (epoch-upsampled corpora: include the "
+                        "epoch column)"
+                    )
+                ).cast(d.schema["__t"].dataType),
+            )
+            .otherwise(F.col("__t"))
+            .alias("__t"),
+        )
         assigned = bin_pack_documents(
-            d.select(segment_col, *inner, "__n"),
+            lens,
             length_col="__n",
             order_cols=(segment_col, *inner),
             seq_len=seq_len,
             oversize=oversize,
             strategy=strategy,
-        ).join(d.select(segment_col, *inner, "__t"),
-               [segment_col, *inner])
+        ).join(toks, [segment_col, *inner])
     # bin key: (cls, bin_seq) for class packing (global), plus the
     # segment for FFD (bin_seq is per-segment there)
     key = ["cls", "bin_seq"] + ([segment_col] if strategy == "ffd" else [])

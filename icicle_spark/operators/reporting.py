@@ -438,8 +438,17 @@ def drift_psi(
         cur_counts, ["feature", "bin"], "full_outer"
     ).fillna({"ref_n": 0, "cur_n": 0})
     w = Window.partitionBy("feature")
-    rf = F.greatest(F.col("ref_n") / F.sum("ref_n").over(w), F.lit(1e-6))
-    cf = F.greatest(F.col("cur_n") / F.sum("cur_n").over(w), F.lit(1e-6))
+    # greatest(total, 1): an all-zero side (feature absent from every
+    # batch so far) must report psi against an empty distribution, not
+    # die on ANSI 0/0 — numerators are 0 there, so the floor is inert
+    rf = F.greatest(
+        F.col("ref_n") / F.greatest(F.sum("ref_n").over(w), F.lit(1)),
+        F.lit(1e-6),
+    )
+    cf = F.greatest(
+        F.col("cur_n") / F.greatest(F.sum("cur_n").over(w), F.lit(1)),
+        F.lit(1e-6),
+    )
     return j.select(
         "feature",
         "bin",

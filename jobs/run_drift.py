@@ -65,10 +65,38 @@ def main(argv: list[str] | None = None) -> int:
                           "features": sorted(edges)}))
         return 0
 
-    if args.ref_frozen and args.hist:
-        from icicle_spark.streaming.drift_stream import drift_report
+    if args.ref_frozen and (args.hist or args.cur):
+        from icicle_spark.streaming.drift_stream import (
+            drift_report,
+            read_drift_reference,
+        )
 
-        report = drift_report(spark, args.ref_frozen, args.hist)
+        # the frozen reference already fixes features and bins — a
+        # conflicting request must not be silently ignored
+        if args.cols or args.bins != 10:
+            raise SystemExit(
+                "--ref-frozen fixes the features and bins at freeze "
+                "time; drop --cols/--bins (re-freeze to change them)"
+            )
+        if args.hist:
+            report = drift_report(spark, args.ref_frozen, args.hist)
+        else:
+            # frozen reference vs a BATCH frame (train-vs-serve):
+            # bin the frame under the frozen edges, same PSI tail
+            from icicle_spark.operators.reporting import (
+                drift_bin_counts,
+                drift_psi,
+            )
+
+            edges, digits = read_drift_reference(args.ref_frozen)
+            cur_counts = drift_bin_counts(
+                spark.read.parquet(args.cur), list(edges), edges,
+                "cur_n", digits,
+            )
+            ref_counts = spark.read.parquet(
+                os.path.join(args.ref_frozen, "ref_counts.parquet")
+            )
+            report = drift_psi(ref_counts, cur_counts, digits)
     elif args.ref and args.cur and args.cols:
         from icicle_spark.operators.reporting import feature_drift
 
@@ -80,8 +108,8 @@ def main(argv: list[str] | None = None) -> int:
         )
     else:
         raise SystemExit(
-            "need --ref --cur --cols, or --ref-frozen --hist, or "
-            "--freeze-ref"
+            "need --ref --cur --cols, or --ref-frozen with --hist or "
+            "--cur, or --freeze-ref"
         )
 
     report.write.mode("overwrite").parquet(

@@ -399,3 +399,19 @@ def test_materialize_bins_conservation_and_shapes(spark):
     for r in sorted(out, key=lambda r: min(r["tokens"])):
         flat.extend(r["tokens"])
     assert flat == list(range(40))
+
+
+def test_materialize_bins_ffd_duplicate_keys_raise(spark):
+    """Duplicate order keys (e.g. an epoch-upsampled corpus packed
+    without the epoch column) must raise loudly on the FFD path —
+    a plain join-back would fan out e x e and overflow bins."""
+    from icicle_spark.operators.packing import materialize_bins
+
+    df = spark.createDataFrame(
+        [("s", "d1", list(range(10))),
+         ("s", "d1", list(range(10))),
+         ("s", "d2", [1, 2, 3, 4, 5])],
+        "source string, doc_id string, tokens array<int>",
+    )
+    with pytest.raises(Exception, match="duplicate order key"):
+        materialize_bins(df, seq_len=16, strategy="ffd").collect()

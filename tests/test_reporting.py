@@ -389,3 +389,62 @@ def test_tokenizer_fertility(spark):
         .toString()
     )
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_drift_psi_empty_side_survives(spark):
+    """A feature with zero total on one side reports finite PSI
+    instead of dying on ANSI 0/0 (the streaming not-yet-emitted
+    feature case)."""
+    from icicle_spark.operators.reporting import drift_psi
+
+    ref = spark.createDataFrame(
+        [("x", 1, 10), ("x", 2, 10)], "feature string, bin int, ref_n bigint"
+    )
+    cur = spark.createDataFrame(
+        [("x", 1, 0), ("x", 2, 0)], "feature string, bin int, cur_n bigint"
+    )
+    rows = drift_psi(ref, cur).collect()
+    assert rows and all(r["psi_term"] is not None for r in rows)
+
+
+def test_run_drift_frozen_vs_cur_and_conflicts(spark, tmp_path):
+    """--ref-frozen --cur equals the batch report; --ref-frozen with
+    --cols/--bins refuses instead of silently ignoring them."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from jobs.run_drift import main as drift_main
+
+    ref = spark.range(0, 800).select(
+        (F.col("id") % 61).cast("double").alias("x")
+    )
+    cur = spark.range(0, 700).select(
+        ((F.col("id") % 61) + 15).cast("double").alias("x")
+    )
+    rp, cp = str(tmp_path / "r.parquet"), str(tmp_path / "c.parquet")
+    ref.write.parquet(rp)
+    cur.write.parquet(cp)
+    out1 = str(tmp_path / "o1")
+    assert drift_main(
+        ["--ref", rp, "--cur", cp, "--cols", "x", "--output", out1]
+    ) == 0
+    fz = str(tmp_path / "fz")
+    assert drift_main(
+        ["--ref", rp, "--cols", "x", "--output", out1,
+         "--freeze-ref", fz]
+    ) == 0
+    out2 = str(tmp_path / "o2")
+    assert drift_main(
+        ["--ref-frozen", fz, "--cur", cp, "--output", out2]
+    ) == 0
+    a = _json.load(open(_os.path.join(out1, "summary.json")))
+    b = _json.load(open(_os.path.join(out2, "summary.json")))
+    assert a["psi"] == b["psi"]
+    with _pt.raises(SystemExit, match="fixes the features"):
+        drift_main(
+            ["--ref-frozen", fz, "--cur", cp, "--output", out2,
+             "--cols", "x"]
+        )
