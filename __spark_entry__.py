@@ -2643,6 +2643,80 @@ GROUP BY ROLLUP (g)
 """
 
 
+def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII risk report over the same synthesized spans as redact_pii:
+    per (kind, source) match/doc counts + per-kind TOTAL, counted in
+    redaction's sequential-masking regime (an email's digits never
+    double-count as a phone). ONE scan + ONE ROLLUP aggregate; the
+    chained regexp_count/replace replays exactly in DuckDB's RE2."""
+    from icicle_spark.functions.text import pii_report
+
+    d = _docs(spark, sf_dir)
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789 tel +1 555 123 4567 end"),
+    )
+    return pii_report(d.select("source", synth.alias("text")))
+
+
+_PII_REPORT_SQL = r"""
+WITH t0 AS (
+  SELECT source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 ssn 123-45-6789 tel +1 555 123 4567 end' AS t
+  FROM documents
+),
+s1 AS (
+  SELECT source,
+    len(regexp_extract_all(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email,
+    regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        '<EMAIL>', 'g') AS t
+  FROM t0
+),
+s2 AS (
+  SELECT source, email,
+    len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS ip,
+    regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT source, email, ip,
+    len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS ssn,
+    regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t
+  FROM s2
+),
+s4 AS (
+  SELECT source, email, ip, ssn,
+    len(regexp_extract_all(t, '\+?\d[\d() -]{7,}\d')) AS phone
+  FROM s3
+),
+m AS (
+  SELECT source, 'email' AS kind, email AS cnt FROM s4
+  UNION ALL SELECT source, 'ip', ip FROM s4
+  UNION ALL SELECT source, 'ssn', ssn FROM s4
+  UNION ALL SELECT source, 'phone', phone FROM s4
+),
+agg AS (
+  SELECT kind, source,
+         CAST(sum(cnt) AS BIGINT) AS n_matches,
+         CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_affected
+  FROM m GROUP BY ROLLUP (kind, source)
+)
+SELECT kind, coalesce(source, 'TOTAL') AS source,
+       n_matches, n_docs_affected
+FROM agg WHERE kind IS NOT NULL
+"""
+
+
 def q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-epoch mixture materialization: per-source fractional
     epoch rates (0.5..2.75, derived from the source index) expand
@@ -5250,6 +5324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer_fertility: locally oracle-verified at sf0.01 and
         # sf0.1 (same out-of-window rationale as fim_transform)
         "tokenizer_fertility": q_tokenizer_fertility,
+        # pii_report: locally oracle-verified at sf0.01 and sf0.1
+        # (same out-of-window rationale as fim_transform)
+        "pii_report": q_pii_report,
         "token_freq": q_token_freq,
         "quality_filter": q_quality_filter,
         "source_group_fold": q_source_group_fold,
@@ -5452,6 +5529,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_mix": _EPOCH_MIX_SQL,
         "feature_drift": _DRIFT_SQL,
         "tokenizer_fertility": _FERTILITY_SQL,
+        "pii_report": _PII_REPORT_SQL,
         "vocab_remap": _VOCAB_REMAP_SQL,
         "chunk_docs": _CHUNK_SQL,
         "classifier_score": _CLASSIFIER_SQL,

@@ -782,3 +782,72 @@ def compression_ratio(
             yield out
 
     return df.mapInPandas(_ratio, schema=out_schema)
+
+
+def pii_report(
+    docs,
+    text_col: str = "text",
+    group_col: str = "source",
+):
+    """PII risk report — what :func:`redact_pii` WOULD scrub, counted
+    before anyone scrubs it: per ``(kind, group)`` plus a per-kind
+    TOTAL row —
+
+        (kind, group, n_matches, n_docs_affected)
+
+    Counts replicate redaction's sequential-masking regime exactly
+    (kind k is counted on the text with kinds before it already
+    masked, so a phone-ish digit run inside an email is an email,
+    never double-counted) — the report always agrees with what the
+    scrubbing pass would do. One scan, one ROLLUP hash aggregate with
+    map-side partials; the chained regexp_count/replace stays in
+    whole-stage codegen (same RE2/Java-safe patterns as redact_pii,
+    so the whole report replays in any RE2 engine — the DuckDB
+    contract oracle)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    cnt_cols = []
+    cur = t
+    for name, pat in PII_PATTERNS:
+        cnt_cols.append(
+            F.coalesce(
+                F.regexp_count(cur, F.lit(pat)), F.lit(0)
+            ).alias(name)
+        )
+        cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
+    d = docs.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("<null>"))
+        .alias("__g"),
+        *cnt_cols,
+    )
+    melted = d.select(
+        "__g",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("kind"),
+                        F.col(name).alias("cnt"),
+                    )
+                    for name, _ in PII_PATTERNS
+                ]
+            )
+        ).alias("p"),
+    ).select("__g", "p.kind", "p.cnt")
+    from icicle_spark.operators.reporting import TOTAL_LABEL
+
+    return (
+        melted.rollup("kind", "__g")
+        .agg(
+            F.sum("cnt").alias("n_matches"),
+            F.sum(F.when(F.col("cnt") > 0, 1).otherwise(0)).alias(
+                "n_docs_affected"
+            ),
+        )
+        .where(F.col("kind").isNotNull())
+        .select(
+            "kind",
+            F.coalesce(F.col("__g"), F.lit(TOTAL_LABEL)).alias(group_col),
+            "n_matches",
+            "n_docs_affected",
+        )
+    )

@@ -283,3 +283,34 @@ def test_compression_ratio_zlib_parity(spark):
     # the repetitive doc compresses an order of magnitude below the
     # high-entropy one
     assert got[1] < 0.1 < got[2]
+
+
+def test_pii_report_sequential_masking(spark):
+    """Counts agree with redaction's masking regime: digits inside an
+    email are the email, never also a phone; TOTAL rows add up."""
+    from icicle_spark.functions.text import pii_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail 5551234567x@b.com and c@d.org", "web"),
+            (2, "ip 10.0.0.1 then ssn 123-45-6789", "books"),
+            (3, "call +1 (555) 123-4567 now", "web"),
+            (4, "clean", "books"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    got = {
+        (r["kind"], r["source"]): (r["n_matches"], r["n_docs_affected"])
+        for r in pii_report(df).collect()
+    }
+    assert got[("email", "web")] == (2, 1)
+    # the digit run inside doc 1's email must NOT count as a phone
+    assert got[("phone", "web")] == (1, 1)
+    assert got[("ip", "books")] == (1, 1)
+    assert got[("ssn", "books")] == (1, 1)
+    for kind in ("email", "ip", "ssn", "phone"):
+        per = [v for (k, g), v in got.items()
+               if k == kind and g != "TOTAL"]
+        assert got[(kind, "TOTAL")] == (
+            sum(m for m, _ in per), sum(d for _, d in per)
+        )
