@@ -2652,20 +2652,12 @@ def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icicle_spark.functions.text import pii_report
 
     d = _docs(spark, sf_dir)
-    synth = F.concat(
-        F.col("text"),
-        F.lit(" contact user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.com from 10.0."),
-        (F.col("doc_id") % 256).cast("string"),
-        F.lit(".7 ssn 123-45-6789 tel +1 555 123 4567 end"),
-    )
-    return pii_report(d.select("source", synth.alias("text")))
+    return pii_report(d.select("source", _pii_synth().alias("text")))
 
 
 _PII_REPORT_SQL = r"""
 WITH t0 AS (
-  SELECT source,
+  SELECT coalesce(source, '<null>') AS source,
          text || ' contact user' || CAST(doc_id AS VARCHAR)
               || '@example.com from 10.0.'
               || CAST(doc_id % 256 AS VARCHAR)
@@ -4466,6 +4458,22 @@ FROM spine s LEFT JOIN agged a USING (user_id)
 """.format(snap=SNAP)
 
 
+def _pii_synth() -> "F.Column":
+    """The synthesized deterministic PII spans shared by the
+    redact_pii and pii_report contract queries (one definition, so
+    the two oracles certify the SAME masking surface; the SQL twin is
+    the `|| ' contact user' ...` fragment in _REDACT_SQL /
+    _PII_REPORT_SQL)."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789 tel +1 555 123 4567 end"),
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (training-pipeline extension): emails / IPs /
     SSNs / phone spans replaced with <KIND> placeholders via chained
@@ -4476,15 +4484,7 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icicle_spark.functions.text import redact_pii
 
     d = _docs(spark, sf_dir)
-    synth = F.concat(
-        F.col("text"),
-        F.lit(" contact user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.com from 10.0."),
-        (F.col("doc_id") % 256).cast("string"),
-        F.lit(".7 ssn 123-45-6789 tel +1 555 123 4567 end"),
-    )
-    return d.select("doc_id", redact_pii(synth).alias("clean"))
+    return d.select("doc_id", redact_pii(_pii_synth()).alias("clean"))
 
 
 _REDACT_SQL = r"""

@@ -764,7 +764,13 @@ def compression_ratio(
     ``mapInPandas`` — one C-speed ``zlib.compress`` per document, no
     per-token Python, shuffle-free narrow stage. Empty/null docs get
     a null ratio. Adds ``out_col: double``."""
-    out_schema = df.schema.simpleString()[7:-1] + f",{out_col}:double"
+    from pyspark.sql.types import DoubleType, StructType
+
+    # copy before add(): StructType.add mutates in place and
+    # df.schema is cached on the DataFrame
+    out_schema = StructType(list(df.schema.fields)).add(
+        out_col, DoubleType()
+    )
 
     def _ratio(batches):
         import zlib

@@ -57,7 +57,13 @@ def utf8_byte_tokens(df, text_col: str = "text", out_col: str = "tokens"):
     ``np.frombuffer`` over the encoded bytes (C-speed per token, no
     per-token Python). Adds ``out_col: array<bigint>``."""
 
-    out_schema = df.schema.simpleString()[7:-1] + f",{out_col}:array<bigint>"
+    from pyspark.sql.types import ArrayType, LongType, StructType
+
+    # copy before add(): StructType.add mutates in place and
+    # df.schema is cached on the DataFrame
+    out_schema = StructType(list(df.schema.fields)).add(
+        out_col, ArrayType(LongType())
+    )
 
     def _enc(batches):
         import numpy as np

@@ -35,7 +35,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cols", help="comma-separated feature columns "
                     "(required unless --ref-frozen)")
     ap.add_argument("--output", required=True)
-    ap.add_argument("--bins", type=int, default=10)
+    ap.add_argument("--bins", type=int, default=None,
+                    help="quantile bins (default 10; fixed at freeze "
+                    "time in --ref-frozen mode)")
     ap.add_argument("--freeze-ref",
                     help="persist the reference to DIR and exit")
     args = ap.parse_args(argv)
@@ -59,12 +61,17 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(args.ref),
             [c.strip() for c in args.cols.split(",")],
             args.freeze_ref,
-            n_bins=args.bins,
+            n_bins=args.bins or 10,
         )
         print(json.dumps({"frozen": args.freeze_ref,
                           "features": sorted(edges)}))
         return 0
 
+    if args.ref_frozen and args.hist and args.cur:
+        raise SystemExit(
+            "--ref-frozen takes --hist OR --cur, not both — pick the "
+            "accumulated histogram or the batch frame"
+        )
     if args.ref_frozen and (args.hist or args.cur):
         from icicle_spark.streaming.drift_stream import (
             drift_report,
@@ -73,7 +80,7 @@ def main(argv: list[str] | None = None) -> int:
 
         # the frozen reference already fixes features and bins — a
         # conflicting request must not be silently ignored
-        if args.cols or args.bins != 10:
+        if args.cols or args.bins is not None:
             raise SystemExit(
                 "--ref-frozen fixes the features and bins at freeze "
                 "time; drop --cols/--bins (re-freeze to change them)"
@@ -104,7 +111,7 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(args.ref),
             spark.read.parquet(args.cur),
             [c.strip() for c in args.cols.split(",")],
-            n_bins=args.bins,
+            n_bins=args.bins or 10,
         )
     else:
         raise SystemExit(

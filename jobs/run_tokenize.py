@@ -64,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
                     "(PSM/SPM) after remap, before packing; "
                     "sentinels take the three ids after the pad id")
     ap.add_argument("--fim-mode", default="psm", choices=["psm", "spm"])
+    ap.add_argument("--pack-order", default="",
+                    help="comma-separated EXTRA order columns appended "
+                    "to (source, doc_id) for packing — e.g. 'epoch' "
+                    "for an epoch-upsampled corpus, whose duplicate "
+                    "(source, doc_id) keys the no-split packer "
+                    "otherwise refuses loudly")
     ap.add_argument("--pack-mode", default="concat",
                     choices=["concat", "bin", "bin-ffd"],
                     help="concat = GPT concat-then-chunk "
@@ -93,16 +99,25 @@ def main(argv: list[str] | None = None) -> int:
     os.makedirs(args.output, exist_ok=True)
 
     df = spark.read.parquet(args.input)
+    pack_extra = tuple(
+        c.strip() for c in args.pack_order.split(",") if c.strip()
+    )
+    missing = [c for c in pack_extra if c not in df.columns]
+    if missing:
+        raise SystemExit(
+            f"--pack-order columns not in the corpus: {missing}"
+        )
     if args.tokens_col:
         base = df.select(
             F.col(args.id_col).alias("doc_id"),
             *([F.col("source")] if "source" in df.columns else []),
+            *[F.col(c) for c in pack_extra],
             F.col(args.tokens_col).alias("tokens"),
         )
     else:
         keep = [F.col(args.id_col).alias("doc_id")] + (
             [F.col("source")] if "source" in df.columns else []
-        )
+        ) + [F.col(c) for c in pack_extra]
         if args.base == "utf8":
             base = utf8_byte_tokens(
                 df.select(*keep, args.text_col), args.text_col, "tokens"
@@ -192,6 +207,7 @@ def main(argv: list[str] | None = None) -> int:
         order = ("source", "doc_id") if "source" in dense.columns else (
             "doc_id",
         )
+        order = order + pack_extra
         if args.pack_mode == "concat":
             packed = pack_token_sequences(
                 dense, "tokens", order_cols=order, seq_len=args.seq_len,

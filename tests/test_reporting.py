@@ -448,3 +448,34 @@ def test_run_drift_frozen_vs_cur_and_conflicts(spark, tmp_path):
             ["--ref-frozen", fz, "--cur", cp, "--output", out2,
              "--cols", "x"]
         )
+
+
+def test_run_drift_bins_and_conflict_handling(spark, tmp_path):
+    """--bins passes through in batch/freeze modes; --ref-frozen
+    refuses explicit --bins OR --cols and refuses --hist+--cur."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from jobs.run_drift import main as drift_main
+
+    ref = spark.range(0, 300).select(
+        (F.col("id") % 31).cast("double").alias("x")
+    )
+    rp = str(tmp_path / "r.parquet")
+    ref.write.parquet(rp)
+    fz = str(tmp_path / "fz")
+    assert drift_main(
+        ["--ref", rp, "--cols", "x", "--output", str(tmp_path / "o"),
+         "--freeze-ref", fz, "--bins", "20"]
+    ) == 0
+    import json as _json
+    import os as _os
+
+    edges = _json.load(open(_os.path.join(fz, "edges.json")))["edges"]
+    assert len(edges["x"]) == 19  # 20 bins -> 19 edges
+    with _pt.raises(SystemExit, match="fixes the features"):
+        drift_main(["--ref-frozen", fz, "--cur", rp,
+                    "--output", str(tmp_path / "o2"), "--bins", "20"])
+    with _pt.raises(SystemExit, match="not both"):
+        drift_main(["--ref-frozen", fz, "--cur", rp, "--hist", rp,
+                    "--output", str(tmp_path / "o3")])

@@ -141,3 +141,31 @@ def test_tokenize_fim_mode(spark, corpus, tmp_path):
             n_fim += 1
             assert len(pb[k]) == len(pa[k]) + 3
     assert n_fim
+
+
+def test_tokenize_pack_order_epoch(spark, tmp_path):
+    """An epoch-upsampled corpus (duplicate (source, doc_id)) bin-packs
+    via --pack-order epoch; without it the packer refuses loudly."""
+    rows = [
+        ("s0", 1, 0, "alpha beta gamma"),
+        ("s0", 1, 1, "alpha beta gamma"),
+        ("s0", 2, 0, "delta epsilon"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "doc_id", "epoch", "text"])
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "o")
+    assert main([
+        "--input", src, "--output", out, "--base", "codepoint",
+        "--merges", "2", "--seq-len", "32", "--pack-mode", "bin-ffd",
+        "--pack-order", "epoch",
+    ]) == 0
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["packed_sequences"] >= 1
+    with pytest.raises(SystemExit, match="--pack-order columns"):
+        main([
+            "--input", src, "--output", str(tmp_path / "o2"),
+            "--base", "codepoint", "--merges", "2", "--seq-len", "32",
+            "--pack-order", "nope",
+        ])
