@@ -219,3 +219,59 @@ def test_fim_properties(spark, seed, rate, mode, corpus_seed):
             assert sorted(x for x in got if x < 0) == [-103, -102, -101]
         else:
             assert got == t
+
+
+# ------------------------------------------------------- epoch upsample
+
+
+@given(
+    e_web=st.floats(0.0, 4.0),
+    e_books=st.floats(0.0, 4.0),
+    seed=st.integers(0, 100),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_epoch_upsample_properties(spark, e_web, e_books, seed):
+    """For arbitrary fractional rates: every doc appears exactly
+    floor(e) or ceil(e) times, epoch labels are dense 0..n-1, and the
+    same (id, seed) always draws the same copies (exact determinism —
+    no statistical assertions)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from icicle_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(f"d{i:03d}", "web" if i % 2 else "books") for i in range(80)],
+        "doc_id string, source string",
+    )
+    rates = {"web": e_web, "books": e_books}
+    out = epoch_upsample(df, rates, seed=seed)
+    per = {
+        (r["source"], r["doc_id"]): (r["n"], list(r["e"]))
+        for r in out.groupBy("source", "doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sort_array(F.collect_list("epoch")).alias("e"),
+        )
+        .collect()
+    }
+    for (s, _), (n, eps) in per.items():
+        e = rates[s]
+        assert n in (math.floor(e), math.ceil(e))
+        assert eps == list(range(n))
+    # exact determinism across partitioning
+    a = sorted(map(tuple, out.select("doc_id", "epoch").collect()))
+    b = sorted(
+        map(
+            tuple,
+            epoch_upsample(df.repartition(11), rates, seed=seed)
+            .select("doc_id", "epoch")
+            .collect(),
+        )
+    )
+    assert a == b
