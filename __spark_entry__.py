@@ -3365,6 +3365,8 @@ WITH sig AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(text), '\\s+'),
                      w -> w <> '') AS ws,
+         list_filter(string_split(text, chr(10)),
+                     l -> trim(l) <> '') AS lns,
          len(text) - len(replace(text, '#', ''))           AS n_hash,
          (len(text) - len(replace(text, '...', ''))) / 3   AS n_dots,
          len(text) - len(replace(text, '…', ''))           AS n_uell
@@ -3380,6 +3382,16 @@ m AS (
          CASE WHEN len(ws) > 0
               THEN (n_hash + n_dots + n_uell)::DOUBLE / len(ws)
               ELSE 0.0 END AS symbol_word_ratio,
+         CASE WHEN len(lns) > 0
+              THEN len(list_filter(lns, l ->
+                       regexp_matches(ltrim(l), '^[•‣▶*-]')))::DOUBLE
+                   / len(lns)
+              ELSE 0.0 END AS bullet_line_frac,
+         CASE WHEN len(lns) > 0
+              THEN len(list_filter(lns, l ->
+                       regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))::DOUBLE
+                   / len(lns)
+              ELSE 0.0 END AS ellipsis_line_frac,
          CASE WHEN len(ws) > 0
               THEN len(list_filter(ws,
                        w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
@@ -3403,6 +3415,10 @@ FROM (
              THEN 'gopher_mean_word_len'
            WHEN NOT coalesce(symbol_word_ratio <= 0.1, FALSE)
              THEN 'gopher_symbol_ratio'
+           WHEN NOT coalesce(bullet_line_frac <= 0.9, FALSE)
+             THEN 'gopher_bullet_lines'
+           WHEN NOT coalesce(ellipsis_line_frac <= 0.3, FALSE)
+             THEN 'gopher_ellipsis_lines'
            WHEN NOT coalesce(alpha_word_frac >= 0.8, FALSE)
              THEN 'gopher_alpha_words'
            WHEN NOT coalesce(stop_hits >= 2, FALSE)

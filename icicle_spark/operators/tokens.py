@@ -461,7 +461,12 @@ def fim_transform(
         k: F.lit(v).cast(elem_ty)
         for k, v in (("pre", pre_tok), ("mid", mid_tok), ("suf", suf_tok))
     }
-    n = F.size(t).cast("bigint")
+    # size(null array) is -1 under non-ANSI Spark, which would make
+    # the split-point modulus (n + 1) zero — null under default config
+    # (gate already false) but DIVIDE_BY_ZERO under
+    # spark.sql.ansi.enabled=true. Clamp so the expression is
+    # ANSI-safe; null arrays still pass through untransformed.
+    n = F.greatest(F.size(t).cast("bigint"), F.lit(0).cast("bigint"))
     gate = (
         (_md5_mod(key, f":f{seed}", 1_000_000) < int(rate * 1_000_000))
         & (n >= 2)

@@ -691,7 +691,24 @@ def main(argv: list[str] | None = None) -> int:
             assigned.select(args.id_col, "split"), on=args.id_col
         )
         if apply_epochs is not None:
-            kept_df = apply_epochs(kept_df)
+            # Epoch upsampling is a TRAIN-set treatment: eval splits
+            # stay one-copy (epoch 0). Upsampled eval rows would
+            # double-count eval examples downstream and inflate the
+            # leakage audit's per-split n_docs denominator,
+            # understating contaminated_frac by ~the epoch factor.
+            if "train" not in fractions:
+                raise SystemExit(
+                    "--epoch-budget with --split requires a split "
+                    "named 'train' (epochs apply to train only; the "
+                    f"leakage audit keys on it too): {args.split!r}"
+                )
+            kept_df = apply_epochs(
+                kept_df.where(F.col("split") == "train")
+            ).unionByName(
+                kept_df.where(F.col("split") != "train").withColumn(
+                    "epoch", F.lit(0)
+                )
+            )
         kept_df.write.mode("overwrite").partitionBy("split").parquet(
             kept_path
         )

@@ -526,7 +526,11 @@ def test_curation_epoch_mix(spark, tmp_path):
 def test_curation_epoch_with_split_no_fanout(spark, tmp_path):
     """--epoch-budget + --split: epochs materialize AFTER the split
     join, so copies stay floor(e)/ceil(e) (the pre-fix bug fanned out
-    e x e) and every copy of a doc shares one split."""
+    e x e) and every copy of a doc shares one split. Upsampling is a
+    TRAIN-only treatment: val docs stay exactly one copy (epoch 0) —
+    eval sets must never be epoch-duplicated (it would double-count
+    eval examples and understate the leakage audit's
+    contaminated_frac by ~the epoch factor)."""
     rows = [
         (
             i,
@@ -553,13 +557,21 @@ def test_curation_epoch_with_split_no_fanout(spark, tmp_path):
         .agg(
             F.count("*").alias("n"),
             F.countDistinct("split").alias("nsplit"),
+            F.first("split").alias("split"),
+            F.max("epoch").alias("max_epoch"),
         )
         .collect()
     )
     assert per
+    assert {r["split"] for r in per} == {"train", "val"}
     for r in per:
         assert r["n"] <= 3  # never e x e (9)
         assert r["nsplit"] == 1
+        if r["split"] != "train":
+            # eval splits are never epoch-upsampled
+            assert r["n"] == 1 and r["max_epoch"] == 0
+    # with budget >> corpus the cap binds: train docs all hit 3 copies
+    assert all(r["n"] == 3 for r in per if r["split"] == "train")
 
 
 def test_curation_compression_signal(spark, tmp_path):

@@ -372,7 +372,7 @@ def main() -> int:
     from icicle_spark.operators.phash import hamming_pairs
 
     fps = spark.createDataFrame(
-        [(i, (i * 2654435761) & ((1 << 64) - 1) - (1 << 63))
+        [(i, ((i * 2654435761) & ((1 << 64) - 1)) - (1 << 63))
          for i in range(500)],
         "doc_id bigint, fp bigint",
     )
