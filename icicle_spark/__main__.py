@@ -15,8 +15,8 @@ check / lsp) on the Spark engine:
 * ``query``   — delegate to ``jobs/run_features.py`` (spark-submit
                 entry).
 * ``repl``    — delegate to ``icicle_spark.repl``.
-
-``lsp`` is out of scope for a batch engine and reports as such.
+* ``lsp``     — stdio language server publishing the checker's
+                reference-shaped diagnostics (``icicle_spark.lsp``).
 """
 
 from __future__ import annotations
@@ -145,7 +145,10 @@ def main(argv: list[str] | None = None) -> int:
         "repl", help="interactive REPL (delegates to icicle_spark.repl)",
         add_help=False,
     )
-    sub.add_parser("lsp", help="not supported (batch engine)")
+    sub.add_parser(
+        "lsp",
+        help="language server over stdio (checker diagnostics)",
+    )
 
     # delegate query/repl with their own flag namespaces untouched
     if argv and argv[0] == "query":
@@ -163,8 +166,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "compile":
         return _cmd_compile(args)
     if args.cmd == "lsp":
-        print("lsp: not supported by the Spark engine", file=sys.stderr)
-        return 2
+        from icicle_spark.lsp import serve
+
+        return serve()
     return 0
 
 

@@ -61,9 +61,11 @@ def test_compile_dumps_ir(tmp_path):
     assert "newer_than_days=7" in r.stdout
 
 
-def test_lsp_unsupported():
+def test_lsp_serves_stdio():
+    # the full conversation golden lives in test_lsp.py; here: the
+    # subcommand exists and exits 1 on abrupt EOF (no shutdown)
     r = _run(["lsp"])
-    assert r.returncode == 2
+    assert r.returncode == 1
 
 
 def test_reference_dictionary_checks():

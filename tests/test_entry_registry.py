@@ -12,37 +12,28 @@ import __spark_entry__ as entry
 
 # queries that must be inside the driver's 50-entry window this round
 MUST_BE_IN_WINDOW = {
-    # round-4 additions needing their first oracle row
-    "post_group_filter",
-    "nested_group",
-    "chained_distinct",
-    "regression",
+    # round-5 rotation (VERDICT r4 #1-2): every oracle-backed query
+    # that had never received a driver-green row sits in-window now
+    "fim_transform",
+    "sft_render",
+    "epoch_mix",
+    "feature_drift",
+    "tokenizer_fertility",
+    "pii_report",
+    "skew_report",
+    "split_leakage",
+    "dsir_select",
+    "shard_assign",
+    "bpe_pair_counts",
+    # the four r4 canon-err rows, outputs now serialized (array_join
+    # both sides) so the driver's canonicalizer can sort them
+    "pack_sequences",
+    "vocab_remap",
     "source_scan",
-    "source_tuple",
-    "source_case",
-    "source_circular",
-    "classifier_score",
-    "token_budget_mix",
-    "corpus_stats",
-    "corpus_diff",
-    "cap_per_group",
-    "png_features",
-    "bigram_logprob",
-    "span_dedup",
-    "m1v_features",
-    # r3-certified but r4-TOUCHED code (FAILFAST struct decode, full
-    # source dictionaries) — rotated back in for re-certification
-    "dictionary_native",
-    # r3-certified but r3-TOUCHED (Possibly-native groups, RAW codecs,
-    # gram-set verify, per-key map arithmetic changed after their last
-    # oracle row) — rotated back in for re-certification
-    "group_fold_native",
-    "media_features",
-    "embed_dedup",
-    "json_map_ops",
-    # core fold paths rewritten again in round 4 (scan binds,
-    # post-group filters, prep refactor): keep the executor-heavy
-    # queries in-window for refresh
+    "bpe_top1_encode",
+    # r5-touched code stays in-window for re-certification
+    "gopher_rules",  # oracle gained the bullet/ellipsis line gates
+    # core fold paths: keep the executor-heavy queries in-window
     "asof_snapshot_folds",
     "asof_window_folds",
     "asof_chord",
@@ -72,3 +63,22 @@ def test_oracle_sql_is_stabilized():
     for name, sql in entry.oracle_sql().items():
         if "round(" in sql:
             assert "1.37e-" in sql, name
+
+
+def test_in_window_queries_are_canon_safe(spark):
+    """The driver's canonicalizer sorts EVERY output column with
+    pandas ``sort_values``; array / map / struct cells are unhashable
+    there and crash the row (the four r4 ``err`` rows). Guard the
+    invariant at the schema level: no in-window query may emit a
+    top-level complex type — serialize (array_join / to_json) in both
+    the query and its oracle instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sf = "/root/testdata/sf0.001"
+    bad = []
+    for name, fn in list(entry.queries().items())[:50]:
+        schema = fn(spark, sf).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"driver-canon-unsafe output columns: {bad}"

@@ -16,7 +16,11 @@ import numpy as np
 import pandas as pd
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
+class CanonUnsafe(TypeError):
+    """An output column the DRIVER's canonicalizer cannot sort."""
+
+
+def norm(df: pd.DataFrame, strict_canon: bool = True) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
@@ -27,6 +31,18 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             if df[c].dtype == "object" and df[c].map(
                 lambda x: isinstance(x, (list, np.ndarray))
             ).any():
+                if strict_canon:
+                    # The driver's _canon sorts ALL output columns
+                    # with pandas sort_values — array cells crash it
+                    # ("unhashable type: 'list'", the four r4 err
+                    # rows). Replicate that failure loudly so local
+                    # sweeps catch it BEFORE the driver: serialize
+                    # arrays (array_join / to_json) in BOTH the
+                    # query and its oracle instead.
+                    raise CanonUnsafe(
+                        f"column {c!r} holds array cells — the "
+                        "driver's canonicalizer would crash on it"
+                    )
                 # array cells (Spark ndarray / DuckDB list) are
                 # unhashable for the sort: canonicalize to a string
                 df[c] = df[c].map(
@@ -71,7 +87,10 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
                 f"dtype col {c}: spark {a[c].dtype} ({ka}) vs oracle "
                 f"{b[c].dtype} ({kb}) — driver hash would mismatch"
             )
-    a, b = norm(a), norm(b)
+    try:
+        a, b = norm(a), norm(b)
+    except CanonUnsafe as e:
+        return f"canon-unsafe: {e}"
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
