@@ -1831,6 +1831,62 @@ ORDER BY doc_id
 """
 
 
+def q_vorbis_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Ogg Vorbis decode certified cross-engine — the full
+    floor1/residue/IMDCT synthesis path (`operators/vorbis.py`), no
+    codec library. Vorbis is LOSSY, so the fixture anchors on the
+    SPECTRUM: doc i carries a single spectral line k0 = i%8 with
+    amplitude v in {-1,-0.5,+0.5}, and the decoded waveform is then
+    closed-form trig (equal consecutive short blocks make the
+    windowed overlap-add periodic with period 32), which the oracle
+    recomputes per sample from elementary functions with no shared
+    code. Features on the float samples (pre-PCM-quantization —
+    where a lossy codec's exactness lives)."""
+    from icicle_spark.operators.multimodal import (
+        attach_pattern_vorbis,
+        vorbis_features,
+    )
+
+    media = attach_pattern_vorbis(_docs(spark, sf_dir))
+    return vorbis_features(media).select(
+        "doc_id",
+        "n_samples",
+        _r("rms", 6).alias("rms"),
+        _r("peak", 6).alias("peak"),
+        _r("dc", 6).alias("dc"),
+    ).orderBy("doc_id")
+
+
+_VORBIS_FEATURES_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         6 + doc_id % 7 AS pkts,
+         CAST(doc_id % 8 AS DOUBLE) AS k0,
+         CASE doc_id % 3 WHEN 0 THEN -1.0 WHEN 1 THEN -0.5
+              ELSE 0.5 END AS v
+  FROM documents
+),
+y AS (
+  SELECT d.doc_id, d.pkts,
+         d.v * (
+           sin(pi()/2 * pow(sin((s.j + 32 + 0.5) * pi()/64), 2))
+             * cos(pi()/128 * (2*(s.j + 32) + 1 + 32) * (2*d.k0 + 1))
+         + sin(pi()/2 * pow(sin((s.j + 0.5) * pi()/64), 2))
+             * cos(pi()/128 * (2*s.j + 1 + 32) * (2*d.k0 + 1))
+         ) AS g
+  FROM d, generate_series(0, 31) s(j)
+)
+SELECT doc_id,
+       CAST((pkts - 1) * 32 AS BIGINT) AS n_samples,
+       round(sqrt(avg(g * g)) + 1.37e-8, 6) AS rms,
+       round(max(abs(g)) + 1.37e-8, 6) AS peak,
+       round(avg(g) + 1.37e-8, 6) AS dc
+FROM y
+GROUP BY doc_id, pkts
+ORDER BY doc_id
+"""
+
+
 _M1V_FEATURES_SQL = """
 SELECT d.doc_id,
        k.g::INT AS frame_idx,
@@ -5333,7 +5389,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_case": q_source_case,
         "source_circular": q_source_circular,
         "group_fold_native": q_group_fold_native,
-        "media_features": q_media_features,
+        # (media_features rotated to 51+ for vorbis_features: the
+        # codec-dispatch breadth it certifies is r4-green and
+        # byte-identical this round, while the Vorbis
+        # floor1/residue/IMDCT tier is NEW r5 code with a closed-form
+        # trig oracle — the last compressed-audio stub, now real)
+        "vorbis_features": q_vorbis_features,
         "embed_dedup": q_embed_dedup,
         "json_map_ops": q_json_map_ops,
         "pii_report": q_pii_report,
@@ -5388,6 +5449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (round-5 rotation: the eleven r4-certified queries below,
         # unicode_norm..corpus_diff, carry their r4 green rows; code
         # untouched this round)
+        "media_features": q_media_features,
         "unicode_norm": q_unicode_norm,
         "url_filter": q_url_filter,
         "temperature_mix": q_temperature_mix,
@@ -5605,6 +5667,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _SPAN_DEDUP_SQL,
         "m1v_features": _M1V_FEATURES_SQL,
         "ogg_flac_features": _OGG_FLAC_FEATURES_SQL,
+        "vorbis_features": _VORBIS_FEATURES_SQL,
         # minhash_incremental / simhash_incremental: LSH banding not
         # SQL-expressible — rows-only; full-vs-incremental parity is
         # pinned by tests/test_dedup.py.

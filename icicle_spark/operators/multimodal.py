@@ -484,10 +484,16 @@ def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
                 s[:, 0] if s.shape[1] == 1 else ((s[:, 0] + s[:, 1]) // 2)
             )
             return mono.astype(np.int16), rate
-        raise NotImplementedError(
-            "Ogg stream is not Ogg FLAC (Vorbis decode needs "
-            "stream-defined codebooks + MDCT synthesis — the one "
-            "codec this container intentionally leaves stubbed)"
+        if first[:7] == b"\x01vorbis":
+            from icicle_spark.operators.vorbis import decode_vorbis
+
+            f, rate = decode_vorbis(buf)  # float64, nominal [-1, 1]
+            if f.ndim == 2:
+                f = f.mean(axis=1)
+            pcm = np.clip(np.round(f * 32767.0), -32768, 32767)
+            return pcm.astype(np.int16), rate
+        raise ValueError(
+            "Ogg stream is neither Ogg FLAC nor Ogg Vorbis"
         )
     raise ValueError(
         "unknown audio payload (expected PCM1, RIFF, fLaC, or OggS magic)"
@@ -725,6 +731,88 @@ def attach_pattern_audio(
     )
 
 
+def attach_pattern_vorbis(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """Fixture/ingest helper with a CLOSED-FORM Ogg Vorbis pattern.
+    Vorbis is LOSSY, so unlike :func:`attach_pattern_audio` the
+    anchor is the SPECTRUM, which the profile encoder
+    (``operators/vorbis.py``) writes exactly: doc ``i`` carries
+    ``6 + i%7`` packets of a single spectral line ``k0 = i%8`` with
+    amplitude ``v in {-1, -0.5, +0.5}`` by ``i%3``. Equal
+    consecutive short blocks make the decoded waveform periodic and
+    fully closed-form (module docstring of ``vorbis.py``), so an
+    external engine recomputes every feature from elementary trig
+    with no shared code — the lossy-codec twin of the
+    ``png_features`` / ``m1v_features`` oracle strategy."""
+    id_type = dict(docs.dtypes)[id_col]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from icicle_spark.operators.vorbis import (
+            _HALF,
+            _ZERO_IDX,
+            encode_vorbis_pattern,
+        )
+
+        for pdf in batches:
+            media = []
+            for rid in pdf[id_col]:
+                i = int(rid)
+                n_pkts = 6 + i % 7
+                spec = np.full((n_pkts, _HALF), _ZERO_IDX, np.int64)
+                spec[:, i % 8] = (0, 1, 3)[i % 3]
+                media.append(encode_vorbis_pattern(spec, sample_rate))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "media": media,
+                 "mime": "audio/ogg; codecs=vorbis"}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        fn, f"`{id_col}` {id_type}, media binary, mime string"
+    )
+
+
+def vorbis_features(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL Ogg Vorbis decode features, on the float samples BEFORE
+    PCM quantization (a lossy codec's oracle lives in float): one
+    Arrow-batched ``decode_vorbis`` per asset inside ``mapInPandas``
+    -> ``(n_samples, rms, peak, dc)``. Same 100 TB shape as
+    ``decode_media_features``: narrow map stage, binary column never
+    shuffled, decode parallelism = partition count."""
+    id_type = dict(df.dtypes)[id_col]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from icicle_spark.operators.vorbis import decode_vorbis
+
+        for pdf in batches:
+            rows = []
+            for rid, buf in zip(pdf[id_col], pdf[media_col]):
+                s, _rate = decode_vorbis(bytes(buf))
+                if s.ndim == 2:
+                    s = s.mean(axis=1)
+                rows.append((
+                    rid,
+                    int(s.shape[0]),
+                    float(np.sqrt(np.mean(s * s))) if s.size else 0.0,
+                    float(np.abs(s).max()) if s.size else 0.0,
+                    float(s.mean()) if s.size else 0.0,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_samples", "rms", "peak", "dc"],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        fn,
+        f"`{id_col}` {id_type}, n_samples bigint, rms double, "
+        "peak double, dc double",
+    )
+
+
 def video_frame_features(
     df: DataFrame,
     media_col: str = "media",
@@ -877,22 +965,21 @@ def audio_features(
 def _try_real_decode(buf: bytes) -> np.ndarray:
     """Real decode path -> canonical uint8 content array (image/video
     pixels flattened, or audio PCM bytes). RAW1/PNG/JPEG images,
-    PCM1/WAV(PCM16 + IMA ADPCM)/FLAC audio, and GIF/AVI/MPEG-1 video
-    all decode for real via the tier-1/tier-2 codecs (FLAC in
-    ``flac.py``, motion-compensated MPEG-1 in ``mpeg1.py``); the one
-    remaining codec-library format (OGG/Vorbis) raises
-    NotImplementedError here because no codec library is available
-    in this container. Swap the tail of this function for
-    PIL/cv2/libsndfile in production; everything downstream is
-    agnostic."""
+    PCM1/WAV(PCM16 + IMA ADPCM)/FLAC/Ogg-FLAC/Ogg-Vorbis audio, and
+    GIF/AVI/MPEG-1 video all decode for real via the tier-1/tier-2
+    codecs (FLAC in ``flac.py``, motion-compensated MPEG-1 in
+    ``mpeg1.py``, Vorbis floor1/residue/IMDCT in ``vorbis.py``) —
+    the whole audio/image/video matrix is stub-free. Swap the tail
+    of this function for PIL/cv2/libsndfile in production;
+    everything downstream is agnostic."""
     if buf[:4] == _RAW1 or buf[:8] == _PNG_SIG or buf[:3] == b"\xff\xd8\xff":
         return decode_image(buf).reshape(-1)
     if _is_gif(buf) or _is_avi(buf) or _is_m1v(buf):
         frames, _fps = decode_video(buf)
         return frames.reshape(-1)
     if buf[:4] in (_PCM1, b"RIFF", b"fLaC", b"OggS"):
-        # OggS: decode_audio handles Ogg FLAC for real and raises
-        # NotImplementedError for Vorbis (the documented stub)
+        # OggS: decode_audio dispatches Ogg FLAC and Ogg Vorbis, both
+        # decoded for real by the pure-numpy codecs
         samples, _rate = decode_audio(buf)
         return np.frombuffer(samples.astype("<i2").tobytes(), np.uint8)
     try:

@@ -33,6 +33,10 @@ MUST_BE_IN_WINDOW = {
     "bpe_top1_encode",
     # r5-touched code stays in-window for re-certification
     "gopher_rules",  # oracle gained the bullet/ellipsis line gates
+    # NEW r5 operator: the Vorbis floor1/residue/IMDCT tier (last
+    # compressed-audio stub, now a real decode) with a closed-form
+    # trig oracle
+    "vorbis_features",
     # core fold paths: keep the executor-heavy queries in-window
     "asof_snapshot_folds",
     "asof_window_folds",

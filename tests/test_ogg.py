@@ -172,7 +172,7 @@ def test_pattern_audio_fixture_all_formats(spark):
     assert got["pcm1"] == got["wav"] == got["flac"] == got["ogg"]
 
 
-def test_audio_dispatch_ogg_flac_and_vorbis_stub():
+def test_audio_dispatch_ogg_flac_and_vorbis():
     from icicle_spark.operators.multimodal import decode_audio
 
     s = np.asarray(
@@ -180,7 +180,12 @@ def test_audio_dispatch_ogg_flac_and_vorbis_stub():
     )
     mono, rate = decode_audio(encode_ogg_flac(s, 16_000))
     assert rate == 16_000 and (mono == s).all()
-    # a non-FLAC Ogg stream (e.g. Vorbis) is the documented stub
+    # an Ogg Vorbis stream decodes for real now (operators/vorbis.py,
+    # tests/test_vorbis.py); a TRUNCATED vorbis header fails loud
     fake_vorbis = ogg_pack([b"\x01vorbis" + bytes(23)], [0])
-    with pytest.raises(NotImplementedError, match="Vorbis"):
+    with pytest.raises(ValueError, match="vorbis"):
         decode_audio(fake_vorbis)
+    # an Ogg stream that is neither mapping is rejected by name
+    other = ogg_pack([b"\x7fSPEX" + bytes(23)], [0])
+    with pytest.raises(ValueError, match="neither"):
+        decode_audio(other)
