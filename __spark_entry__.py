@@ -1847,7 +1847,10 @@ def q_vorbis_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         vorbis_features,
     )
 
-    media = attach_pattern_vorbis(_docs(spark, sf_dir))
+    # spread=True: the decode is a heavy per-doc Python map — a
+    # single-file small-SF corpus would otherwise pin it to one core
+    # (the adaptive small-read spread no-ops at real scale)
+    media = attach_pattern_vorbis(_docs(spark, sf_dir, spread=True))
     return vorbis_features(media).select(
         "doc_id",
         "n_samples",

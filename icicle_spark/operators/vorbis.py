@@ -36,8 +36,8 @@ with no shared code, the same closed-form-oracle strategy as
 
 from __future__ import annotations
 
+import functools
 import math
-import struct
 
 import numpy as np
 
@@ -65,22 +65,30 @@ class BitWriter:
         return bytes(self._bytes)
 
 
+_POW2 = 1 << np.arange(63, dtype=np.int64)
+
+
 class BitReader:
+    """LSB-first reader over a pre-unpacked bit array: one
+    ``np.unpackbits`` per packet, then reads are slices — ~10x the
+    per-bit shift/mask loop on decode-heavy corpora."""
+
     def __init__(self, buf: bytes) -> None:
-        self._buf = buf
+        self._bits = np.unpackbits(
+            np.frombuffer(buf, np.uint8), bitorder="little"
+        )
         self._pos = 0  # absolute bit position
 
     def read(self, bits: int) -> int:
-        v = 0
-        for i in range(bits):
-            byte = self._pos >> 3
-            if byte >= len(self._buf):
-                # spec §4.3: end-of-packet during audio decode is a
-                # hard stop the CALLER handles; surface it loudly
-                raise EOFError("vorbis: end of packet")
-            v |= ((self._buf[byte] >> (self._pos & 7)) & 1) << i
-            self._pos += 1
-        return v
+        p = self._pos
+        if p + bits > self._bits.size:
+            # spec §4.3: end-of-packet during audio decode is a
+            # hard stop the CALLER handles; surface it loudly
+            raise EOFError("vorbis: end of packet")
+        self._pos = p + bits
+        if bits == 0:
+            return 0
+        return int(self._bits[p:p + bits] @ _POW2[:bits])
 
 
 def ilog(x: int) -> int:
@@ -211,14 +219,20 @@ class Codebook:
             ln = self.lengths[self._single]
             r.read(ln)  # the lone codeword (all zeros)
             return self._single
+        # walk the packet's bit array directly (hot path)
+        bits, pos, dec = r._bits, r._pos, self._dec
         code, ln = 0, 0
         while True:
-            code = (code << 1) | r.read(1)
+            if pos >= bits.size:
+                raise EOFError("vorbis: end of packet")
+            code = (code << 1) | int(bits[pos])
+            pos += 1
             ln += 1
             if ln > 32:
                 raise ValueError("vorbis: invalid codeword")
-            e = self._dec.get((ln, code))
+            e = dec.get((ln, code))
             if e is not None:
+                r._pos = pos
                 return e
 
     def decode_vq(self, r: BitReader) -> np.ndarray:
@@ -643,21 +657,28 @@ def _parse_setup(packet: bytes, channels: int, rate: int,
                        residues, mappings, modes)
 
 
+@functools.lru_cache(maxsize=8)
 def vorbis_window(n: int) -> np.ndarray:
     j = np.arange(n)
-    return np.sin(
-        0.5 * np.pi * np.sin((j + 0.5) * np.pi / n) ** 2
-    )
+    w = np.sin(0.5 * np.pi * np.sin((j + 0.5) * np.pi / n) ** 2)
+    w.setflags(write=False)
+    return w
+
+
+@functools.lru_cache(maxsize=8)
+def _imdct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n // 2)
+    j = np.arange(n)[:, None]
+    m = np.cos(np.pi / (2 * n) * (2 * j + 1 + n // 2) * (2 * k + 1))
+    m.setflags(write=False)
+    return m
 
 
 def imdct(spectrum: np.ndarray, n: int) -> np.ndarray:
-    """Spec §4.3.6 inverse MDCT, direct O(n^2) form (blocksizes here
-    are tiny; a real-time path would use the FFT factorization)."""
-    k = np.arange(n // 2)
-    j = np.arange(n)[:, None]
-    return (spectrum[None, :] * np.cos(
-        np.pi / (2 * n) * (2 * j + 1 + n // 2) * (2 * k + 1)
-    )).sum(axis=1)
+    """Spec §4.3.6 inverse MDCT, direct matmul form with the cos
+    basis cached per blocksize (blocksizes here are tiny; a
+    real-time path would use the FFT factorization)."""
+    return _imdct_matrix(n) @ spectrum
 
 
 def decode_vorbis(buf: bytes) -> tuple[np.ndarray, int]:
