@@ -788,7 +788,14 @@ def _comment_packet() -> bytes:
     return w.getvalue()
 
 
-def _setup_packet() -> bytes:
+def _setup_packet(residue_type: int = 1,
+                  book1_coding: str = "dense") -> bytes:
+    """The profile setup header. ``residue_type``/``book1_coding``
+    exist so tests can emit spec-equivalent streams through the
+    OTHER decoder paths (residue 0/2 re-interleave to the same
+    vector for mono at partition_size == dim multiples; ordered and
+    sparse codeword-length codings describe the same uniform tree)
+    and assert identical decodes."""
     w = BitWriter()
     _write_common_header(w, 5)
     w.write(1, 8)  # 2 codebooks
@@ -806,9 +813,21 @@ def _setup_packet() -> bytes:
     w.write(0x564342, 24)
     w.write(2, 16)
     w.write(16, 24)
-    w.write(0, 1), w.write(0, 1)
-    for _ in range(16):
-        w.write(3, 5)              # all lengths 4 (stored -1)
+    if book1_coding == "dense":
+        w.write(0, 1), w.write(0, 1)
+        for _ in range(16):
+            w.write(3, 5)          # all lengths 4 (stored -1)
+    elif book1_coding == "sparse":
+        w.write(0, 1), w.write(1, 1)
+        for _ in range(16):
+            w.write(1, 1)          # used flag
+            w.write(3, 5)
+    elif book1_coding == "ordered":
+        w.write(1, 1)
+        w.write(3, 5)              # initial length 4 (stored -1)
+        w.write(16, ilog(16))      # 16 entries of that length
+    else:
+        raise ValueError(f"unknown coding {book1_coding!r}")
     w.write(1, 4)                  # lookup type 1
     w.write(float32_pack(-1.0), 32)
     w.write(float32_pack(0.5), 32)
@@ -825,9 +844,9 @@ def _setup_packet() -> bytes:
     w.write(0, 5)                  # floor1_partitions = 0
     w.write(0, 2)                  # multiplier 1 (stored -1)
     w.write(5, 4)                  # rangebits: X list [0, 32]
-    # residues: one type-1 residue covering all 32 bins
+    # residues: one residue covering all 32 bins
     w.write(0, 6)
-    w.write(1, 16)                 # residue type 1
+    w.write(residue_type, 16)
     w.write(0, 24)                 # begin
     w.write(_HALF, 24)             # end
     w.write(7, 24)                 # partition size 8 (stored -1)
@@ -883,6 +902,7 @@ def _audio_packet(mult_idx: np.ndarray,
 def encode_vorbis_pattern(
     spectra: np.ndarray, sample_rate: int = 16_000,
     floor_y: tuple[int, int] = (255, 255),
+    residue_type: int = 1, book1_coding: str = "dense",
 ) -> bytes:
     """Ogg Vorbis stream (this profile) from per-packet quantized
     spectra: ``spectra`` is (n_packets, 32) of multiplicand indices
@@ -896,7 +916,7 @@ def encode_vorbis_pattern(
     if spectra.min() < 0 or spectra.max() > 3:
         raise ValueError("multiplicand indices must be 0..3")
     packets = [_ident_packet(1, sample_rate), _comment_packet(),
-               _setup_packet()]
+               _setup_packet(residue_type, book1_coding)]
     granules = [0, 0, 0]
     done = 0
     for i in range(spectra.shape[0]):

@@ -284,3 +284,41 @@ def test_vorbis_features_spark(spark):
         assert r["peak"] == pytest.approx(
             float(np.abs(g).max()), abs=1e-9
         )
+
+
+def test_alternate_codebook_codings_decode_identically():
+    # ordered and sparse length codings describe the SAME uniform
+    # tree as the dense profile header — all three parse paths must
+    # yield identical audio
+    rng = np.random.RandomState(3)
+    spec = rng.randint(0, 4, size=(4, _HALF))
+    base, _ = decode_vorbis(encode_vorbis_pattern(spec))
+    for coding in ("sparse", "ordered"):
+        s, _ = decode_vorbis(
+            encode_vorbis_pattern(spec, book1_coding=coding)
+        )
+        assert np.array_equal(s, base), coding
+
+
+def test_residue_type2_mono_equals_type1():
+    # type 2 interleaves channels into one vector; for mono the
+    # interleave is the identity, so the SAME packets decode equal
+    rng = np.random.RandomState(4)
+    spec = rng.randint(0, 4, size=(5, _HALF))
+    base, _ = decode_vorbis(encode_vorbis_pattern(spec))
+    s, _ = decode_vorbis(
+        encode_vorbis_pattern(spec, residue_type=2)
+    )
+    assert np.array_equal(s, base)
+
+
+def test_residue_type0_constant_spectrum():
+    # type 0's stride interleave permutes WITHIN a partition; a
+    # constant spectrum is permutation-invariant, so the type-1
+    # packets decode to the same audio through the type-0 path
+    spec = np.full((3, _HALF), 3, np.int64)
+    base, _ = decode_vorbis(encode_vorbis_pattern(spec))
+    s, _ = decode_vorbis(
+        encode_vorbis_pattern(spec, residue_type=0)
+    )
+    assert np.array_equal(s, base)
