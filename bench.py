@@ -47,6 +47,9 @@ HEADLINE = [
     "dsir_select",
     "bin_pack",
     "fim_transform",
+    "pack_sequences",
+    "sft_render",
+    "vorbis_features",
     "embed_topk",
     "tpch_q1",
 ]

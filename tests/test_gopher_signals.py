@@ -191,3 +191,68 @@ def test_curation_c4_preset(spark, tmp_path):
     assert "c4_lines_removed" in summary
     kept = spark.read.parquet(os.path.join(out, "kept")).toPandas()
     assert list(kept.doc_id) == [1]
+
+
+def test_gopher_oracle_parity_trips_every_gate(spark, tmp_path):
+    """Cross-engine certification of ALL SEVEN Gopher gates: a
+    crafted corpus where every fail_reason (including the
+    bullet/ellipsis line gates the sf corpus never trips) occurs at
+    least once, run through BOTH the Spark pipeline and the DuckDB
+    oracle from the driver contract, compared with the contract
+    comparator."""
+    import os
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+    from tools.check_contract import compare
+
+    good = ("the history of science shows that careful reasoning "
+            "about evidence and theory can be revised with new "
+            "experiments over time " * 3)
+    bullets = "\n".join(
+        f"- bullet item number {i} listed here" for i in range(10)
+    )
+    ells = "\n".join(
+        "many plain words appearing in this line of the report "
+        "today..." for _ in range(10)
+    )
+    rows = [
+        (1, good),                                   # passes
+        (2, "short text"),                           # word count
+        (3, "aa " * 60),                             # mean word len
+        (4, ("solid normal writing here " * 13) + "#" * 14),  # symbol
+        (5, bullets),                                # bullet lines
+        (6, ells),                                   # ellipsis lines
+        (7, ("1234 5678 9012 3456 " * 15)),          # alpha words
+        (8, ("apple banana cherry melon grape kiwi pear plum "
+             * 8)),                                  # stop words
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    got = entry.queries()["gopher_rules"](spark, sf_dir).toPandas()
+    reasons = dict(zip(got["doc_id"], got["fail_reason"]))
+    assert reasons[1] is None
+    assert reasons[2] == "gopher_word_count"
+    assert reasons[3] == "gopher_mean_word_len"
+    assert reasons[4] == "gopher_symbol_ratio"
+    assert reasons[5] == "gopher_bullet_lines"
+    assert reasons[6] == "gopher_ellipsis_lines"
+    assert reasons[7] == "gopher_alpha_words"
+    assert reasons[8] == "gopher_stop_words"
+    con = duckdb.connect()
+    con.execute(
+        # Spark writes a parquet DIRECTORY; glob its part files
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    exp = con.execute(entry.oracle_sql()["gopher_rules"]).df()
+    assert compare(got, exp) is None
