@@ -82,6 +82,20 @@ def _r(col, digits: int = 6):
     return F.round(c + F.lit(_EPS[digits]), digits)
 
 
+def _join_arr(col, alias: str | None = None):
+    """Driver-canon-safe array serialization: the driver's
+    canonicalizer sorts EVERY output column with pandas sort_values,
+    where array cells are unhashable (the four r4 ``err`` rows) — so
+    array-valued outputs ship as a deterministic ','-join in BOTH the
+    Spark query and its DuckDB oracle (``array_to_string``), which
+    preserves exact-equality semantics as exact string equality.
+    ONE definition: a serialization tweak (delimiter, null handling)
+    must never have to chase per-query copies."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.array_join(c.cast("array<string>"), ",")
+    return out.alias(alias or (col if isinstance(col, str) else None))
+
+
 def _stab(sql: str) -> str:
     """Insert the same epsilon into every round(expr, d) of an oracle."""
     for d, e in _EPS_SQL.items():
@@ -2333,13 +2347,9 @@ def q_bpe_top1_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b, _ = best
     mx = d.agg(F.max(F.array_max("toks"))).collect()[0][0]
     new_id = int(mx) + 1
-    # merged ships ','-joined (driver-canon-safe; see
-    # q_pack_sequences) — token-array equality as string equality
     return bpe_apply(d, [(a, b, new_id)], "toks", out_col="merged").select(
         "doc_id",
-        F.array_join(F.col("merged").cast("array<string>"), ",").alias(
-            "merged"
-        ),
+        _join_arr("merged"),
         F.size("toks").cast("bigint").alias("n_before"),
     )
 
@@ -2402,18 +2412,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", char_token_ids("text").alias("tokens")
     )
     out = pack_token_sequences(d, seq_len=512, eos=31)
-    # the token array ships as a deterministic ','-join: the driver's
-    # canonicalizer sorts every output column and array cells are
-    # unhashable there (r4 `err` rows) — exact-equality semantics are
-    # preserved, both engines serialize the same way
-    return out.select(
-        "seq_id",
-        F.array_join(F.col("tokens").cast("array<string>"), ",").alias(
-            "tokens"
-        ),
-        "n_tok",
-        "n_docs",
-    )
+    return out.select("seq_id", _join_arr("tokens"), "n_tok", "n_docs")
 
 
 _PACK_SEQ_SQL = """
@@ -2492,15 +2491,8 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", char_token_ids("text").alias("tokens")
     )
     out = fim_transform(d, rate=0.5, seed=0, mode="psm")
-    # tokens ship ','-joined (driver-canon-safe; see q_pack_sequences)
     return out.select(
-        "doc_id",
-        F.array_join(F.col("tokens").cast("array<string>"), ",").alias(
-            "tokens"
-        ),
-        "fim",
-        "fim_a",
-        "fim_b",
+        "doc_id", _join_arr("tokens"), "fim", "fim_a", "fim_b"
     )
 
 
@@ -2566,17 +2558,8 @@ def q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = render_dialog(d.select("doc_id", turns.alias("turns")))
-    # tokens + loss_mask ship ','-joined (driver-canon-safe; see
-    # q_pack_sequences)
     return out.select(
-        "doc_id",
-        F.array_join(F.col("tokens").cast("array<string>"), ",").alias(
-            "tokens"
-        ),
-        F.array_join(F.col("loss_mask").cast("array<string>"), ",").alias(
-            "loss_mask"
-        ),
-        "n_turns",
+        "doc_id", _join_arr("tokens"), _join_arr("loss_mask"), "n_turns"
     )
 
 
@@ -2877,14 +2860,9 @@ def q_vocab_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.orderBy(F.desc("freq"), F.asc("token"))),
     ).select("token", "new_id")
     out = remap_tokens(d, vocab, unk=0)
-    # remapped ships ','-joined (driver-canon-safe; see
-    # q_pack_sequences) — exact array equality preserved as exact
-    # string equality
     return out.select(
         "doc_id",
-        F.array_join(F.col("remapped").cast("array<string>"), ",").alias(
-            "remapped"
-        ),
+        _join_arr("remapped"),
         "n_oov",
         F.round("oov_rate", 6).alias("oov_rate"),
     )
@@ -3473,8 +3451,9 @@ WITH sig AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(text), '\\s+'),
                      w -> w <> '') AS ws,
-         list_filter(string_split(text, chr(10)),
-                     l -> trim(l) <> '') AS lns,
+         list_filter(string_split(
+                       replace(text, chr(13) || chr(10), chr(10)),
+                       chr(10)), l -> trim(l) <> '') AS lns,
          len(text) - len(replace(text, '#', ''))           AS n_hash,
          (len(text) - len(replace(text, '...', ''))) / 3   AS n_dots,
          len(text) - len(replace(text, '…', ''))           AS n_uell
@@ -3640,9 +3619,9 @@ WITH d AS (
 ),
 k AS (
   SELECT doc_id,
-         list_filter(string_split(text, chr(10)),
+         list_filter(string_split(replace(text, chr(13) || chr(10), chr(10)), chr(10)),
                      x -> trim(x) <> '') AS lines,
-         list_filter(string_split(text, chr(10)), x ->
+         list_filter(string_split(replace(text, chr(13) || chr(10), chr(10)), chr(10)), x ->
              trim(x) <> ''
              AND regexp_matches(rtrim(x), '[.!?"]$')
              AND len(list_filter(string_split_regex(trim(x), '\s+'),
@@ -3978,19 +3957,18 @@ def q_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         entity_col="user_id", time_col="ts", seq_col="event_id",
     )["events"]
     res = run_plan(_events(spark, sf_dir), plan, snapshot=SNAP)
-    # runs ships as a ','-join of micro-scaled int64 (driver-canon-
-    # safe; see q_pack_sequences): round-to-6-decimals becomes an
-    # exact integer cross-engine, the eps keeps values off the
-    # decimal grid's half-way points
+    # micro-scaled int64: round-to-6-decimals becomes an exact
+    # integer cross-engine; the eps keeps values off the decimal
+    # grid's half-way points
     return res.select(
         "user_id",
-        F.array_join(
+        _join_arr(
             F.expr(
                 "transform(runs, x -> cast(round((x + 1.37e-8) * 1000000)"
                 " as bigint))"
-            ).cast("array<string>"),
-            ",",
-        ).alias("runs"),
+            ),
+            alias="runs",
+        ),
     )
 
 

@@ -602,7 +602,7 @@ def gopher_signals(docs, text_col: str = "text"):
         F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "").alias(
             "__ws"
         ),
-        F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != "").alias(
+        F.filter(F.split(t, r"\r?\n"), lambda l: F.trim(l) != "").alias(
             "__lines"
         ),
     )
@@ -636,7 +636,7 @@ def gopher_signals(docs, text_col: str = "text"):
         n_lines > 0,
         F.size(
             F.filter(
-                lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")
+                lines, lambda l: F.rtrim(l).rlike(r"(?d)(\.\.\.|…)$")
             )
         ).cast("double")
         / nld,
@@ -689,12 +689,12 @@ def c4_clean(docs, text_col: str = "text", badwords: list[str] | None = None):
     # quality_score)
     docs = docs.withColumn(
         "__lines",
-        F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != ""),
+        F.filter(F.split(t, r"\r?\n"), lambda l: F.trim(l) != ""),
     ).withColumn(
         "__kept",
         F.filter(
             F.col("__lines"),
-            lambda l: F.rtrim(l).rlike(r'[.!?"]$')
+            lambda l: F.rtrim(l).rlike(r'(?d)[.!?"]$')
             & (
                 F.size(
                     F.filter(

@@ -49,11 +49,7 @@ def _range(line0: int, col0: int, length: int = 1) -> dict:
     }
 
 
-def _diag_from_source_error(
-    se, line_offset: int = 0, text: str = ""
-) -> dict:
-    from icicle_spark.checker import SourceError  # noqa: F401
-
+def _diag_from_source_error(se, line_offset: int = 0) -> dict:
     if se.loc is not None:
         line0 = se.loc[0] - 1 + line_offset
         col0 = max(se.loc[1] - 1, 0)
@@ -177,7 +173,13 @@ class _Conn:
 
 def serve(rx=None, tx=None) -> int:
     """Run the server until ``exit`` or EOF. Returns the LSP exit
-    code contract: 0 after ``shutdown``+``exit``, 1 on abrupt end."""
+    code contract: 0 after ``shutdown``+``exit``, 1 on abrupt end.
+
+    A long-lived server must survive bad input: malformed params or
+    checker surprises answer requests with a JSON-RPC error (and log
+    notifications to stderr) instead of unwinding the loop; a lost
+    Content-Length framing (body/length disagreement) cannot be
+    resynced, so that exits cleanly."""
     conn = _Conn(rx or sys.stdin.buffer, tx or sys.stdout.buffer)
     fields: list[str] = []
     functions: list[str] = []
@@ -195,12 +197,9 @@ def serve(rx=None, tx=None) -> int:
             },
         })
 
-    while True:
-        msg = conn.read()
-        if msg is None:
-            return 0 if shut else 1
-        method = msg.get("method", "")
-        params: dict[str, Any] = msg.get("params") or {}
+    def handle(msg: dict, method: str, params: dict) -> bool:
+        """One message; returns True when the server should exit."""
+        nonlocal fields, functions, shut
         if method == "initialize":
             opts = params.get("initializationOptions") or {}
             fields = list(opts.get("fields") or [])
@@ -234,7 +233,7 @@ def serve(rx=None, tx=None) -> int:
             conn.write({"jsonrpc": "2.0", "id": msg["id"],
                         "result": None})
         elif method == "exit":
-            return 0 if shut else 1
+            return True
         elif "id" in msg:
             # unknown REQUEST: method-not-found, per JSON-RPC
             conn.write({
@@ -244,6 +243,36 @@ def serve(rx=None, tx=None) -> int:
                           "message": f"method not found: {method}"},
             })
         # unknown notifications are dropped silently (LSP contract)
+        return False
+
+    while True:
+        try:
+            msg = conn.read()
+        except (ValueError, UnicodeDecodeError):
+            return 0 if shut else 1  # framing lost — no resync
+        if msg is None:
+            return 0 if shut else 1
+        method = msg.get("method", "")
+        params: dict[str, Any] = msg.get("params") or {}
+        try:
+            if handle(msg, method, params):
+                return 0 if shut else 1
+        except Exception as e:  # noqa: BLE001 — isolate per message
+            if "id" in msg:
+                conn.write({
+                    "jsonrpc": "2.0",
+                    "id": msg["id"],
+                    "error": {
+                        "code": -32603,
+                        "message": f"{type(e).__name__}: {e}",
+                    },
+                })
+            else:
+                print(
+                    f"icicle-spark lsp: error handling {method}: "
+                    f"{type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
 
 
 if __name__ == "__main__":  # pragma: no cover — exercised via CLI

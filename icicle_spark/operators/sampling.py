@@ -474,6 +474,7 @@ def epoch_upsample(
     id_col: str = "doc_id",
     seed: int = 0,
     hash_fn: str = "md5",
+    only_where: Column | None = None,
 ) -> DataFrame:
     """Materialize a fractional-epoch mixture plan: every document of
     source ``s`` appears ``floor(epochs[s])`` times plus one more for
@@ -488,7 +489,14 @@ def epoch_upsample(
     (``hash_fn="md5"``, default — replays exactly in DuckDB/Trino;
     ``"xx64"`` for the cheaper JVM hash). The repetition is a narrow
     JVM ``explode`` over a per-row ``sequence`` — zero shuffle, and
-    output size is exactly the planned blow-up, never a join."""
+    output size is exactly the planned blow-up, never a join.
+
+    ``only_where`` restricts the treatment to matching rows in the
+    SAME single pass: non-matching rows keep exactly one copy with
+    ``epoch = 0`` (and never consult the plan, so an eval split may
+    contain sources the plan omits). The train/eval shape — eval
+    splits must not be epoch-duplicated — without splitting the
+    input into two scans of an expensive upstream lineage."""
     if not epochs:
         raise ValueError("epochs plan is empty")
     for s, e in epochs.items():
@@ -505,6 +513,10 @@ def epoch_upsample(
     for s, e in sorted(epochs.items()):
         expr = F.when(F.col(source_col) == s, F.lit(float(e))).otherwise(expr)
     rate = expr
+    if only_where is not None:
+        # untreated rows: exactly one copy, epoch 0 (when() guards
+        # the raise_error fallback too — the plan is never consulted)
+        rate = F.when(only_where, rate).otherwise(F.lit(1.0))
     n_full = F.floor(rate).cast("int")
     frac = rate - F.floor(rate)
     # floor() the threshold explicitly: Spark's double->bigint cast

@@ -511,11 +511,26 @@ class Residue:
                         actual_size: int) -> np.ndarray:
         ch = len(do_not_decode)
         out = np.zeros((ch, actual_size))
+        try:
+            self._decode_into(r, books, do_not_decode, out,
+                              actual_size)
+        except EOFError:
+            # spec §1.3.2 / §8.6.2: end-of-packet during AUDIO decode
+            # is a normal condition — real encoders elide trailing
+            # zeros. Residue decode halts; everything decoded so far
+            # stands, the rest of the vector stays zero.
+            pass
+        return out
+
+    def _decode_into(self, r: BitReader, books: list[Codebook],
+                     do_not_decode: list[bool], out: np.ndarray,
+                     actual_size: int) -> None:
+        ch = len(do_not_decode)
         begin = min(self.begin, actual_size)
         end = min(self.end, actual_size)
         n_to_read = end - begin
         if n_to_read == 0:
-            return out
+            return
         partitions = n_to_read // self.psize
         cbook = books[self.classbook]
         cw = cbook.dim  # classwords per codeword
@@ -558,7 +573,6 @@ class Residue:
                                     += vals
                                 i += book.dim
                     pc += 1
-        return out
 
 
 # ----------------------------------------------------- setup / modes
@@ -686,10 +700,17 @@ def decode_vorbis(buf: bytes) -> tuple[np.ndarray, int]:
 
     Spec §4.3 packet decode: mode -> floor -> residue -> dot product
     -> IMDCT -> windowed overlap-add (the first audio packet primes
-    the lap buffer and emits nothing)."""
+    the lap buffer and emits nothing). End-of-packet conditions
+    inside AUDIO packets are normal per spec §1.3.2 (encoders elide
+    trailing zeros): EOP in the mode/window bits skips the packet,
+    EOP in a floor leaves that and later channels unused, EOP in a
+    residue keeps the partial vectors — headers stay hard errors.
+    The final Ogg page's granule position truncates the tail (real
+    streams' PCM length is rarely a block-hop multiple)."""
     from icicle_spark.operators.ogg import ogg_parse
 
-    packets = [p for p, _ in ogg_parse(buf)]
+    parsed = ogg_parse(buf)
+    packets = [p for p, _ in parsed]
     if len(packets) < 3:
         raise ValueError("vorbis: missing header packets")
     channels, rate, blocksizes = _parse_ident(packets[0])
@@ -702,26 +723,35 @@ def decode_vorbis(buf: bytes) -> tuple[np.ndarray, int]:
     prev: np.ndarray | None = None  # (ch, n) windowed tail
     for pk in packets[3:]:
         r = BitReader(pk)
-        if r.read(1) != 0:
-            raise ValueError("vorbis: audio packet with header type")
-        blockflag, mapping_no = setup.modes[
-            r.read(mode_bits) if mode_bits else 0
-        ]
+        try:
+            if r.read(1) != 0:
+                raise ValueError(
+                    "vorbis: audio packet with header type"
+                )
+            blockflag, mapping_no = setup.modes[
+                r.read(mode_bits) if mode_bits else 0
+            ]
+            if blockflag:
+                r.read(1), r.read(1)  # prev/next window flags (equal
+                # blocksizes per _parse_setup guard, shape is fixed)
+        except EOFError:
+            continue  # spec: EOP before the packet body -> lost
         n = setup.blocksizes[blockflag]
-        if blockflag:
-            r.read(1), r.read(1)  # prev/next window flags (equal
-            # blocksizes per _parse_setup guard, so shape is fixed)
         mux, sub = setup.mappings[mapping_no]
         n_half = n // 2
-        # floors
+        # floors (EOP -> this channel and the rest decode unused)
         curves: list[np.ndarray | None] = []
         for ch in range(channels):
             fl_no, _ = sub[mux[ch]]
-            y = setup.floors[fl_no].decode(r, setup.books)
+            try:
+                y = setup.floors[fl_no].decode(r, setup.books)
+            except EOFError:
+                break
             curves.append(
                 None if y is None
                 else setup.floors[fl_no].synthesize(y, n_half)
             )
+        curves.extend([None] * (channels - len(curves)))
         # residues, per submap
         spectra = np.zeros((channels, n_half))
         for s, (fl_no, res_no) in enumerate(sub):
@@ -746,6 +776,11 @@ def decode_vorbis(buf: bytes) -> tuple[np.ndarray, int]:
     if not out:
         return np.zeros((0,) if channels == 1 else (0, channels)), rate
     pcm = np.concatenate(out, axis=1)
+    # spec §A.2: the final page's granule is the TRUE PCM length —
+    # truncate the synthetic tail of the last (usually partial) block
+    final_granule = parsed[-1][1]
+    if 0 <= final_granule < pcm.shape[1]:
+        pcm = pcm[:, :final_granule]
     return (pcm[0] if channels == 1 else pcm.T), rate
 
 

@@ -651,9 +651,11 @@ def main(argv: list[str] | None = None) -> int:
         )
         rates = {p["source"]: p["epochs"] for p in plan}
 
-        def apply_epochs(df, _rates=rates, _src=src_col):
+        def apply_epochs(df, _rates=rates, _src=src_col,
+                         only_where=None):
             return epoch_upsample(
-                df, _rates, source_col=_src, id_col=args.id_col
+                df, _rates, source_col=_src, id_col=args.id_col,
+                only_where=only_where,
             )
 
         mix_info["epoch_plan"] = [
@@ -696,6 +698,9 @@ def main(argv: list[str] | None = None) -> int:
             # double-count eval examples downstream and inflate the
             # leakage audit's per-split n_docs denominator,
             # understating contaminated_frac by ~the epoch factor.
+            # only_where keeps this ONE pass over the (expensive)
+            # split-join lineage — a two-branch union would evaluate
+            # the minhash/LSH split assignment twice.
             if "train" not in fractions:
                 raise SystemExit(
                     "--epoch-budget with --split requires a split "
@@ -703,11 +708,7 @@ def main(argv: list[str] | None = None) -> int:
                     f"leakage audit keys on it too): {args.split!r}"
                 )
             kept_df = apply_epochs(
-                kept_df.where(F.col("split") == "train")
-            ).unionByName(
-                kept_df.where(F.col("split") != "train").withColumn(
-                    "epoch", F.lit(0)
-                )
+                kept_df, only_where=F.col("split") == "train"
             )
         kept_df.write.mode("overwrite").partitionBy("split").parquet(
             kept_path

@@ -63,8 +63,10 @@ def test_compile_dumps_ir(tmp_path):
 
 def test_lsp_serves_stdio():
     # the full conversation golden lives in test_lsp.py; here: the
-    # subcommand exists and exits 1 on abrupt EOF (no shutdown)
-    r = _run(["lsp"])
+    # subcommand exists and exits 1 on abrupt EOF (no shutdown).
+    # input="" pins stdin to an empty pipe — inheriting pytest's fd 0
+    # (a live tty under -s) would block the server's readline forever
+    r = _run(["lsp"], input="")
     assert r.returncode == 1
 
 

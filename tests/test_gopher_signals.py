@@ -231,6 +231,10 @@ def test_gopher_oracle_parity_trips_every_gate(spark, tmp_path):
         (7, ("1234 5678 9012 3456 " * 15)),          # alpha words
         (8, ("apple banana cherry melon grape kiwi pear plum "
              * 8)),                                  # stop words
+        # CRLF document: lines end "...\r\n" — Java's default `$`
+        # matches before the \r terminator while DuckDB's RE2 does
+        # not, so without \r?\n splitting + (?d) the engines disagree
+        (9, ells.replace("\n", "\r\n")),             # ellipsis, CRLF
     ]
     sf_dir = str(tmp_path)
     spark.createDataFrame(
@@ -248,6 +252,7 @@ def test_gopher_oracle_parity_trips_every_gate(spark, tmp_path):
     assert reasons[6] == "gopher_ellipsis_lines"
     assert reasons[7] == "gopher_alpha_words"
     assert reasons[8] == "gopher_stop_words"
+    assert reasons[9] == "gopher_ellipsis_lines"
     con = duckdb.connect()
     con.execute(
         # Spark writes a parquet DIRECTORY; glob its part files

@@ -147,3 +147,37 @@ def test_lsp_subprocess_golden():
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_lsp_survives_malformed_messages():
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "icicle_spark", "lsp"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        c = _Lsp(proc)
+        c.send("initialize", {"capabilities": {}}, request=True)
+        assert c.recv()["result"]["serverInfo"]["name"] \
+            == "icicle-spark-lsp"
+        # malformed notification: missing textDocument -> KeyError
+        # must NOT kill the server (logged to stderr instead)
+        c.send("textDocument/didOpen", {"bogus": 1})
+        # malformed REQUEST: answered with a JSON-RPC internal error
+        rid = c.send("textDocument/didOpen2", {}, request=True)
+        err = c.recv()
+        assert err["id"] == rid and err["error"]["code"] == -32601
+        # server still fully functional afterwards
+        c.send("textDocument/didOpen", {"textDocument": {
+            "uri": "file:///ok.icicle", "text": "from t ~> count x",
+        }})
+        pub = c.recv()
+        assert pub["method"] == "textDocument/publishDiagnostics"
+        c.send("shutdown", request=True)
+        assert c.recv()["result"] is None
+        c.send("exit")
+        assert proc.wait(timeout=30) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()

@@ -471,3 +471,42 @@ def test_epoch_upsample_zero_shuffle_plan(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_epoch_upsample_only_where(spark):
+    """only_where: treated rows get the plan's copies, untreated rows
+    exactly one copy with epoch 0 — and untreated rows never consult
+    the plan (an eval split may hold sources the plan omits)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from icicle_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(8),
+        "source": ["web"] * 4 + ["books"] * 4,
+        "split": ["train", "train", "val", "val"] * 2,
+    }))
+    out = epoch_upsample(
+        df, {"web": 3.0, "books": 2.0},
+        only_where=F.col("split") == "train",
+    ).toPandas()
+    per = out.groupby("doc_id").agg(
+        n=("epoch", "size"), mx=("epoch", "max"),
+        split=("split", "first"), source=("source", "first"),
+    )
+    for _, r in per.iterrows():
+        if r["split"] == "train":
+            assert r["n"] == (3 if r["source"] == "web" else 2)
+        else:
+            assert r["n"] == 1 and r["mx"] == 0
+    # untreated rows bypass the unknown-source raise entirely
+    df2 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "source": ["web", "mystery"],
+        "split": ["train", "val"],
+    }))
+    out2 = epoch_upsample(
+        df2, {"web": 2.0}, only_where=F.col("split") == "train"
+    ).toPandas()
+    assert len(out2) == 3  # 2 web copies + 1 untouched mystery row

@@ -322,3 +322,46 @@ def test_residue_type0_constant_spectrum():
         encode_vorbis_pattern(spec, residue_type=0)
     )
     assert np.array_equal(s, base)
+
+
+def test_truncated_audio_packet_decodes_as_zeros():
+    # spec §1.3.2: EOP during AUDIO decode is normal (encoders elide
+    # trailing zeros) — the partial packet decodes, the rest of the
+    # residue vector stays zero, nothing raises
+    from icicle_spark.operators.ogg import ogg_pack, ogg_parse
+
+    spec = np.full((4, _HALF), 3, np.int64)
+    full = encode_vorbis_pattern(spec)
+    pk = ogg_parse(full)
+    packets = [p for p, _ in pk]
+    grans = [g for _, g in pk]
+    cut = packets[:-1] + [packets[-1][:3]]  # mid-residue truncation
+    s_cut, _ = decode_vorbis(ogg_pack(cut, grans))
+    s_full, _ = decode_vorbis(full)
+    assert s_cut.shape == s_full.shape
+    # chunks not involving the truncated packet are untouched
+    assert np.array_equal(s_cut[:2 * _HALF], s_full[:2 * _HALF])
+    # the last chunk differs (missing residue decodes as zeros) but
+    # stays finite and bounded by the full decode's envelope
+    assert np.all(np.isfinite(s_cut))
+    # EOP before the packet body -> packet lost entirely, still no raise
+    lost = packets[:-1] + [b""]
+    s_lost, _ = decode_vorbis(ogg_pack(lost, grans))
+    assert s_lost.shape == ((len(packets) - 3 - 2) * _HALF,)
+
+
+def test_final_granule_truncates_tail():
+    # real encoders record the true PCM length in the last page's
+    # granule; the decoder must cut the synthetic tail to it
+    from icicle_spark.operators.ogg import ogg_pack, ogg_parse
+
+    spec = np.full((4, _HALF), 3, np.int64)
+    full = encode_vorbis_pattern(spec)
+    pk = ogg_parse(full)
+    packets = [p for p, _ in pk]
+    grans = [g for _, g in pk]
+    grans[-1] = grans[-1] - 5  # claim 5 fewer true samples
+    s, _ = decode_vorbis(ogg_pack(packets, grans))
+    s_full, _ = decode_vorbis(full)
+    assert s.shape[0] == s_full.shape[0] - 5
+    assert np.array_equal(s, s_full[:-5])
