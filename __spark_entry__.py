@@ -93,7 +93,8 @@ def _join_arr(col, alias: str | None = None):
     must never have to chase per-query copies."""
     c = F.col(col) if isinstance(col, str) else col
     out = F.array_join(c.cast("array<string>"), ",")
-    return out.alias(alias or (col if isinstance(col, str) else None))
+    name = alias or (col if isinstance(col, str) else None)
+    return out.alias(name) if name else out
 
 
 def _stab(sql: str) -> str:

@@ -702,9 +702,10 @@ def decode_vorbis(buf: bytes) -> tuple[np.ndarray, int]:
     -> IMDCT -> windowed overlap-add (the first audio packet primes
     the lap buffer and emits nothing). End-of-packet conditions
     inside AUDIO packets are normal per spec §1.3.2 (encoders elide
-    trailing zeros): EOP in the mode/window bits skips the packet,
-    EOP in a floor leaves that and later channels unused, EOP in a
-    residue keeps the partial vectors — headers stay hard errors.
+    trailing zeros): EOP in the mode/window bits loses the packet
+    (the next one re-primes the lap buffer), EOP during floor decode
+    zeroes the whole block (spec §4.3.2), EOP in a residue keeps the
+    partial vectors — headers stay hard errors.
     The final Ogg page's granule position truncates the tail (real
     streams' PCM length is rarely a block-hop multiple)."""
     from icicle_spark.operators.ogg import ogg_parse
@@ -735,23 +736,33 @@ def decode_vorbis(buf: bytes) -> tuple[np.ndarray, int]:
                 r.read(1), r.read(1)  # prev/next window flags (equal
                 # blocksizes per _parse_setup guard, shape is fixed)
         except EOFError:
-            continue  # spec: EOP before the packet body -> lost
+            # spec: EOP before the packet body -> the packet is LOST.
+            # The lap buffer is invalid across the hole: the next
+            # good packet must re-prime (emit nothing), else its left
+            # half would splice onto the tail of the pre-hole block.
+            prev = None
+            continue
         n = setup.blocksizes[blockflag]
         mux, sub = setup.mappings[mapping_no]
         n_half = n // 2
-        # floors (EOP -> this channel and the rest decode unused)
+        # floors
         curves: list[np.ndarray | None] = []
-        for ch in range(channels):
-            fl_no, _ = sub[mux[ch]]
-            try:
+        try:
+            for ch in range(channels):
+                fl_no, _ = sub[mux[ch]]
                 y = setup.floors[fl_no].decode(r, setup.books)
-            except EOFError:
-                break
-            curves.append(
-                None if y is None
-                else setup.floors[fl_no].synthesize(y, n_half)
-            )
-        curves.extend([None] * (channels - len(curves)))
+                curves.append(
+                    None if y is None
+                    else setup.floors[fl_no].synthesize(y, n_half)
+                )
+        except EOFError:
+            # spec §4.3.2: EOP during floor decode zeroes ALL channel
+            # output vectors and skips straight to the overlap-add
+            # stage — the leftover bits are dead (feeding them to
+            # residue decode of the already-floored channels would
+            # produce misaligned garbage, not audio)
+            curves = [None] * channels
+            r._pos = r._bits.size
         # residues, per submap
         spectra = np.zeros((channels, n_half))
         for s, (fl_no, res_no) in enumerate(sub):

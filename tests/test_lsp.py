@@ -164,10 +164,18 @@ def test_lsp_survives_malformed_messages():
         # malformed notification: missing textDocument -> KeyError
         # must NOT kill the server (logged to stderr instead)
         c.send("textDocument/didOpen", {"bogus": 1})
-        # malformed REQUEST: answered with a JSON-RPC internal error
+        # unknown REQUEST: answered with method-not-found
         rid = c.send("textDocument/didOpen2", {}, request=True)
         err = c.recv()
         assert err["id"] == rid and err["error"]["code"] == -32601
+        # known-method REQUEST with malformed params (KeyError in the
+        # handler): answered with the JSON-RPC internal error, not a
+        # dead server
+        rid = c.send("textDocument/didOpen", {"bogus": 1},
+                     request=True)
+        err = c.recv()
+        assert err["id"] == rid and err["error"]["code"] == -32603
+        assert "KeyError" in err["error"]["message"]
         # server still fully functional afterwards
         c.send("textDocument/didOpen", {"textDocument": {
             "uri": "file:///ok.icicle", "text": "from t ~> count x",

@@ -365,3 +365,50 @@ def test_final_granule_truncates_tail():
     s_full, _ = decode_vorbis(full)
     assert s.shape[0] == s_full.shape[0] - 5
     assert np.array_equal(s, s_full[:-5])
+
+
+def test_lost_mid_stream_packet_reprimes_lap():
+    # a hole in the middle: the packet after the hole must re-prime
+    # the lap buffer (emit nothing), never splice onto the pre-hole
+    # tail
+    from icicle_spark.operators.ogg import ogg_pack, ogg_parse
+
+    spec = np.full((4, _HALF), _ZERO_IDX, np.int64)
+    spec[:, 2] = 3
+    pk = ogg_parse(encode_vorbis_pattern(spec))
+    packets = [p for p, _ in pk]
+    grans = [g for _, g in pk]
+    packets[4] = b""  # second audio packet lost
+    s, _ = decode_vorbis(ogg_pack(packets, grans))
+    # pkt0 primes, pkt1 lost (prev reset), pkt2 re-primes, pkt3 emits
+    assert s.shape == (_HALF,)
+    # the one chunk is a clean lap of two ADJACENT identical blocks —
+    # exactly the closed form, no splice artifact
+    j = np.arange(_HALF)
+    w = _window(_N)
+    c = np.cos(np.pi / (2 * _N) * (2 * np.arange(_N) + 1 + _HALF) * 5)
+    g = BOOK_VALUES[3] * (w[_HALF:] * c[_HALF:] + w[:_HALF] * c[:_HALF])
+    assert np.abs(s - g).max() < 1e-12
+
+
+def test_eop_during_floor_zeroes_the_block():
+    # spec §4.3.2: EOP mid-floor zeroes every channel of the block,
+    # which still participates in the overlap-add as silence
+    from icicle_spark.operators.ogg import ogg_pack, ogg_parse
+
+    spec = np.full((3, _HALF), _ZERO_IDX, np.int64)
+    spec[:, 1] = 3
+    pk = ogg_parse(encode_vorbis_pattern(spec))
+    packets = [p for p, _ in pk]
+    grans = [g for _, g in pk]
+    packets[-1] = packets[-1][:1]  # 8 bits: EOP inside the floor
+    s, _ = decode_vorbis(ogg_pack(packets, grans))
+    s_full, _ = decode_vorbis(encode_vorbis_pattern(spec))
+    assert s.shape == s_full.shape
+    # first chunk untouched; last chunk = pre-tail + silence
+    assert np.array_equal(s[:_HALF], s_full[:_HALF])
+    j = np.arange(_HALF)
+    w = _window(_N)
+    c = np.cos(np.pi / (2 * _N) * (2 * np.arange(_N) + 1 + _HALF) * 3)
+    tail_only = BOOK_VALUES[3] * w[_HALF:] * c[_HALF:]
+    assert np.abs(s[_HALF:] - tail_only).max() < 1e-12
