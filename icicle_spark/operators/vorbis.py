@@ -10,11 +10,12 @@ bit unpacking, codebook headers (ordered/unordered, sparse, VQ
 lookup types 0/1/2 with the spec's float32 format and canonical
 codeword assignment), floor type 1 (any partition/class layout,
 integer render_line, the inverse-dB amplitude table), residue types
-0/1/2, mapping/mode plumbing, IMDCT synthesis and Princen-Bradley
-windowed overlap-add. Streams outside the implemented envelope
-(floor type 0, window switching — i.e. ``blocksize_0 !=
-blocksize_1`` with long-block modes — or channel coupling) raise
-``NotImplementedError`` with the exact unsupported feature named.
+0/1/2, mapping/mode plumbing, square-polar channel coupling with
+nonzero propagation, IMDCT synthesis and Princen-Bradley windowed
+overlap-add. Streams outside the implemented envelope (floor type
+0, or window switching — i.e. ``blocksize_0 != blocksize_1`` with
+long-block modes) raise ``NotImplementedError`` with the exact
+unsupported feature named.
 
 The encoder emits one fixed profile (mono, blocksizes 64/64, floor1
 with zero partitions = a flat two-post curve, residue type 1 over
@@ -640,11 +641,16 @@ def _parse_setup(packet: bytes, channels: int, rate: int,
         if r.read(16) != 0:
             raise ValueError("vorbis: reserved mapping type")
         submaps = r.read(4) + 1 if r.read(1) else 1
+        coupling: list[tuple[int, int]] = []
         if r.read(1):
-            raise NotImplementedError(
-                "vorbis: channel coupling not implemented "
-                "(mono/uncoupled profile)"
-            )
+            steps = r.read(8) + 1
+            cbits = ilog(channels - 1)
+            for _ in range(steps):
+                m = r.read(cbits)
+                a = r.read(cbits)
+                if m == a or m >= channels or a >= channels:
+                    raise ValueError("vorbis: invalid coupling pair")
+                coupling.append((m, a))
         if r.read(2) != 0:
             raise ValueError("vorbis: mapping reserved bits set")
         mux = ([r.read(4) for _ in range(channels)]
@@ -653,7 +659,7 @@ def _parse_setup(packet: bytes, channels: int, rate: int,
         for _ in range(submaps):
             r.read(8)  # unused time config
             sub.append((r.read(8), r.read(8)))  # (floor, residue)
-        mappings.append((mux, sub))
+        mappings.append((mux, sub, coupling))
     modes = []
     for _ in range(r.read(6) + 1):
         blockflag = r.read(1)
@@ -743,7 +749,7 @@ def decode_vorbis(buf: bytes) -> tuple[np.ndarray, int]:
             prev = None
             continue
         n = setup.blocksizes[blockflag]
-        mux, sub = setup.mappings[mapping_no]
+        mux, sub, coupling = setup.mappings[mapping_no]
         n_half = n // 2
         # floors
         curves: list[np.ndarray | None] = []
@@ -763,16 +769,36 @@ def decode_vorbis(buf: bytes) -> tuple[np.ndarray, int]:
             # produce misaligned garbage, not audio)
             curves = [None] * channels
             r._pos = r._bits.size
+        # nonzero propagation (spec §4.3.3): a coupled pair decodes
+        # residue if EITHER side's floor is in use
+        no_res = [curves[ch] is None for ch in range(channels)]
+        for m, a in coupling:
+            if not (no_res[m] and no_res[a]):
+                no_res[m] = no_res[a] = False
         # residues, per submap
         spectra = np.zeros((channels, n_half))
         for s, (fl_no, res_no) in enumerate(sub):
             chans = [ch for ch in range(channels) if mux[ch] == s]
-            dnd = [curves[ch] is None for ch in chans]
+            dnd = [no_res[ch] for ch in chans]
             vecs = setup.residues[res_no].decode(
                 r, setup.books, dnd, n_half
             )
             for i, ch in enumerate(chans):
                 spectra[ch] = vecs[i]
+        # inverse coupling (spec §4.3.5 square polar), reverse order
+        for m, a in reversed(coupling):
+            M, A = spectra[m], spectra[a]
+            new_m = np.where(
+                M > 0,
+                np.where(A > 0, M, M + A),
+                np.where(A > 0, M, M - A),
+            )
+            new_a = np.where(
+                M > 0,
+                np.where(A > 0, M - A, M),
+                np.where(A > 0, M + A, M),
+            )
+            spectra[m], spectra[a] = new_m, new_a
         # dot product + synthesis
         w = vorbis_window(n)
         cur = np.zeros((channels, n))
@@ -835,13 +861,16 @@ def _comment_packet() -> bytes:
 
 
 def _setup_packet(residue_type: int = 1,
-                  book1_coding: str = "dense") -> bytes:
+                  book1_coding: str = "dense",
+                  channels: int = 1) -> bytes:
     """The profile setup header. ``residue_type``/``book1_coding``
     exist so tests can emit spec-equivalent streams through the
     OTHER decoder paths (residue 0/2 re-interleave to the same
     vector for mono at partition_size == dim multiples; ordered and
     sparse codeword-length codings describe the same uniform tree)
-    and assert identical decodes."""
+    and assert identical decodes. ``channels=2`` adds one square-
+    polar coupling step (magnitude ch0, angle ch1) and widens the
+    type-2 residue to the interleaved vector."""
     w = BitWriter()
     _write_common_header(w, 5)
     w.write(1, 8)  # 2 codebooks
@@ -890,11 +919,12 @@ def _setup_packet(residue_type: int = 1,
     w.write(0, 5)                  # floor1_partitions = 0
     w.write(0, 2)                  # multiplier 1 (stored -1)
     w.write(5, 4)                  # rangebits: X list [0, 32]
-    # residues: one residue covering all 32 bins
+    # residues: one residue covering all bins (type 2's begin/end
+    # address the INTERLEAVED vector, so stereo doubles the end)
     w.write(0, 6)
     w.write(residue_type, 16)
     w.write(0, 24)                 # begin
-    w.write(_HALF, 24)             # end
+    w.write(_HALF * (channels if residue_type == 2 else 1), 24)
     w.write(7, 24)                 # partition size 8 (stored -1)
     w.write(1, 6)                  # 2 classifications (stored -1)
     w.write(0, 8)                  # classbook = book 0
@@ -903,11 +933,17 @@ def _setup_packet(residue_type: int = 1,
         w.write(0, 1)
     for _ in range(2):             # stage-0 book = book 1
         w.write(1, 8)
-    # mappings: one type-0 mapping, 1 submap, no coupling
+    # mappings: one type-0 mapping, 1 submap
     w.write(0, 6)
     w.write(0, 16)
     w.write(0, 1)                  # submaps flag (1 submap)
-    w.write(0, 1)                  # no coupling
+    if channels == 2:
+        w.write(1, 1)              # coupling flag
+        w.write(0, 8)              # 1 step (stored -1)
+        w.write(0, 1)              # magnitude = ch 0 (ilog(1) bits)
+        w.write(1, 1)              # angle = ch 1
+    else:
+        w.write(0, 1)              # no coupling
     w.write(0, 2)                  # reserved
     w.write(0, 8)                  # time config (unused)
     w.write(0, 8)                  # floor 0
@@ -922,18 +958,23 @@ def _setup_packet(residue_type: int = 1,
 
 
 def _audio_packet(mult_idx: np.ndarray,
-                  floor_y: tuple[int, int] = (255, 255)) -> bytes:
-    """One audio packet from 32 multiplicand indices (0..3 ->
-    ``_BOOK_VALUES``) and the two floor posts (255,255 = unity)."""
-    if mult_idx.shape != (_HALF,):
-        raise ValueError(f"want {_HALF} spectral indices")
+                  floor_y: tuple[int, int] = (255, 255),
+                  channels: int = 1) -> bytes:
+    """One audio packet: per-channel floor posts (255,255 = unity)
+    then the residue vector as multiplicand indices (0..3 ->
+    ``_BOOK_VALUES``) — 32 per-channel values for mono types 0/1, or
+    the 32*channels INTERLEAVED vector for the type-2 profile."""
+    n_vals = _HALF * channels
+    if mult_idx.shape != (n_vals,):
+        raise ValueError(f"want {n_vals} spectral indices")
     w = BitWriter()
     w.write(0, 1)                  # audio packet
     # mode number: ilog(0) = 0 bits
-    w.write(1, 1)                  # floor nonzero
-    w.write(floor_y[0], 8)         # post y0
-    w.write(floor_y[1], 8)         # post y1
-    for part in range(4):          # 4 partitions of 8 bins
+    for _ in range(channels):
+        w.write(1, 1)              # floor nonzero
+        w.write(floor_y[0], 8)     # post y0
+        w.write(floor_y[1], 8)     # post y1
+    for part in range(n_vals // 8):  # partitions of 8 values
         w.write(0, 1)              # classword: class 0 (book 0)
         seg = mult_idx[part * 8:(part + 1) * 8]
         for i in range(0, 8, 2):   # 4 dim-2 codewords from book 1
@@ -969,6 +1010,41 @@ def encode_vorbis_pattern(
         packets.append(_audio_packet(spectra[i], floor_y))
         if i > 0:
             done += _HALF  # first audio packet primes the lap buffer
+        granules.append(done)
+    return ogg_pack(packets, granules)
+
+
+def encode_vorbis_pattern_stereo(
+    mag_spectra: np.ndarray, ang_spectra: np.ndarray,
+    sample_rate: int = 16_000,
+) -> bytes:
+    """Stereo (coupled) variant of :func:`encode_vorbis_pattern`:
+    the caller supplies the COUPLED square-polar (magnitude, angle)
+    spectra as multiplicand indices, written as one type-2
+    interleaved residue with one coupling step (mag ch0, angle ch1)
+    — the decoder's inverse coupling reconstructs the two output
+    channels (spec §4.3.5)."""
+    from icicle_spark.operators.ogg import ogg_pack
+
+    mag = np.asarray(mag_spectra, dtype=np.int64)
+    ang = np.asarray(ang_spectra, dtype=np.int64)
+    if mag.shape != ang.shape or mag.ndim != 2 \
+            or mag.shape[1] != _HALF:
+        raise ValueError(f"spectra must both be (n, {_HALF})")
+    for s in (mag, ang):
+        if s.min() < 0 or s.max() > 3:
+            raise ValueError("multiplicand indices must be 0..3")
+    packets = [_ident_packet(2, sample_rate), _comment_packet(),
+               _setup_packet(residue_type=2, channels=2)]
+    granules = [0, 0, 0]
+    done = 0
+    for i in range(mag.shape[0]):
+        flat = np.empty(2 * _HALF, np.int64)
+        flat[0::2] = mag[i]  # interleave: v[j*ch + c]
+        flat[1::2] = ang[i]
+        packets.append(_audio_packet(flat, channels=2))
+        if i > 0:
+            done += _HALF
         granules.append(done)
     return ogg_pack(packets, granules)
 

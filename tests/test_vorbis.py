@@ -412,3 +412,70 @@ def test_eop_during_floor_zeroes_the_block():
     c = np.cos(np.pi / (2 * _N) * (2 * np.arange(_N) + 1 + _HALF) * 3)
     tail_only = BOOK_VALUES[3] * w[_HALF:] * c[_HALF:]
     assert np.abs(s[_HALF:] - tail_only).max() < 1e-12
+
+
+def _inverse_couple_scalar(M, A):
+    # spec §4.3.5 square polar, transcribed independently longhand
+    out_m = np.empty_like(M)
+    out_a = np.empty_like(A)
+    for i in range(len(M)):
+        m, a = M[i], A[i]
+        if m > 0:
+            if a > 0:
+                nm, na = m, m - a
+            else:
+                nm, na = m + a, m
+        else:
+            if a > 0:
+                nm, na = m, m + a
+            else:
+                nm, na = m - a, m
+        out_m[i], out_a[i] = nm, na
+    return out_m, out_a
+
+
+def test_stereo_coupled_stream_matches_independent_model():
+    from icicle_spark.operators.vorbis import (
+        encode_vorbis_pattern_stereo,
+    )
+
+    rng = np.random.RandomState(11)
+    mag = rng.randint(0, 4, size=(4, _HALF))
+    ang = rng.randint(0, 4, size=(4, _HALF))
+    s, rate = decode_vorbis(encode_vorbis_pattern_stereo(mag, ang))
+    assert rate == 16_000
+    assert s.shape == (3 * _HALF, 2)
+    w = _window(_N)
+    blocks = []
+    for p in range(4):
+        m, a = _inverse_couple_scalar(
+            BOOK_VALUES[mag[p]], BOOK_VALUES[ang[p]]
+        )
+        blocks.append((
+            _imdct_model(m, _N) * w, _imdct_model(a, _N) * w,
+        ))
+    for p in range(3):
+        chunk_l = blocks[p][0][_HALF:] + blocks[p + 1][0][:_HALF]
+        chunk_r = blocks[p][1][_HALF:] + blocks[p + 1][1][:_HALF]
+        seg = s[p * _HALF:(p + 1) * _HALF]
+        assert np.abs(seg[:, 0] - chunk_l).max() < 1e-9
+        assert np.abs(seg[:, 1] - chunk_r).max() < 1e-9
+
+
+def test_stereo_dispatch_downmixes_to_mono_int16():
+    from icicle_spark.operators.multimodal import decode_audio
+    from icicle_spark.operators.vorbis import (
+        encode_vorbis_pattern_stereo,
+    )
+
+    mag = np.full((3, _HALF), _ZERO_IDX, np.int64)
+    mag[:, 2] = 3
+    ang = np.full((3, _HALF), _ZERO_IDX, np.int64)
+    buf = encode_vorbis_pattern_stereo(mag, ang)
+    pcm, rate = decode_audio(buf)
+    assert pcm.dtype == np.int16 and pcm.ndim == 1
+    f, _ = decode_vorbis(buf)
+    exp = np.clip(
+        np.round(f.mean(axis=1) * 32767.0), -32768, 32767
+    ).astype(np.int16)
+    assert np.array_equal(pcm, exp)
