@@ -12,10 +12,10 @@ codeword assignment), floor type 1 (any partition/class layout,
 integer render_line, the inverse-dB amplitude table), residue types
 0/1/2, mapping/mode plumbing, square-polar channel coupling with
 nonzero propagation, IMDCT synthesis and Princen-Bradley windowed
-overlap-add. Streams outside the implemented envelope (floor type
-0, or window switching — i.e. ``blocksize_0 != blocksize_1`` with
-long-block modes) raise ``NotImplementedError`` with the exact
-unsupported feature named.
+overlap-add. window switching (mixed
+blocksizes with neighbor-flagged lapping windows and centered
+overlap-add). Only the deprecated floor type 0 raises
+``NotImplementedError`` by name.
 
 The encoder emits one fixed profile (mono, blocksizes 64/64, floor1
 with zero partitions = a flat two-post curve, residue type 1 over
@@ -668,11 +668,6 @@ def _parse_setup(packet: bytes, channels: int, rate: int,
         modes.append((blockflag, r.read(8)))
     if not r.read(1):
         raise ValueError("vorbis: setup framing bit unset")
-    if any(bf for bf, _ in modes) and blocksizes[0] != blocksizes[1]:
-        raise NotImplementedError(
-            "vorbis: window switching (distinct blocksizes with "
-            "long-block modes) not implemented"
-        )
     return VorbisSetup(channels, rate, blocksizes, books, floors,
                        residues, mappings, modes)
 
@@ -681,6 +676,37 @@ def _parse_setup(packet: bytes, channels: int, rate: int,
 def vorbis_window(n: int) -> np.ndarray:
     j = np.arange(n)
     w = np.sin(0.5 * np.pi * np.sin((j + 0.5) * np.pi / n) ** 2)
+    w.setflags(write=False)
+    return w
+
+
+@functools.lru_cache(maxsize=32)
+def synthesis_window(n: int, prev_long: bool, next_long: bool,
+                     n0: int) -> np.ndarray:
+    """Spec §4.3.1 lapping window: a LONG block next to a SHORT
+    neighbor narrows that slope to ``n0/2`` wide, centered at the
+    quarter point, and is zero outside it — so the short neighbor's
+    full slope still sums Princen-Bradley with it. With both flags
+    long (or a short block, where both are trivially long-relative)
+    this reduces to :func:`vorbis_window`."""
+    left_n = n // 2 if prev_long else n0 // 2
+    left_start = 0 if prev_long else n // 4 - n0 // 4
+    right_n = n // 2 if next_long else n0 // 2
+    right_end = n if next_long else 3 * n // 4 + n0 // 4
+    right_start = right_end - right_n
+    w = np.zeros(n)
+    i = np.arange(left_n)
+    w[left_start:left_start + left_n] = np.sin(
+        0.5 * np.pi
+        * np.sin((i + 0.5) / left_n * 0.5 * np.pi) ** 2
+    )
+    w[left_start + left_n:right_start] = 1.0
+    i = np.arange(right_n)
+    w[right_start:right_end] = np.sin(
+        0.5 * np.pi
+        * np.sin((i + 0.5) / right_n * 0.5 * np.pi + 0.5 * np.pi)
+        ** 2
+    )
     w.setflags(write=False)
     return w
 
@@ -727,7 +753,7 @@ def decode_vorbis(buf: bytes) -> tuple[np.ndarray, int]:
     setup = _parse_setup(packets[2], channels, rate, blocksizes)
     mode_bits = ilog(len(setup.modes) - 1)
     out: list[np.ndarray] = []
-    prev: np.ndarray | None = None  # (ch, n) windowed tail
+    prev: np.ndarray | None = None  # (ch, n_prev) windowed block
     for pk in packets[3:]:
         r = BitReader(pk)
         try:
@@ -738,9 +764,12 @@ def decode_vorbis(buf: bytes) -> tuple[np.ndarray, int]:
             blockflag, mapping_no = setup.modes[
                 r.read(mode_bits) if mode_bits else 0
             ]
+            prev_long = next_long = True
             if blockflag:
-                r.read(1), r.read(1)  # prev/next window flags (equal
-                # blocksizes per _parse_setup guard, shape is fixed)
+                # spec: flag SET = the neighbor is a long block; an
+                # unset flag narrows that slope to the short width
+                prev_long = bool(r.read(1))
+                next_long = bool(r.read(1))
         except EOFError:
             # spec: EOP before the packet body -> the packet is LOST.
             # The lap buffer is invalid across the hole: the next
@@ -800,7 +829,9 @@ def decode_vorbis(buf: bytes) -> tuple[np.ndarray, int]:
             )
             spectra[m], spectra[a] = new_m, new_a
         # dot product + synthesis
-        w = vorbis_window(n)
+        w = synthesis_window(
+            n, prev_long, next_long, setup.blocksizes[0]
+        )
         cur = np.zeros((channels, n))
         for ch in range(channels):
             if curves[ch] is None:
@@ -808,7 +839,23 @@ def decode_vorbis(buf: bytes) -> tuple[np.ndarray, int]:
             cur[ch] = imdct(spectra[ch] * curves[ch], n)
         cur *= w
         if prev is not None:
-            out.append(prev[:, n_half:] + cur[:, :n_half])
+            # centered lap (spec §4.3.9): consecutive block CENTERS
+            # are n_prev/4 + n_cur/4 apart; emit from the previous
+            # center to the current center, adding the regions where
+            # each windowed block is live (outside them its window
+            # is zero by construction, so the slices below cover all
+            # nonzero contributions)
+            n_prev = prev.shape[1]
+            ret = n_prev // 4 + n // 4
+            o = n_prev // 4 - n // 4  # cur sample 0 at prev_center+o
+            chunk = np.zeros((channels, ret))
+            m = min(ret, n_prev // 2)
+            chunk[:, :m] += prev[:, n_prev // 2:n_prev // 2 + m]
+            if o >= 0:
+                chunk[:, o:] += cur[:, :n // 2]
+            else:
+                chunk += cur[:, -o:-o + ret]
+            out.append(chunk)
         prev = cur
     if not out:
         return np.zeros((0,) if channels == 1 else (0, channels)), rate
@@ -835,15 +882,16 @@ def _write_common_header(w: BitWriter, ptype: int) -> None:
         w.write(b, 8)
 
 
-def _ident_packet(channels: int, rate: int) -> bytes:
+def _ident_packet(channels: int, rate: int,
+                  exps: tuple[int, int] = (6, 6)) -> bytes:
     w = BitWriter()
     _write_common_header(w, 1)
     w.write(0, 32)
     w.write(channels, 8)
     w.write(rate, 32)
     w.write(0, 32), w.write(0, 32), w.write(0, 32)
-    w.write(6, 4)   # blocksize_0 = 2^6
-    w.write(6, 4)   # blocksize_1 = 2^6
+    w.write(exps[0], 4)   # blocksize_0 exponent
+    w.write(exps[1], 4)   # blocksize_1 exponent
     w.write(1, 1)
     return w.getvalue()
 
@@ -862,7 +910,8 @@ def _comment_packet() -> bytes:
 
 def _setup_packet(residue_type: int = 1,
                   book1_coding: str = "dense",
-                  channels: int = 1) -> bytes:
+                  channels: int = 1,
+                  two_modes: bool = False) -> bytes:
     """The profile setup header. ``residue_type``/``book1_coding``
     exist so tests can emit spec-equivalent streams through the
     OTHER decoder paths (residue 0/2 re-interleave to the same
@@ -948,11 +997,16 @@ def _setup_packet(residue_type: int = 1,
     w.write(0, 8)                  # time config (unused)
     w.write(0, 8)                  # floor 0
     w.write(0, 8)                  # residue 0
-    # modes: one short-block mode
-    w.write(0, 6)
-    w.write(0, 1)                  # blockflag 0
+    # modes: one short-block mode (plus a long-block mode when the
+    # stream declares two blocksizes — window-switching profile)
+    w.write(1 if two_modes else 0, 6)
+    w.write(0, 1)                  # mode 0: blockflag 0
     w.write(0, 16), w.write(0, 16)
     w.write(0, 8)                  # mapping 0
+    if two_modes:
+        w.write(1, 1)              # mode 1: blockflag 1 (long)
+        w.write(0, 16), w.write(0, 16)
+        w.write(0, 8)              # mapping 0 (floor/residue shared)
     w.write(1, 1)                  # framing
     return w.getvalue()
 
@@ -1010,6 +1064,60 @@ def encode_vorbis_pattern(
         packets.append(_audio_packet(spectra[i], floor_y))
         if i > 0:
             done += _HALF  # first audio packet primes the lap buffer
+        granules.append(done)
+    return ogg_pack(packets, granules)
+
+
+def encode_vorbis_pattern_switching(
+    spectra: np.ndarray, blockflags, sample_rate: int = 16_000,
+) -> bytes:
+    """Window-switching variant of :func:`encode_vorbis_pattern`:
+    blocksizes 64/256 with one short and one long mode. Each packet
+    i carries 32 spectral values (the long block's remaining 96 bins
+    stay zero — residue [0,32) is valid at any blocksize, and the
+    two-post floor renders flat across any n/2) and
+    ``blockflags[i]`` picks the mode; the long-block prev/next
+    window flags are derived from the ACTUAL neighbors, the way a
+    real encoder sets them."""
+    from icicle_spark.operators.ogg import ogg_pack
+
+    spectra = np.asarray(spectra, dtype=np.int64)
+    flags = [int(b) for b in blockflags]
+    if spectra.ndim != 2 or spectra.shape[1] != _HALF \
+            or len(flags) != spectra.shape[0]:
+        raise ValueError(
+            f"want spectra (n, {_HALF}) + one blockflag per packet"
+        )
+    if spectra.min() < 0 or spectra.max() > 3:
+        raise ValueError("multiplicand indices must be 0..3")
+    sizes = (_N, 4 * _N)  # 64 / 256 (exponents 6 / 8)
+    packets = [_ident_packet(1, sample_rate, exps=(6, 8)),
+               _comment_packet(),
+               _setup_packet(two_modes=True)]
+    granules = [0, 0, 0]
+    done = 0
+    for i, bf in enumerate(flags):
+        w = BitWriter()
+        w.write(0, 1)              # audio packet
+        w.write(bf, 1)             # mode number (ilog(1) = 1 bit)
+        if bf:
+            # flag SET = that neighbor is long; stream edges are
+            # conventionally long (full slope)
+            w.write(1 if (i == 0 or flags[i - 1]) else 0, 1)
+            w.write(1 if (i + 1 >= len(flags) or flags[i + 1])
+                    else 0, 1)
+        w.write(1, 1)              # floor nonzero
+        w.write(255, 8), w.write(255, 8)
+        for part in range(4):      # residue body (32 values)
+            w.write(0, 1)
+            seg = spectra[i, part * 8:(part + 1) * 8]
+            for j in range(0, 8, 2):
+                entry = int(seg[j]) + 4 * int(seg[j + 1])
+                for bit in range(3, -1, -1):
+                    w.write((entry >> bit) & 1, 1)
+        packets.append(w.getvalue())
+        if i > 0:
+            done += sizes[flags[i - 1]] // 4 + sizes[bf] // 4
         granules.append(done)
     return ogg_pack(packets, granules)
 

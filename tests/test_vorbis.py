@@ -479,3 +479,94 @@ def test_stereo_dispatch_downmixes_to_mono_int16():
         np.round(f.mean(axis=1) * 32767.0), -32768, 32767
     ).astype(np.int16)
     assert np.array_equal(pcm, exp)
+
+
+def _model_window(n, prev_long, next_long, n0):
+    # spec §4.3.1 lapping window, written longhand independently
+    left_n = n // 2 if prev_long else n0 // 2
+    left_start = 0 if prev_long else n // 4 - n0 // 4
+    right_n = n // 2 if next_long else n0 // 2
+    right_end = n if next_long else 3 * n // 4 + n0 // 4
+    right_start = right_end - right_n
+    w = np.zeros(n)
+    for i in range(left_n):
+        w[left_start + i] = np.sin(
+            np.pi / 2 * np.sin((i + 0.5) / left_n * np.pi / 2) ** 2
+        )
+    for i in range(left_start + left_n, right_start):
+        w[i] = 1.0
+    for i in range(right_n):
+        w[right_start + i] = np.sin(
+            np.pi / 2 * np.sin(
+                (i + 0.5) / right_n * np.pi / 2 + np.pi / 2
+            ) ** 2
+        )
+    return w
+
+
+def test_window_switching_matches_independent_model():
+    from icicle_spark.operators.vorbis import (
+        encode_vorbis_pattern_switching,
+    )
+
+    rng = np.random.RandomState(5)
+    flags = [0, 0, 1, 1, 0, 1, 0]
+    spec = rng.randint(0, 4, size=(len(flags), _HALF))
+    s, _ = decode_vorbis(encode_vorbis_pattern_switching(spec, flags))
+    sizes = [64 if f == 0 else 256 for f in flags]
+    blocks = []
+    for i, (f, n) in enumerate(zip(flags, sizes)):
+        pl = bool(i == 0 or flags[i - 1]) if f else True
+        nl = bool(i + 1 >= len(flags) or flags[i + 1]) if f else True
+        full = np.zeros(n // 2)
+        full[:_HALF] = BOOK_VALUES[spec[i]]
+        blocks.append(
+            _imdct_model(full, n) * _model_window(n, pl, nl, 64)
+        )
+    chunks = []
+    for p in range(len(blocks) - 1):
+        np_, nc = sizes[p], sizes[p + 1]
+        ret = np_ // 4 + nc // 4
+        o = np_ // 4 - nc // 4
+        c = np.zeros(ret)
+        m = min(ret, np_ // 2)
+        c[:m] += blocks[p][np_ // 2:np_ // 2 + m]
+        if o >= 0:
+            c[o:] += blocks[p + 1][:nc // 2]
+        else:
+            c += blocks[p + 1][-o:-o + ret]
+        chunks.append(c)
+    exp = np.concatenate(chunks)
+    assert s.shape == exp.shape
+    assert np.abs(s - exp).max() < 1e-9
+
+
+def test_switching_profile_all_short_equals_plain_profile():
+    from icicle_spark.operators.vorbis import (
+        encode_vorbis_pattern_switching,
+    )
+
+    rng = np.random.RandomState(6)
+    spec = rng.randint(0, 4, size=(5, _HALF))
+    a, _ = decode_vorbis(encode_vorbis_pattern(spec))
+    b, _ = decode_vorbis(
+        encode_vorbis_pattern_switching(spec, [0] * 5)
+    )
+    assert np.array_equal(a, b)
+
+
+def test_long_short_transition_reconstructs_steady_cosine():
+    # Princen-Bradley across a size transition: a pure spectral line
+    # held constant through short->long->short must stay continuous
+    # and finite (no window-geometry seam blowups)
+    from icicle_spark.operators.vorbis import (
+        encode_vorbis_pattern_switching,
+    )
+
+    flags = [0, 1, 1, 0]
+    spec = np.full((4, _HALF), _ZERO_IDX, np.int64)
+    spec[:, 0] = 3
+    s, _ = decode_vorbis(encode_vorbis_pattern_switching(spec, flags))
+    assert np.all(np.isfinite(s))
+    # hops: 64/4+256/4, 256/4+256/4, 256/4+64/4
+    assert s.shape == (80 + 128 + 80,)
