@@ -11,11 +11,10 @@ lookup types 0/1/2 with the spec's float32 format and canonical
 codeword assignment), floor type 1 (any partition/class layout,
 integer render_line, the inverse-dB amplitude table), residue types
 0/1/2, mapping/mode plumbing, square-polar channel coupling with
-nonzero propagation, IMDCT synthesis and Princen-Bradley windowed
-overlap-add. window switching (mixed
-blocksizes with neighbor-flagged lapping windows and centered
-overlap-add). Only the deprecated floor type 0 raises
-``NotImplementedError`` by name.
+nonzero propagation, IMDCT synthesis, Princen-Bradley windowed
+overlap-add, and window switching (mixed blocksizes with
+neighbor-flagged lapping windows and centered overlap-add). Only
+the deprecated floor type 0 raises ``NotImplementedError`` by name.
 
 The encoder emits one fixed profile (mono, blocksizes 64/64, floor1
 with zero partitions = a flat two-post curve, residue type 1 over
@@ -605,6 +604,14 @@ def _parse_ident(packet: bytes) -> tuple[int, int, tuple[int, int]]:
     r.read(32), r.read(32), r.read(32)  # bitrates
     bs0 = 1 << r.read(4)
     bs1 = 1 << r.read(4)
+    # spec §4.2.2: blocksizes must lie in [64, 8192] with
+    # blocksize_0 <= blocksize_1, else the stream is undecodable —
+    # reject HERE by name (the lapping-window geometry downstream
+    # assumes it and would otherwise fail with a raw shape error)
+    if not (64 <= bs0 <= 8192 and 64 <= bs1 <= 8192 and bs0 <= bs1):
+        raise ValueError(
+            f"vorbis: invalid blocksizes ({bs0}, {bs1})"
+        )
     if not r.read(1):
         raise ValueError("vorbis: identification framing bit unset")
     return channels, rate, (bs0, bs1)
@@ -672,14 +679,6 @@ def _parse_setup(packet: bytes, channels: int, rate: int,
                        residues, mappings, modes)
 
 
-@functools.lru_cache(maxsize=8)
-def vorbis_window(n: int) -> np.ndarray:
-    j = np.arange(n)
-    w = np.sin(0.5 * np.pi * np.sin((j + 0.5) * np.pi / n) ** 2)
-    w.setflags(write=False)
-    return w
-
-
 @functools.lru_cache(maxsize=32)
 def synthesis_window(n: int, prev_long: bool, next_long: bool,
                      n0: int) -> np.ndarray:
@@ -688,7 +687,8 @@ def synthesis_window(n: int, prev_long: bool, next_long: bool,
     quarter point, and is zero outside it — so the short neighbor's
     full slope still sums Princen-Bradley with it. With both flags
     long (or a short block, where both are trivially long-relative)
-    this reduces to :func:`vorbis_window`."""
+    this reduces to the classic full-slope Vorbis window
+    ``sin(pi/2 * sin^2((j+0.5) * pi/n))``."""
     left_n = n // 2 if prev_long else n0 // 2
     left_start = 0 if prev_long else n // 4 - n0 // 4
     right_n = n // 2 if next_long else n0 // 2
@@ -1011,19 +1011,17 @@ def _setup_packet(residue_type: int = 1,
     return w.getvalue()
 
 
-def _audio_packet(mult_idx: np.ndarray,
-                  floor_y: tuple[int, int] = (255, 255),
-                  channels: int = 1) -> bytes:
-    """One audio packet: per-channel floor posts (255,255 = unity)
-    then the residue vector as multiplicand indices (0..3 ->
-    ``_BOOK_VALUES``) — 32 per-channel values for mono types 0/1, or
-    the 32*channels INTERLEAVED vector for the type-2 profile."""
+def _write_packet_body(w: BitWriter, mult_idx: np.ndarray,
+                       floor_y: tuple[int, int],
+                       channels: int) -> None:
+    """The profile packet body shared by every encoder variant:
+    per-channel floor posts (255,255 = unity) then the residue
+    vector as multiplicand indices (0..3 -> ``_BOOK_VALUES``) —
+    32 per-channel values for mono types 0/1, or the 32*channels
+    INTERLEAVED vector for the type-2 profile."""
     n_vals = _HALF * channels
     if mult_idx.shape != (n_vals,):
         raise ValueError(f"want {n_vals} spectral indices")
-    w = BitWriter()
-    w.write(0, 1)                  # audio packet
-    # mode number: ilog(0) = 0 bits
     for _ in range(channels):
         w.write(1, 1)              # floor nonzero
         w.write(floor_y[0], 8)     # post y0
@@ -1037,6 +1035,15 @@ def _audio_packet(mult_idx: np.ndarray,
             # entry number; write MSB-first through the LSB packer
             for bit in range(3, -1, -1):
                 w.write((entry >> bit) & 1, 1)
+
+
+def _audio_packet(mult_idx: np.ndarray,
+                  floor_y: tuple[int, int] = (255, 255),
+                  channels: int = 1) -> bytes:
+    w = BitWriter()
+    w.write(0, 1)                  # audio packet
+    # mode number: ilog(0) = 0 bits (single-mode profiles)
+    _write_packet_body(w, mult_idx, floor_y, channels)
     return w.getvalue()
 
 
@@ -1106,15 +1113,7 @@ def encode_vorbis_pattern_switching(
             w.write(1 if (i == 0 or flags[i - 1]) else 0, 1)
             w.write(1 if (i + 1 >= len(flags) or flags[i + 1])
                     else 0, 1)
-        w.write(1, 1)              # floor nonzero
-        w.write(255, 8), w.write(255, 8)
-        for part in range(4):      # residue body (32 values)
-            w.write(0, 1)
-            seg = spectra[i, part * 8:(part + 1) * 8]
-            for j in range(0, 8, 2):
-                entry = int(seg[j]) + 4 * int(seg[j + 1])
-                for bit in range(3, -1, -1):
-                    w.write((entry >> bit) & 1, 1)
+        _write_packet_body(w, spectra[i], (255, 255), 1)
         packets.append(w.getvalue())
         if i > 0:
             done += sizes[flags[i - 1]] // 4 + sizes[bf] // 4

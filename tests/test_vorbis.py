@@ -523,20 +523,22 @@ def test_window_switching_matches_independent_model():
         blocks.append(
             _imdct_model(full, n) * _model_window(n, pl, nl, 64)
         )
-    chunks = []
-    for p in range(len(blocks) - 1):
-        np_, nc = sizes[p], sizes[p + 1]
-        ret = np_ // 4 + nc // 4
-        o = np_ // 4 - nc // 4
-        c = np.zeros(ret)
-        m = min(ret, np_ // 2)
-        c[:m] += blocks[p][np_ // 2:np_ // 2 + m]
-        if o >= 0:
-            c[o:] += blocks[p + 1][:nc // 2]
-        else:
-            c += blocks[p + 1][-o:-o + ret]
-        chunks.append(c)
-    exp = np.concatenate(chunks)
+    # independent layout, NOT the decoder's pairwise slice
+    # arithmetic: consecutive block CENTERS sit n_prev/4 + n_cur/4
+    # apart; place every windowed block on one global timeline, sum,
+    # and read from the first center to the last — a sign error in
+    # the decoder's chunk offset could not also appear here
+    centers = [sizes[0] // 2]
+    for i in range(1, len(sizes)):
+        centers.append(
+            centers[-1] + sizes[i - 1] // 4 + sizes[i] // 4
+        )
+    pad = max(sizes)
+    buf = np.zeros(centers[-1] + 2 * pad)
+    for i, b in enumerate(blocks):
+        start = centers[i] - sizes[i] // 2 + pad
+        buf[start:start + sizes[i]] += b
+    exp = buf[centers[0] + pad:centers[-1] + pad]
     assert s.shape == exp.shape
     assert np.abs(s - exp).max() < 1e-9
 
@@ -570,3 +572,21 @@ def test_long_short_transition_reconstructs_steady_cosine():
     assert np.all(np.isfinite(s))
     # hops: 64/4+256/4, 256/4+256/4, 256/4+64/4
     assert s.shape == (80 + 128 + 80,)
+
+
+def test_invalid_blocksizes_rejected_by_name():
+    # spec §4.2.2: blocksize_0 > blocksize_1 (or out of [64, 8192])
+    # makes the stream undecodable — rejected at the ident header
+    # with a NAMED error, never a raw shape error from the lapper
+    from icicle_spark.operators.ogg import ogg_pack
+    from icicle_spark.operators.vorbis import (
+        _comment_packet,
+        _ident_packet,
+        _setup_packet,
+    )
+
+    packets = [_ident_packet(1, 16_000, exps=(8, 6)),
+               _comment_packet(), _setup_packet(two_modes=True)]
+    buf = ogg_pack(packets, [0, 0, 0])
+    with pytest.raises(ValueError, match="invalid blocksizes"):
+        decode_vorbis(buf)
