@@ -137,6 +137,12 @@ def validate(
     return diags
 
 
+class _BadJson(Exception):
+    """A well-FRAMED body that is not valid JSON: the byte stream is
+    still in sync (exactly Content-Length bytes were consumed), so
+    the server can answer -32700 and keep serving."""
+
+
 class _Conn:
     """Content-Length framed JSON-RPC over binary streams."""
 
@@ -154,13 +160,17 @@ class _Conn:
                 break  # header/body separator
             key, _, val = line.partition(b":")
             if key.lower() == b"content-length":
-                length = int(val.strip())
+                length = int(val.strip())  # junk header -> ValueError
+                # (framing genuinely lost; serve() exits cleanly)
         if length is None:
             return None
         body = self.rx.read(length)
         if not body:
             return None
-        return json.loads(body.decode("utf-8"))
+        try:
+            return json.loads(body.decode("utf-8"))
+        except (ValueError, UnicodeDecodeError) as e:
+            raise _BadJson(str(e)) from e
 
     def write(self, msg: dict) -> None:
         body = json.dumps(msg, separators=(",", ":")).encode("utf-8")
@@ -177,9 +187,10 @@ def serve(rx=None, tx=None) -> int:
 
     A long-lived server must survive bad input: malformed params or
     checker surprises answer requests with a JSON-RPC error (and log
-    notifications to stderr) instead of unwinding the loop; a lost
-    Content-Length framing (body/length disagreement) cannot be
-    resynced, so that exits cleanly."""
+    notifications to stderr); a well-framed but invalid JSON body
+    answers -32700 and keeps serving (the byte stream is still in
+    sync); only a broken Content-Length header — framing genuinely
+    lost, no resync possible — exits cleanly."""
     conn = _Conn(rx or sys.stdin.buffer, tx or sys.stdout.buffer)
     fields: list[str] = []
     functions: list[str] = []
@@ -228,6 +239,17 @@ def serve(rx=None, tx=None) -> int:
             if "text" in params:
                 docs[uri] = params["text"]
             publish(uri)
+        elif method == "textDocument/didClose":
+            # LSP contract: clear diagnostics for the closed file
+            # (clients keep stale squiggles otherwise) and drop it
+            # from the cache so a long editor session stays bounded
+            uri = params["textDocument"]["uri"]
+            docs.pop(uri, None)
+            conn.write({
+                "jsonrpc": "2.0",
+                "method": "textDocument/publishDiagnostics",
+                "params": {"uri": uri, "diagnostics": []},
+            })
         elif method == "shutdown":
             shut = True
             conn.write({"jsonrpc": "2.0", "id": msg["id"],
@@ -248,7 +270,17 @@ def serve(rx=None, tx=None) -> int:
     while True:
         try:
             msg = conn.read()
-        except (ValueError, UnicodeDecodeError):
+        except _BadJson as e:
+            # framing intact (exact body consumed): answer -32700
+            # Parse Error per JSON-RPC and keep serving
+            conn.write({
+                "jsonrpc": "2.0",
+                "id": None,
+                "error": {"code": -32700,
+                          "message": f"parse error: {e}"},
+            })
+            continue
+        except ValueError:
             return 0 if shut else 1  # framing lost — no resync
         if msg is None:
             return 0 if shut else 1

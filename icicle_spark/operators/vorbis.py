@@ -246,6 +246,11 @@ class Codebook:
         if r.read(24) != 0x564342:
             raise ValueError("vorbis: bad codebook sync")
         dim = r.read(16)
+        if dim == 0:
+            # a raw 16-bit header field: dim 0 would hang
+            # lookup1_values and the residue partition loop (and
+            # zero-divide residue type 0) — reject by name
+            raise ValueError("vorbis: zero-dimension codebook")
         entries = r.read(24)
         ordered = r.read(1)
         lengths: list[int] = []
@@ -1061,7 +1066,7 @@ def encode_vorbis_pattern(
     spectra = np.asarray(spectra, dtype=np.int64)
     if spectra.ndim != 2 or spectra.shape[1] != _HALF:
         raise ValueError(f"spectra must be (n, {_HALF})")
-    if spectra.min() < 0 or spectra.max() > 3:
+    if spectra.size and (spectra.min() < 0 or spectra.max() > 3):
         raise ValueError("multiplicand indices must be 0..3")
     packets = [_ident_packet(1, sample_rate), _comment_packet(),
                _setup_packet(residue_type, book1_coding)]
@@ -1095,7 +1100,7 @@ def encode_vorbis_pattern_switching(
         raise ValueError(
             f"want spectra (n, {_HALF}) + one blockflag per packet"
         )
-    if spectra.min() < 0 or spectra.max() > 3:
+    if spectra.size and (spectra.min() < 0 or spectra.max() > 3):
         raise ValueError("multiplicand indices must be 0..3")
     sizes = (_N, 4 * _N)  # 64 / 256 (exponents 6 / 8)
     packets = [_ident_packet(1, sample_rate, exps=(6, 8)),
@@ -1139,7 +1144,7 @@ def encode_vorbis_pattern_stereo(
             or mag.shape[1] != _HALF:
         raise ValueError(f"spectra must both be (n, {_HALF})")
     for s in (mag, ang):
-        if s.min() < 0 or s.max() > 3:
+        if s.size and (s.min() < 0 or s.max() > 3):
             raise ValueError("multiplicand indices must be 0..3")
     packets = [_ident_packet(2, sample_rate), _comment_packet(),
                _setup_packet(residue_type=2, channels=2)]

@@ -189,3 +189,40 @@ def test_lsp_survives_malformed_messages():
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_lsp_answers_parse_error_and_keeps_serving():
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "icicle_spark", "lsp"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        c = _Lsp(proc)
+        c.send("initialize", {"capabilities": {}}, request=True)
+        c.recv()
+        # well-FRAMED but invalid JSON: exactly Content-Length bytes
+        # consumed, so the server answers -32700 and stays alive
+        body = b"{oops"
+        proc.stdin.write(
+            b"Content-Length: %d\r\n\r\n" % len(body) + body
+        )
+        proc.stdin.flush()
+        err = c.recv()
+        assert err["error"]["code"] == -32700 and err["id"] is None
+        # didClose clears diagnostics for the closed document
+        uri = "file:///q.icicle"
+        c.send("textDocument/didOpen", {"textDocument": {
+            "uri": uri, "text": "from salary ~> 5ea1",
+        }})
+        assert len(c.recv()["params"]["diagnostics"]) == 1
+        c.send("textDocument/didClose", {"textDocument": {"uri": uri}})
+        pub = c.recv()
+        assert pub["params"] == {"uri": uri, "diagnostics": []}
+        c.send("shutdown", request=True)
+        assert c.recv()["result"] is None
+        c.send("exit")
+        assert proc.wait(timeout=30) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()

@@ -590,3 +590,33 @@ def test_invalid_blocksizes_rejected_by_name():
     buf = ogg_pack(packets, [0, 0, 0])
     with pytest.raises(ValueError, match="invalid blocksizes"):
         decode_vorbis(buf)
+
+
+def test_zero_dimension_codebook_rejected():
+    # dim is a raw 16-bit header field; 0 would hang lookup1_values
+    # and the residue partition loop — rejected by name at parse
+    from icicle_spark.operators.vorbis import Codebook
+
+    w = BitWriter()
+    w.write(0x564342, 24)
+    w.write(0, 16)   # dim 0
+    w.write(2, 24)
+    with pytest.raises(ValueError, match="zero-dimension"):
+        Codebook.parse(BitReader(w.getvalue() + bytes(8)))
+
+
+def test_zero_packet_streams_encode_and_decode_empty():
+    from icicle_spark.operators.vorbis import (
+        encode_vorbis_pattern_stereo,
+        encode_vorbis_pattern_switching,
+    )
+
+    empty = np.empty((0, _HALF), np.int64)
+    for buf in (
+        encode_vorbis_pattern(empty),
+        encode_vorbis_pattern_switching(empty, []),
+    ):
+        s, rate = decode_vorbis(buf)
+        assert s.shape == (0,) and rate == 16_000
+    s, _ = decode_vorbis(encode_vorbis_pattern_stereo(empty, empty))
+    assert s.shape == (0, 2)
