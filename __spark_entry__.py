@@ -784,7 +784,7 @@ FROM documents
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup survivors (min doc_id per normalized text)."""
-    return exact_dedup(_docs(spark, sf_dir)).select("doc_id")
+    return exact_dedup(_docs(spark, sf_dir, spread=True)).select("doc_id")
 
 
 _EXACT_DEDUP_SQL = """
@@ -799,13 +799,15 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs, Jaccard-verified.
     (No SQL oracle — LSH banding; rows-only check.)"""
     return minhash_dedup_pairs(
-        _docs(spark, sf_dir), threshold=0.5, num_perm=32, bands=8
+        _docs(spark, sf_dir, spread=True), threshold=0.5, num_perm=32, bands=8
     ).select("id_a", "id_b", _r("jaccard", 4).alias("jaccard"))
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only check)."""
-    return simhash_dedup_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return simhash_dedup_pairs(
+        _docs(spark, sf_dir, spread=True), max_hamming=3
+    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2269,7 +2271,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (<= partitions x k keys)."""
     from icicle_spark.operators.tokens import char_token_ids, heavy_hitters
 
-    d = _docs(spark, sf_dir).select(char_token_ids("text").alias("toks"))
+    d = _docs(spark, sf_dir, spread=True).select(
+        char_token_ids("text").alias("toks")
+    )
     return heavy_hitters(d, "toks", support=0.005)
 
 
@@ -2409,7 +2413,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icicle_spark.operators.packing import pack_token_sequences
     from icicle_spark.operators.tokens import char_token_ids
 
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir, spread=True).select(
         "source", "doc_id", char_token_ids("text").alias("tokens")
     )
     out = pack_token_sequences(d, seq_len=512, eos=31)
@@ -2488,7 +2492,7 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-asserted in tests)."""
     from icicle_spark.operators.tokens import char_token_ids, fim_transform
 
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir, spread=True).select(
         "doc_id", char_token_ids("text").alias("tokens")
     )
     out = fim_transform(d, rate=0.5, seed=0, mode="psm")
@@ -2544,7 +2548,7 @@ def q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     map stage, and the WHOLE rendering replays in ANSI SQL."""
     from icicle_spark.operators.tokens import render_dialog
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     turns = F.transform(
         F.sequence(
@@ -3374,7 +3378,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         contaminated_ids,
     )
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     corpus = docs.where("doc_id % 10 != 0")
     bench = docs.where("doc_id % 10 = 0")
     idx = benchmark_gram_index(bench, "text", n=8)
@@ -3697,7 +3701,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-derived Gumbel) replays exactly in the oracle."""
     from icicle_spark.operators.dsir import dsir_resample
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     target = docs.where(F.col("source").isin("src0", "src1"))
     return dsir_resample(docs, target, k=100)
 
@@ -4152,7 +4156,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned identical on this corpus)."""
     from icicle_spark.operators.span_dedup import strip_repeated_spans
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs(spark, sf_dir, spread=True).select("doc_id", "text")
     return strip_repeated_spans(
         docs, n=5, min_docs=2, key="exact"
     ).orderBy("doc_id")

@@ -537,25 +537,37 @@ def substring_dedup(
     n = F.size("__toks")
     # token t (1-based) is removed iff some duplicated gram STARTS in
     # [t-k, t-1] (0-based starts; a short doc's whole-text gram sits
-    # at 0 and covers everything). __dup_pos is CONCRETE here — an
-    # aggregation output or a pinned projection — so the per-token
-    # exists costs O(|dup positions in doc|), never a re-evaluation
-    # of the gram scan.
-    rm_flags = F.when(n == 0, F.array().cast("array<boolean>")).otherwise(
-        # the n==0 guard matters: sequence(1, 0) is DESCENDING [1, 0]
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda t: F.exists(
-                F.col("__dup_pos"),
-                lambda p: (p >= t - F.lit(k)) & (p <= t - F.lit(1)),
-            ),
+    # at 0 and covers everything) — i.e. iff t is one of the COVERED
+    # positions {p+1..p+k | p in __dup_pos}. The kept stream is
+    # rebuilt as the GAP SLICES between consecutive covered
+    # positions: O(tokens + |covered| log |covered|) per doc, where
+    # the previous per-token `exists` over __dup_pos was
+    # O(tokens x |dup positions|) — quadratic on corpora whose grams
+    # are mostly duplicated (the sf1.0 3-gram case: measured the
+    # dominant cost of this operator).
+    cov = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    "__dup_pos",
+                    lambda p: F.sequence(p + F.lit(1), p + F.lit(k)),
+                )
+            )
         )
     )
-    kept = F.filter(
-        # zip instead of element_at(i): element_at inside a HOF lambda
-        # re-evaluates the source array expression per element
-        F.zip_with("__toks", rm_flags, lambda x, f: F.when(~f, x)),
-        lambda x: x.isNotNull(),
+    bounds = F.concat(F.array(F.lit(0)), cov, F.array(n + F.lit(1)))
+    m = F.size(bounds)
+    kept = F.flatten(
+        F.zip_with(
+            F.slice(bounds, 1, m - 1),
+            F.slice(bounds, 2, m - 1),
+            # covered positions can exceed n (a short doc's whole-text
+            # gram covers 1..k > n), so the trailing gap length is
+            # clamped at 0
+            lambda a, b: F.slice(
+                "__toks", a + 1, F.greatest(b - a - 1, F.lit(0))
+            ),
+        )
     )
     return (
         marked.withColumn("__kept", kept)
@@ -916,6 +928,38 @@ def minhash_dedup_incremental(
     )
 
 
+def _bucket_pairs(rows, *extra_fields):
+    """All (i < j) combinations of a sorted bucket-member array as
+    ``struct<id_a, id_b, ...extra>`` — the shuffle-free replacement
+    for the band-bucket SELF-JOIN: one groupBy materializes each
+    bucket once, and pair expansion is a pure HOF over the collected
+    (size-capped) member list, so the banding subplan is evaluated
+    ONCE instead of once per join side (guide §2.4: remove shuffles
+    outright; the window-count cap becomes a size() filter on the
+    same aggregate). ``rows`` is array<struct> whose FIRST field is
+    the id (array_sort orders by it); ``extra_fields`` are carried
+    from both sides as (name_a, name_b) suffix pairs."""
+
+    def combos(x, i):
+        return F.transform(
+            F.slice(rows, i + F.lit(2), F.size(rows)),
+            lambda y: F.struct(
+                x["id"].alias("id_a"),
+                y["id"].alias("id_b"),
+                *[
+                    c
+                    for fld in extra_fields
+                    for c in (
+                        x[fld].alias(f"{fld}_a"),
+                        y[fld].alias(f"{fld}_b"),
+                    )
+                ],
+            ),
+        )
+
+    return F.flatten(F.transform(rows, combos))
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -936,16 +980,25 @@ def minhash_dedup_pairs(
     banded = minhash_band_buckets(
         docs, text_col, id_col, num_perm, bands, shingle_n, seed, use_arrow
     )
-    # cap degenerate buckets (boilerplate) to avoid quadratic blowup
-    counted = banded.withColumn(
-        "__bn", F.count(F.lit(1)).over(W.partitionBy("band", "bh"))
-    ).where(F.col("__bn") <= max_bucket)
-    a = counted.select(F.col(id_col).alias("id_a"), "band", "bh")
-    b = counted.select(F.col(id_col).alias("id_b"), "band", "bh")
+    # ONE groupBy materializes each band bucket; the degenerate-bucket
+    # cap (boilerplate => quadratic blowup) is a size() filter on the
+    # same aggregate, and pair expansion is a HOF over the member
+    # list — no window pass, no self-join re-evaluating the signature
+    # subplan per side (guide §2.4).
+    groups = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"))).alias("__m"))
+        .where((F.size("__m") >= 2) & (F.size("__m") <= max_bucket))
+    )
+    # sorted members materialize as a CONCRETE column before the pair
+    # HOFs: an inline array_sort referenced from inside the lambdas
+    # would re-sort per element (the element_at re-evaluation trap)
+    sorted_groups = groups.select(F.array_sort("__m").alias("__ms"))
     cand = (
-        a.join(b, on=["band", "bh"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        sorted_groups.select(
+            F.explode(_bucket_pairs(F.col("__ms"))).alias("p")
+        )
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     grams = _gram_sets(docs, text_col, id_col, shingle_n)
@@ -1198,22 +1251,51 @@ def simhash_dedup_pairs(
     join, to keep the candidate join from going quadratic at corpus
     scale."""
     chunks = simhash_chunk_index(docs, text_col, id_col, max_hamming)
-    # cap degenerate chunk buckets (mirror of the MinHash band cap)
-    chunks = chunks.withColumn(
-        "__bn", F.count(F.lit(1)).over(W.partitionBy("ck", "cv"))
-    ).where(F.col("__bn") <= max_bucket)
-    a = chunks.select(F.col(id_col).alias("id_a"), F.col("fp").alias("fa"), "ck", "cv")
-    b = chunks.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fb"), "ck", "cv")
-    cand = (
-        a.join(b, on=["ck", "cv"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    # ONE groupBy per chunk bucket (cap = size() filter, mirror of the
+    # MinHash band cap) + HOF pair expansion — replaces the window
+    # count and the self-join that re-evaluated the fingerprint UDF
+    # subplan once per join side (guide §2.4).
+    groups = (
+        chunks.groupBy("ck", "cv")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("fp").alias("fp"))
+            ).alias("__m")
+        )
+        .where((F.size("__m") >= 2) & (F.size("__m") <= max_bucket))
     )
-    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    # Pair expansion FILTERS by hamming inside the per-bucket HOF, so
+    # only near-duplicate pairs ever materialize: a degenerate-ish
+    # corpus (sf1.0: 17M capped candidate pairs) pays 17M codegen
+    # bit_counts but never builds, shuffles, or dedups the 17M-row
+    # candidate frame the old self-join plan did (guide §2.3 —
+    # aggregate/filter before you shuffle). The sorted member list is
+    # materialized as a concrete column first: an inline array_sort
+    # referenced from inside the lambdas re-sorts per element.
+    sorted_groups = groups.select(F.array_sort("__m").alias("__ms"))
+    rows = F.col("__ms")
+
+    def combos(x, i):
+        return F.filter(
+            F.transform(
+                F.slice(rows, i + F.lit(2), F.size(rows)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(
+                        x["fp"].bitwiseXOR(y["fp"])
+                    ).alias("hamming"),
+                ),
+            ),
+            lambda p: p["hamming"] <= F.lit(max_hamming),
+        )
+
     return (
-        cand.withColumn("hamming", ham)
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        sorted_groups.select(
+            F.explode(F.flatten(F.transform(rows, combos))).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -101,19 +101,34 @@ def dsir_logweights(
     target model — a gram in a raw doc always exists in the raw
     model) and broadcast to the scoring scan. The two model totals are
     bounded one-row collects (like ``doc_logprob``'s vocab size)."""
-    mt = hashed_ngram_model(target, text_col, buckets, seed).select(
-        "bucket", F.col("cnt").alias("cnt_t")
-    )
-    mr = hashed_ngram_model(raw, text_col, buckets, seed).select(
-        "bucket", F.col("cnt").alias("cnt_r")
-    )
-    nt = float(mt.agg(F.sum("cnt_t")).collect()[0][0] or 0.0)
-    nr = float(mr.agg(F.sum("cnt_r")).collect()[0][0] or 0.0)
+    # Collect BOTH models once (each is <= buckets rows by
+    # construction — a bounded driver frame like the BPE argmax) and
+    # rebuild the per-bucket count table as a literal local frame.
+    # The previous form paid THREE full featurization passes over the
+    # raw corpus (one per total-collect action plus the final plan's
+    # own model recompute) and three over the target; collecting the
+    # bounded models directly makes it ONE model pass per side plus
+    # the scoring scan (guide §1.2: fewer passes). The log-ratio math
+    # stays in Spark expressions on the rebuilt frame, so lr doubles
+    # are bit-identical to the previous join formulation.
+    mt_rows = {
+        int(r["bucket"]): int(r["cnt"])
+        for r in hashed_ngram_model(target, text_col, buckets, seed).collect()
+    }
+    mr_rows = {
+        int(r["bucket"]): int(r["cnt"])
+        for r in hashed_ngram_model(raw, text_col, buckets, seed).collect()
+    }
+    nt = float(sum(mt_rows.values()))
+    nr = float(sum(mr_rows.values()))
     denom_t = F.lit(nt + alpha * buckets)
     denom_r = F.lit(nr + alpha * buckets)
-    # both models are <= buckets rows by construction; broadcast the
-    # target side so the ratio build never sorts or shuffles
-    ratio = mr.join(F.broadcast(mt), on="bucket", how="left").select(
+    spark = raw.sparkSession
+    counts = spark.createDataFrame(
+        [(b, c, mt_rows.get(b)) for b, c in mr_rows.items()],
+        "bucket bigint, cnt_r bigint, cnt_t bigint",
+    )
+    ratio = counts.select(
         "bucket",
         (
             F.log((F.coalesce(F.col("cnt_t"), F.lit(0)) + F.lit(alpha)) / denom_t)

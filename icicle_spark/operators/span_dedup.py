@@ -188,7 +188,51 @@ def strip_repeated_spans(
     canonical occurrence per gram (module docstring has the policy).
     Returns ``(id_col, n_words, n_removed, cleaned)`` for EVERY input
     document (untouched docs report ``n_removed = 0``)."""
-    occ = span_occurrences(docs, text_col, id_col, n, key)
+    if key == "exact":
+        # Hash-prefiltered exact plan (guide §2.3 "shuffle keys and
+        # metadata instead of payloads"): the corpus-sized exchange
+        # carries 8-byte rolling-polynomial gram ids, never gram
+        # STRINGS. Every occurrence of an exactly-duplicated gram is
+        # a hash candidate (the id is a deterministic function of the
+        # gram), so rebuilding exact gram strings ONLY at candidate
+        # positions and re-aggregating those gives the identical
+        # (gram, n_docs, keeper) index — hash collisions merely add
+        # candidates that the exact re-aggregation then drops or
+        # groups correctly. The old all-strings plan shuffled ~n x
+        # 5-word strings twice; this shuffles hashes twice plus the
+        # (duplicate-bounded) candidate occurrences once.
+        occ_h = span_occurrences(docs, text_col, id_col, n, "hash")
+        cand = (
+            occ_h.groupBy("gram")
+            .agg(F.count_distinct(id_col).alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("gram")
+        )
+        cand_pos = (
+            occ_h.join(F.broadcast(cand), "gram")
+            .groupBy(id_col)
+            .agg(F.collect_set("pos").alias("__cps"))
+        )
+        ws_docs = docs.select(
+            F.col(id_col), _norm_tokens(F.col(text_col)).alias("ws")
+        )
+        occ = (
+            ws_docs.join(F.broadcast(cand_pos), id_col)
+            .select(
+                id_col,
+                F.explode("__cps").alias("pos"),
+                F.col("ws"),
+            )
+            .select(
+                id_col,
+                "pos",
+                F.array_join(F.slice("ws", F.col("pos"), n), " ").alias(
+                    "gram"
+                ),
+            )
+        )
+    else:
+        occ = span_occurrences(docs, text_col, id_col, n, key)
     dup = duplicated_span_index(occ, id_col, min_docs).select(
         "gram", "keeper"
     )
