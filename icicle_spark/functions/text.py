@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+from icicle_spark.operators.dedup import explode_bag
+
 # tiny per-language stopword marker sets for n-gram-free heuristic
 # language ID; chosen to be disjoint enough at document granularity.
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -332,7 +334,7 @@ def word_freq(docs, text_col: str = "text"):
     from icicle_spark.operators.dedup import _norm_tokens
 
     return (
-        docs.select(F.explode(_norm_tokens(F.col(text_col))).alias("word"))
+        docs.select(explode_bag(_norm_tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
@@ -364,7 +366,7 @@ def doc_logprob(
     denom = n + alpha * v
     words = docs.select(
         F.col(id_col),
-        F.explode(_norm_tokens(F.col(text_col))).alias("word"),
+        explode_bag(_norm_tokens(F.col(text_col))).alias("word"),
     )
     joined = words.join(F.broadcast(freq), on="word", how="left")
     logp = F.log(
@@ -394,7 +396,7 @@ def bigram_freq(docs, text_col: str = "text"):
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     return (
-        ws.select(F.explode(pairs).alias("p"))
+        ws.select(explode_bag(pairs).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("cnt2"))
@@ -434,7 +436,7 @@ def doc_logprob2(
         F.slice("ws", 2, k),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    p = ws.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+    p = ws.select(F.col(id_col), explode_bag(pairs).alias("p")).select(
         id_col, "p.w1", "p.w2"
     )
     uni1 = uni_freq.select(
@@ -515,7 +517,7 @@ def tfidf_top_terms(
 
     words = docs.select(
         F.col(id_col),
-        F.explode(_norm_tokens(F.col(text_col))).alias("word"),
+        explode_bag(_norm_tokens(F.col(text_col))).alias("word"),
     )
     tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("word").agg(F.count("*").alias("df"))

@@ -40,6 +40,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from icicle_spark.operators.dedup import explode_bag
+
 
 def _c(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -63,7 +65,7 @@ def pair_counts(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     ONE scan, ONE shuffle (explode feeds a hash aggregate with
     map-side partial counts). This is the inner statistic of BPE
     training and is also useful standalone (bigram statistics)."""
-    pr = F.explode(adjacent_pairs(tokens_col)).alias("pr")
+    pr = explode_bag(adjacent_pairs(tokens_col)).alias("pr")
     return (
         df.select(pr)
         .select(

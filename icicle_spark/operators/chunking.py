@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from icicle_spark.operators.dedup import explode_bag
+
 
 def chunk_documents(
     docs: DataFrame,
@@ -41,7 +43,7 @@ def chunk_documents(
         .withColumn("__n", F.size("__ws"))
         .where(F.col("__n") > 0)
     )
-    chunk = F.explode(
+    chunk = explode_bag(
         F.transform(
             F.sequence(
                 F.lit(0),

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from icicle_spark.operators.dedup import explode_bag
+
 _B_DEFAULT = 10_000
 _U60 = float(2**60)  # md5 buckets are 15 hex digits = 60 bits
 
@@ -76,7 +78,7 @@ def hashed_ngram_model(
     map-side-combined shuffle of at most ``buckets`` rows per
     partition."""
     g = docs.select(
-        F.explode(hashed_grams(F.col(text_col), buckets, seed)).alias(
+        explode_bag(hashed_grams(F.col(text_col), buckets, seed)).alias(
             "bucket"
         )
     )
@@ -137,7 +139,7 @@ def dsir_logweights(
     )
     occ = raw.select(
         F.col(id_col),
-        F.explode(hashed_grams(F.col(text_col), buckets, seed)).alias(
+        explode_bag(hashed_grams(F.col(text_col), buckets, seed)).alias(
             "bucket"
         ),
     )

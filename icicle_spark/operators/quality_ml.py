@@ -38,6 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from icicle_spark.operators.dedup import explode_bag
+
 from ..functions.text import _WORD_RE
 
 # multiplicative-hash weight parameterization: spreads bucket ids into
@@ -114,7 +116,7 @@ def score_with_weights(
     spine) and score ``sigmoid(bias)``."""
     spine = docs.select(id_col)
     toks = docs.select(
-        id_col, F.explode(_words(F.col(text_col))).alias("__w")
+        id_col, explode_bag(_words(F.col(text_col))).alias("__w")
     ).withColumn("__b", _feature_bucket(F.col("__w"), dim, hash_fn))
     w = weights.select(
         F.col("bucket").cast("bigint").alias("__b"),

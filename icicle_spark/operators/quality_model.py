@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from icicle_spark.operators.dedup import explode_bag
+
 _B_DEFAULT = 1 << 18
 
 
@@ -210,7 +212,7 @@ def score_exported(
     spine = docs.select(id_col)
     toks = docs.select(
         id_col,
-        F.explode(_gram_strings(F.col(text_col))).alias("__g"),
+        explode_bag(_gram_strings(F.col(text_col))).alias("__g"),
     ).withColumn("__b", F.pmod(F.hash("__g"), F.lit(buckets)))
     w = weights.select(
         F.col("bucket").alias("__b"), F.col("weight").alias("__wt")

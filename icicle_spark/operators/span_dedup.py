@@ -43,7 +43,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from icicle_spark.operators.dedup import _norm_tokens, ngram_hashes64
+from icicle_spark.operators.dedup import (
+    _norm_tokens,
+    ngram_hashes64,
+    zip_pos,
+)
 
 
 def _exact_gram_array(ws, n: int):
@@ -98,9 +102,16 @@ def span_occurrences(
         ).otherwise(ngram_hashes64(F.col("wh"), n))
     else:
         raise ValueError(f"key must be 'exact' or 'hash', got {key!r}")
+    # zip_pos pins the gram array's materialization: a plain
+    # posexplode re-evaluates the inline gram construction per
+    # emitted element (see dedup.zip_pos)
     return ws.select(
-        id_col, F.posexplode(garr).alias("p", "gram")
-    ).select(id_col, (F.col("p") + 1).alias("pos"), "gram")
+        id_col, F.explode(zip_pos(garr)).alias("__z")
+    ).select(
+        id_col,
+        (F.col("__z.p") + 1).alias("pos"),
+        F.col("__z.v").alias("gram"),
+    )
 
 
 def _index_from_occ(occ: DataFrame, id_col: str) -> DataFrame:
@@ -158,15 +169,35 @@ def _apply_removals(
         .groupBy(id_col)
         .agg(F.collect_set("cp").alias("cov"))
     )
+    return _rebuild_from_covered(docs, covered, text_col, id_col)
+
+
+def _rebuild_from_covered(
+    docs: DataFrame, covered: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Rebuild cleaned text from a ``(id_col, cov)`` covered-position
+    frame (1-based token positions to drop, as a set array)."""
     base = docs.select(
         F.col(id_col), _norm_tokens(F.col(text_col)).alias("ws")
     )
-    kept = F.when(F.col("cov").isNull(), F.col("ws")).otherwise(
-        F.filter(
-            F.col("ws"),
-            lambda w, i: ~F.array_contains(F.col("cov"), i + F.lit(1)),
+    # gap-slice rebuild (same pattern as substring_dedup's tail):
+    # O(tokens + |covered| log |covered|) per doc instead of the
+    # per-token array_contains scan, which is O(tokens x |covered|)
+    nw = F.size("ws")
+    bounds = F.concat(
+        F.array(F.lit(0)), F.array_sort("cov"), F.array(nw + F.lit(1))
+    )
+    m = F.size(bounds)
+    gaps = F.flatten(
+        F.zip_with(
+            F.slice(bounds, 1, m - 1),
+            F.slice(bounds, 2, m - 1),
+            lambda a, b: F.slice(
+                "ws", a + 1, F.greatest(b - a - 1, F.lit(0))
+            ),
         )
     )
+    kept = F.when(F.col("cov").isNull(), F.col("ws")).otherwise(gaps)
     return base.join(covered, id_col, "left").select(
         id_col,
         F.size("ws").alias("n_words"),
@@ -190,39 +221,44 @@ def strip_repeated_spans(
     document (untouched docs report ``n_removed = 0``)."""
     if key == "exact":
         # Hash-prefiltered exact plan (guide §2.3 "shuffle keys and
-        # metadata instead of payloads"): the corpus-sized exchange
+        # metadata instead of payloads"): ONE corpus-sized exchange
         # carries 8-byte rolling-polynomial gram ids, never gram
         # STRINGS. Every occurrence of an exactly-duplicated gram is
         # a hash candidate (the id is a deterministic function of the
         # gram), so rebuilding exact gram strings ONLY at candidate
         # positions and re-aggregating those gives the identical
-        # (gram, n_docs, keeper) index — hash collisions merely add
+        # (gram, n_docs, keeper) policy — hash collisions merely add
         # candidates that the exact re-aggregation then drops or
-        # groups correctly. The old all-strings plan shuffled ~n x
-        # 5-word strings twice; this shuffles hashes twice plus the
-        # (duplicate-bounded) candidate occurrences once.
+        # groups correctly. The exact stage computes keeper and the
+        # removed occurrences inside one aggregation (array_min /
+        # filter over the collected occurrence list — n_docs and the
+        # min-(doc_id,pos) keeper exactly as _index_from_occ defines
+        # them), so no occurrence frame is ever evaluated twice.
         occ_h = span_occurrences(docs, text_col, id_col, n, "hash")
-        cand = (
-            occ_h.groupBy("gram")
-            .agg(F.count_distinct(id_col).alias("__nd"))
-            .filter(F.col("__nd") >= min_docs)
-            .select("gram")
+        idx_h = occ_h.groupBy("gram").agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))
+            ).alias("os")
         )
-        cand_pos = (
-            occ_h.join(F.broadcast(cand), "gram")
-            .groupBy(id_col)
-            .agg(F.collect_set("pos").alias("__cps"))
+        cand_occ = (
+            idx_h.where(
+                F.size(
+                    F.array_distinct(F.transform("os", lambda o: o["kid"]))
+                )
+                >= min_docs
+            )
+            .select(F.explode("os").alias("o"))
+            .select(F.col("o.kid").alias(id_col), F.col("o.kpos").alias("pos"))
+        )
+        cand_pos = cand_occ.groupBy(id_col).agg(
+            F.collect_set("pos").alias("__cps")
         )
         ws_docs = docs.select(
             F.col(id_col), _norm_tokens(F.col(text_col)).alias("ws")
         )
-        occ = (
+        occ_exact = (
             ws_docs.join(F.broadcast(cand_pos), id_col)
-            .select(
-                id_col,
-                F.explode("__cps").alias("pos"),
-                F.col("ws"),
-            )
+            .select(id_col, F.explode("__cps").alias("pos"), F.col("ws"))
             .select(
                 id_col,
                 "pos",
@@ -231,8 +267,43 @@ def strip_repeated_spans(
                 ),
             )
         )
-    else:
-        occ = span_occurrences(docs, text_col, id_col, n, key)
+        g = (
+            occ_exact.groupBy("gram")
+            .agg(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("kid"), F.col("pos").alias("kpos")
+                    )
+                ).alias("os")
+            )
+            .where(
+                F.size(
+                    F.array_distinct(F.transform("os", lambda o: o["kid"]))
+                )
+                >= min_docs
+            )
+            # keeper materializes as its own column: an inline
+            # array_min referenced from the filter lambda would
+            # re-scan per element
+            .withColumn("__kp", F.array_min("os"))
+        )
+        removed = g.select(
+            F.explode(
+                F.filter("os", lambda o: ~(o == F.col("__kp")))
+            ).alias("o")
+        ).select(F.col("o.kid").alias(id_col), F.col("o.kpos").alias("pos"))
+        covered = (
+            removed.select(
+                id_col,
+                F.explode(
+                    F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+                ).alias("cp"),
+            )
+            .groupBy(id_col)
+            .agg(F.collect_set("cp").alias("cov"))
+        )
+        return _rebuild_from_covered(docs, covered, text_col, id_col)
+    occ = span_occurrences(docs, text_col, id_col, n, key)
     dup = duplicated_span_index(occ, id_col, min_docs).select(
         "gram", "keeper"
     )

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from icicle_spark.operators.dedup import explode_bag
+
 # same modulus as the dedup shingle hashing: keeps a*x+b in int64
 _MERSENNE = (1 << 31) - 1
 
@@ -290,7 +292,7 @@ def corpus_token_freq(
     with map-side partial counts). Deterministic ordering
     (freq desc, token asc) when ``k`` is set."""
     freq = (
-        df.select(F.explode(_c(tokens_col)).alias("token"))
+        df.select(explode_bag(_c(tokens_col)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -397,7 +399,7 @@ def heavy_hitters(
     # partition summary would need a partition id; summing SIZE on a
     # pruned second scan is simpler and exact)
     candidates = summaries.select("token").distinct()
-    toks = df.select(F.explode(_c(tokens_col)).alias("token"))
+    toks = df.select(explode_bag(_c(tokens_col)).alias("token"))
     hits = toks.join(F.broadcast(candidates), "token")
     counted = hits.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     total = df.select(
