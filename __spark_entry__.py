@@ -1868,13 +1868,16 @@ def q_vorbis_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file small-SF corpus would otherwise pin it to one core
     # (the adaptive small-read spread no-ops at real scale)
     media = attach_pattern_vorbis(_docs(spark, sf_dir, spread=True))
+    # no final orderBy: the driver canonicalizes row order, and a
+    # global sort's range-partitioning SAMPLING pass re-executes the
+    # whole narrow decode tail (measured 9.1 s -> 5.1 s at sf1.0)
     return vorbis_features(media).select(
         "doc_id",
         "n_samples",
         _r("rms", 6).alias("rms"),
         _r("peak", 6).alias("peak"),
         _r("dc", 6).alias("dc"),
-    ).orderBy("doc_id")
+    )
 
 
 _VORBIS_FEATURES_SQL = """
@@ -3391,7 +3394,6 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
             F.col("n_hits").isNotNull().alias("contaminated"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -4157,9 +4159,8 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icicle_spark.operators.span_dedup import strip_repeated_spans
 
     docs = _docs(spark, sf_dir, spread=True).select("doc_id", "text")
-    return strip_repeated_spans(
-        docs, n=5, min_docs=2, key="exact"
-    ).orderBy("doc_id")
+    # no final orderBy (driver-canonicalized; sampling re-runs the tail)
+    return strip_repeated_spans(docs, n=5, min_docs=2, key="exact")
 
 
 _SPAN_DEDUP_SQL = """
@@ -4312,9 +4313,9 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icicle_spark.functions.text import repetition_stats
 
     docs = _docs(spark, sf_dir, spread=True).select("doc_id", "text")
-    return _round_doubles(repetition_stats(docs).drop("text")).orderBy(
-        "doc_id"
-    )
+    # no final orderBy (driver-canonicalized; the stats stage is one
+    # zero-shuffle narrow map a global sort's sampling would re-run)
+    return _round_doubles(repetition_stats(docs).drop("text"))
 
 
 _REPETITION_SQL = """
@@ -4822,7 +4823,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("text").alias("cleaned"),
         F.col("n_removed").cast("long").alias("n_removed"),
-    ).orderBy("doc_id")
+    )
 
 
 _LINE_DEDUP_SQL = """
@@ -4925,7 +4926,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("text").alias("cleaned"),
         F.col("n_removed").cast("long").alias("n_removed"),
-    ).orderBy("doc_id")
+    )
 
 
 _SUBSTRING_DEDUP_SQL = """

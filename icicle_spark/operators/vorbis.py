@@ -47,48 +47,56 @@ import numpy as np
 
 
 class BitWriter:
+    """LSB-first bit packer over an integer accumulator: each write is
+    one shift+or (C-speed big-int ops) instead of a per-bit Python
+    loop, with whole bytes flushed to the bytearray once the
+    accumulator passes 4 KiB so single writes stay O(1)."""
+
     def __init__(self) -> None:
         self._bytes = bytearray()
-        self._bit = 0  # bits already used in the last byte
+        self._acc = 0       # pending bits, LSB = next stream bit
+        self._nbits = 0     # number of pending bits in _acc
 
     def write(self, value: int, bits: int) -> None:
         if bits < 0 or (bits and value < 0):
             raise ValueError("write wants non-negative value/bits")
-        for i in range(bits):
-            if self._bit == 0:
-                self._bytes.append(0)
-            if (value >> i) & 1:
-                self._bytes[-1] |= 1 << self._bit
-            self._bit = (self._bit + 1) % 8
+        self._acc |= (value & ((1 << bits) - 1)) << self._nbits
+        self._nbits += bits
+        if self._nbits >= 256:
+            whole = self._nbits // 8
+            self._bytes += (
+                self._acc & ((1 << (whole * 8)) - 1)
+            ).to_bytes(whole, "little")
+            self._acc >>= whole * 8
+            self._nbits -= whole * 8
 
     def getvalue(self) -> bytes:
-        return bytes(self._bytes)
-
-
-_POW2 = 1 << np.arange(63, dtype=np.int64)
+        tail = self._acc.to_bytes((self._nbits + 7) // 8, "little")
+        return bytes(self._bytes) + tail
 
 
 class BitReader:
-    """LSB-first reader over a pre-unpacked bit array: one
-    ``np.unpackbits`` per packet, then reads are slices — ~10x the
-    per-bit shift/mask loop on decode-heavy corpora."""
+    """LSB-first reader over ONE big int (``int.from_bytes`` per
+    packet): every read is a C-speed shift+mask, and the Huffman LUT
+    probe below is the same shift — faster per symbol than both the
+    per-bit walk and a pre-unpacked numpy bit array (whose per-call
+    slice/dot overhead dominated at these packet sizes)."""
 
     def __init__(self, buf: bytes) -> None:
-        self._bits = np.unpackbits(
-            np.frombuffer(buf, np.uint8), bitorder="little"
-        )
+        self._big = int.from_bytes(buf, "little")
+        self._n = len(buf) * 8
         self._pos = 0  # absolute bit position
 
     def read(self, bits: int) -> int:
         p = self._pos
-        if p + bits > self._bits.size:
+        if p + bits > self._n:
             # spec §4.3: end-of-packet during audio decode is a
             # hard stop the CALLER handles; surface it loudly
             raise EOFError("vorbis: end of packet")
         self._pos = p + bits
         if bits == 0:
             return 0
-        return int(self._bits[p:p + bits] @ _POW2[:bits])
+        return (self._big >> p) & ((1 << bits) - 1)
 
 
 def ilog(x: int) -> int:
@@ -193,6 +201,7 @@ class Codebook:
                 (lengths[i], c): i
                 for i, c in enumerate(codes) if c is not None
             }
+            self._lut = None  # lazy (ln, entry) table, built on first decode
         self.vq: np.ndarray | None = None
         if lookup_type:
             lv = (lookup1_values(entries, dim)
@@ -214,18 +223,55 @@ class Codebook:
             self.vq = vq
 
     # -- decode ----------------------------------------------------
+    def _build_lut(self) -> None:
+        """Prefix LUT over the first ``L`` STREAM bits (LSB-first
+        packet order): index = little-endian integer of the next L
+        bits, value = (codeword length, entry). One slice+dot plus a
+        table probe per symbol replaces the per-bit walk — the
+        measured hot path of residue decode. Codes longer than L
+        (none in typical profiles, but legal) fall back to the walk."""
+        L = min(max(ln for ln, _ in self._dec), 12)
+        lut_e = [-1] * (1 << L)
+        lut_l = [0] * (1 << L)
+        for (ln, code), e in self._dec.items():
+            if ln > L:
+                continue
+            # codeword bits arrive MSB-first in the stream: stream bit
+            # i (little-endian weight 2^i) is code's bit (ln-1-i)
+            base = 0
+            for i in range(ln):
+                if (code >> (ln - 1 - i)) & 1:
+                    base |= 1 << i
+            for fill in range(1 << (L - ln)):
+                v = base | (fill << ln)
+                lut_e[v] = e
+                lut_l[v] = ln
+        self._lut = (L, lut_e, lut_l)
+
     def decode_scalar(self, r: BitReader) -> int:
         if self._single is not None:
             ln = self.lengths[self._single]
             r.read(ln)  # the lone codeword (all zeros)
             return self._single
-        # walk the packet's bit array directly (hot path)
-        bits, pos, dec = r._bits, r._pos, self._dec
+        big, pos, n = r._big, r._pos, r._n
+        if self._lut is None:
+            self._build_lut()
+        L, lut_e, lut_l = self._lut
+        v = (big >> pos) & ((1 << L) - 1)
+        e = lut_e[v]
+        # phantom zero bits past the packet can only select an entry
+        # whose length overruns the packet — guarded here, falling
+        # back to the walk (which raises EOF per spec)
+        if e >= 0 and pos + lut_l[v] <= n:
+            r._pos = pos + lut_l[v]
+            return e
+        # near end-of-packet or code longer than L: per-bit walk
+        dec = self._dec
         code, ln = 0, 0
         while True:
-            if pos >= bits.size:
+            if pos >= n:
                 raise EOFError("vorbis: end of packet")
-            code = (code << 1) | int(bits[pos])
+            code = (code << 1) | ((big >> pos) & 1)
             pos += 1
             ln += 1
             if ln > 32:
@@ -622,6 +668,7 @@ def _parse_ident(packet: bytes) -> tuple[int, int, tuple[int, int]]:
     return channels, rate, (bs0, bs1)
 
 
+@functools.lru_cache(maxsize=32)
 def _parse_setup(packet: bytes, channels: int, rate: int,
                  blocksizes) -> VorbisSetup:
     r = BitReader(packet)
@@ -684,6 +731,7 @@ def _parse_setup(packet: bytes, channels: int, rate: int,
                        residues, mappings, modes)
 
 
+@functools.lru_cache(maxsize=32)
 @functools.lru_cache(maxsize=32)
 def synthesis_window(n: int, prev_long: bool, next_long: bool,
                      n0: int) -> np.ndarray:
@@ -802,7 +850,7 @@ def decode_vorbis(buf: bytes) -> tuple[np.ndarray, int]:
             # residue decode of the already-floored channels would
             # produce misaligned garbage, not audio)
             curves = [None] * channels
-            r._pos = r._bits.size
+            r._pos = r._n
         # nonzero propagation (spec §4.3.3): a coupled pair decodes
         # residue if EITHER side's floor is in use
         no_res = [curves[ch] is None for ch in range(channels)]
