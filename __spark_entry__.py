@@ -41,6 +41,10 @@ SNAP = "2024-01-20 00:00:00"
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO small-read spread here (unlike _docs): the fold queries' map
+    # stages are cheap numeric scans and the plans shuffle right away,
+    # so a round-robin exchange of raw fact rows is pure cost
+    # (measured r6: every asof/group_fold query 1.5-2x SLOWER with it)
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 

@@ -554,7 +554,16 @@ def _two_stage(
 
     ecol, tcol = plan.entity_col, plan.time_col
     scol = plan.seq_col or tcol
-    salt = F.pmod(F.xxhash64(F.col(scol)), F.lit(_SALT_BUCKETS))
+    # salt MATERIALIZES as a column: the rank window partitions and
+    # the stage-1 groupBy then share one attribute, so Catalyst
+    # satisfies the aggregate's distribution with the window's
+    # exchange instead of re-shuffling all rows a second time
+    # (guide §2.4 — plan verified: Exchange(entity, salt) appears
+    # once, reused by Window and HashAggregate)
+    base = base.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(scol)), F.lit(_SALT_BUCKETS))
+    )
+    salt = F.col("__salt")
     s1_aggs: list[Column] = []
     s2_aggs: list[Column] = []
     for f in mergeable:
@@ -609,7 +618,7 @@ def _two_stage(
                 F.sum(F.when(cond, 1).otherwise(0)).over(w_desc),
             )
         base = ranked
-    s1 = base.groupBy(*[F.col(k) for k in keys], salt.alias("__salt")).agg(*s1_aggs)
+    s1 = base.groupBy(*[F.col(k) for k in keys], salt).agg(*s1_aggs)
     return s1.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nl"), *s2_aggs)
 
 

@@ -555,6 +555,50 @@ def referenced_columns(plan: Plan, columns: list[str]) -> list[str] | None:
     return [c for c in columns if c in keep or _blob_references(blob, c)]
 
 
+_SIMPLE_EQ_WHERE = __import__("re").compile(
+    r"^\s*([A-Za-z_]\w*)\s*==\s*(?:'([^']*)'|\"([^\"]*)\")\s*$"
+)
+
+
+def _precompute_simple_wheres(facts: DataFrame, plan: Plan):
+    """Rewrite ``where`` clauses of the shape ``col == 'literal'``
+    into JVM-precomputed boolean bind columns, so the (string) column
+    they compare never crosses the Arrow boundary when nothing else
+    reads it (guide §2.3/§4.1 — shuffle and ship a 1-byte bool
+    instead of the string; measured ~0.7 s of the fused arrow
+    transport for one source-tag column at 8M rows). Only `==` is
+    rewritten: pandas-eval and Spark agree that a null compares
+    False there (vexec masks with ``fillna(False)``), while `!=`
+    diverges on nulls. Returns (facts_with_binds, rewritten_plan)."""
+    import dataclasses
+
+    cols = set(facts.columns)
+    new_feats = []
+    binds: dict[str, Any] = {}
+    changed = False
+    for i, f in enumerate(plan.features):
+        m = (
+            _SIMPLE_EQ_WHERE.match(f.where)
+            if isinstance(f.where, str)
+            else None
+        )
+        if m and m.group(1) in cols and m.group(1) != plan.entity_col:
+            col, lit = m.group(1), (
+                m.group(2) if m.group(2) is not None else m.group(3)
+            )
+            bname = f"__weq_{i}_{col}"
+            binds[bname] = F.col(col) == F.lit(lit)
+            new_feats.append(dataclasses.replace(f, where=bname))
+            changed = True
+        else:
+            new_feats.append(f)
+    if not changed:
+        return facts, plan
+    for bname, expr in binds.items():
+        facts = facts.withColumn(bname, expr)
+    return facts, dataclasses.replace(plan, features=new_feats)
+
+
 def run_snapshot_vectorized(
     facts: DataFrame,
     plan: Plan,
@@ -583,6 +627,7 @@ def run_snapshot_vectorized(
     yourself (e.g. assert ``groupBy(entity).count()`` parity) before
     passing ``assume_arranged=True``."""
     plan = plan.condensed()
+    facts, plan = _precompute_simple_wheres(facts, plan)
     ecol, tcol = plan.entity_col, plan.time_col
     qt = pd.Timestamp(snapshot)
     entity_type = dict(facts.dtypes)[ecol]
