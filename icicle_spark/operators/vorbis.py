@@ -616,7 +616,31 @@ class Residue:
                                 vals = book.decode_vq(r)
                                 out[j, off + i:off + i
                                     + step * book.dim:step] += vals
-                        else:  # type 1 (and flattened type 2)
+                        elif (
+                            self.psize % book.dim == 0
+                            and off + self.psize <= out.shape[1]
+                            and book.vq is not None
+                        ):
+                            # type 1 batch path: decode the partition's
+                            # symbol stream first, then ONE vq
+                            # fancy-index + slice add — replaces two
+                            # numpy ops per 2-dim symbol (measured the
+                            # residue hot loop's dominant cost). An
+                            # EOF mid-partition still contributes the
+                            # symbols decoded so far (spec §1.3.2),
+                            # exactly like the sequential form.
+                            es: list[int] = []
+                            try:
+                                for _i in range(self.psize // book.dim):
+                                    es.append(book.decode_scalar(r))
+                            except EOFError:
+                                if es:
+                                    vals = book.vq[es].ravel()
+                                    out[j, off:off + len(vals)] += vals
+                                raise
+                            vals = book.vq[es].ravel()
+                            out[j, off:off + len(vals)] += vals
+                        else:  # type 1 general (ragged psize/dim)
                             i = 0
                             while i < self.psize:
                                 vals = book.decode_vq(r)
