@@ -69,7 +69,15 @@ def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # adaptive small-read spread (same rationale as _docs): the
+    # embeddings similarity queries are heavy per-row vector math
+    # (HOF cosine / Arrow matmul) that a one-row-group file would pin
+    # to a single core; no-ops at real scale
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 # Off-decimal-grid epsilon per digit count: the fact data is 2-decimal,

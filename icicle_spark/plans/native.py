@@ -698,7 +698,94 @@ def _compile_scoped(
         agged = fbase.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nf"), *aggs)
         out = out.join(agged, on=keys, how="left")
         out = _fill_inits(out, fl_plan, "__nf")
+    # FUSE group features that share (group key, window, where,
+    # filter_let) under plain skip_nulls semantics: one per-(entity,
+    # key) aggregate and one map assembly evaluate ALL of them, where
+    # the per-feature loop below would run the whole two-exchange
+    # pipeline once per feature (guide §1.2/§2.4 — the group_fold
+    # queries carry 2+ features over one key; measured ~2x on the
+    # grouped family). Null elements ride through as nulls instead of
+    # being pre-filtered: every _GROUP_NATIVE_AGGS aggregate skips
+    # nulls (NEWEST/OLDEST via a nulled order key), and a key's map
+    # slot materializes only when that feature saw a non-null element
+    # (__n > 0) — exactly the key set the filtered single-feature
+    # plan produces.
+    fusable: dict[tuple, list[Feature]] = {}
+    fused_feats: list[Feature] = []
     for f in group_feats:
+        if (
+            f.skip_nulls
+            and f.post_group_filter is None
+            and f.group_latest is None
+        ):
+            sig = (f.group, repr(f.window), f.where, repr(f.filter_let))
+            fusable.setdefault(sig, []).append(f)
+    for sig, batch in fusable.items():
+        if len(batch) < 2:
+            continue
+        fused_feats.extend(batch)
+        f0 = batch[0]
+        gk = _key_str(base, f0.group)
+        rows = base.where(
+            _visibility(f0, qt, tcol) & F.expr(f0.group).isNotNull()
+        ).select(
+            *[F.col(k) for k in keys],
+            gk.alias("__gk"),
+            F.expr(f0.group).alias("__gkr"),
+            *[F.expr(f.expr).alias(f"__gv{i}") for i, f in enumerate(batch)],
+            F.struct(*_order_cols(plan)).alias("__gord"),
+        )
+        per_aggs: list[Column] = []
+        for i, f in enumerate(batch):
+            gv = F.col(f"__gv{i}")
+            if f.agg in (Agg.NEWEST, Agg.OLDEST):
+                pick = F.max_by if f.agg is Agg.NEWEST else F.min_by
+                agg_c = pick(
+                    gv.cast("double"),
+                    F.when(gv.isNotNull(), F.col("__gord")),
+                )
+            else:
+                agg_c = _plain_agg(f.agg, gv)
+            per_aggs.append(agg_c.alias(f"__v{i}"))
+            per_aggs.append(F.count(gv).alias(f"__n{i}"))
+        per_key = rows.groupBy(*keys, "__gk").agg(
+            F.min("__gkr").alias("__gkr"), *per_aggs
+        )
+        map_aggs = [
+            F.map_from_entries(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col(f"__n{i}") > 0,
+                                F.struct(
+                                    F.col("__gkr").alias("r"),
+                                    F.col("__gk").alias("k"),
+                                    F.col(f"__v{i}").alias("v"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda e: F.struct(
+                        e["k"].alias("key"), e["v"].alias("value")
+                    ),
+                )
+            ).alias(f.name)
+            for i, f in enumerate(batch)
+        ]
+        m = per_key.groupBy(*keys).agg(*map_aggs)
+        out = out.join(m, on=keys, how="left")
+        for f in batch:
+            val = F.coalesce(
+                F.col(f.name), F.expr("map()").cast(feature_dtype(f))
+            )
+            out = out.withColumn(
+                f.name,
+                F.when(F.size(val) <= F.lit(plan.max_group_size), val),
+            )
+    for f in group_feats:
+        if f in fused_feats:
+            continue
         # map-of-accumulators as TWO Catalyst exchanges: partial aggs
         # per (entity, key) with map-side combine, then collect the
         # finished entries into a map per entity. Rows are pre-filtered
