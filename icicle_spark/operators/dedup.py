@@ -1301,39 +1301,63 @@ def simhash_dedup_pairs(
         )
         .where((F.size("__m") >= 2) & (F.size("__m") <= max_bucket))
     )
-    # Pair expansion FILTERS by hamming inside the per-bucket HOF, so
-    # only near-duplicate pairs ever materialize: a degenerate-ish
-    # corpus (sf1.0: 17M capped candidate pairs) pays 17M codegen
-    # bit_counts but never builds, shuffles, or dedups the 17M-row
-    # candidate frame the old self-join plan did (guide §2.3 —
-    # aggregate/filter before you shuffle). The sorted member list is
-    # materialized as a concrete column first: an inline array_sort
-    # referenced from inside the lambdas re-sorts per element.
-    sorted_groups = groups.select(F.array_sort("__m").alias("__ms"))
-    rows = F.col("__ms")
-
-    def combos(x, i):
-        return F.filter(
-            F.transform(
-                F.slice(rows, i + F.lit(2), F.size(rows)),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    F.bit_count(
-                        x["fp"].bitwiseXOR(y["fp"])
-                    ).alias("hamming"),
-                ),
-            ),
-            lambda p: p["hamming"] <= F.lit(max_hamming),
-        )
-
-    return (
-        sorted_groups.select(
-            F.explode(F.flatten(F.transform(rows, combos))).alias("p")
-        )
-        .select("p.id_a", "p.id_b", "p.hamming")
-        .dropDuplicates(["id_a", "id_b"])
+    # Pair expansion + hamming filter run as ONE numpy pass per
+    # bucket (mapInPandas over the collected member lists): pairwise
+    # XOR outer product + 16-bit-LUT popcount, emitting only pairs
+    # within the hamming budget. The earlier HOF formulation paid 17M
+    # INTERPRETED Catalyst lambda ops on the sf1.0 corpus (~2 s);
+    # vectorized XOR/popcount over the same 17M candidate pairs is
+    # tens of ms, and only near-dup pairs ever become rows (guide
+    # §2.3/§4.2 — filter before you shuffle, batch work into numpy).
+    # This path already carries a pandas UDF (the fingerprint
+    # bit-majority), so no Python-free plan shape is lost.
+    id_type = [
+        f.dataType.elementType["id"].dataType.simpleString()
+        for f in groups.schema.fields
+        if f.name == "__m"
+    ][0]
+    # primitive id/fp arrays (not struct lists): Arrow then hands the
+    # Python side numpy arrays directly — the per-element dict access
+    # of a struct list measured ~40% of this stage
+    prim = groups.select(
+        F.transform("__m", lambda e: e["id"]).alias("__ids"),
+        F.transform("__m", lambda e: e["fp"]).alias("__fps"),
     )
+
+    def _pairs(batches):
+        lut = np.unpackbits(
+            np.arange(65536, dtype=np.uint16).view(np.uint8)
+        ).reshape(65536, 16).sum(axis=1).astype(np.uint16)
+
+        for pdf in batches:
+            out_a, out_b, out_h = [], [], []
+            for ids, fps in zip(pdf["__ids"], pdf["__fps"]):
+                ids = np.asarray(ids)
+                fps = np.asarray(fps, dtype=np.int64).view(np.uint64)
+                order = np.argsort(ids, kind="stable")
+                ids, fps = ids[order], fps[order]
+                x = np.bitwise_xor.outer(fps, fps)
+                pc = lut[x.view(np.uint16).reshape(len(ids), len(ids), 4)
+                         ].sum(axis=2)
+                iu, ju = np.triu_indices(len(ids), k=1)
+                keep = pc[iu, ju] <= max_hamming
+                if keep.any():
+                    out_a.append(ids[iu[keep]])
+                    out_b.append(ids[ju[keep]])
+                    out_h.append(pc[iu[keep], ju[keep]].astype(np.int32))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "hamming": np.concatenate(out_h),
+                    }
+                )
+
+    pairs = prim.mapInPandas(
+        _pairs, f"id_a {id_type}, id_b {id_type}, hamming int"
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def simhash_dedup_incremental(

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from icicle_spark.operators.dedup import (
     _norm_tokens,
+    explode_bag,
     ngram_hashes64,
     zip_pos,
 )
@@ -234,24 +235,32 @@ def strip_repeated_spans(
         # filter over the collected occurrence list — n_docs and the
         # min-(doc_id,pos) keeper exactly as _index_from_occ defines
         # them), so no occurrence frame is ever evaluated twice.
+        # Pass 1 — candidate grams by TOTAL occurrence count: a plain
+        # 8-byte-key HashAggregate with map-side combine (no
+        # positions, no count_distinct expand, no occurrence-list
+        # collect). total count >= min_docs is a SUPERSET of
+        # n_docs >= min_docs (n_docs <= count), and the exact-string
+        # re-aggregation below applies the true distinct-doc policy,
+        # so the extra intra-doc-repeat candidates change nothing.
+        ws_h = docs.select(
+            _norm_tokens(F.col(text_col)).alias("ws")
+        ).select("ws", _word_hashes_col(F.col("ws")).alias("wh"))
+        garr_h = F.when(
+            F.size("ws") < n, F.array().cast("array<long>")
+        ).otherwise(ngram_hashes64(F.col("wh"), n))
+        cand = (
+            ws_h.select(explode_bag(garr_h).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .where(F.col("__cnt") >= min_docs)
+            .select("gram")
+        )
+        # Pass 2 — positions for candidate occurrences only
         occ_h = span_occurrences(docs, text_col, id_col, n, "hash")
-        idx_h = occ_h.groupBy("gram").agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))
-            ).alias("os")
-        )
-        cand_occ = (
-            idx_h.where(
-                F.size(
-                    F.array_distinct(F.transform("os", lambda o: o["kid"]))
-                )
-                >= min_docs
-            )
-            .select(F.explode("os").alias("o"))
-            .select(F.col("o.kid").alias(id_col), F.col("o.kpos").alias("pos"))
-        )
-        cand_pos = cand_occ.groupBy(id_col).agg(
-            F.collect_set("pos").alias("__cps")
+        cand_pos = (
+            occ_h.join(F.broadcast(cand), "gram")
+            .groupBy(id_col)
+            .agg(F.collect_set("pos").alias("__cps"))
         )
         ws_docs = docs.select(
             F.col(id_col), _norm_tokens(F.col(text_col)).alias("ws")
