@@ -164,9 +164,17 @@ class _Conn:
                 # (framing genuinely lost; serve() exits cleanly)
         if length is None:
             return None
+        if length == 0:
+            # a well-framed empty body is an in-sync bad message, not
+            # EOF: answer -32700 like other bad bodies (r5 ADVICE)
+            raise _BadJson("empty body")
         body = self.rx.read(length)
         if not body:
             return None
+        if len(body) < length:
+            # short read after consuming part of the frame: framing is
+            # still in sync up to here — surface as a parse error
+            raise _BadJson("truncated body")
         try:
             return json.loads(body.decode("utf-8"))
         except (ValueError, UnicodeDecodeError) as e:

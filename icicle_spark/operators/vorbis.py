@@ -687,6 +687,13 @@ def _parse_ident(packet: bytes) -> tuple[int, int, tuple[int, int]]:
         raise ValueError(
             f"vorbis: invalid blocksizes ({bs0}, {bs1})"
         )
+    # spec §4.2.2: zero channels or rate is equally undecodable —
+    # reject by name instead of surfacing as empty/NaN features or a
+    # downstream division by zero (r5 ADVICE)
+    if channels == 0 or rate == 0:
+        raise ValueError(
+            f"vorbis: invalid channels/rate ({channels}, {rate})"
+        )
     if not r.read(1):
         raise ValueError("vorbis: identification framing bit unset")
     return channels, rate, (bs0, bs1)
